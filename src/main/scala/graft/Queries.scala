@@ -124,22 +124,43 @@ object Queries {
       WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
         AND CAST(o_orderdate AS DATE) <= DATE '1999-12-31'"""))
 
-  // J1: inner equi-join enriching fact rows with dimension metadata —
-  // the commented-out merge in the reference, done right: the projected
-  // orders side is broadcast. Ref: get_stream_data.py:81-86.
+  // J1: inner equi-join enriching fact rows with metadata — the
+  // commented-out merge in the reference. Both sides are fact-sized
+  // (orders grows with SF), so NO broadcast hint: AQE picks the strategy
+  // (shuffle/sort-merge at scale, broadcast only if a side is actually
+  // small at runtime). Forcing broadcast here was round-1's one scale
+  // killer (VERDICT r1 §What's wrong 1). Ref: get_stream_data.py:81-86.
   val j1Join = Q(
     "j1_join_enrich",
     (s, d) => {
       val o = orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
       lineitem(s, d)
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "o_custkey", "o_orderdate", "o_orderpriority")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity,
       o_custkey, o_orderdate, o_orderpriority
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
+
+  // J1b: broadcast-hash join where broadcast is actually right — nation
+  // and region are bounded dimension tables (25 / 5 rows at every SF), so
+  // the hint is safe at any scale and removes two shuffles.
+  // Ref: get_stream_data.py:81-86 (join-enrich intent, dimension side).
+  val j1bBroadcastDim = Q(
+    "j1b_broadcast_dim",
+    (s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name"),
+    Some("""SELECT c_custkey, c_name, n_name, r_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey"""))
 
   // J2: left anti-join — the reference's imperative "skip if already
   // present" incremental-load check. Ref: fitbit_utils.py:213-232.
@@ -180,6 +201,24 @@ object Queries {
         .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
           col("o_orderdate").as("latest_date"))
     },
+    Some("""SELECT o_custkey, o_orderkey AS latest_orderkey,
+      o_orderdate AS latest_date
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+      WHERE rn = 1"""))
+
+  // A1b: argmax via max(struct(...)) — the hash-aggregate form promised in
+  // SURVEY §7.2: one shuffle, NO per-partition sort (unlike the window
+  // form in a1), same result by lexicographic (date, key) ordering.
+  // Ref: get_stream_data.py:56-62.
+  val a1bArgmaxMaxBy = Q(
+    "a1b_argmax_maxby",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("latest_orderkey"),
+          col("m.o_orderdate").as("latest_date")),
     Some("""SELECT o_custkey, o_orderkey AS latest_orderkey,
       o_orderdate AS latest_date
       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -327,6 +366,7 @@ object Queries {
   /** All registered queries, in registration order. */
   def all: Seq[Q] = Seq(
     q1Flagship, s1Scan, s7DateSeq, p1Derive, p5Json, f1f2Filter,
-    j1Join, j2Anti, j3Semi, a1Argmax, a3Distinct, aggBattery,
-    o2Top1, u1Union, scalarBattery, k4Incremental, p9Normalize)
+    j1Join, j1bBroadcastDim, j2Anti, j3Semi, a1Argmax, a1bArgmaxMaxBy,
+    a3Distinct, aggBattery, o2Top1, u1Union, scalarBattery,
+    k4Incremental, p9Normalize)
 }

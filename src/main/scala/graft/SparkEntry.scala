@@ -8,12 +8,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q1Flagship.fn(spark, "/root/testdata/sf0.001")
 
+  /** Every registered query group (SURVEY.md §2 + LLM-pipeline ops). */
+  private def registry: Seq[Queries.Q] =
+    Queries.all ++ operators.LlmOps.all ++ operators.Ann.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.fn).toMap
+    registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

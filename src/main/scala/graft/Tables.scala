@@ -15,12 +15,20 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as a long and convert to a
-    * micros TimestampType (truncating, matching DuckDB's ns→µs cast) so
-    * every downstream event-time op sees a native timestamp.
+    * vectorized reader rejects unless spark.sql.legacy.parquet.nanosAsLong
+    * is set — that conf is now pinned at session construction (Verify,
+    * Bench, test fixtures) so this loader stays a pure reader with no
+    * hidden session mutation. The long nanos are floor-divided to micros
+    * (floor, not truncate-toward-zero, so pre-1970 timestamps would also
+    * match DuckDB's ns→µs cast; `(ts - pmod(ts,1000)) div 1000` is exact
+    * integer floor division, immune to double precision loss on 10^18-ns
+    * values).
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet stores TIMESTAMP(NANOS))")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
@@ -33,7 +41,8 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    eventsRaw(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsRaw(s, d)
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * FLOAT[64], label) — BASELINE.json north star.
+  *
+  * Scale design: the probe set is the small side and is broadcast, so the
+  * corpus is scanned exactly once with no corpus-side shuffle; top-k is a
+  * per-probe window over the (|probes| × corpus) similarity stream. The
+  * LSH variant buckets both sides on sign-bit keys first, so each corpus
+  * row only meets probes in its own bucket — the 100 TB path where even
+  * one pass per probe is too much.
+  *
+  * All dot products fold left-to-right in DOUBLE (floats upcast first) so
+  * the DuckDB oracle (list_inner_product over DOUBLE[]) accumulates in the
+  * same order and precision; similarities are rounded to 6 digits before
+  * ranking on (sim, vec_id), making rank boundaries deterministic.
+  */
+object Ann {
+
+  /** Left-fold dot product of two array columns in double precision. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def l2norm(a: String): Column = sqrt(dot(a, a))
+
+  // ---------------------------------------------------------------------
+  // A5: brute-force cosine top-k — the exact baseline. Probes (vec_id<8)
+  // broadcast against the full corpus; one corpus scan, per-probe top-10.
+  // ---------------------------------------------------------------------
+  val a5AnnBruteforce = Q(
+    "a5_ann_bruteforce",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("nrm", l2norm("emb"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+      import org.apache.spark.sql.expressions.Window
+      val sims = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot("emb", "p_emb") / (col("nrm") * col("p_nrm")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("probe_id", "vec_id", "sim")
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+            FROM e WHERE vec_id < 8),
+      sims AS (
+        SELECT probe_id, vec_id,
+          round(list_inner_product(emb, p_emb) / (nrm * p_nrm), 6) AS sim
+        FROM e CROSS JOIN p WHERE vec_id <> probe_id)
+      SELECT probe_id, vec_id, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
+      WHERE rn <= 10"""))
+
+  // ---------------------------------------------------------------------
+  // A6: LSH-bucketed ANN — 4 sign-bit hyperplanes (dims 1,17,33,49,
+  // 1-based) give a 16-bucket partition of the corpus; probes only meet
+  // corpus vectors in their own bucket. Same cosine + top-3 inside the
+  // bucket. The oracle replays the same bucketed algorithm (ANN is judged
+  // against its own declared algorithm, not brute force).
+  // ---------------------------------------------------------------------
+  private def signBucket(embCol: String): Column =
+    (0 until 4).map { i =>
+      when(expr(s"element_at($embCol, ${1 + 16 * i})") > 0,
+        lit(1 << (3 - i))).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  private def signBucketDuck(embCol: String): String =
+    (0 until 4).map { i =>
+      s"(CASE WHEN $embCol[${1 + 16 * i}] > 0 THEN ${1 << (3 - i)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val a6AnnLsh = Q(
+    "a6_ann_lsh",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("nrm", l2norm("emb"))
+        .withColumn("bucket", signBucket("emb"))
+      val probes = e.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("bucket"))
+      import org.apache.spark.sql.expressions.Window
+      val sims = e.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot("emb", "p_emb") / (col("nrm") * col("p_nrm")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("probe_id", "vec_id", "sim")
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm,
+               CAST(${signBucketDuck("embedding")} AS INTEGER) AS bucket
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, bucket
+            FROM e WHERE vec_id < 40),
+      sims AS (
+        SELECT probe_id, e.vec_id,
+          round(list_inner_product(emb, p_emb) / (nrm * p_nrm), 6) AS sim
+        FROM e JOIN p USING (bucket) WHERE e.vec_id <> probe_id)
+      SELECT probe_id, vec_id, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
+      WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------------
+  // D4: embedding-cosine near-dup — pairs above a similarity threshold,
+  // restricted to LSH-bucket collisions (the bucketed analogue of
+  // "crossJoin + filter", which would be quadratic at scale). a<b
+  // canonicalization dedups the pair space.
+  // ---------------------------------------------------------------------
+  val d4EmbedNeardup = Q(
+    "d4_embed_neardup",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("nrm", l2norm("emb"))
+        .withColumn("bucket", signBucket("emb"))
+      val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a"), col("bucket"))
+      val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6)
+            .as("sim"))
+        .filter(col("sim") >= 0.3)
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm,
+               CAST(${signBucketDuck("embedding")} AS INTEGER) AS bucket
+        FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+            >= 0.3"""))
+
+  /** All similarity-search queries, registration order. */
+  def all: Seq[Q] = Seq(a5AnnBruteforce, a6AnnLsh, d4EmbedNeardup)
+}

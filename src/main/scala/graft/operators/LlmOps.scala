@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.Tables._
+import graft.functions.Portable
+
+/** LLM-training-data pipeline operators over the `documents` table
+  * (BASELINE.json north star: dedup, text analysis at 100 TB scale).
+  *
+  * Design rules for scale:
+  *   - every candidate-generation step is BUCKETED (MinHash band keys,
+  *     hash groups) — never an all-pairs crossJoin;
+  *   - hashing is a per-row codegen'd projection (Portable.h60), so the
+  *     only shuffles are the per-doc aggregations and the band-bucket
+  *     self-join, all keyed and AQE-sized;
+  *   - all probabilistic structures use the portable md5-based hash so a
+  *     DuckDB oracle can replay them bit-for-bit.
+  *
+  * The reference has no text analytics (it is a fitness ETL); these extend
+  * its document-processing surface the way SURVEY.md §2.11 sketches.
+  */
+object LlmOps {
+
+  /** Whitespace-normalized lowercase text — the canonical form every
+    * dedup/fingerprint op hashes. */
+  private def normText: Column =
+    lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  // ---------------------------------------------------------------------
+  // D1: exact dedup — hash-groupBy on normalized text. One shuffle on the
+  // 32-hex md5 key; survivor = min(doc_id) per hash group (deterministic).
+  // At 100 TB: identical plan, the hash key shards uniformly.
+  // ---------------------------------------------------------------------
+  val d1DedupExact = Q(
+    "d1_dedup_exact",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(normText).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups")),
+    Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+      min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1"""))
+
+  // ---------------------------------------------------------------------
+  // D2: MinHash + LSH near-dup detection, end to end:
+  //   word-bigram shingles → 8 MinHash values (seeded portable hashes) →
+  //   4 bands of 2 rows → band-bucket self-join (candidates = docs sharing
+  //   a band key ONLY — never all-pairs) → exact shingle-Jaccard on the
+  //   candidates. Output: candidate pair + exact jaccard.
+  // Scale: the band self-join shuffles on (band, bkey); bucket sizes are
+  // bounded by collision probability, and AQE skew-join handles hot
+  // buckets. The shingle explode is linear in corpus size.
+  // ---------------------------------------------------------------------
+  private val P = 8 // MinHash permutations
+  private val BANDS = 4 // bands of r = 2 rows
+
+  /** Distinct word-bigram shingles per doc — the unit set for Jaccard. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"))
+          .as("shingle"))
+      .distinct()
+
+  val d2DedupMinhash = Q(
+    "d2_dedup_minhash",
+    (s, d) => {
+      val sh = shingles(s, d)
+      val mh = sh.groupBy(col("doc_id")).agg(
+        min(Portable.h60(col("shingle"), "mh0|")).as("m0"),
+        (1 until P).map(i =>
+          min(Portable.h60(col("shingle"), s"mh$i|")).as(s"m$i")): _*)
+      val bands = mh
+        .select(col("doc_id"), explode(array((0 until BANDS).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+              .as("bkey"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
+      val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
+          Seq("id_b", "shingle"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      cand
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
+            .as("jaccard"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(range(len(t)-1),
+               i -> concat_ws(' ', t[i+1], t[i+2]))) AS shingle
+        FROM toks WHERE len(t) >= 2),
+      mh AS (
+        SELECT doc_id,
+          ${(0 until P).map(i =>
+            s"min(${Portable.h60Duck("shingle", s"mh$i|")}) AS m$i")
+            .mkString(", ")}
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        ${(0 until BANDS).map(b =>
+          s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, m${2 * b + 1})) AS bkey FROM mh")
+          .mkString(" UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b)
+      SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+        round(coalesce(i.n_inter, 0)::DOUBLE /
+              (za.n + zb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b"""))
+
+  // ---------------------------------------------------------------------
+  // D3: SimHash — 16-bit locality-sensitive signature per document.
+  // Per distinct token: portable 60-bit hash; signature bit j is the sign
+  // of Σ_tokens (±1 by token-hash bit j). One explode + one hash-agg; the
+  // signature is a single BIGINT column any downstream grouping can
+  // bucket on (hamming-neighbor probing at scale).
+  // ---------------------------------------------------------------------
+  private val SIMHASH_BITS = 16
+
+  val d3Simhash = Q(
+    "d3_simhash",
+    (s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .distinct()
+        .withColumn("h", Portable.h60(col("tok"), "sh|"))
+      val sums = tok.groupBy(col("doc_id")).agg(
+        sum(when(expr(s"(h div ${1L}) % 2") === 1, 1).otherwise(-1)).as("b0"),
+        (1 until SIMHASH_BITS).map(j =>
+          sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1))
+            .as(s"b$j")): _*)
+      sums.select(col("doc_id"),
+        (0 until SIMHASH_BITS).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      th AS (SELECT doc_id, ${Portable.h60Duck("tok", "sh|")} AS h FROM tok),
+      sums AS (
+        SELECT doc_id,
+          ${(0 until SIMHASH_BITS).map(j =>
+            s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+            .mkString(", ")}
+        FROM th GROUP BY doc_id)
+      SELECT doc_id, CAST(${(0 until SIMHASH_BITS).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")}
+        AS BIGINT) AS simhash
+      FROM sums"""))
+
+  // ---------------------------------------------------------------------
+  // T1: text quality stats — token count, char count, avg token length,
+  // stopword ratio, punctuation count, and a composite quality score.
+  // Pure per-row projection: codegen'd, zero shuffles, embarrassingly
+  // parallel at any scale.
+  // ---------------------------------------------------------------------
+  val t1TextStats = Q(
+    "t1_text_stats",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"),
+          col("text"))
+        .select(
+          col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          round(length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / size(col("t")), 4).as("avg_token_len"),
+          expr("size(filter(t, x -> x IN ('the', 'a')))").cast("long")
+            .as("n_stop"),
+          round(expr("size(filter(t, x -> x IN ('the', 'a')))")
+            .cast("double") / size(col("t")), 6).as("stop_ratio"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?]", "")))
+            .cast("long").as("n_punct"),
+          round(least(lit(1.0), size(col("t")).cast("double") / 100.0) *
+            (lit(1.0) - expr("size(filter(t, x -> x IN ('the', 'a')))")
+              .cast("double") / size(col("t"))), 6).as("quality")),
+    Some("""WITH b AS (SELECT doc_id, text,
+        string_split(lower(text), ' ') AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(t), 4)
+          AS avg_token_len,
+        CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        round(CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+          / len(t), 6) AS stop_ratio,
+        CAST(length(text) -
+             length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+          AS n_punct,
+        round(least(1.0, CAST(len(t) AS DOUBLE) / 100.0) *
+          (1.0 - CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+           / len(t)), 6) AS quality
+      FROM b"""))
+
+  // ---------------------------------------------------------------------
+  // T2: language identification — marker-token heuristic (per-language
+  // stopword hit counts, argmax with deterministic precedence). A real
+  // deployment would swap the marker lists for char-n-gram profiles; the
+  // *plan shape* (per-row scoring projection, no shuffle) is what matters
+  // at 100 TB.
+  // ---------------------------------------------------------------------
+  val t2LangId = Q(
+    "t2_lang_id",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("t"))
+        .select(col("doc_id"), col("lang"),
+          expr("size(filter(t, x -> x IN ('the', 'a', 'of')))").as("s_en"),
+          expr("size(filter(t, x -> x IN ('el', 'la', 'de')))").as("s_es"),
+          expr("size(filter(t, x -> x IN ('le', 'un', 'et')))").as("s_fr"))
+        .select(col("doc_id"), col("lang"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und").as("guess"))
+        .withColumn("is_match", col("guess") === col("lang")),
+    Some("""WITH sc AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the', 'a', 'of'))) AS s_en,
+          len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('el', 'la', 'de'))) AS s_es,
+          len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('le', 'un', 'et'))) AS s_fr
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+             WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+             WHEN s_fr > 0 THEN 'fr'
+             ELSE 'und' END AS guess,
+        (CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END) = lang AS is_match
+      FROM sc"""))
+
+  // ---------------------------------------------------------------------
+  // T3: corpus token frequency, top-20 — explode + hash-agg + top-k
+  // (TakeOrderedAndProject: only k rows cross the final exchange).
+  // Deterministic tie-break on the token itself.
+  // ---------------------------------------------------------------------
+  val t3TokenTopk = Q(
+    "t3_token_topk",
+    (s, d) =>
+      documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(20),
+    Some("""SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents) t
+      GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20"""))
+
+  // ---------------------------------------------------------------------
+  // T4: document fingerprint — min rolling hash over character 8-grams of
+  // the normalized text (the winnowing primitive). Entirely inside one
+  // per-row higher-order-function expression: no explode, no shuffle —
+  // the cheapest possible shape for a 100 TB fingerprint pass.
+  // ---------------------------------------------------------------------
+  val t4Fingerprint = Q(
+    "t4_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+        .filter(length(col("norm")) >= 8)
+        .select(col("doc_id"),
+          expr("array_min(transform(sequence(1, length(norm) - 7), i -> " +
+            Portable.h60Sql("substring(norm, i, 8)", "fp|") + "))")
+            .as("fingerprint")),
+    Some(s"""SELECT doc_id,
+        list_min(list_transform(range(1, length(norm) - 6), i ->
+          ${Portable.h60Duck("substring(norm, i, 8)", "fp|")})) AS fingerprint
+      FROM (SELECT doc_id,
+              lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+            FROM documents) t
+      WHERE length(norm) >= 8"""))
+
+  /** All LLM-pipeline text queries, registration order. */
+  def all: Seq[Q] = Seq(
+    d1DedupExact, d2DedupMinhash, d3Simhash,
+    t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint)
+}
