@@ -10,7 +10,9 @@ object SparkEntry {
 
   /** Every registered query group (SURVEY.md §2 + LLM-pipeline ops). */
   private def registry: Seq[Queries.Q] =
-    Queries.all ++ operators.LlmOps.all ++ operators.Ann.all
+    Queries.all ++ operators.LlmOps.all ++ operators.Ann.all ++
+      operators.Windows.all ++ operators.Multimodal.all ++
+      sources.Ingest.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

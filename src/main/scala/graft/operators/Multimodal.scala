@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.Tables._
+
+/** Multimodal column handling — media as opaque `binary` payloads with
+  * typed metadata (BASELINE.json north star).
+  *
+  * The Spark-side plumbing is the real thing: binary columns through
+  * scan/shuffle/sink, a typed metadata projection, and a batched
+  * per-partition decode stage shaped like a real codec call
+  * (`mapPartitions` over a typed Dataset — the JVM analogue of
+  * `mapInPandas`: one iterator per partition, so a decoder library would
+  * be initialized once per partition/batch, not per row). The decode
+  * ITSELF is a clearly-marked deterministic stand-in — media codecs are
+  * not available in this environment — but its signature, schema, and
+  * batch shape are what a libjpeg/ffmpeg-backed version would use.
+  *
+  * documents.text bytes stand in for media payloads; mime is derived
+  * deterministically so results are oracle-stable.
+  */
+object Multimodal {
+
+  /** One media row: payload + the metadata a lake would carry. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Decoded features a real codec stage would emit. */
+  final case class DecodedMedia(
+      doc_id: Long, mime: String, width: Int, height: Int,
+      n_frames: Int, checksum: Long)
+
+  // ---------------------------------------------------------------------
+  // M1: multimodal metadata projection — binary payload, byte length,
+  // mime tag, magic-bytes prefix. Pure per-row codegen'd projection; the
+  // binary column round-trips through the result parquet, so the oracle
+  // checks byte equality end to end.
+  // ---------------------------------------------------------------------
+  val m1MultimodalMeta = Q(
+    "m1_multimodal_meta",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        substring(col("text"), 1, 4).cast("binary").as("magic")),
+    Some("""SELECT doc_id, encode(text) AS payload,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+           WHEN doc_id % 3 = 1 THEN 'audio/wav'
+           ELSE 'video/mp4' END AS mime,
+      encode(substring(text, 1, 4)) AS magic
+      FROM documents"""))
+
+  /** The batched decode stage. STUB: a production build links a codec
+    * (libjpeg/ffmpeg) here and decodes `r.payload` for real; this
+    * environment has no media libraries, so features are derived
+    * deterministically from the payload bytes. The dataflow — typed rows
+    * in, one iterator per partition, features out — is the real shape.
+    */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
+    rows.map { r =>
+      val n = r.payload.length
+      val checksum = r.payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+      r.mime match {
+        case "image/png" =>
+          DecodedMedia(r.doc_id, r.mime, 64 + n % 576, 64 + n % 416, 1,
+            checksum)
+        case "audio/wav" =>
+          DecodedMedia(r.doc_id, r.mime, 0, 0, n / 4, checksum)
+        case _ =>
+          DecodedMedia(r.doc_id, r.mime, 320, 240, n / 16, checksum)
+      }
+    }
+
+  /** Typed decode pipeline: metadata projection → per-partition decode. */
+  def decoded(s: SparkSession, d: String): Dataset[DecodedMedia] = {
+    import s.implicits._
+    m1MultimodalMeta.fn(s, d)
+      .select(col("doc_id"), col("payload"), col("mime"))
+      .as[MediaRow]
+      .mapPartitions(decodeBatch)
+  }
+
+  // ---------------------------------------------------------------------
+  // M2: the decode stage as a registered query. No oracle — the decode is
+  // an imperative per-partition stage (driver records a rows-only check);
+  // its determinism and feature math are pinned by MultimodalSpec.
+  // ---------------------------------------------------------------------
+  val m2MultimodalDecode = Q(
+    "m2_multimodal_decode",
+    (s, d) => decoded(s, d).toDF(),
+    None) // imperative per-partition stage: rows-only check (see spec)
+
+  /** All multimodal queries, registration order. */
+  def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode)
+}

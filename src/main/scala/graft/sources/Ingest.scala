@@ -1,0 +1,286 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.Tables._
+
+/** Write path (sinks K1–K3, K5) and the E1 ingest restatement, plus the
+  * file-catalog queries (S5/F5) — SURVEY.md §2.2, §3.
+  *
+  * The reference's sink is `pq.write_table` one file per (resource, day)
+  * with the partition encoded in the file NAME
+  * (services/fitbit/fitbit_utils.py:285-287, path built :227-228). The
+  * Spark-native restatement uses real Hive partitions
+  * (`partitionBy(...)`), which is what makes partition PRUNING work on
+  * the read side at 100 TB — a filter on the partition column prunes
+  * directories before any I/O.
+  *
+  * Sink queries write under target/graft-lake/ (wiped per run), read the
+  * lake back, and return the read-back frame, so the oracle checks the
+  * full write→read round trip, not just the in-memory derivation.
+  */
+object Ingest {
+
+  private def freshDir(sub: String): String = {
+    val p = Paths.get("/root/repo/target/graft-lake", sub)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(p.toFile)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  // ---------------------------------------------------------------------
+  // K1: partitioned parquet sink — derive (P1/P2 analogue), write with
+  // partitionBy(event_date), read the lake back. Partition values live in
+  // directory names; the read-back plan partition-prunes on event_date.
+  // Ref: fitbit_utils.py:285-287 (one file per (resource, day)).
+  // ---------------------------------------------------------------------
+  val k1PartitionedSink = Q(
+    "k1_partitioned_sink",
+    (s, d) => {
+      val out = freshDir("k1")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), to_date(col("ts")).as("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      s.read.parquet(out)
+    },
+    Some("""SELECT event_id, user_id, event_type, value,
+      CAST(ts AS DATE) AS event_date FROM events"""))
+
+  // ---------------------------------------------------------------------
+  // K2: date-stamped snapshot sink — one self-contained snapshot per run
+  // under a date-stamped path (fixed date literal: the oracle must be
+  // run-date independent). Ref: get_activity_data.py:28-34.
+  // ---------------------------------------------------------------------
+  val k2SnapshotSink = Q(
+    "k2_snapshot_sink",
+    (s, d) => {
+      val out = freshDir("k2/all_orders_2025-06-01.parquet")
+      orders(s, d)
+        .withColumn("snapshot_date", lit("2025-06-01"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    },
+    Some("SELECT *, '2025-06-01' AS snapshot_date FROM orders"))
+
+  // ---------------------------------------------------------------------
+  // E1: the full Fitbit-intraday ingest restated end-to-end — seed the
+  // lake with everything before a cutoff, then run the incremental load:
+  //   work-list (all (event_type, day) partitions in the source)
+  //   ANTI-JOIN already-materialized lake partitions        (K4/J2)
+  //   → fetch only the missing rows (semi-join)             (F4)
+  //   → append into the partitioned lake                    (K1)
+  // and finally read the whole lake back and count per partition. Green
+  // means the incremental pass wrote exactly the missing partitions —
+  // idempotence by construction, distributed (no driver-side membership
+  // loop like fitbit_utils.py:224-232). Ref: SURVEY §3 E1.
+  // ---------------------------------------------------------------------
+  val e1IngestIncremental = Q(
+    "e1_ingest_incremental",
+    (s, d) => {
+      val out = freshDir("e1")
+      val src = events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), to_date(col("ts")).as("event_date"))
+      // seed: "previous runs" ingested everything before the cutoff
+      src.filter(col("event_date") < lit("2024-02-01"))
+        .write.mode("overwrite")
+        .partitionBy("event_type", "event_date").parquet(out)
+      // incremental run over the FULL source range:
+      val worklist = src.select("event_type", "event_date").distinct()
+      val existing = s.read.parquet(out)
+        .select("event_type", "event_date").distinct()
+      val missing = worklist.join(existing,
+        Seq("event_type", "event_date"), "left_anti")
+      src.join(broadcast(missing), Seq("event_type", "event_date"),
+          "left_semi")
+        .write.mode("append")
+        .partitionBy("event_type", "event_date").parquet(out)
+      // verify the lake: per-partition counts must equal the source's
+      s.read.parquet(out)
+        .groupBy(col("event_type"), col("event_date"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT event_type, CAST(ts AS DATE) AS event_date,
+      count(*) AS n FROM events GROUP BY event_type, CAST(ts AS DATE)"""))
+
+  // ---------------------------------------------------------------------
+  // P4/P5 at full fidelity: flatten a nested JSON document — from_json
+  // with a DECLARED schema (no inference pass at 100 TB), then explode
+  // the inner record list, one output row per element. The JSON docs are
+  // built per-order from lineitem so the oracle is the plain relational
+  // answer. Ref: fitbit_utils.py:374-379 (the dataset-list flatten).
+  // ---------------------------------------------------------------------
+  val p4JsonFlatten = Q(
+    "p4_json_flatten",
+    (s, d) => {
+      val docs = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(to_json(expr(
+          """named_struct('dataset',
+             sort_array(collect_list(named_struct(
+               'ln', l_linenumber, 'qty', l_quantity))))"""))
+          .as("js"))
+      docs
+        .select(col("l_orderkey"),
+          explode(from_json(col("js"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              "STRUCT<dataset: ARRAY<STRUCT<ln: INT, qty: DOUBLE>>>")
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .getField("dataset")).as("r"))
+        .select(col("l_orderkey"), col("r.ln").as("ln"),
+          col("r.qty").as("qty"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
+      FROM lineitem"""))
+
+  // ---------------------------------------------------------------------
+  // P9 full fidelity: wide normalization with nested structs + defaults —
+  // the 47-field SummaryActivity shape (utils.py:146-233) restated: direct
+  // picks, deterministic synthesized gaps, coalesce() defaults (False /
+  // 'everyone' / 0), rebuilt nested athlete/map structs with exactly the
+  // declared fields, and the has_heartrate CASE-WHEN (P10,
+  // utils.py:157-159). Struct columns survive into the output schema.
+  // ---------------------------------------------------------------------
+  val p9NormalizeFull = Q(
+    "p9_normalize_full",
+    (s, d) => {
+      // raw view with deterministic nulls, standing in for API records
+      // with missing optional keys
+      val raw = customer(s, d).select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_name"))
+          .as("name_raw"),
+        when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise(col("c_mktsegment")).as("visibility_raw"),
+        when(col("c_custkey") % 3 === 0, lit(null))
+          .otherwise(col("c_acctbal")).as("distance_raw"),
+        (col("c_custkey") % 2 === 0).as("has_heartrate"),
+        col("c_acctbal"), col("c_nationkey"))
+      raw.select(
+        col("id"),
+        lit(2).as("resource_state"),
+        struct((col("id") + 100000).as("id"),
+          lit(2).as("resource_state")).as("athlete"),
+        coalesce(col("name_raw"), lit("unknown")).as("name"),
+        coalesce(col("distance_raw"), lit(0.0)).as("distance"),
+        coalesce(col("visibility_raw"), lit("everyone")).as("visibility"),
+        lit(false).as("trainer"),
+        lit(false).as("commute"),
+        lit(true).as("manual"),
+        struct(concat(lit("m"), col("id")).as("id"),
+          when(col("c_nationkey") % 2 === 0, lit(""))
+            .otherwise(lit("poly")).as("summary_polyline"),
+          lit(2).as("resource_state")).as("map"),
+        col("has_heartrate"),
+        when(col("has_heartrate"),
+          round(pmod(col("c_acctbal"), lit(60)) + 90.0, 1))
+          .otherwise(lit(null)).as("average_heartrate"))
+    },
+    Some("""SELECT c_custkey AS id, 2 AS resource_state,
+      struct_pack(id := c_custkey + 100000, resource_state := 2) AS athlete,
+      coalesce(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END,
+               'unknown') AS name,
+      coalesce(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END,
+               0.0) AS distance,
+      coalesce(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END,
+               'everyone') AS visibility,
+      false AS trainer, false AS commute, true AS manual,
+      struct_pack(id := concat('m', c_custkey),
+        summary_polyline := CASE WHEN c_nationkey % 2 = 0
+          THEN '' ELSE 'poly' END,
+        resource_state := 2) AS map,
+      c_custkey % 2 = 0 AS has_heartrate,
+      CASE WHEN c_custkey % 2 = 0
+        THEN round(((c_acctbal % 60) + 60) % 60 + 90.0, 1)
+        ELSE NULL END AS average_heartrate
+      FROM customer"""))
+
+  // ---------------------------------------------------------------------
+  // S5 + A1: file-listing catalog as a DataFrame — keys synthesized in
+  // the reference's naming convention, date + id parsed back out with
+  // regexp_extract, then argmax via one max(struct(...)) hash-aggregate
+  // (no sort, no collect). Ref: get_stream_data.py:56-62, utils.py:249-292.
+  // ---------------------------------------------------------------------
+  val s5CatalogArgmax = Q(
+    "s5_catalog_argmax",
+    (s, d) => {
+      val listing = orders(s, d).select(
+        concat(lit("lake/activities/all_activities_"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("_"),
+          col("o_orderkey"), lit(".parquet")).as("key"))
+      listing
+        .select(col("key"),
+          regexp_extract(col("key"),
+            "all_activities_(\\d{4}-\\d{2}-\\d{2})_(\\d+)\\.parquet", 1)
+            .as("fdate"),
+          regexp_extract(col("key"),
+            "all_activities_(\\d{4}-\\d{2}-\\d{2})_(\\d+)\\.parquet", 2)
+            .cast("long").as("fid"))
+        .agg(max(struct(col("fdate"), col("fid"), col("key"))).as("m"))
+        .select(col("m.fdate").as("latest_date"),
+          col("m.fid").as("latest_id"), col("m.key").as("latest_key"))
+    },
+    Some("""WITH listing AS (
+        SELECT concat('lake/activities/all_activities_',
+          strftime(o_orderdate, '%Y-%m-%d'), '_', o_orderkey,
+          '.parquet') AS key FROM orders),
+      parsed AS (
+        SELECT key,
+          regexp_extract(key,
+            'all_activities_(\d{4}-\d{2}-\d{2})_(\d+)\.parquet', 1)
+            AS fdate,
+          CAST(regexp_extract(key,
+            'all_activities_(\d{4}-\d{2}-\d{2})_(\d+)\.parquet', 2)
+            AS BIGINT) AS fid
+        FROM listing)
+      SELECT fdate AS latest_date, fid AS latest_id, key AS latest_key
+      FROM parsed ORDER BY fdate DESC, fid DESC LIMIT 1"""))
+
+  // ---------------------------------------------------------------------
+  // F5 done right: exact-key membership via regexp parse + semi-join —
+  // the reference's substring test (`str(id) in key`, utils.py:412) can
+  // false-positive across ids sharing prefixes (§2.12.4); the intended
+  // semantics is equality on the PARSED id, which is also the joinable
+  // (and therefore distributable) form.
+  // ---------------------------------------------------------------------
+  val f5ExactKey = Q(
+    "f5_exact_key",
+    (s, d) => {
+      val keys = lineitem(s, d)
+        .select(concat(lit("lake/streams/strava_stream_"),
+          col("l_orderkey"), lit(".parquet")).as("key"))
+        .distinct()
+        .withColumn("fid",
+          regexp_extract(col("key"), "strava_stream_(\\d+)\\.parquet", 1)
+            .cast("long"))
+      val wanted = orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("id"))
+      keys.join(wanted, col("fid") === col("id"), "left_semi")
+        .select("key", "fid")
+    },
+    Some("""WITH keys AS (
+        SELECT DISTINCT concat('lake/streams/strava_stream_', l_orderkey,
+          '.parquet') AS key,
+          CAST(regexp_extract(
+            concat('lake/streams/strava_stream_', l_orderkey, '.parquet'),
+            'strava_stream_(\d+)\.parquet', 1) AS BIGINT) AS fid
+        FROM lineitem)
+      SELECT key, fid FROM keys
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_orderkey = fid)"""))
+
+  /** All sink/ingest/catalog queries, registration order. */
+  def all: Seq[Q] = Seq(
+    k1PartitionedSink, k2SnapshotSink, e1IngestIncremental,
+    p4JsonFlatten, p9NormalizeFull, s5CatalogArgmax, f5ExactKey)
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming restatements of the batch event-time windows
+  * (SURVEY §2.10). The reference ingests incrementally with
+  * file-existence checkpoints (fitbit_utils.py:213-232); the Spark-native
+  * form is readStream → watermark → window agg → writeStream with a
+  * checkpoint dir, which gives exactly-once incremental loads for free.
+  *
+  * These transforms take the streaming DataFrame as input (readStream on
+  * a source dir, or MemoryStream in tests — see StreamingSpec) so the
+  * logic is source-agnostic and unit-testable. The expressions are the
+  * SAME ones the batch queries w1/w3 use: one definition of the
+  * semantics, two execution modes.
+  */
+object StreamingJobs {
+
+  /** Tumbling 5-minute per-type counts with a 30-minute watermark: state
+    * for windows older than the watermark is evicted, so state size is
+    * bounded by (types × windows-in-30min), not by stream length. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Per-user session windows (10-minute gap), streaming form. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n"))
+}
