@@ -363,10 +363,54 @@ object Queries {
       CAST(coalesce(length(text), 0) AS BIGINT) AS text_len
       FROM documents"""))
 
+  // P6/P7: array element extraction + null-array defaults — the latlng
+  // split (element 1/2 → lat/lon) with deterministic synthesized nulls
+  // exercising the coalesce default path. Per-row projection, codegen'd.
+  // Ref: utils.py:358-363.
+  val p6p7ArrayExtract = Q(
+    "p6p7_array_extract",
+    (s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("lat"),
+        element_at(col("embedding"), 2).cast("double").as("lon"),
+        coalesce(
+          when(col("label") === 0, lit(null))
+            .otherwise(element_at(col("embedding"), 3)).cast("double"),
+          lit(0.0)).as("alt_default"),
+        size(col("embedding")).cast("long").as("dim")),
+    Some("""SELECT vec_id,
+      CAST(embedding[1] AS DOUBLE) AS lat,
+      CAST(embedding[2] AS DOUBLE) AS lon,
+      coalesce(CAST(CASE WHEN label = 0 THEN NULL ELSE embedding[3] END
+                    AS DOUBLE), 0.0) AS alt_default,
+      CAST(len(embedding) AS BIGINT) AS dim
+      FROM embeddings"""))
+
+  // P11: pivot parallel arrays → long form via arrays_zip + posexplode —
+  // the reference's stream-pivot in reverse-composable form (same-length
+  // parallel arrays walked positionally). Ref: utils.py:352-357.
+  val p11ArrayPivot = Q(
+    "p11_array_pivot",
+    (s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          expr("slice(embedding, 1, 4)").as("a"),
+          expr("slice(embedding, 5, 4)").as("b"))
+        .select(col("vec_id"),
+          posexplode(arrays_zip(col("a"), col("b"))))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col.a").cast("double").as("va"),
+          col("col.b").cast("double").as("vb")),
+    Some("""SELECT vec_id, CAST(k AS BIGINT) AS pos,
+      CAST(embedding[k+1] AS DOUBLE) AS va,
+      CAST(embedding[k+5] AS DOUBLE) AS vb
+      FROM embeddings CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)"""))
+
   /** All registered queries, in registration order. */
   def all: Seq[Q] = Seq(
     q1Flagship, s1Scan, s7DateSeq, p1Derive, p5Json, f1f2Filter,
     j1Join, j1bBroadcastDim, j2Anti, j3Semi, a1Argmax, a1bArgmaxMaxBy,
     a3Distinct, aggBattery, o2Top1, u1Union, scalarBattery,
-    k4Incremental, p9Normalize)
+    k4Incremental, p9Normalize, p6p7ArrayExtract, p11ArrayPivot)
 }

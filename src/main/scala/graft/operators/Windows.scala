@@ -54,9 +54,9 @@ object Windows {
       GROUP BY 1"""))
 
   // W3: session windows per user, 10-minute inactivity gap. Spark's
-  // session_window end = last event + gap, and an event exactly `gap`
-  // after the previous one starts a NEW session ([start, end) windows) —
-  // the oracle's gaps-and-islands break condition uses >= to match.
+  // session_window end = last event + gap, and an event landing EXACTLY
+  // at last+gap still merges (verified by WindowsAndSinkSpec) — so the
+  // oracle's gaps-and-islands break condition is strictly `> gap`.
   val w3Session = Q(
     "w3_window_session",
     (s, d) =>
@@ -71,7 +71,7 @@ object Windows {
       m AS (
         SELECT user_id, ts,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                 OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                THEN 1 ELSE 0 END AS brk
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       sess AS (

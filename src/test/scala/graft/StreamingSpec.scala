@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingJobs
+
+/** Structured Streaming: the same window semantics as the batch queries,
+  * driven through MemoryStream → memory sink. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling window agg matches hand-computed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.tumblingCounts(events)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "view", 1.0),
+        (ts("2024-01-01 00:02:00"), "view", 2.0),
+        (ts("2024-01-01 00:07:00"), "view", 4.0),
+        (ts("2024-01-01 00:03:00"), "click", 8.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling_test")
+        .select(col("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(out === Set(
+        ("2024-01-01 00:00:00.0", "view", 2L, 3.0),
+        ("2024-01-01 00:05:00.0", "view", 1L, 4.0),
+        ("2024-01-01 00:00:00.0", "click", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session window merges and splits like the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamingJobs.sessionCounts(events)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:05:00"), 1L), // merges
+        (ts("2024-01-01 00:30:00"), 1L), // new session
+        (ts("2024-01-01 00:00:00"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("session_test")
+        .select(col("user_id"), col("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(out === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+}

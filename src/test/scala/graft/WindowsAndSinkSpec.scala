@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Event-time window semantics + partitioned-sink pruning. */
+class WindowsAndSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("W1: tumbling window counts partition the input exactly") {
+    val total = Tables.events(spark, sf).count()
+    val w = operators.Windows.w1Tumbling.fn(spark, sf)
+    assert(w.agg(sum("n")).collect().head.getLong(0) === total)
+  }
+
+  test("W2: sliding 10m/5m windows cover every event exactly twice") {
+    val total = Tables.events(spark, sf).count()
+    val w = operators.Windows.w2Sliding.fn(spark, sf)
+    assert(w.agg(sum("n")).collect().head.getLong(0) === 2 * total)
+  }
+
+  test("W3: session_window merges up to AND AT the gap, splits beyond") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:05:00")), // 5m later: same session
+      (1L, ts("2024-01-01 00:15:00")), // exactly 10m later: still MERGES
+      (1L, ts("2024-01-01 00:25:01")), // 10m1s later: NEW session
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = df.groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq === Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("K1: partition filter prunes the lake scan (plan-level)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = sources.Ingest.k1PartitionedSink.fn(spark, sf)
+    assert(out.inputFiles.length > 1,
+      "lake should have multiple date partitions")
+    val oneDay = out.select(col("event_date")).distinct()
+      .orderBy(col("event_date")).limit(1).collect().head.getDate(0)
+    val pruned = spark.read
+      .parquet("/root/repo/target/graft-lake/k1")
+      .filter(col("event_date") === lit(oneDay))
+    pruned.collect() // execute so scan metrics are final
+    val scan = pruned.queryExecution.executedPlan
+      .collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "event_date predicate must classify as a PARTITION filter")
+    assert(scan.metrics("numFiles").value < out.inputFiles.length,
+      "scan must read only the matching partition's files")
+    assert(pruned.count() > 0)
+  }
+
+  test("E1: incremental ingest is idempotent (second run writes nothing)") {
+    sources.Ingest.e1IngestIncremental.fn(spark, sf).collect()
+    val lake = "/root/repo/target/graft-lake/e1"
+    val firstCount = spark.read.parquet(lake).count()
+    // replay ONLY the incremental phase against the now-complete lake
+    val src = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("event_date"))
+    val worklist = src.distinct()
+    val existing = spark.read.parquet(lake)
+      .select("event_type", "event_date").distinct()
+    val missing = worklist.join(existing,
+      Seq("event_type", "event_date"), "left_anti")
+    assert(missing.count() === 0, "complete lake ⇒ empty work-list")
+    assert(spark.read.parquet(lake).count() === firstCount)
+  }
+}
