@@ -47,9 +47,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no result dir")
             n_fail += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
-        gcols = [d[0] for d in con.description]
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+            gcols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: result read error: {e}")
+            n_fail += 1
+            continue
         try:
             want = con.execute(oracle[name]).fetchall()
             wcols = [d[0] for d in con.description]

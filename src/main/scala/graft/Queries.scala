@@ -305,7 +305,10 @@ object Queries {
         split(col("o_orderpriority"), "-").getItem(1).as("prio_word"),
         concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
           .as("status_prio"),
-        round(col("o_totalprice") / 7.0, 3).as("price_div")),
+        round(col("o_totalprice") / 7.0, 3).as("price_div"),
+        col("o_orderpriority").contains("URGENT").as("is_urgent"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1)
+          .as("prio_num")),
     Some("""SELECT o_orderkey,
       year(o_orderdate) AS yr, month(o_orderdate) AS mo,
       day(o_orderdate) AS dom,
@@ -316,8 +319,36 @@ object Queries {
       CAST(length(o_orderstatus) AS BIGINT) AS status_len,
       string_split(o_orderpriority, '-')[2] AS prio_word,
       o_orderstatus || '|' || o_orderpriority AS status_prio,
-      round(o_totalprice / 7.0, 3) AS price_div
+      round(o_totalprice / 7.0, 3) AS price_div,
+      contains(o_orderpriority, 'URGENT') AS is_urgent,
+      regexp_extract(o_orderpriority, '^(\d+)-', 1) AS prio_num
       FROM orders"""))
+
+  // S8: year-range → epoch bounds — the pushed-down time predicate the
+  // reference encodes into its paginated scan URL (utils.py:55-59).
+  // Pure literals: Catalyst constant-folds the whole row at plan time.
+  val s8EpochBounds = Q(
+    "s8_epoch_bounds",
+    (s, _) =>
+      s.sql("""SELECT CAST(unix_timestamp(make_date(2017, 1, 1)) AS BIGINT)
+          AS after_epoch,
+        CAST(unix_timestamp(make_date(2026, 1, 1)) AS BIGINT)
+          AS before_epoch"""),
+    Some("""SELECT CAST(epoch(DATE '2017-01-01') AS BIGINT) AS after_epoch,
+      CAST(epoch(DATE '2026-01-01') AS BIGINT) AS before_epoch"""))
+
+  // F7: the commented-out length+year filter (get_activity_data.py:25) —
+  // both predicates evaluated post-scan, year() derivable from the
+  // pushed-down date column.
+  val f7LengthYear = Q(
+    "f7_length_year",
+    (s, d) =>
+      orders(s, d)
+        .filter(length(col("o_orderpriority")) > 7 &&
+          year(col("o_orderdate")) === 1999)
+        .select("o_orderkey", "o_orderpriority"),
+    Some("""SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE length(o_orderpriority) > 7 AND year(o_orderdate) = 1999"""))
 
   // K4/J2: incremental-load planning — (day × resource) work-list minus
   // already-materialized partitions, as a distributed anti-join instead of
@@ -412,5 +443,6 @@ object Queries {
     q1Flagship, s1Scan, s7DateSeq, p1Derive, p5Json, f1f2Filter,
     j1Join, j1bBroadcastDim, j2Anti, j3Semi, a1Argmax, a1bArgmaxMaxBy,
     a3Distinct, aggBattery, o2Top1, u1Union, scalarBattery,
-    k4Incremental, p9Normalize, p6p7ArrayExtract, p11ArrayPivot)
+    s8EpochBounds, f7LengthYear, k4Incremental, p9Normalize,
+    p6p7ArrayExtract, p11ArrayPivot)
 }

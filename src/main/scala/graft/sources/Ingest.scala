@@ -279,8 +279,81 @@ object Ingest {
       WHERE EXISTS (SELECT 1 FROM orders
         WHERE o_orderkey % 10 = 0 AND o_orderkey = fid)"""))
 
+  // ---------------------------------------------------------------------
+  // K3: schema-ENFORCED write — the declared-StructType analogue of the
+  // reference's `Table.from_pandas(df, schema=STREAM_SCHEMA)`
+  // (utils.py:371-375): every column cast to its declared type before the
+  // sink, sharded per key, read back. A record that can't cast fails the
+  // job instead of silently widening the lake's schema.
+  // ---------------------------------------------------------------------
+  val k3SchemaWrite = Q(
+    "k3_schema_write",
+    (s, d) => {
+      val out = freshDir("k3")
+      lineitem(s, d)
+        .select(
+          col("l_orderkey").cast("long").as("activity_id"),
+          col("l_linenumber").cast("long").as("time"),
+          col("l_quantity").cast("double").as("distance"),
+          col("l_extendedprice").cast("double").as("velocity_smooth"),
+          (col("l_orderkey") % 10).cast("int").as("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+    },
+    Some("""SELECT l_orderkey AS activity_id,
+      CAST(l_linenumber AS BIGINT) AS time,
+      l_quantity AS distance, l_extendedprice AS velocity_smooth,
+      CAST(l_orderkey % 10 AS INTEGER) AS shard FROM lineitem"""))
+
+  // ---------------------------------------------------------------------
+  // E3: the Strava streams pipeline restated end to end (SURVEY §3 E3):
+  //   snapshot (orders) → date-range filter (F1/F2) → distinct ids (A3)
+  //   → per-key stream rows (semi-join = the per-activity fetch, J3)
+  //   → cached ∪ fresh with the INTENDED §2.12.3 semantics (U1)
+  //   → join-enrich with activity metadata (J1, the commented-out merge)
+  //   → union sink written and read back (K5).
+  // Cached = ids below a deterministic threshold (standing in for files
+  // already in the lake), fresh = the rest.
+  // ---------------------------------------------------------------------
+  val e3StreamsPipeline = Q(
+    "e3_streams_pipeline",
+    (s, d) => {
+      val out = freshDir("e3_all_streams")
+      val activities = orders(s, d)
+        .filter(to_date(col("o_orderdate")) >= lit("1998-01-01") &&
+          to_date(col("o_orderdate")) <= lit("1999-12-31"))
+      val ids = activities.select(col("o_orderkey").as("activity_id"))
+        .distinct()
+      val streams = lineitem(s, d)
+        .select(col("l_orderkey").as("activity_id"),
+          col("l_linenumber").as("time"),
+          col("l_quantity").as("distance"))
+      val cachedIds = ids.filter(col("activity_id") % 4 === 0)
+      val freshIds = ids.join(cachedIds, Seq("activity_id"), "left_anti")
+      val cached = streams.join(cachedIds, Seq("activity_id"), "left_semi")
+        .withColumn("src", lit("cached"))
+      val fresh = streams.join(freshIds, Seq("activity_id"), "left_semi")
+        .withColumn("src", lit("fetched"))
+      val enriched = cached.unionByName(fresh)
+        .join(activities.select(col("o_orderkey").as("activity_id"),
+          col("o_orderpriority").as("sport_type")), Seq("activity_id"))
+      enriched.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    },
+    Some("""WITH ids AS (
+        SELECT o_orderkey AS activity_id, o_orderpriority AS sport_type
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+          AND CAST(o_orderdate AS DATE) <= DATE '1999-12-31')
+      SELECT l_orderkey AS activity_id, l_linenumber AS time,
+        l_quantity AS distance,
+        CASE WHEN l_orderkey % 4 = 0 THEN 'cached' ELSE 'fetched' END AS src,
+        sport_type
+      FROM lineitem JOIN ids ON l_orderkey = activity_id"""))
+
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
-    k1PartitionedSink, k2SnapshotSink, e1IngestIncremental,
-    p4JsonFlatten, p9NormalizeFull, s5CatalogArgmax, f5ExactKey)
+    k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
+    e3StreamsPipeline, p4JsonFlatten, p9NormalizeFull, s5CatalogArgmax,
+    f5ExactKey)
 }
