@@ -255,10 +255,13 @@ object Ingest {
   val f5ExactKey = Q(
     "f5_exact_key",
     (s, d) => {
+      // dedup on the 8-byte key BEFORE synthesizing the path string:
+      // the distinct shuffle moves longs, not 40-byte strings (same
+      // result; at 100 TB the string-distinct shuffle is 5× the bytes)
       val keys = lineitem(s, d)
+        .select(col("l_orderkey")).distinct()
         .select(concat(lit("lake/streams/strava_stream_"),
           col("l_orderkey"), lit(".parquet")).as("key"))
-        .distinct()
         .withColumn("fid",
           regexp_extract(col("key"), "strava_stream_(\\d+)\\.parquet", 1)
             .cast("long"))
