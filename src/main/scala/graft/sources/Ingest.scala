@@ -354,9 +354,43 @@ object Ingest {
         sport_type
       FROM lineitem JOIN ids ON l_orderkey = activity_id"""))
 
+  // ---------------------------------------------------------------------
+  // S2/S3/S4: the REST intraday source as a DataSource V2 connector
+  // (graft.sources.rest.RestIntradaySource): one InputPartition per
+  // (day, resource), date/resource predicates pushed down to PRUNE the
+  // partition list before any fetch, column pruning as the keys= analog.
+  // The deterministic payload generator is replayed by the oracle, so
+  // even the custom connector is hash-checked end to end.
+  // ---------------------------------------------------------------------
+  val s2RestSource = Q(
+    "s2s3s4_rest_source",
+    (s, _) =>
+      s.read.format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "calories,heart,steps")
+        .option("start", "2024-01-01").option("end", "2024-01-31")
+        .load()
+        .filter(col("date") >= lit("2024-01-10") &&
+          col("date") <= lit("2024-01-16") &&
+          col("resource").isin("heart", "steps"))
+        .select("resource", "date", "time", "value"),
+    Some("""WITH days AS (
+        SELECT strftime(CAST(g AS DATE), '%Y-%m-%d') AS date
+        FROM generate_series(DATE '2024-01-10', DATE '2024-01-16',
+                             INTERVAL 1 DAY) t(g)),
+      res AS (SELECT unnest(['heart', 'steps']) AS resource),
+      mins AS (
+        SELECT lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS time
+        FROM generate_series(0, 1439) t2(m))
+      SELECT resource, date, time,
+        CAST(concat('0x', substring(md5(
+          concat('iv|', resource, '|', date, '|', time)), 1, 15))
+          AS BIGINT) % 1000 AS value
+      FROM res CROSS JOIN days CROSS JOIN mins"""))
+
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
     e3StreamsPipeline, p4JsonFlatten, p9NormalizeFull, s5CatalogArgmax,
-    f5ExactKey)
+    f5ExactKey, s2RestSource)
 }

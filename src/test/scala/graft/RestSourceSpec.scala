@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.rest.RestIntradaySource
+
+/** DSv2 REST source: partition pruning via pushed filters, column
+  * pruning, deterministic payloads. */
+class RestSourceSpec extends SparkSuite {
+
+  private def load() = spark.read
+    .format("graft.sources.rest.RestIntradaySource")
+    .option("resources", "calories,heart,steps")
+    .option("start", "2024-01-01").option("end", "2024-01-31")
+    .load()
+
+  test("S2: one partition per (day, resource); filters prune partitions") {
+    val full = load()
+    assert(full.rdd.getNumPartitions === 31 * 3)
+    val pruned = load()
+      .filter(col("date") >= lit("2024-01-10") &&
+        col("date") <= lit("2024-01-16") && col("resource") === "steps")
+    assert(pruned.rdd.getNumPartitions === 7,
+      "pushed date+resource predicates must prune the fetch list")
+    assert(pruned.count() === 7L * RestIntradaySource.MINUTES_PER_DAY)
+  }
+
+  test("S3: date bounds behave as the paginated range scan's after/before") {
+    val one = load().filter(col("date") === "2024-01-05")
+    assert(one.rdd.getNumPartitions === 3) // one page per resource
+    assert(one.select("date").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("2024-01-05"))
+  }
+
+  test("S4: column pruning reaches the reader (keys= analog)") {
+    val narrow = load().select("value")
+    val scanDesc = narrow.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("columns=value"),
+      s"reader should materialize only [value], plan was:\n$scanDesc")
+  }
+
+  test("payload generator matches the portable-hash contract") {
+    val row = load()
+      .filter(col("date") === "2024-01-03" && col("resource") === "heart" &&
+        col("time") === "07:30")
+      .select("value").collect().head.getLong(0)
+    assert(row === RestIntradaySource.value("heart", "2024-01-03", "07:30"))
+    assert(row ===
+      graft.sources.rest.RestIntradaySource.h60("iv|heart|2024-01-03|07:30")
+        % 1000)
+  }
+}
