@@ -350,6 +350,20 @@ object Queries {
     Some("""SELECT o_orderkey, o_orderpriority FROM orders
       WHERE length(o_orderpriority) > 7 AND year(o_orderdate) = 1999"""))
 
+  // F3/A4: empty-input guard as a relational op — count-emptiness of a
+  // filtered slice (the reference's `len(dataset) == 0` skip,
+  // fitbit_utils.py:270-277). In Spark an empty slice is a natural
+  // no-op downstream; the guard itself is just an aggregate.
+  val f3a4EmptyGuard = Q(
+    "f3a4_empty_guard",
+    (s, d) =>
+      events(s, d)
+        .filter(col("event_type") === lit("no_such_resource"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("n"), (col("n") === 0).as("is_empty")),
+    Some("""SELECT count(*) AS n, count(*) = 0 AS is_empty
+      FROM events WHERE event_type = 'no_such_resource'"""))
+
   // K4/J2: incremental-load planning — (day × resource) work-list minus
   // already-materialized partitions, as a distributed anti-join instead of
   // the reference's driver-side membership loop. Ref: fitbit_utils.py:213-232.
@@ -443,6 +457,6 @@ object Queries {
     q1Flagship, s1Scan, s7DateSeq, p1Derive, p5Json, f1f2Filter,
     j1Join, j1bBroadcastDim, j2Anti, j3Semi, a1Argmax, a1bArgmaxMaxBy,
     a3Distinct, aggBattery, o2Top1, u1Union, scalarBattery,
-    s8EpochBounds, f7LengthYear, k4Incremental, p9Normalize,
-    p6p7ArrayExtract, p11ArrayPivot)
+    s8EpochBounds, f7LengthYear, f3a4EmptyGuard, k4Incremental,
+    p9Normalize, p6p7ArrayExtract, p11ArrayPivot)
 }

@@ -164,6 +164,84 @@ object Ann {
       WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
             >= 0.3"""))
 
+  // ---------------------------------------------------------------------
+  // A7: IVF-style ANN — a coarse quantizer partitions the corpus into
+  // cells (centroids = a small fixed seed set, here vec_id < 4, the
+  // stand-in for k-means centroids a training job would produce); every
+  // vector is assigned to its nearest centroid ONCE (broadcast centroids,
+  // one corpus pass, argmax via max(struct)), then probes search only
+  // their own cell. The two-level structure is what scales: the corpus
+  // shuffle is by cell, and a probe touches |corpus|/k vectors.
+  // ---------------------------------------------------------------------
+  val a7AnnIvf = Q(
+    "a7_ann_ivf",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("nrm", l2norm("emb"))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      // nearest-centroid assignment: argmax cosine over the 4 centroids,
+      // deterministic tie-break on cid (one hash-agg, no sort)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("emb"), col("nrm"),
+          round(dot("emb", "c_emb") / (col("nrm") * col("c_nrm")), 6)
+            .as("csim"),
+          col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("vec_id"), (-col("m.ncid")).as("cell"))
+      val cellsOf = assigned
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("emb"), col("nrm"))
+      val probes = cellsOf
+        .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("probe_id"), col("cell"),
+          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+      import org.apache.spark.sql.expressions.Window
+      val sims = cellsOf.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot("emb", "p_emb") / (col("nrm") * col("p_nrm")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "vec_id", "sim")
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      cents AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+                FROM e WHERE vec_id < 4),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_inner_product(e.emb, c.c_emb) /
+                             (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM e CROSS JOIN cents c) t WHERE rn = 1),
+      cells AS (
+        SELECT e.vec_id, a.cell, e.emb, e.nrm
+        FROM e JOIN assigned a ON e.vec_id = a.vec_id),
+      probes AS (
+        SELECT vec_id AS probe_id, cell, emb AS p_emb, nrm AS p_nrm
+        FROM cells WHERE vec_id >= 100 AND vec_id < 110),
+      sims AS (
+        SELECT probe_id, c.vec_id,
+          round(list_inner_product(c.emb, p.p_emb) /
+                (c.nrm * p.p_nrm), 6) AS sim
+        FROM cells c JOIN probes p USING (cell)
+        WHERE c.vec_id <> p.probe_id)
+      SELECT probe_id, vec_id, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
+      WHERE rn <= 5"""))
+
   /** All similarity-search queries, registration order. */
-  def all: Seq[Q] = Seq(a5AnnBruteforce, a6AnnLsh, d4EmbedNeardup)
+  def all: Seq[Q] = Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, d4EmbedNeardup)
 }
