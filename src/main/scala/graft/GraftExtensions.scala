@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extensions for the graft engine — the public plug-in point
+  * for custom Catalyst pieces (SURVEY §7.3). Currently injects the
+  * codegen'd `cosine_sim` expression; activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (Verify, Bench, and the test fixtures all do).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(functions.CosineSimilarity.description)
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: cosine similarity of two FLOAT[] vectors,
+  * accumulated in DOUBLE, left-to-right — numerically identical to the
+  * `aggregate(zip_with(...))` higher-order form it replaces (and to the
+  * DuckDB oracle's `list_inner_product` over DOUBLE[]), but ~an order of
+  * magnitude cheaper per row: the HOF form allocates three intermediate
+  * ArrayData per pair and interprets two lambdas per element; this is a
+  * single fused loop that whole-stage codegen inlines into the join
+  * stage. This is the hot inner loop of every ANN query (corpus ×
+  * probes), exactly the place SURVEY §7.3 reserves for a custom
+  * `Expression`.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim expects (array<float>, array<float>), got " +
+            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = (double) $x.getFloat($i);
+          double $yv = (double) $y.getFloat($i);
+          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+                              java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** FunctionRegistry entry, injected by [[graft.GraftExtensions]];
+    * usable from SQL / expr() as `cosine_sim(a, b)`. */
+  val description: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
+      CosineSimilarity(exprs(0), exprs(1))
+    })
+}

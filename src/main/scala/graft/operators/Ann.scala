@@ -23,12 +23,15 @@ import graft.Tables._
   */
 object Ann {
 
-  /** Left-fold dot product of two array columns in double precision. */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-  private def l2norm(a: String): Column = sqrt(dot(a, a))
+  /** Fused cosine similarity — the codegen'd custom Catalyst expression
+    * injected by [[graft.GraftExtensions]] (functions/CosineSimilarity):
+    * one loop per pair, accumulating dot and both norms in DOUBLE
+    * left-to-right, numerically identical to the aggregate(zip_with(...))
+    * higher-order form but without its per-pair array allocations and
+    * interpreted lambdas. Sessions must set
+    * spark.sql.extensions=graft.GraftExtensions. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_sim($a, $b)")
 
   // ---------------------------------------------------------------------
   // A5: brute-force cosine top-k — the exact baseline. Probes (vec_id<8)
@@ -39,16 +42,13 @@ object Ann {
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-        .withColumn("nrm", l2norm("emb"))
       val probes = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-          col("nrm").as("p_nrm"))
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
       import org.apache.spark.sql.expressions.Window
       val sims = e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          round(dot("emb", "p_emb") / (col("nrm") * col("p_nrm")), 6)
-            .as("sim"))
+          round(cosine("emb", "p_emb"), 6).as("sim"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rn", row_number().over(w))
@@ -94,17 +94,15 @@ object Ann {
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-        .withColumn("nrm", l2norm("emb"))
         .withColumn("bucket", signBucket("emb"))
       val probes = e.filter(col("vec_id") < 40)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-          col("nrm").as("p_nrm"), col("bucket"))
+          col("bucket"))
       import org.apache.spark.sql.expressions.Window
       val sims = e.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          round(dot("emb", "p_emb") / (col("nrm") * col("p_nrm")), 6)
-            .as("sim"))
+          round(cosine("emb", "p_emb"), 6).as("sim"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rn", row_number().over(w))
@@ -139,17 +137,15 @@ object Ann {
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-        .withColumn("nrm", l2norm("emb"))
         .withColumn("bucket", signBucket("emb"))
       val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
-        col("nrm").as("nrm_a"), col("bucket"))
+        col("bucket"))
       val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
-        col("nrm").as("nrm_b"), col("bucket"))
+        col("bucket"))
       a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6)
-            .as("sim"))
+          round(cosine("emb_a", "emb_b"), 6).as("sim"))
         .filter(col("sim") >= 0.3)
     },
     Some(s"""WITH e AS (
@@ -178,33 +174,28 @@ object Ann {
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-        .withColumn("nrm", l2norm("emb"))
       val cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("emb").as("c_emb"),
-          col("nrm").as("c_nrm"))
+        .select(col("vec_id").as("cid"), col("emb").as("c_emb"))
       // nearest-centroid assignment: argmax cosine over the 4 centroids,
       // deterministic tie-break on cid (one hash-agg, no sort)
       val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("emb"), col("nrm"),
-          round(dot("emb", "c_emb") / (col("nrm") * col("c_nrm")), 6)
-            .as("csim"),
-          col("cid"))
+        .select(col("vec_id"), col("emb"),
+          round(cosine("emb", "c_emb"), 6).as("csim"), col("cid"))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
         .select(col("vec_id"), (-col("m.ncid")).as("cell"))
       val cellsOf = assigned
         .join(e, Seq("vec_id"))
-        .select(col("vec_id"), col("cell"), col("emb"), col("nrm"))
+        .select(col("vec_id"), col("cell"), col("emb"))
       val probes = cellsOf
         .filter(col("vec_id") >= 100 && col("vec_id") < 110)
         .select(col("vec_id").as("probe_id"), col("cell"),
-          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+          col("emb").as("p_emb"))
       import org.apache.spark.sql.expressions.Window
       val sims = cellsOf.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          round(dot("emb", "p_emb") / (col("nrm") * col("p_nrm")), 6)
-            .as("sim"))
+          round(cosine("emb", "p_emb"), 6).as("sim"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rn", row_number().over(w))

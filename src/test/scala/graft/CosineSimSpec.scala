@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom codegen'd cosine_sim expression: correctness against the
+  * higher-order-function formulation, null/edge behavior, and SQL
+  * availability through GraftExtensions. */
+class CosineSimSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val hof =
+    "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / " +
+      "(sqrt(aggregate(zip_with(a, a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * " +
+      " sqrt(aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+
+  test("cosine_sim equals the HOF formulation bit-for-bit on testdata") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").as("a"))
+      .limit(100)
+      .crossJoin(Tables.embeddings(spark, sf)
+        .select(col("embedding").as("b")).limit(3))
+    val diff = e.select(
+      expr("cosine_sim(a, b)").as("fused"), expr(hof).as("ref"))
+      .filter(col("fused") =!= col("ref"))
+    assert(diff.count() === 0, "fused loop must match left-fold HOF exactly")
+  }
+
+  test("cosine_sim basics: identity 1.0, orthogonal 0.0, null in -> null out") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val vals = df.select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
+    assert(vals(0) === 1.0)
+    assert(vals(1) === 0.0)
+    val nulls = df.select(expr("cosine_sim(a, CAST(NULL AS ARRAY<FLOAT>))"))
+    assert(nulls.collect().forall(_.isNullAt(0)))
+  }
+
+  test("cosine_sim rejects non-float-array inputs at analysis time") {
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val err = intercept[Exception] {
+      bad.select(expr("cosine_sim(a, b)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+}
