@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Queries.Q
+import graft.Tables._
+
+/** Capability extensions past the reference's surface (SURVEY §2.5/§2.6
+  * "not present" rows): as-of join, grouping sets, skew-salted
+  * aggregation, intersect/except — each in its scale-correct Spark form.
+  */
+object Extended {
+
+  // ---------------------------------------------------------------------
+  // X1: AS-OF join — for every order, the customer's most recent PRIOR
+  // order (strictly earlier date; ties inside a date pre-aggregated to
+  // max key). Implemented with the union-tag technique: tag both sides,
+  // one shuffle by customer, one per-partition sort by (date, tag), then
+  // last(ignoreNulls) carries the latest match forward — no range join,
+  // no per-key loop, exactly one sort at any scale. The oracle uses
+  // DuckDB's native ASOF LEFT JOIN with a strict inequality.
+  // ---------------------------------------------------------------------
+  val x1AsofJoin = Q(
+    "x1_asof_join",
+    (s, d) => {
+      val o = orders(s, d)
+        .select(col("o_custkey").as("k"),
+          to_date(col("o_orderdate")).as("t"), col("o_orderkey"))
+      // match candidates: one row per (customer, date), deterministic
+      val b = o.groupBy(col("k"), col("t"))
+        .agg(max(col("o_orderkey")).as("bkey"))
+        .select(col("k"), col("t"), lit(1).as("is_b"),
+          lit(null).cast("long").as("o_orderkey"),
+          struct(col("t").as("prev_date"), col("bkey").as("prev_orderkey"))
+            .as("m"))
+      val a = o.select(col("k"), col("t"), lit(0).as("is_b"),
+        col("o_orderkey"),
+        lit(null).cast("struct<prev_date:date,prev_orderkey:bigint>")
+          .as("m"))
+      // probe rows sort BEFORE same-date candidates (is_b asc), so the
+      // carried-forward match is always strictly earlier
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t").asc, col("is_b").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      a.unionByName(b)
+        .withColumn("prev", last(col("m"), ignoreNulls = true).over(w))
+        .filter(col("is_b") === 0)
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("t").as("order_date"),
+          col("prev.prev_orderkey").as("prev_orderkey"),
+          col("prev.prev_date").as("prev_date"))
+    },
+    Some("""WITH b AS (
+        SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS t,
+               max(o_orderkey) AS bkey
+        FROM orders GROUP BY 1, 2),
+      a AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS t,
+            o_orderkey FROM orders)
+      SELECT a.o_orderkey, a.k AS o_custkey, a.t AS order_date,
+        b.bkey AS prev_orderkey, b.t AS prev_date
+      FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.t > b.t"""))
+
+  // ---------------------------------------------------------------------
+  // X2: ROLLUP grouping sets — (flag, status), (flag), () in ONE pass
+  // (Spark plans a single Expand + hash aggregate, not three scans).
+  // ---------------------------------------------------------------------
+  val x2Rollup = Q(
+    "x2_rollup",
+    (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  // ---------------------------------------------------------------------
+  // X3: skew-salted aggregation — the two-phase pattern for hot keys:
+  // phase 1 aggregates (key, salt) so a hot key's rows spread over 16
+  // reducers, phase 2 merges the 16 partials. (For plain count/sum
+  // Spark's map-side partial aggregation already defuses skew; the salt
+  // pattern is the template for aggs without cheap partials —
+  // collect_list/exact-distinct — and for skewed JOIN keys.) Decimal
+  // accumulation keeps the two-phase sum bit-equal to the oracle's
+  // one-phase sum.
+  // ---------------------------------------------------------------------
+  val x3SaltedAgg = Q(
+    "x3_salted_agg",
+    (s, d) =>
+      events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,6)")).as("psv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psv")).cast("double").as("sum_value")),
+    Some("""SELECT event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // X4: INTERSECT / EXCEPT — customers active in both 1999 and 2000 vs
+  // only 1999, tagged and unioned into one result.
+  // ---------------------------------------------------------------------
+  val x4IntersectExcept = Q(
+    "x4_intersect_except",
+    (s, d) => {
+      val y99 = orders(s, d).filter(year(col("o_orderdate")) === 1999)
+        .select(col("o_custkey")).distinct()
+      val y00 = orders(s, d).filter(year(col("o_orderdate")) === 2000)
+        .select(col("o_custkey")).distinct()
+      y99.intersect(y00).withColumn("setop", lit("both"))
+        .unionByName(y99.except(y00).withColumn("setop", lit("only_1999")))
+    },
+    Some("""SELECT o_custkey, 'both' AS setop FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000)
+      UNION ALL
+      SELECT o_custkey, 'only_1999' AS setop FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000)"""))
+
+  /** All extension queries, registration order. */
+  def all: Seq[Q] = Seq(x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept)
+}

@@ -49,6 +49,11 @@ object Ingest {
       events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), to_date(col("ts")).as("event_date"))
+        // co-locate each Hive partition in one task before the write:
+        // otherwise every task writes a sliver of every partition and the
+        // lake ends up with tasks×partitions small files — the classic
+        // small-files failure at scale
+        .repartition(col("event_date"))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
       s.read.parquet(out)
     },
@@ -92,6 +97,7 @@ object Ingest {
           col("event_type"), to_date(col("ts")).as("event_date"))
       // seed: "previous runs" ingested everything before the cutoff
       src.filter(col("event_date") < lit("2024-02-01"))
+        .repartition(col("event_type"), col("event_date"))
         .write.mode("overwrite")
         .partitionBy("event_type", "event_date").parquet(out)
       // incremental run over the FULL source range:
@@ -102,6 +108,7 @@ object Ingest {
         Seq("event_type", "event_date"), "left_anti")
       src.join(broadcast(missing), Seq("event_type", "event_date"),
           "left_semi")
+        .repartition(col("event_type"), col("event_date"))
         .write.mode("append")
         .partitionBy("event_type", "event_date").parquet(out)
       // verify the lake: per-partition counts must equal the source's
@@ -300,6 +307,7 @@ object Ingest {
           col("l_quantity").cast("double").as("distance"),
           col("l_extendedprice").cast("double").as("velocity_smooth"),
           (col("l_orderkey") % 10).cast("int").as("shard"))
+        .repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(out)
       s.read.parquet(out)
     },
