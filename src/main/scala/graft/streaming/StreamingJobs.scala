@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object StreamingJobs {
 
+  /** File-source stream over an events-shaped parquet directory — the
+    * readStream twin of Tables.events (same nanos→micros conversion;
+    * streaming sources need an explicit schema: no inference pass). New
+    * files landing in `dir` become micro-batches; with a checkpoint dir
+    * on the sink this is the exactly-once version of the reference's
+    * skip-if-exists incremental load. */
+  def eventsFileStream(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts",
+        expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
+
   /** Tumbling 5-minute per-type counts with a 30-minute watermark: state
     * for windows older than the watermark is evicted, so state size is
     * bounded by (types × windows-in-30min), not by stream length. */

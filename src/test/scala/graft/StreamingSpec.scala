@@ -40,6 +40,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over events parquet matches the batch window agg") {
+    // stage the real events table as a stream-source directory
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val q = StreamingJobs
+      .tumblingCounts(StreamingJobs.eventsFileStream(spark, srcDir))
+      .writeStream.format("memory").queryName("file_stream_test")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      val batch = Tables.events(spark, sf).count()
+      assert(streamed === batch,
+        "stream must process exactly the batch row count (exactly-once)")
+    } finally q.stop()
+  }
+
   test("streaming session window merges and splits like the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
