@@ -96,8 +96,9 @@ object Ingest {
         .select(col("event_id"), col("user_id"), col("value"),
           col("event_type"), to_date(col("ts")).as("event_date"))
       // seed: "previous runs" ingested everything before the cutoff
+      // (scaffolding for the incremental run — written as-is, no extra
+      // shuffle; only the product path below pays for file co-location)
       src.filter(col("event_date") < lit("2024-02-01"))
-        .repartition(col("event_type"), col("event_date"))
         .write.mode("overwrite")
         .partitionBy("event_type", "event_date").parquet(out)
       // incremental run over the FULL source range:
@@ -161,55 +162,169 @@ object Ingest {
     "p9_normalize_full",
     (s, d) => {
       // raw view with deterministic nulls, standing in for API records
-      // with missing optional keys
-      val raw = customer(s, d).select(
-        col("c_custkey").as("id"),
-        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_name"))
-          .as("name_raw"),
-        when(col("c_custkey") % 5 === 0, lit(null))
-          .otherwise(col("c_mktsegment")).as("visibility_raw"),
-        when(col("c_custkey") % 3 === 0, lit(null))
-          .otherwise(col("c_acctbal")).as("distance_raw"),
-        (col("c_custkey") % 2 === 0).as("has_heartrate"),
-        col("c_acctbal"), col("c_nationkey"))
+      // with missing optional keys (the reference's .get(..., default))
+      val raw = orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_custkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("name_raw"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as("visibility_raw"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("distance_raw"),
+        (col("o_orderkey") % 2 === 0).as("has_heartrate"),
+        (col("o_orderkey") % 11 === 0).as("no_latlng"),
+        col("o_totalprice").as("p"),
+        to_date(col("o_orderdate")).as("od"))
       raw.select(
-        col("id"),
+        // the full SummaryActivity shape (FIXTURES.md A3 / utils.py:93-233):
+        // direct picks, defaults (false / 'everyone' / 0 / true / null),
+        // nested athlete/map structs, latlng arrays with the null default,
+        // and the has_heartrate conditional-null pair (P10)
         lit(2).as("resource_state"),
-        struct((col("id") + 100000).as("id"),
+        struct((col("o_custkey") + 100000).as("id"),
           lit(2).as("resource_state")).as("athlete"),
         coalesce(col("name_raw"), lit("unknown")).as("name"),
         coalesce(col("distance_raw"), lit(0.0)).as("distance"),
-        coalesce(col("visibility_raw"), lit("everyone")).as("visibility"),
+        (col("id") % 7200).as("moving_time"),
+        (col("id") % 7200 + 60).as("elapsed_time"),
+        round(col("p") / 100.0, 4).as("total_elevation_gain"),
+        lit("Run").as("type"),
+        lit("Run").as("sport_type"),
+        lit(0).as("workout_type"),
+        col("id"),
+        concat(date_format(col("od"), "yyyy-MM-dd"), lit("T00:00:00Z"))
+          .as("start_date"),
+        concat(date_format(col("od"), "yyyy-MM-dd"), lit("T00:00:00Z"))
+          .as("start_date_local"),
+        lit("(GMT+00:00) UTC").as("timezone"),
+        lit(0.0).as("utc_offset"),
+        lit(null).cast("string").as("location_city"),
+        lit(null).cast("string").as("location_state"),
+        lit(null).cast("string").as("location_country"),
+        (col("id") % 5).cast("int").as("achievement_count"),
+        (col("id") % 30).cast("int").as("kudos_count"),
+        (col("id") % 4).cast("int").as("comment_count"),
+        lit(1).as("athlete_count"),
+        (col("id") % 3).cast("int").as("photo_count"),
+        struct(concat(lit("m"), col("id")).as("id"),
+          when(col("no_latlng"), lit("")).otherwise(lit("poly"))
+            .as("summary_polyline"),
+          lit(2).as("resource_state")).as("map"),
         lit(false).as("trainer"),
         lit(false).as("commute"),
         lit(true).as("manual"),
-        struct(concat(lit("m"), col("id")).as("id"),
-          when(col("c_nationkey") % 2 === 0, lit(""))
-            .otherwise(lit("poly")).as("summary_polyline"),
-          lit(2).as("resource_state")).as("map"),
+        lit(false).as("private"),
+        coalesce(col("visibility_raw"), lit("everyone")).as("visibility"),
+        lit(false).as("flagged"),
+        lit(null).cast("string").as("gear_id"),
+        when(col("no_latlng"),
+          array(lit(null).cast("double"), lit(null).cast("double")))
+          .otherwise(array(round(pmod(col("p"), lit(180)) - 90.0, 4),
+            round(pmod(col("p") * 2, lit(360)) - 180.0, 4)))
+          .as("start_latlng"),
+        when(col("no_latlng"),
+          array(lit(null).cast("double"), lit(null).cast("double")))
+          .otherwise(array(round(pmod(col("p") + 1, lit(180)) - 90.0, 4),
+            round(pmod(col("p") * 2 + 1, lit(360)) - 180.0, 4)))
+          .as("end_latlng"),
+        round((col("p") + 7.0) / 100.0, 4).as("average_speed"),
+        round((col("p") + 13.0) / 100.0, 4).as("max_speed"),
         col("has_heartrate"),
-        when(col("has_heartrate"),
-          round(pmod(col("c_acctbal"), lit(60)) + 90.0, 1))
-          .otherwise(lit(null)).as("average_heartrate"))
+        when(col("has_heartrate"), (col("id") % 60 + 90).cast("double"))
+          .otherwise(lit(null)).as("average_heartrate"),
+        when(col("has_heartrate"), (col("id") % 60 + 120).cast("double"))
+          .otherwise(lit(null)).as("max_heartrate"),
+        lit(false).as("heartrate_opt_out"),
+        lit(false).as("display_hide_heartrate_option"),
+        round(pmod(col("p"), lit(500)), 4).as("elev_high"),
+        round(pmod(col("p"), lit(100)), 4).as("elev_low"),
+        (col("id") + 9000000L).as("upload_id"),
+        (col("id") + 9000000L).cast("string").as("upload_id_str"),
+        concat(lit("ext_"), col("id")).as("external_id"),
+        lit(false).as("from_accepted_tag"),
+        (col("id") % 2).cast("int").as("pr_count"),
+        (col("id") % 3).cast("int").as("total_photo_count"),
+        lit(false).as("has_kudoed"),
+        when(col("has_heartrate"), (col("id") % 200).cast("double"))
+          .otherwise(lit(null)).as("suffer_score"))
     },
-    Some("""SELECT c_custkey AS id, 2 AS resource_state,
-      struct_pack(id := c_custkey + 100000, resource_state := 2) AS athlete,
-      coalesce(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END,
-               'unknown') AS name,
-      coalesce(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END,
-               0.0) AS distance,
-      coalesce(CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END,
-               'everyone') AS visibility,
-      false AS trainer, false AS commute, true AS manual,
-      struct_pack(id := concat('m', c_custkey),
-        summary_polyline := CASE WHEN c_nationkey % 2 = 0
-          THEN '' ELSE 'poly' END,
-        resource_state := 2) AS map,
-      c_custkey % 2 = 0 AS has_heartrate,
-      CASE WHEN c_custkey % 2 = 0
-        THEN round(((c_acctbal % 60) + 60) % 60 + 90.0, 1)
-        ELSE NULL END AS average_heartrate
-      FROM customer"""))
+    Some("""WITH raw AS (
+        SELECT o_orderkey AS id, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN NULL
+               ELSE o_orderpriority END AS name_raw,
+          CASE WHEN o_orderkey % 5 = 0 THEN NULL
+               ELSE o_orderstatus END AS visibility_raw,
+          CASE WHEN o_orderkey % 3 = 0 THEN NULL
+               ELSE o_totalprice END AS distance_raw,
+          o_orderkey % 2 = 0 AS has_heartrate,
+          o_orderkey % 11 = 0 AS no_latlng,
+          o_totalprice AS p,
+          CAST(o_orderdate AS DATE) AS od
+        FROM orders)
+      SELECT
+        2 AS resource_state,
+        struct_pack(id := o_custkey + 100000, resource_state := 2)
+          AS athlete,
+        coalesce(name_raw, 'unknown') AS name,
+        coalesce(distance_raw, 0.0) AS distance,
+        id % 7200 AS moving_time,
+        id % 7200 + 60 AS elapsed_time,
+        round(p / 100.0, 4) AS total_elevation_gain,
+        'Run' AS type, 'Run' AS sport_type, 0 AS workout_type, id,
+        strftime(od, '%Y-%m-%d') || 'T00:00:00Z' AS start_date,
+        strftime(od, '%Y-%m-%d') || 'T00:00:00Z' AS start_date_local,
+        '(GMT+00:00) UTC' AS timezone,
+        CAST(0.0 AS DOUBLE) AS utc_offset,
+        CAST(NULL AS VARCHAR) AS location_city,
+        CAST(NULL AS VARCHAR) AS location_state,
+        CAST(NULL AS VARCHAR) AS location_country,
+        CAST(id % 5 AS INTEGER) AS achievement_count,
+        CAST(id % 30 AS INTEGER) AS kudos_count,
+        CAST(id % 4 AS INTEGER) AS comment_count,
+        1 AS athlete_count,
+        CAST(id % 3 AS INTEGER) AS photo_count,
+        struct_pack(id := 'm' || id,
+          summary_polyline := CASE WHEN no_latlng THEN '' ELSE 'poly' END,
+          resource_state := 2) AS map,
+        false AS trainer, false AS commute, true AS manual,
+        false AS private,
+        coalesce(visibility_raw, 'everyone') AS visibility,
+        false AS flagged, CAST(NULL AS VARCHAR) AS gear_id,
+        CASE WHEN no_latlng
+          THEN [CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)]
+          ELSE [round(((p % 180) + 180) % 180 - 90.0, 4),
+                round(((p * 2 % 360) + 360) % 360 - 180.0, 4)]
+          END AS start_latlng,
+        CASE WHEN no_latlng
+          THEN [CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)]
+          ELSE [round((((p + 1) % 180) + 180) % 180 - 90.0, 4),
+                round((((p * 2 + 1) % 360) + 360) % 360 - 180.0, 4)]
+          END AS end_latlng,
+        round((p + 7.0) / 100.0, 4) AS average_speed,
+        round((p + 13.0) / 100.0, 4) AS max_speed,
+        has_heartrate,
+        CASE WHEN has_heartrate
+          THEN CAST(id % 60 + 90 AS DOUBLE) ELSE NULL END
+          AS average_heartrate,
+        CASE WHEN has_heartrate
+          THEN CAST(id % 60 + 120 AS DOUBLE) ELSE NULL END
+          AS max_heartrate,
+        false AS heartrate_opt_out,
+        false AS display_hide_heartrate_option,
+        round(((p % 500) + 500) % 500, 4) AS elev_high,
+        round(((p % 100) + 100) % 100, 4) AS elev_low,
+        id + 9000000 AS upload_id,
+        CAST(id + 9000000 AS VARCHAR) AS upload_id_str,
+        'ext_' || id AS external_id,
+        false AS from_accepted_tag,
+        CAST(id % 2 AS INTEGER) AS pr_count,
+        CAST(id % 3 AS INTEGER) AS total_photo_count,
+        false AS has_kudoed,
+        CASE WHEN has_heartrate
+          THEN CAST(id % 200 AS DOUBLE) ELSE NULL END
+          AS suffer_score
+      FROM raw"""))
 
   // ---------------------------------------------------------------------
   // S5 + A1: file-listing catalog as a DataFrame — keys synthesized in
