@@ -73,11 +73,19 @@ object LlmOps {
   val d2DedupMinhash = Q(
     "d2_dedup_minhash",
     (s, d) => {
-      val sh = shingles(s, d)
+      // The shingle and signature tables feed MULTIPLE downstream joins
+      // (band self-join, intersection probes, size lookups); Catalyst
+      // does not reuse the subtree across those consumers (verified: 8
+      // FileScans in the unmaterialized plan), so materialize each ONCE
+      // — the local-mode analogue of checkpointing the signature table
+      // to storage, which is what a 100 TB dedup pipeline does anyway.
+      val sh = shingles(s, d).localCheckpoint()
       val mh = sh.groupBy(col("doc_id")).agg(
         min(Portable.h60(col("shingle"), "mh0|")).as("m0"),
-        (1 until P).map(i =>
-          min(Portable.h60(col("shingle"), s"mh$i|")).as(s"m$i")): _*)
+        ((1 until P).map(i =>
+          min(Portable.h60(col("shingle"), s"mh$i|")).as(s"m$i")) :+
+          count(lit(1)).as("n")): _*)
+        .localCheckpoint()
       val bands = mh
         .select(col("doc_id"), explode(array((0 until BANDS).map(b =>
           struct(lit(b).as("band"),
@@ -90,7 +98,7 @@ object LlmOps {
           Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val sizes = mh.select(col("doc_id"), col("n"))
       val inter = cand
         .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
