@@ -124,6 +124,40 @@ object Extended {
         EXCEPT
         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000)"""))
 
+  // ---------------------------------------------------------------------
+  // X5: bucketed co-located join — both sides written bucketBy(join key)
+  // into catalog tables, so the sort-merge join reads bucket n against
+  // bucket n directly: ZERO Exchange in the join plan (asserted by
+  // ExtendedSpec). This is the at-rest layout that amortizes the shuffle
+  // of a repeated fact-fact join across every future query — the 100 TB
+  // answer when j1-style joins run daily. Tables live under
+  // target/graft-warehouse via explicit path options.
+  // ---------------------------------------------------------------------
+  val x5BucketedJoin = Q(
+    "x5_bucketed_join",
+    (s, d) => {
+      val wh = "/root/repo/target/graft-warehouse"
+      s.sql("DROP TABLE IF EXISTS graft_orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b").saveAsTable("graft_orders_b")
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").saveAsTable("graft_lineitem_b")
+      s.table("graft_lineitem_b")
+        .join(s.table("graft_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "o_custkey", "o_orderpriority")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+      o_custkey, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
+
   /** All extension queries, registration order. */
-  def all: Seq[Q] = Seq(x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept)
+  def all: Seq[Q] = Seq(
+    x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin)
 }
