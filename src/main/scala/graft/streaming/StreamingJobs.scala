@@ -53,4 +53,26 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n"))
+
+  /** Running per-user event totals carried in explicit GroupState —
+    * the custom-state escape hatch (`flatMapGroupsWithState`) for
+    * semantics the built-in window aggregations can't express. State is
+    * one Long per user; each micro-batch emits the updated totals for
+    * the users it touched (Update mode). */
+  final case class UserTotal(user_id: Long, total: Long)
+  def runningUserTotals(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) => {
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator(UserTotal(user, total))
+        })
+  }
 }
