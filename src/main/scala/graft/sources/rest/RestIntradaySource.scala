@@ -45,7 +45,8 @@ class RestIntradaySource extends TableProvider {
       schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new RestIntradayTable(properties.get("resources"),
-      properties.get("start"), properties.get("end"))
+      properties.get("start"), properties.get("end"),
+      Option(properties.get("missingDates")).getOrElse(""))
 }
 
 object RestIntradaySource {
@@ -74,7 +75,7 @@ object RestIntradaySource {
 }
 
 final class RestIntradayTable(
-    resourcesCsv: String, start: String, end: String)
+    resourcesCsv: String, start: String, end: String, missingCsv: String)
   extends Table with SupportsRead {
   override def name(): String =
     s"rest_intraday($resourcesCsv, $start..$end)"
@@ -85,11 +86,13 @@ final class RestIntradayTable(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new RestIntradayScanBuilder(
       resourcesCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted,
-      LocalDate.parse(start), LocalDate.parse(end))
+      LocalDate.parse(start), LocalDate.parse(end),
+      missingCsv.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 }
 
 final class RestIntradayScanBuilder(
-    allResources: Seq[String], start: LocalDate, end: LocalDate)
+    allResources: Seq[String], start: LocalDate, end: LocalDate,
+    missingDates: Set[String])
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -153,14 +156,17 @@ final class RestIntradayScanBuilder(
       val days = Iterator.iterate(lo)(_.plusDays(1))
         .takeWhile(!_.isAfter(hi)).toSeq
       (for (r <- resources; d <- days)
-        yield RestPartition(r, d.toString): InputPartition).toArray
+        yield RestPartition(r, d.toString,
+          missing = missingDates.contains(d.toString)): InputPartition)
+        .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new RestReaderFactory(required)
   }
 }
 
-final case class RestPartition(resource: String, date: String)
+final case class RestPartition(
+    resource: String, date: String, missing: Boolean = false)
   extends InputPartition
 
 final class RestReaderFactory(required: StructType)
@@ -169,9 +175,13 @@ final class RestReaderFactory(required: StructType)
     val part = p.asInstanceOf[RestPartition]
     new PartitionReader[InternalRow] {
       // production: HTTP GET the per-(day,resource) URL here, honoring
-      // rate-limit headers; canned deterministic payload instead.
+      // rate-limit headers; canned deterministic payload instead. A
+      // `missing` partition is the 404 path (F6, utils.py:349-351):
+      // the reader yields zero rows and the job proceeds — the dropped
+      // activity never surfaces downstream, no error propagation.
       private var m = -1
       override def next(): Boolean = {
+        if (part.missing) return false
         m += 1; m < RestIntradaySource.MINUTES_PER_DAY
       }
       override def get(): InternalRow = {

@@ -39,6 +39,21 @@ class RestSourceSpec extends SparkSuite {
       s"reader should materialize only [value], plan was:\n$scanDesc")
   }
 
+  test("F6: a missing (404) day yields zero rows and the scan proceeds") {
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps")
+      .option("start", "2024-01-01").option("end", "2024-01-03")
+      .option("missingDates", "2024-01-02")
+      .load()
+    val byDay = df.groupBy(col("date")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDay === Map(
+      "2024-01-01" -> RestIntradaySource.MINUTES_PER_DAY.toLong,
+      "2024-01-03" -> RestIntradaySource.MINUTES_PER_DAY.toLong),
+      "missing day drops silently; healthy days unaffected")
+  }
+
   test("payload generator matches the portable-hash contract") {
     val row = load()
       .filter(col("date") === "2024-01-03" && col("resource") === "heart" &&
