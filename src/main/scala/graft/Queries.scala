@@ -207,20 +207,27 @@ object Queries {
             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
       WHERE rn = 1"""))
 
-  // A1b: argmax via max(struct(...)) — the hash-aggregate form promised in
-  // SURVEY §7.2: one shuffle, NO per-partition sort (unlike the window
-  // form in a1), same result by lexicographic (date, key) ordering.
-  // Ref: get_stream_data.py:56-62.
+  // A1b: argmax as a TRUE hash aggregate — the obvious max(struct(date,
+  // key)) silently degrades to SortAggregate (struct buffers aren't
+  // hash-aggregable: two per-partition sorts sneak back in), so the
+  // (date, key) pair is packed into one long — days-since-epoch in the
+  // high bits, key in the low 40 — whose max IS codegen'd HashAggregate:
+  // one shuffle, zero sorts, same lexicographic argmax as the window
+  // form in a1. Ref: get_stream_data.py:56-62; SURVEY §7.2.
   val a1bArgmaxMaxBy = Q(
     "a1b_argmax_maxby",
     (s, d) =>
       orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
-        .select(col("o_custkey"), col("m.o_orderkey").as("latest_orderkey"),
-          col("m.o_orderdate").as("latest_date")),
+        .agg(max(expr(
+          "unix_date(to_date(o_orderdate)) * 1099511627776L + o_orderkey"))
+          .as("pk"))
+        .select(col("o_custkey"),
+          expr("pk % 1099511627776L").as("latest_orderkey"),
+          expr("date_add(DATE '1970-01-01', " +
+            "CAST(pk div 1099511627776L AS INT))").as("latest_date")),
     Some("""SELECT o_custkey, o_orderkey AS latest_orderkey,
-      o_orderdate AS latest_date
+      CAST(o_orderdate AS DATE) AS latest_date
       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
       WHERE rn = 1"""))
