@@ -101,7 +101,9 @@ object Queries {
       FROM (SELECT event_id, strftime(ts, '%Y-%m-%d') AS date,
                    strftime(ts, '%H:%M:%S') AS time FROM events) t"""))
 
-  // P5: JSON field extraction from a raw JSON string column.
+  // P5: JSON field extraction from a raw JSON string column — both the
+  // path-pluck form (get_json_object) and the declared-schema form
+  // (from_json: one parse per row even if many fields are read).
   // Ref: fitbit_utils.py:273-276 (nested .get path into response JSON).
   val p5Json = Q(
     "p5_json_extract",
@@ -109,9 +111,15 @@ object Queries {
       events(s, d).select(
         col("event_id"),
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k")),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k_typed")),
     Some("""SELECT event_id, event_type,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"""))
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+      FROM events"""))
 
   // F1/F2: date lower+upper bound filters. Ref: get_stream_data.py:68-75.
   val f1f2Filter = Q(

@@ -217,6 +217,12 @@ object LlmOps {
           (length(col("text")) -
             length(regexp_replace(col("text"), "[.,;:!?]", "")))
             .cast("long").as("n_punct"),
+          // BPE-ish tokenization: alpha runs, digit runs, and single
+          // symbols each count as one token (the regex family real BPE
+          // pre-tokenizers use), vs the whitespace count above
+          size(expr(
+            "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+            .cast("long").as("n_tokens_bpe"),
           round(least(lit(1.0), size(col("t")).cast("double") / 100.0) *
             (lit(1.0) - expr("size(filter(t, x -> x IN ('the', 'a')))")
               .cast("double") / size(col("t"))), 6).as("quality")),
@@ -233,6 +239,8 @@ object LlmOps {
         CAST(length(text) -
              length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
           AS n_punct,
+        CAST(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
         round(least(1.0, CAST(len(t) AS DOUBLE) / 100.0) *
           (1.0 - CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
            / len(t)), 6) AS quality

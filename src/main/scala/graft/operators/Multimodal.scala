@@ -97,6 +97,32 @@ object Multimodal {
     (s, d) => decoded(s, d).toDF(),
     None) // imperative per-partition stage: rows-only check (see spec)
 
+  // ---------------------------------------------------------------------
+  // M3: frame sampling as a relational op — every 4th frame index of
+  // each video payload becomes a row (the shape a frame-extraction
+  // stage feeds to a vision encoder). The frame count derives from the
+  // payload bytes exactly as the decode stub does, so the explode is
+  // oracle-replayable; a real build would carry the frame's byte range
+  // alongside the index.
+  // ---------------------------------------------------------------------
+  val m3FrameSample = Q(
+    "m3_frame_sample",
+    (s, d) =>
+      documents(s, d)
+        .filter(col("doc_id") % 3 === 2) // the video/mp4 slice of m1
+        .select(col("doc_id"),
+          expr("CAST(length(CAST(text AS BINARY)) div 16 AS INT)")
+            .as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_idx")),
+    Some("""SELECT doc_id, n_frames,
+        CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+      FROM (SELECT doc_id,
+              CAST(octet_length(encode(text)) // 16 AS INTEGER) AS n_frames
+            FROM documents WHERE doc_id % 3 = 2) t
+      WHERE n_frames > 0"""))
+
   /** All multimodal queries, registration order. */
-  def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode)
+  def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode, m3FrameSample)
 }
