@@ -46,4 +46,60 @@ class PropertySpec extends SparkSuite {
       assert(d.distinct().count() === d.count())
     }
   }
+
+  test("P11: pivot∘unpivot is the identity on equal-length arrays") {
+    import org.apache.spark.sql.functions._
+    val arrayPairs: Gen[(List[Long], List[Long])] = for {
+      n <- Gen.chooseNum(1, 12)
+      a <- Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+      b <- Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+    } yield (a, b)
+    (0 until 8).foreach { i =>
+      val (a, b) = arrayPairs
+        .pureApply(Gen.Parameters.default, Seed(7L + i))
+      val unpivoted = Seq((1L, a, b)).toDF("id", "a", "b")
+        .select(col("id"), posexplode(arrays_zip(col("a"), col("b"))))
+        .select(col("id"), col("pos"), col("col.a").as("va"),
+          col("col.b").as("vb"))
+      // re-pivot: collect positionally-sorted values back into arrays
+      val repivoted = unpivoted.groupBy(col("id"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, va))), s -> s.va)")
+            .as("a"),
+          expr("transform(array_sort(collect_list(struct(pos, vb))), s -> s.vb)")
+            .as("b"))
+        .collect().head
+      assert(repivoted.getSeq[Long](1).toList === a)
+      assert(repivoted.getSeq[Long](2).toList === b)
+    }
+  }
+
+  test("P9: normalization is total over records with arbitrary missing keys") {
+    import org.apache.spark.sql.functions._
+    val recs: Gen[List[(Long, Option[String], Option[Double], Option[Boolean])]] =
+      Gen.listOfN(25, for {
+        id <- Gen.chooseNum(0L, 1000L)
+        name <- Gen.option(Gen.alphaStr.map(_.take(8)))
+        dist <- Gen.option(Gen.chooseNum(0.0, 1e6))
+        hr <- Gen.option(Gen.oneOf(true, false))
+      } yield (id, name, dist, hr))
+    (0 until 6).foreach { i =>
+      val rows = recs.pureApply(Gen.Parameters.default, Seed(99L + i))
+      val df = rows.toDF("id", "name", "distance", "has_heartrate")
+      val norm = df.select(
+        col("id"),
+        coalesce(col("name"), lit("unknown")).as("name"),
+        coalesce(col("distance"), lit(0.0)).as("distance"),
+        coalesce(col("has_heartrate"), lit(false)).as("has_heartrate"),
+        when(coalesce(col("has_heartrate"), lit(false)),
+          col("distance")).otherwise(lit(null)).as("hr_field"),
+        struct(col("id").as("id"), lit(2).as("resource_state"))
+          .as("athlete"))
+      val out = norm.collect() // totality: no record may throw
+      assert(out.length === rows.length)
+      // defaults fully applied: no nulls outside the conditional field
+      assert(norm.filter(col("name").isNull || col("distance").isNull ||
+        col("has_heartrate").isNull).count() === 0)
+    }
+  }
 }
