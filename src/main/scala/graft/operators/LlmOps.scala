@@ -334,8 +334,53 @@ object LlmOps {
             FROM documents) t
       WHERE length(norm) >= 8"""))
 
+  // ---------------------------------------------------------------------
+  // T5: corpus length statistics — exact interpolated percentiles of
+  // document length per language (the distribution report every corpus
+  // curation pass starts with). Spark `percentile` and DuckDB
+  // `quantile_cont` both use exact linear interpolation, so the values
+  // hash-match; one hash-agg + per-group sort of a tiny group set.
+  // ---------------------------------------------------------------------
+  val t5LengthPercentiles = Q(
+    "t5_length_percentiles",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("round(percentile(n_chars, 0.25), 4)").as("p25"),
+          expr("round(percentile(n_chars, 0.5), 4)").as("p50"),
+          expr("round(percentile(n_chars, 0.75), 4)").as("p75"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars")),
+    Some("""SELECT lang, count(*) AS n_docs,
+      round(quantile_cont(n_chars, 0.25), 4) AS p25,
+      round(quantile_cont(n_chars, 0.5), 4) AS p50,
+      round(quantile_cont(n_chars, 0.75), 4) AS p75,
+      min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents GROUP BY lang"""))
+
+  // ---------------------------------------------------------------------
+  // T6: document-length histogram — fixed-width binning via integer
+  // division, one hash aggregate; the bin key is computed map-side so
+  // only (bin, count) partials shuffle.
+  // ---------------------------------------------------------------------
+  val t6LengthHistogram = Q(
+    "t6_length_histogram",
+    (s, d) =>
+      documents(s, d)
+        .select(expr("n_chars div 50").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bin_lo", col("bin") * 50)
+        .withColumn("bin_hi", col("bin") * 50 + 49),
+    Some("""SELECT n_chars // 50 AS bin, count(*) AS n,
+      (n_chars // 50) * 50 AS bin_lo, (n_chars // 50) * 50 + 49 AS bin_hi
+      FROM documents GROUP BY n_chars // 50"""))
+
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash,
-    t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint)
+    t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    t5LengthPercentiles, t6LengthHistogram)
 }

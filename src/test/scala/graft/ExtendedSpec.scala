@@ -24,6 +24,25 @@ class ExtendedSpec extends SparkSuite {
     asof.unpersist()
   }
 
+  test("sketch aggregates: approx_count_distinct / percentile_approx bounds") {
+    // approximate forms aren't oracle-checkable (HLL/KLL internals
+    // differ across engines) — pin their error bounds against the exact
+    // forms instead
+    val o = Tables.orders(spark, sf)
+    val Array(exact, approx) = o
+      .agg(countDistinct(col("o_custkey")).cast("double"),
+        approx_count_distinct(col("o_custkey")).cast("double"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx_count_distinct off by >5%: $approx vs $exact")
+    val Array(p50exact, p50approx) = o
+      .agg(expr("percentile(o_totalprice, 0.5)"),
+        expr("percentile_approx(o_totalprice, 0.5, 1000)"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(p50approx - p50exact) / p50exact < 0.05,
+      s"percentile_approx median off by >5%: $p50approx vs $p50exact")
+  }
+
   test("X5: bucketed co-located join plans with zero Exchange") {
     val df = operators.Extended.x5BucketedJoin.fn(spark, sf)
     df.count()
