@@ -19,7 +19,8 @@ object ExplainAudit {
       "a1b_argmax_maxby", "d1_dedup_exact", "d2_dedup_minhash", "d3_simhash",
       "t3_token_topk", "t4_fingerprint", "a5_ann_bruteforce", "a6_ann_lsh",
       "a7_ann_ivf", "w1_window_tumbling", "w3_window_session",
-      "x1_asof_join", "x2_rollup", "x5_bucketed_join", "s2s3s4_rest_source")
+      "x1_asof_join", "x2_rollup", "x5_bucketed_join", "s2s3s4_rest_source",
+      "t5_length_percentiles", "t6_length_histogram", "m3_frame_sample")
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
     for (name <- names) {

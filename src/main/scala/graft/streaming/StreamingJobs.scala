@@ -54,6 +54,15 @@ object StreamingJobs {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n"))
 
+  /** Streaming exact dedup — the streaming twin of the d1 batch dedup:
+    * dropDuplicates keyed on event_id with a watermark bounding the
+    * dedup state (ids older than the watermark are evicted, so state
+    * is O(events-in-window), not O(stream)). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id", "ts")
+
   /** Running per-user event totals carried in explicit GroupState —
     * the custom-state escape hatch (`flatMapGroupsWithState`) for
     * semantics the built-in window aggregations can't express. State is

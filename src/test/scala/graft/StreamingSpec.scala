@@ -96,6 +96,26 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming dedup drops repeats across micro-batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = StreamingJobs.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:00:00")), // same-batch duplicate
+        (2L, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 00:00:00"))) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L), "each id survives exactly once")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
