@@ -24,7 +24,6 @@ object ExplainAudit {
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
     for (name <- names) {
-      val df = spark.sessionState.catalog // no-op to keep line short
       val q = graft.SparkEntry.queries(name)(spark, d)
       val p = q.queryExecution.executedPlan.toString
       def c(pat: String) = pat.r.findAllIn(p).length

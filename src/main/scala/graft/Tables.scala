@@ -25,10 +25,13 @@ object Tables {
     * values).
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.parquet stores TIMESTAMP(NANOS))")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // graft sessions pin this at build time; for a foreign session (the
+    // external driver's, a notebook) fall back to setting it once here
+    // rather than failing the query — the conf only affects how NANOS
+    // columns are surfaced, which this loader immediately normalizes.
+    if (!spark.conf.getOption(key).contains("true"))
+      spark.conf.set(key, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

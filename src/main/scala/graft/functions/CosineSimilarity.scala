@@ -34,10 +34,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   }
 
+  // NULL when lengths differ (the zip_with form would propagate null
+  // through the padded tail) and when either norm is zero (0/0: DuckDB
+  // yields NULL there, and NaN would sort ABOVE every real similarity
+  // under descending order, poisoning top-k).
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -50,7 +56,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(
@@ -64,15 +71,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xv = (double) $x.getFloat($i);
-          double $yv = (double) $y.getFloat($i);
-          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        int $n = $x.numElements();
+        if ($n != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xv = (double) $x.getFloat($i);
+            double $yv = (double) $y.getFloat($i);
+            $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+          }
+          if ($na == 0.0 || $nb == 0.0) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+                                  java.lang.Math.sqrt($nb));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
-                              java.lang.Math.sqrt($nb));
       """
     })
 

@@ -27,11 +27,19 @@ object Ann {
     * injected by [[graft.GraftExtensions]] (functions/CosineSimilarity):
     * one loop per pair, accumulating dot and both norms in DOUBLE
     * left-to-right, numerically identical to the aggregate(zip_with(...))
-    * higher-order form but without its per-pair array allocations and
-    * interpreted lambdas. Sessions must set
-    * spark.sql.extensions=graft.GraftExtensions. */
-  private def cosine(a: String, b: String): Column =
-    expr(s"cosine_sim($a, $b)")
+    * higher-order form (CosineSimSpec proves bit-parity) but without its
+    * per-pair array allocations and interpreted lambdas. On a foreign
+    * session built without spark.sql.extensions=graft.GraftExtensions,
+    * falls back to the equivalent HOF expression instead of failing
+    * analysis. */
+  private def cosine(s: SparkSession, a: String, b: String): Column =
+    if (s.catalog.functionExists("cosine_sim")) expr(s"cosine_sim($a, $b)")
+    else {
+      def dot(x: String, y: String) =
+        s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+    }
 
   // ---------------------------------------------------------------------
   // A5: brute-force cosine top-k — the exact baseline. Probes (vec_id<8)
@@ -48,7 +56,7 @@ object Ann {
       val sims = e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          round(cosine("emb", "p_emb"), 6).as("sim"))
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rn", row_number().over(w))
@@ -102,7 +110,7 @@ object Ann {
       val sims = e.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          round(cosine("emb", "p_emb"), 6).as("sim"))
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rn", row_number().over(w))
@@ -145,7 +153,7 @@ object Ann {
       a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosine("emb_a", "emb_b"), 6).as("sim"))
+          round(cosine(s, "emb_a", "emb_b"), 6).as("sim"))
         .filter(col("sim") >= 0.3)
     },
     Some(s"""WITH e AS (
@@ -180,7 +188,7 @@ object Ann {
       // deterministic tie-break on cid (one hash-agg, no sort)
       val assigned = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("emb"),
-          round(cosine("emb", "c_emb"), 6).as("csim"), col("cid"))
+          round(cosine(s, "emb", "c_emb"), 6).as("csim"), col("cid"))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
         .select(col("vec_id"), (-col("m.ncid")).as("cell"))
@@ -195,7 +203,7 @@ object Ann {
       val sims = cellsOf.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          round(cosine("emb", "p_emb"), 6).as("sim"))
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rn", row_number().over(w))

@@ -93,11 +93,15 @@ object LlmOps {
               .as("bkey"))): _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"),
           col("bb.bkey").as("bkey"))
+      // cand also feeds two consumers (the intersection aggregation and
+      // the final left join) — materialize it too, or the band self-join
+      // and its distinct run twice
       val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
         .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
           Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
+        .localCheckpoint()
       val sizes = mh.select(col("doc_id"), col("n"))
       val inter = cand
         .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))

@@ -48,13 +48,15 @@ object Multimodal {
         when(col("doc_id") % 3 === 0, "image/png")
           .when(col("doc_id") % 3 === 1, "audio/wav")
           .otherwise("video/mp4").as("mime"),
-        substring(col("text"), 1, 4).cast("binary").as("magic")),
+        // true first-4-BYTES prefix (not characters): slice the payload
+        // via its hex form, which both engines support bytewise
+        unhex(substring(hex(col("text").cast("binary")), 1, 8)).as("magic")),
     Some("""SELECT doc_id, encode(text) AS payload,
       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
            WHEN doc_id % 3 = 1 THEN 'audio/wav'
            ELSE 'video/mp4' END AS mime,
-      encode(substring(text, 1, 4)) AS magic
+      unhex(substring(hex(encode(text)), 1, 8)) AS magic
       FROM documents"""))
 
   /** The batched decode stage. STUB: a production build links a codec

@@ -97,8 +97,11 @@ object Ingest {
           col("event_type"), to_date(col("ts")).as("event_date"))
       // seed: "previous runs" ingested everything before the cutoff
       // (scaffolding for the incremental run — written as-is, no extra
-      // shuffle; only the product path below pays for file co-location)
-      src.filter(col("event_date") < lit("2024-02-01"))
+      // shuffle; only the product path below pays for file co-location).
+      // Events span 2024-01-01..2024-01-30 at every SF, so a mid-range
+      // cutoff leaves roughly half the partitions genuinely missing —
+      // the incremental path must do real work for the counts to match.
+      src.filter(col("event_date") < lit("2024-01-15"))
         .write.mode("overwrite")
         .partitionBy("event_type", "event_date").parquet(out)
       // incremental run over the FULL source range:

@@ -43,10 +43,17 @@ class RestIntradaySource extends TableProvider {
     RestIntradaySource.SCHEMA
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new RestIntradayTable(properties.get("resources"),
-      properties.get("start"), properties.get("end"),
+      properties: java.util.Map[String, String]): Table = {
+    def req(k: String): String = {
+      val v = properties.get(k)
+      require(v != null && v.nonEmpty,
+        s"RestIntradaySource requires option '$k' " +
+          "(resources=csv, start/end=yyyy-MM-dd)")
+      v
+    }
+    new RestIntradayTable(req("resources"), req("start"), req("end"),
       Option(properties.get("missingDates")).getOrElse(""))
+  }
 }
 
 object RestIntradaySource {
@@ -105,14 +112,18 @@ final class RestIntradayScanBuilder(
   /** Accept date-range and resource-membership predicates: partition
     * granularity equals predicate granularity, so accepted filters are
     * applied EXACTLY by pruning (day, resource) partitions — nothing to
-    * re-evaluate post-scan. Everything else stays with Spark. */
+    * re-evaluate post-scan. Everything else — including date literals
+    * that don't parse as strict ISO dates (a pushdown must never turn a
+    * no-match comparison into a planning crash) — stays with Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def isIso(v: String): Boolean =
+      try { LocalDate.parse(v); true } catch { case _: Exception => false }
     val (accepted, rest) = filters.partition {
-      case EqualTo("date", _: String) => true
-      case GreaterThanOrEqual("date", _: String) => true
-      case LessThanOrEqual("date", _: String) => true
-      case GreaterThan("date", _: String) => true
-      case LessThan("date", _: String) => true
+      case EqualTo("date", v: String) => isIso(v)
+      case GreaterThanOrEqual("date", v: String) => isIso(v)
+      case LessThanOrEqual("date", v: String) => isIso(v)
+      case GreaterThan("date", v: String) => isIso(v)
+      case LessThan("date", v: String) => isIso(v)
       case EqualTo("resource", _: String) => true
       case In("resource", vs) => vs.forall(_.isInstanceOf[String])
       case _ => false

@@ -54,14 +54,14 @@ object StreamingJobs {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n"))
 
-  /** Streaming exact dedup — the streaming twin of the d1 batch dedup:
-    * dropDuplicates keyed on event_id with a watermark bounding the
-    * dedup state (ids older than the watermark are evicted, so state
-    * is O(events-in-window), not O(stream)). */
+  /** Streaming exact dedup — the streaming twin of the d1 batch dedup,
+    * keyed on event_id ALONE (a redelivered event with a jittered
+    * ingestion timestamp still dedups); the watermark bounds state to
+    * the window, so state is O(events-in-window), not O(stream). */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Running per-user event totals carried in explicit GroupState —
     * the custom-state escape hatch (`flatMapGroupsWithState`) for

@@ -38,6 +38,17 @@ class CosineSimSpec extends SparkSuite {
     assert(nulls.collect().forall(_.isNullAt(0)))
   }
 
+  test("cosine_sim: zero-norm and length-mismatch yield NULL, not NaN") {
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)), // zero-norm left
+      (Seq(1.0f, 2.0f), Seq(0.0f, 0.0f)), // zero-norm right
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)) // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(out.forall(_.isNullAt(0)),
+      "NaN would sort above every real similarity under DESC top-k")
+  }
+
   test("cosine_sim rejects non-float-array inputs at analysis time") {
     val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
     val err = intercept[Exception] {

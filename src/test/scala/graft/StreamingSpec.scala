@@ -108,7 +108,9 @@ class StreamingSpec extends SparkSuite {
         (1L, ts("2024-01-01 00:00:00")), // same-batch duplicate
         (2L, ts("2024-01-01 00:01:00")))
       q.processAllAvailable()
-      input.addData((1L, ts("2024-01-01 00:00:00"))) // cross-batch dup
+      // cross-batch redelivery with a JITTERED timestamp still dedups:
+      // the key is event_id alone
+      input.addData((1L, ts("2024-01-01 00:00:07")))
       q.processAllAvailable()
       val ids = spark.table("dedup_test").select("event_id")
         .collect().map(_.getLong(0)).sorted.toSeq
