@@ -382,9 +382,73 @@ object LlmOps {
       (n_chars // 50) * 50 AS bin_lo, (n_chars // 50) * 50 + 49 AS bin_hi
       FROM documents GROUP BY n_chars // 50"""))
 
+  // ---------------------------------------------------------------------
+  // T7: chunking — split each document into fixed-size token windows
+  // with overlap (20-token chunks, stride 15), one output row per chunk:
+  // the shape a pretraining tokenizer consumes. Pure per-row explode of
+  // an arithmetic window list — linear, shuffle-free, embarrassingly
+  // parallel.
+  // ---------------------------------------------------------------------
+  private val CHUNK = 20
+  private val STRIDE = 15
+
+  val t7Chunking = Q(
+    "t7_chunking",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, greatest(size(t) - 1, 0), $STRIDE), " +
+              s"i -> concat_ws(' ', slice(t, i + 1, $CHUNK)))")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos") * STRIDE).cast("long").as("chunk_start"),
+          col("col").as("chunk_text")),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      idx AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t,
+          unnest(range(0, greatest(len(t) - 1, 0) + 1, $STRIDE)) AS i
+        FROM toks)
+      SELECT doc_id, n_tokens, i AS chunk_start,
+        array_to_string(list_slice(t, i + 1, i + $CHUNK), ' ') AS chunk_text
+      FROM idx"""))
+
+  // ---------------------------------------------------------------------
+  // T8: scrubbing — regexp battery removing URL-shaped and email-shaped
+  // spans and collapsing the leftover whitespace; flags which docs were
+  // touched. Per-row projection, codegen'd, no shuffle.
+  // ---------------------------------------------------------------------
+  val t8Scrub = Q(
+    "t8_scrub",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("scrubbed",
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"),
+                "https?://[^ ]+", " "),
+              "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", " "),
+            "\\s+", " ")))
+        .select(col("doc_id"),
+          col("scrubbed"),
+          (length(col("scrubbed")) =!= length(col("text")))
+            .as("was_scrubbed")),
+    Some("""SELECT doc_id,
+      trim(regexp_replace(regexp_replace(regexp_replace(text,
+        'https?://[^ ]+', ' ', 'g'),
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
+        '\s+', ' ', 'g')) AS scrubbed,
+      length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+        'https?://[^ ]+', ' ', 'g'),
+        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
+        '\s+', ' ', 'g'))) <> length(text) AS was_scrubbed
+      FROM documents"""))
+
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash,
     t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
-    t5LengthPercentiles, t6LengthHistogram)
+    t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub)
 }
