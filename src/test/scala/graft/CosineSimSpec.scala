@@ -49,6 +49,19 @@ class CosineSimSpec extends SparkSuite {
       "NaN would sort above every real similarity under DESC top-k")
   }
 
+  test("cosine_sim interpreted eval matches codegen (incl. null cases)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.CosineSimilarity
+    def lit(xs: Seq[Float]) = Literal.create(xs, ArrayType(FloatType))
+    def ev(a: Seq[Float], b: Seq[Float]): Any =
+      CosineSimilarity(lit(a), lit(b)).eval(null)
+    assert(ev(Seq(1f, 0f), Seq(1f, 0f)) === 1.0)
+    assert(ev(Seq(1f, 0f), Seq(0f, 1f)) === 0.0)
+    assert(ev(Seq(0f, 0f), Seq(1f, 2f)) === null) // zero norm
+    assert(ev(Seq(1f, 2f, 3f), Seq(1f, 2f)) === null) // length mismatch
+  }
+
   test("cosine_sim rejects non-float-array inputs at analysis time") {
     val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
     val err = intercept[Exception] {
