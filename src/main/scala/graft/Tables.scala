@@ -16,22 +16,19 @@ object Tables {
 
   /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects unless spark.sql.legacy.parquet.nanosAsLong
-    * is set — that conf is now pinned at session construction (Verify,
-    * Bench, test fixtures) so this loader stays a pure reader with no
-    * hidden session mutation. The long nanos are floor-divided to micros
-    * (floor, not truncate-toward-zero, so pre-1970 timestamps would also
-    * match DuckDB's ns→µs cast; `(ts - pmod(ts,1000)) div 1000` is exact
-    * integer floor division, immune to double precision loss on 10^18-ns
-    * values).
+    * is set. Graft sessions pin it at construction (Verify, Bench, test
+    * fixtures); on a foreign session that left it UNSET this loader sets
+    * it once as a fallback — a deliberate session mutation, preferred
+    * over failing every events query (a session that explicitly set it
+    * to "false" is respected... by failing the read, loudly). The long
+    * nanos are floor-divided to micros (floor, not truncate-toward-zero,
+    * so pre-1970 timestamps would also match DuckDB's ns→µs cast;
+    * `(ts - pmod(ts,1000)) div 1000` is exact integer floor division,
+    * immune to double precision loss on 10^18-ns values).
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    // graft sessions pin this at build time; for a foreign session (the
-    // external driver's, a notebook) fall back to setting it once here
-    // rather than failing the query — the conf only affects how NANOS
-    // columns are surfaced, which this loader immediately normalizes.
-    if (!spark.conf.getOption(key).contains("true"))
-      spark.conf.set(key, "true")
+    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

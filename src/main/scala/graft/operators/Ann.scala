@@ -38,7 +38,11 @@ object Ann {
       def dot(x: String, y: String) =
         s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-      expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+      // nullif guards the zero-norm case (0/0 would be NaN, which sorts
+      // ABOVE every real similarity under desc top-k) — same NULL
+      // semantics as the native expression; length mismatches already
+      // null-propagate through zip_with's padding
+      expr(s"${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0.0)")
     }
 
   // ---------------------------------------------------------------------

@@ -398,8 +398,11 @@ object LlmOps {
       documents(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          // last window start = greatest(n - CHUNK, 0): starts past
+          // n - CHUNK would emit chunks wholly contained in the previous
+          // one (duplicated training text)
           posexplode(expr(
-            s"transform(sequence(0, greatest(size(t) - 1, 0), $STRIDE), " +
+            s"transform(sequence(0, greatest(size(t) - $CHUNK, 0), $STRIDE), " +
               s"i -> concat_ws(' ', slice(t, i + 1, $CHUNK)))")))
         .select(col("doc_id"), col("n_tokens"),
           (col("pos") * STRIDE).cast("long").as("chunk_start"),
@@ -408,7 +411,7 @@ object LlmOps {
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       idx AS (
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t,
-          unnest(range(0, greatest(len(t) - 1, 0) + 1, $STRIDE)) AS i
+          unnest(range(0, greatest(len(t) - $CHUNK, 0) + 1, $STRIDE)) AS i
         FROM toks)
       SELECT doc_id, n_tokens, i AS chunk_start,
         array_to_string(list_slice(t, i + 1, i + $CHUNK), ' ') AS chunk_text
@@ -416,14 +419,30 @@ object LlmOps {
 
   // ---------------------------------------------------------------------
   // T8: scrubbing — regexp battery removing URL-shaped and email-shaped
-  // spans and collapsing the leftover whitespace; flags which docs were
-  // touched. Per-row projection, codegen'd, no shuffle.
+  // spans and collapsing the leftover whitespace. The testdata corpus
+  // contains no such spans, so the query deterministically INJECTS them
+  // into a third of the documents first (the oracle replays the same
+  // injection) — otherwise the scrub regexes would never execute and the
+  // correctness check would be vacuous. The flag comes from matching the
+  // scrub patterns on the input, not from a length diff (whitespace
+  // normalization alone must not read as "PII removed"). Per-row
+  // projection, codegen'd, no shuffle.
   // ---------------------------------------------------------------------
   val t8Scrub = Q(
     "t8_scrub",
     (s, d) =>
       documents(s, d)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(" see https://example.com/d/"),
+                col("doc_id"), lit(" for details")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("was_scrubbed",
+          col("text").rlike("https?://[^ ]+") ||
+            col("text").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"))
         .withColumn("scrubbed",
           trim(regexp_replace(
             regexp_replace(
@@ -431,20 +450,25 @@ object LlmOps {
                 "https?://[^ ]+", " "),
               "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", " "),
             "\\s+", " ")))
-        .select(col("doc_id"),
-          col("scrubbed"),
-          (length(col("scrubbed")) =!= length(col("text")))
-            .as("was_scrubbed")),
-    Some("""SELECT doc_id,
-      trim(regexp_replace(regexp_replace(regexp_replace(text,
-        'https?://[^ ]+', ' ', 'g'),
-        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
-        '\s+', ' ', 'g')) AS scrubbed,
-      length(trim(regexp_replace(regexp_replace(regexp_replace(text,
-        'https?://[^ ]+', ' ', 'g'),
-        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
-        '\s+', ' ', 'g'))) <> length(text) AS was_scrubbed
-      FROM documents"""))
+        .select("doc_id", "scrubbed", "was_scrubbed"),
+    Some("""WITH injected AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+                 THEN text || ' contact user' || doc_id || '@example.com now'
+               WHEN doc_id % 3 = 1
+                 THEN text || ' see https://example.com/d/' || doc_id
+                      || ' for details'
+               ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(text,
+          'https?://[^ ]+', ' ', 'g'),
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
+          '\s+', ' ', 'g')) AS scrubbed,
+        regexp_matches(text, 'https?://[^ ]+') OR
+        regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+          AS was_scrubbed
+      FROM injected"""))
 
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(

@@ -48,9 +48,10 @@ object Multimodal {
         when(col("doc_id") % 3 === 0, "image/png")
           .when(col("doc_id") % 3 === 1, "audio/wav")
           .otherwise("video/mp4").as("mime"),
-        // true first-4-BYTES prefix (not characters): slice the payload
-        // via its hex form, which both engines support bytewise
-        unhex(substring(hex(col("text").cast("binary")), 1, 8)).as("magic")),
+        // true first-4-BYTES prefix (not characters): Spark's substring
+        // is byte-wise on BINARY; only DuckDB needs the hex round-trip
+        // (it can't slice BLOBs directly)
+        substring(col("text").cast("binary"), 1, 4).as("magic")),
     Some("""SELECT doc_id, encode(text) AS payload,
       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
