@@ -24,13 +24,22 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // toRdd.count() materializes every InternalRow of the FULL plan —
+      // df.count() would let Catalyst prune all projected expressions,
+      // so projection-heavy queries would measure only scan+count.
+      // A failed query reports -1 instead of masquerading as fast.
+      val elapsed =
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val n = results.size
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val n = ok.size
     val mean = if (n > 0) total / n else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean}""")
     spark.stop()

@@ -34,10 +34,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   }
 
-  // NULL when lengths differ (the zip_with form would propagate null
-  // through the padded tail) and when either norm is zero (0/0: DuckDB
-  // yields NULL there, and NaN would sort ABOVE every real similarity
-  // under descending order, poisoning top-k).
+  // NULL when lengths differ or any element is null (matching the
+  // null-propagation of the zip_with higher-order form) and when either
+  // norm is zero (0/0: DuckDB yields NULL there, and NaN would sort
+  // ABOVE every real similarity under descending order, poisoning
+  // top-k).
   override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -49,6 +50,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv
@@ -77,15 +79,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
         } else {
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            if ($x.isNullAt($i) || $y.isNullAt($i)) {
+              ${ev.isNull} = true; break;
+            }
             double $xv = (double) $x.getFloat($i);
             double $yv = (double) $y.getFloat($i);
             $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
           }
-          if ($na == 0.0 || $nb == 0.0) {
-            ${ev.isNull} = true;
-          } else {
-            ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
-                                  java.lang.Math.sqrt($nb));
+          if (!${ev.isNull}) {
+            if ($na == 0.0 || $nb == 0.0) {
+              ${ev.isNull} = true;
+            } else {
+              ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+                                    java.lang.Math.sqrt($nb));
+            }
           }
         }
       """

@@ -397,23 +397,34 @@ object LlmOps {
     (s, d) =>
       documents(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-          // last window start = greatest(n - CHUNK, 0): starts past
-          // n - CHUNK would emit chunks wholly contained in the previous
-          // one (duplicated training text)
-          posexplode(expr(
-            s"transform(sequence(0, greatest(size(t) - $CHUNK, 0), $STRIDE), " +
-              s"i -> concat_ws(' ', slice(t, i + 1, $CHUNK)))")))
+        // window starts: multiples of STRIDE up to n-CHUNK, plus one
+        // final start at exactly n-CHUNK when the stride doesn't land
+        // there — every token is covered (no dropped tail) and no chunk
+        // is wholly contained in its predecessor (no duplicated text)
+        .select(col("doc_id"), col("t"),
+          size(col("t")).cast("long").as("n_tokens"),
+          explode(expr(
+            s"""concat(
+                 sequence(0, greatest(size(t) - $CHUNK, 0), $STRIDE),
+                 CASE WHEN size(t) > $CHUNK
+                        AND pmod(size(t) - $CHUNK, $STRIDE) != 0
+                   THEN array(size(t) - $CHUNK)
+                   ELSE CAST(array() AS ARRAY<INT>) END)"""))
+            .as("start"))
         .select(col("doc_id"), col("n_tokens"),
-          (col("pos") * STRIDE).cast("long").as("chunk_start"),
-          col("col").as("chunk_text")),
+          col("start").cast("long").as("chunk_start"),
+          expr(s"concat_ws(' ', slice(t, start + 1, $CHUNK))")
+            .as("chunk_text")),
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       idx AS (
         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t,
-          unnest(range(0, greatest(len(t) - $CHUNK, 0) + 1, $STRIDE)) AS i
+          unnest(list_concat(
+            range(0, greatest(len(t) - $CHUNK, 0) + 1, $STRIDE),
+            CASE WHEN len(t) > $CHUNK AND (len(t) - $CHUNK) % $STRIDE <> 0
+              THEN [len(t) - $CHUNK] ELSE [] END)) AS i
         FROM toks)
-      SELECT doc_id, n_tokens, i AS chunk_start,
+      SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_start,
         array_to_string(list_slice(t, i + 1, i + $CHUNK), ' ') AS chunk_text
       FROM idx"""))
 

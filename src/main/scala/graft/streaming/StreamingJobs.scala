@@ -24,13 +24,18 @@ object StreamingJobs {
     * on the sink this is the exactly-once version of the reference's
     * skip-if-exists incremental load. */
   def eventsFileStream(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // same foreign-session fallback as Tables.eventsRaw: the declared
+    // BIGINT ts over a TIMESTAMP(NANOS) parquet column needs nanosAsLong
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
     spark.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
       .withColumn("ts",
         expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
+  }
 
   /** Tumbling 5-minute per-type counts with a 30-minute watermark: state
     * for windows older than the watermark is evicted, so state size is

@@ -60,6 +60,15 @@ class CosineSimSpec extends SparkSuite {
     assert(ev(Seq(1f, 0f), Seq(0f, 1f)) === 0.0)
     assert(ev(Seq(0f, 0f), Seq(1f, 2f)) === null) // zero norm
     assert(ev(Seq(1f, 2f, 3f), Seq(1f, 2f)) === null) // length mismatch
+    // null ELEMENT propagates to NULL, matching the zip_with fallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.CosineSimilarity
+    val withNull = Literal.create(Seq[java.lang.Float](1.0f, null),
+      ArrayType(FloatType, containsNull = true))
+    assert(CosineSimilarity(withNull,
+      Literal.create(Seq(1.0f, 2.0f), ArrayType(FloatType))).eval(null)
+      === null)
   }
 
   test("cosine_sim rejects non-float-array inputs at analysis time") {

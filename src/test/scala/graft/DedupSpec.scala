@@ -60,6 +60,26 @@ class DedupSpec extends SparkSuite {
     assert(out.values.forall(v => v >= 0L && v < (1L << 16)))
   }
 
+  test("T7: chunks cover every token and no chunk duplicates its predecessor") {
+    val rows = graft.operators.LlmOps.t7Chunking.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3).split(" ").length))
+    rows.groupBy(_._1).foreach { case (_, chunks) =>
+      val n = chunks.head._2
+      val sorted = chunks.sortBy(_._3)
+      // coverage: the last chunk must reach the final token
+      assert(sorted.last._3 + sorted.last._4 === n,
+        "trailing tokens must not be dropped")
+      // no chunk fully contained in the previous one
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, l2)) =>
+          assert(s2 + l2 > s1 + l1, "chunk adds no new tokens")
+        case _ => ()
+      }
+    }
+  }
+
   test("D2 full pipeline: near-identical docs surface as high-jaccard pair") {
     // run the registered query over testdata and sanity-check the shape:
     // jaccard ∈ [0,1], id_a < id_b, no self-pairs
