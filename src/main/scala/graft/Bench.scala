@@ -41,7 +41,10 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val n = ok.size
     val mean = if (n > 0) total / n else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean}""")
+    // action records HOW timings were taken: round 2+ executes the full
+    // plan via toRdd (round 1's df.count() let Catalyst prune projected
+    // expressions, understating projection-heavy queries)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count"}""")
     spark.stop()
   }
 }

@@ -314,10 +314,12 @@ object LlmOps {
       GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20"""))
 
   // ---------------------------------------------------------------------
-  // T4: document fingerprint — min rolling hash over character 8-grams of
-  // the normalized text (the winnowing primitive). Entirely inside one
-  // per-row higher-order-function expression: no explode, no shuffle —
-  // the cheapest possible shape for a 100 TB fingerprint pass.
+  // T4: document fingerprint — min hash over character 8-grams sampled
+  // at stride 4 (winnowing-style: overlapping grams still tile the whole
+  // text, at a quarter of the hash calls — md5 per gram is the honest
+  // dominant cost of this pass). Entirely inside one per-row
+  // higher-order-function expression: no explode, no shuffle — the
+  // cheapest possible shape for a 100 TB fingerprint pass.
   // ---------------------------------------------------------------------
   val t4Fingerprint = Q(
     "t4_fingerprint",
@@ -327,11 +329,11 @@ object LlmOps {
           lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
         .filter(length(col("norm")) >= 8)
         .select(col("doc_id"),
-          expr("array_min(transform(sequence(1, length(norm) - 7), i -> " +
+          expr("array_min(transform(sequence(1, length(norm) - 7, 4), i -> " +
             Portable.h60Sql("substring(norm, i, 8)", "fp|") + "))")
             .as("fingerprint")),
     Some(s"""SELECT doc_id,
-        list_min(list_transform(range(1, length(norm) - 6), i ->
+        list_min(list_transform(range(1, length(norm) - 6, 4), i ->
           ${Portable.h60Duck("substring(norm, i, 8)", "fp|")})) AS fingerprint
       FROM (SELECT doc_id,
               lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
