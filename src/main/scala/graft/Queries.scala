@@ -113,8 +113,7 @@ object Queries {
         col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
         from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("k BIGINT")
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
           .getField("k").as("k_typed")),
     Some("""SELECT event_id, event_type,
       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

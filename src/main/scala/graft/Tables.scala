@@ -14,21 +14,29 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true.
+    * Graft sessions pin it at build time; for foreign sessions this sets
+    * it as a fallback. NOTE: unset and explicitly-false sessions are
+    * indistinguishable (conf.getOption returns the registered default
+    * "false" either way), so an explicit false is overridden too — the
+    * loaders simply cannot work without it, and that trade is
+    * documented here. Shared by the batch loader and the streaming
+    * reader so the two can't drift. */
+  private[graft] def ensureNanosAsLong(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.get(key, "false") != "true") spark.conf.set(key, "true")
+  }
+
   /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects unless spark.sql.legacy.parquet.nanosAsLong
-    * is set. Graft sessions pin it at construction (Verify, Bench, test
-    * fixtures); on a foreign session that left it UNSET this loader sets
-    * it once as a fallback — a deliberate session mutation, preferred
-    * over failing every events query (a session that explicitly set it
-    * to "false" is respected... by failing the read, loudly). The long
-    * nanos are floor-divided to micros (floor, not truncate-toward-zero,
-    * so pre-1970 timestamps would also match DuckDB's ns→µs cast;
-    * `(ts - pmod(ts,1000)) div 1000` is exact integer floor division,
-    * immune to double precision loss on 10^18-ns values).
+    * vectorized reader rejects without the nanosAsLong conf (see
+    * ensureNanosAsLong). The long nanos are floor-divided to micros
+    * (floor, not truncate-toward-zero, so pre-1970 timestamps would also
+    * match DuckDB's ns→µs cast; `(ts - pmod(ts,1000)) div 1000` is exact
+    * integer floor division, immune to double precision loss on
+    * 10^18-ns values).
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
+    ensureNanosAsLong(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

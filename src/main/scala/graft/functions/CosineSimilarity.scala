@@ -72,6 +72,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // emit the per-element null branch only when either input's
+      // static type admits null elements — the embeddings hot path
+      // (containsNull=false both sides) keeps the tight loop
+      val mayHaveNullElems = Seq(left.dataType, right.dataType).exists {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      }
+      val elemNullCheck =
+        if (mayHaveNullElems)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) {
+                ${ev.isNull} = true; break;
+              }"""
+        else ""
       s"""
         int $n = $x.numElements();
         if ($n != $y.numElements()) {
@@ -79,9 +92,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         } else {
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            if ($x.isNullAt($i) || $y.isNullAt($i)) {
-              ${ev.isNull} = true; break;
-            }
+            $elemNullCheck
             double $xv = (double) $x.getFloat($i);
             double $yv = (double) $y.getFloat($i);
             $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;

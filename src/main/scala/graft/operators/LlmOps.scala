@@ -314,10 +314,12 @@ object LlmOps {
       GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20"""))
 
   // ---------------------------------------------------------------------
-  // T4: document fingerprint — min hash over character 8-grams sampled
-  // at stride 4 (winnowing-style: overlapping grams still tile the whole
-  // text, at a quarter of the hash calls — md5 per gram is the honest
-  // dominant cost of this pass). Entirely inside one per-row
+  // T4: document fingerprint — min hash over character 8-grams SAMPLED
+  // at stride 4 (a quarter of the hash calls; md5 per gram is the
+  // dominant cost of this pass). Sampling, not exhaustive tiling: up to
+  // 3 trailing characters can fall outside every sampled gram, which is
+  // fine for a fingerprint and replayed identically by the oracle.
+  // Entirely inside one per-row
   // higher-order-function expression: no explode, no shuffle — the
   // cheapest possible shape for a 100 TB fingerprint pass.
   // ---------------------------------------------------------------------

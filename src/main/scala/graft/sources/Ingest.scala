@@ -143,9 +143,8 @@ object Ingest {
       docs
         .select(col("l_orderkey"),
           explode(from_json(col("js"),
-            org.apache.spark.sql.types.DataType.fromDDL(
-              "STRUCT<dataset: ARRAY<STRUCT<ln: INT, qty: DOUBLE>>>")
-              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "dataset ARRAY<STRUCT<ln: INT, qty: DOUBLE>>"))
             .getField("dataset")).as("r"))
         .select(col("l_orderkey"), col("r.ln").as("ln"),
           col("r.qty").as("qty"))

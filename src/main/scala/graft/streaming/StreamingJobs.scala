@@ -25,10 +25,9 @@ object StreamingJobs {
     * skip-if-exists incremental load. */
   def eventsFileStream(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // same foreign-session fallback as Tables.eventsRaw: the declared
-    // BIGINT ts over a TIMESTAMP(NANOS) parquet column needs nanosAsLong
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
+    // the declared BIGINT ts over a TIMESTAMP(NANOS) parquet column
+    // needs the same conf fallback as the batch loader
+    graft.Tables.ensureNanosAsLong(spark)
     spark.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")

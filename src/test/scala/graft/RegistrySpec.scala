@@ -19,7 +19,7 @@ class RegistrySpec extends SparkSuite {
       } catch {
         case e: Exception =>
           failures += s"$name threw ${e.getClass.getSimpleName}: " +
-            e.getMessage.linesIterator.take(1).mkString
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString
       }
     }
     assert(failures.isEmpty,
