@@ -485,9 +485,64 @@ object LlmOps {
           AS was_scrubbed
       FROM injected"""))
 
+  // ---------------------------------------------------------------------
+  // C1: the curation pipeline end to end — what a training-data run
+  // actually executes: exact-dedup survivors (min doc_id per normalized
+  // hash) → quality gate (token count + stopword ratio) → curated
+  // corpus written to the lake and read back, reporting per-(lang,
+  // source) survivor counts. One dedup shuffle + one count shuffle;
+  // every gate is a map-side projection.
+  // ---------------------------------------------------------------------
+  val c1CurateCorpus = Q(
+    "c1_curate_corpus",
+    (s, d) => {
+      val out = {
+        val p = java.nio.file.Paths.get(
+          "/root/repo/target/graft-lake/c1_curated")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(p.toFile)
+        java.nio.file.Files.createDirectories(p.getParent)
+        p.toString
+      }
+      val docs = documents(s, d)
+        .withColumn("h", md5(normText))
+        .withColumn("t", split(lower(col("text")), " "))
+      val survivors = docs
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .join(docs, Seq("doc_id"))
+        .filter(size(col("t")) >= 15 &&
+          expr("size(filter(t, x -> x IN ('the', 'a')))")
+            .cast("double") / size(col("t")) <= 0.4)
+        .select(col("doc_id"), col("lang"), col("source"))
+      survivors
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, lang, source,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+          string_split(lower(text), ' ') AS t
+        FROM documents),
+      keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY h),
+      survivors AS (
+        SELECT d.lang, d.source FROM docs d
+        JOIN keep k ON d.doc_id = k.doc_id
+        WHERE len(d.t) >= 15
+          AND CAST(len(list_filter(d.t, x -> x IN ('the', 'a'))) AS DOUBLE)
+              / len(d.t) <= 0.4)
+      SELECT lang, source, count(*) AS n_docs
+      FROM survivors GROUP BY lang, source"""))
+
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash,
     t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
-    t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub)
+    t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
+    c1CurateCorpus)
 }
