@@ -25,6 +25,14 @@ def canon(rows, cols):
         rr = []
         for i in order:
             v = r[i]
+            # The DRIVER comparator sorts columns with pandas, which dies
+            # on bytes/dict/list values (r2: m1/p9_full failed only
+            # there). Fail the same way locally: hex/to_json/flatten such
+            # columns at the query's result edge instead.
+            if isinstance(v, (bytes, bytearray, dict, list)):
+                raise TypeError(
+                    f"driver-unsortable value in column {cols[i]!r}: "
+                    f"{type(v).__name__} (hex/to_json/flatten it)")
             if isinstance(v, float):
                 v = round(v, 9)
             rr.append(repr(v))
@@ -62,8 +70,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        gc, g = canon(got, gcols)
-        wc, w = canon(want, wcols)
+        try:
+            gc, g = canon(got, gcols)
+            wc, w = canon(want, wcols)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
             n_fail += 1

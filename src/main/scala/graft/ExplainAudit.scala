@@ -20,7 +20,10 @@ object ExplainAudit {
       "t3_token_topk", "t4_fingerprint", "a5_ann_bruteforce", "a6_ann_lsh",
       "a7_ann_ivf", "w1_window_tumbling", "w3_window_session",
       "x1_asof_join", "x2_rollup", "x5_bucketed_join", "s2s3s4_rest_source",
-      "t5_length_percentiles", "t6_length_histogram", "m3_frame_sample")
+      "t5_length_percentiles", "t6_length_histogram", "m3_frame_sample",
+      "s5_catalog_argmax", "p4_json_flatten", "m1_multimodal_meta",
+      "p9_normalize_full")
+    // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
     for (name <- names) {
@@ -39,7 +42,8 @@ object ExplainAudit {
         "TakeOrdered" -> c("TakeOrderedAndProject"),
         "WindowGroupLimit" -> c("WindowGroupLimit"),
         "Generate" -> c("Generate explode"),
-        "Expand" -> c("Expand"))
+        "Expand" -> c("Expand"),
+        "SortAggregate" -> c("SortAggregate"))
         .filter(_._2 > 0).map { case (k, v) =>
           if (v == 1) k else s"$k x$v" }.mkString(" ")
       println(s"| $name | $ex | $joins | $aggs | $other |")

@@ -104,6 +104,9 @@ object Queries {
   // P5: JSON field extraction from a raw JSON string column — both the
   // path-pluck form (get_json_object) and the declared-schema form
   // (from_json: one parse per row even if many fields are read).
+  // NOTE: from_json('k BIGINT') nulls out a QUOTED numeric ("k":"7"),
+  // while the oracle's json_extract_string+CAST would parse it — parity
+  // holds because testdata always encodes k as a JSON number (ADVICE r2).
   // Ref: fitbit_utils.py:273-276 (nested .get path into response JSON).
   val p5Json = Q(
     "p5_json_extract",

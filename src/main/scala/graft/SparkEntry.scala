@@ -15,8 +15,13 @@ object SparkEntry {
       operators.Extended.all ++ sources.Ingest.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicate name would silently shadow a query in the .toMap —
+    // fail loudly instead (ADVICE r2)
+    val dup = registry.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names in registry: ${dup.mkString(", ")}")
     registry.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -136,7 +136,9 @@ object Extended {
   val x5BucketedJoin = Q(
     "x5_bucketed_join",
     (s, d) => {
-      val wh = "/root/repo/target/graft-warehouse"
+      val wh = sys.props.getOrElse("graft.warehouse.dir",
+        java.nio.file.Paths.get(sys.props("user.dir"),
+          "target", "graft-warehouse").toString)
       s.sql("DROP TABLE IF EXISTS graft_orders_b")
       s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
       orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority")

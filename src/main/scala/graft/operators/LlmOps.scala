@@ -70,22 +70,33 @@ object LlmOps {
           .as("shingle"))
       .distinct()
 
+  /** d2's pinned frames per (app, dataset): re-entry unpersists the prior
+    * run's blocks so repeated invocations in one JVM (RegistrySpec, bench
+    * warmup+measure) don't accumulate block-manager residents (ADVICE r2).
+    */
+  private val d2Pinned =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
+
   val d2DedupMinhash = Q(
     "d2_dedup_minhash",
     (s, d) => {
+      val pinKey = s"${s.sparkContext.applicationId}|$d"
+      d2Pinned.remove(pinKey)
+        .foreach(_.foreach(_.unpersist(blocking = false)))
       // The shingle and signature tables feed MULTIPLE downstream joins
       // (band self-join, intersection probes, size lookups); Catalyst
-      // does not reuse the subtree across those consumers (verified: 8
-      // FileScans in the unmaterialized plan), so materialize each ONCE
-      // — the local-mode analogue of checkpointing the signature table
-      // to storage, which is what a 100 TB dedup pipeline does anyway.
-      val sh = shingles(s, d).localCheckpoint()
+      // does not reuse the raw subtree across those consumers (verified:
+      // 8 FileScans in the unmaterialized plan), so persist each ONCE —
+      // every consumer then reads the same InMemoryRelation, the
+      // local-mode analogue of checkpointing the signature table to
+      // storage, which is what a 100 TB dedup pipeline does anyway.
+      val sh = shingles(s, d).persist()
       val mh = sh.groupBy(col("doc_id")).agg(
         min(Portable.h60(col("shingle"), "mh0|")).as("m0"),
         ((1 until P).map(i =>
           min(Portable.h60(col("shingle"), s"mh$i|")).as(s"m$i")) :+
           count(lit(1)).as("n")): _*)
-        .localCheckpoint()
+        .persist()
       val bands = mh
         .select(col("doc_id"), explode(array((0 until BANDS).map(b =>
           struct(lit(b).as("band"),
@@ -101,7 +112,8 @@ object LlmOps {
           Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-        .localCheckpoint()
+        .persist()
+      d2Pinned(pinKey) = Seq(sh, mh, cand)
       val sizes = mh.select(col("doc_id"), col("n"))
       val inter = cand
         .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
@@ -496,17 +508,7 @@ object LlmOps {
   val c1CurateCorpus = Q(
     "c1_curate_corpus",
     (s, d) => {
-      val out = {
-        val p = java.nio.file.Paths.get(
-          "/root/repo/target/graft-lake/c1_curated")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(p.toFile)
-        java.nio.file.Files.createDirectories(p.getParent)
-        p.toString
-      }
+      val out = graft.sources.Ingest.freshDir("c1_curated")
       val docs = documents(s, d)
         .withColumn("h", md5(normText))
         .withColumn("t", split(lower(col("text")), " "))

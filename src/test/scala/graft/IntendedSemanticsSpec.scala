@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
 class IntendedSemanticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("P9: nested SummaryActivity shape — struct athlete/map, latlng arrays") {
+    import org.apache.spark.sql.types._
+    // the registered p9_normalize_full flattens only at the RESULT edge
+    // (driver comparator can't sort dicts/lists); the operator's real
+    // output keeps the reference's nested shape (utils.py:93-233)
+    val nested = sources.Ingest.p9FullNested(spark, sf)
+    val athlete = nested.schema("athlete").dataType.asInstanceOf[StructType]
+    assert(athlete.fieldNames.toSeq === Seq("id", "resource_state"))
+    val m = nested.schema("map").dataType.asInstanceOf[StructType]
+    assert(m.fieldNames.toSeq ===
+      Seq("id", "summary_polyline", "resource_state"))
+    assert(nested.schema("start_latlng").dataType ===
+      ArrayType(DoubleType, containsNull = true))
+    assert(nested.schema("end_latlng").dataType ===
+      ArrayType(DoubleType, containsNull = true))
+    // 47 reference TypedDict fields + the synthesized extras
+    assert(nested.schema.fields.length >= 47)
+    // flattened registered output carries the same values, one level up
+    val flat = sources.Ingest.p9NormalizeFull.fn(spark, sf)
+    val a = nested.select(col("id"), col("athlete.id").as("aid"))
+      .orderBy(col("id")).limit(5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = flat.select(col("id"), col("athlete_id"))
+      .orderBy(col("id")).limit(5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("§2.12.3: cached + fresh are BOTH in the returned union") {
     // reference bug: cached stream files are read then dropped from the
     // union (utils.py:411-417). Intent: requested = cached ∪ fetched.

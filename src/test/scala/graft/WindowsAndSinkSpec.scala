@@ -45,7 +45,7 @@ class WindowsAndSinkSpec extends SparkSuite {
     val oneDay = out.select(col("event_date")).distinct()
       .orderBy(col("event_date")).limit(1).collect().head.getDate(0)
     val pruned = spark.read
-      .parquet("/root/repo/target/graft-lake/k1")
+      .parquet(s"${sources.Ingest.lakeRoot}/k1")
       .filter(col("event_date") === lit(oneDay))
     pruned.collect() // execute so scan metrics are final
     val scan = pruned.queryExecution.executedPlan
@@ -61,7 +61,7 @@ class WindowsAndSinkSpec extends SparkSuite {
 
   test("E1: incremental ingest is idempotent (second run writes nothing)") {
     sources.Ingest.e1IngestIncremental.fn(spark, sf).collect()
-    val lake = "/root/repo/target/graft-lake/e1"
+    val lake = s"${sources.Ingest.lakeRoot}/e1"
     val firstCount = spark.read.parquet(lake).count()
     // replay ONLY the incremental phase against the now-complete lake
     val src = Tables.events(spark, sf)
