@@ -544,13 +544,13 @@ object Ingest {
         .load()
         .filter(col("date") >= lit("2024-01-10") &&
           col("date") <= lit("2024-01-16") &&
-          col("resource").isin("heart", "steps"))
+          col("resource").isin("calories", "steps"))
         .select("resource", "date", "time", "value"),
     Some("""WITH days AS (
         SELECT strftime(CAST(g AS DATE), '%Y-%m-%d') AS date
         FROM generate_series(DATE '2024-01-10', DATE '2024-01-16',
                              INTERVAL 1 DAY) t(g)),
-      res AS (SELECT unnest(['heart', 'steps']) AS resource),
+      res AS (SELECT unnest(['calories', 'steps']) AS resource),
       mins AS (
         SELECT lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
                lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS time
@@ -561,9 +561,72 @@ object Ingest {
           AS BIGINT) % 1000 AS value
       FROM res CROSS JOIN days CROSS JOIN mins"""))
 
+  // ---------------------------------------------------------------------
+  // S2b: heart at its TRUE 1-second detail grain — the reference fetches
+  // `1sec` for heart, `1min` for everything else
+  // (fitbit_utils.py:419-423). One pushed (date, resource) pair prunes
+  // the fetch list to a single 86,400-row partition.
+  // ---------------------------------------------------------------------
+  val s2bHeart1sec = Q(
+    "s2b_heart_1sec",
+    (s, _) =>
+      s.read.format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "heart,steps")
+        .option("start", "2024-01-01").option("end", "2024-01-31")
+        .load()
+        .filter(col("date") === lit("2024-01-15") &&
+          col("resource") === lit("heart"))
+        .select("resource", "date", "time", "value"),
+    Some("""SELECT 'heart' AS resource, '2024-01-15' AS date,
+        lpad(CAST(x // 3600 AS VARCHAR), 2, '0') || ':' ||
+        lpad(CAST((x // 60) % 60 AS VARCHAR), 2, '0') || ':' ||
+        lpad(CAST(x % 60 AS VARCHAR), 2, '0') AS time,
+        CAST(concat('0x', substring(md5(concat('iv|heart|2024-01-15|',
+          lpad(CAST(x // 3600 AS VARCHAR), 2, '0') || ':' ||
+          lpad(CAST((x // 60) % 60 AS VARCHAR), 2, '0') || ':' ||
+          lpad(CAST(x % 60 AS VARCHAR), 2, '0'))), 1, 15))
+          AS BIGINT) % 1000 AS value
+      FROM generate_series(0, 86399) t(x)"""))
+
+  // ---------------------------------------------------------------------
+  // S2c: BOTH resource families through one scan — intraday (steps,
+  // per-day fetch, minute rows) plus thirty-day (hrv/sleep, per-WINDOW
+  // fetch, daily rows; globals.py:15, fitbit_utils.py:427-457). The
+  // pushed date range clips the thirty-day windows and prunes whole
+  // windows that fall outside it.
+  // ---------------------------------------------------------------------
+  val s2cThirtyDay = Q(
+    "s2c_thirty_day",
+    (s, _) =>
+      s.read.format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "steps,hrv,sleep")
+        .option("start", "2024-01-01").option("end", "2024-03-30")
+        .load()
+        .filter(col("date") >= lit("2024-01-20") &&
+          col("date") <= lit("2024-02-10"))
+        .select("resource", "date", "time", "value"),
+    Some("""WITH days AS (
+        SELECT strftime(CAST(g AS DATE), '%Y-%m-%d') AS date
+        FROM generate_series(DATE '2024-01-20', DATE '2024-02-10',
+                             INTERVAL 1 DAY) t(g)),
+      mins AS (
+        SELECT lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS time
+        FROM generate_series(0, 1439) t2(m)),
+      rows_ AS (
+        SELECT 'steps' AS resource, date, time FROM days CROSS JOIN mins
+        UNION ALL
+        SELECT r AS resource, date, '00:00' AS time
+        FROM (SELECT unnest(['hrv', 'sleep']) AS r) CROSS JOIN days)
+      SELECT resource, date, time,
+        CAST(concat('0x', substring(md5(
+          concat('iv|', resource, '|', date, '|', time)), 1, 15))
+          AS BIGINT) % 1000 AS value
+      FROM rows_"""))
+
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
     e3StreamsPipeline, p4JsonFlatten, p9NormalizeFull, s5CatalogArgmax,
-    f5ExactKey, s2RestSource)
+    f5ExactKey, s2RestSource, s2bHeart1sec, s2cThirtyDay)
 }

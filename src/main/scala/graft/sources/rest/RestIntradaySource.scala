@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 connector restating the reference's REST JSON sources
   * (SURVEY §2.1 S2/S3/S4) Spark-first:
   *
-  *   - S2 per-(day, resource) fetch → one InputPartition per (day,
-  *     resource): the fetch unit IS the partition, so a 1000-executor
-  *     cluster pulls 1000 days in parallel and the rate-limit/backoff
-  *     logic (fitbit_utils.py:309-329) would live per-reader.
+  *   - S2 per-(day, resource) fetch → one InputPartition per fetch unit:
+  *     the fetch unit IS the partition, so a 1000-executor cluster pulls
+  *     1000 requests in parallel and the rate-limit/backoff logic
+  *     (fitbit_utils.py:309-329) would live per-reader. Intraday
+  *     resources fetch one DAY per request; thirty-day resources fetch
+  *     one 30-DAY WINDOW per request (fitbit_utils.py:427-457), so their
+  *     partitions carry up to 30 dates.
   *   - S3 paginated range scan → the date-range options bound the
   *     partition list, and pushed date/resource predicates PRUNE it
   *     before any fetch happens (`SupportsPushDownFilters`) — the Spark
@@ -27,6 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - S4 `keys=` projection list → `SupportsPushDownRequiredColumns`:
   *     the reader materializes only requested columns, the analogue of
   *     the keys= URL parameter (utils.py:298,334).
+  *   - F8 validation predicate → `require()` at table creation: an
+  *     unsupported resource name fails analysis, the analogue of the
+  *     reference's ValueError (fitbit_utils.py:415-417).
+  *
+  * Detail grain is PER RESOURCE, as in the reference
+  * (fitbit_utils.py:419-423): `heart` yields 1-second rows
+  * (time "HH:mm:ss", 86400/day), other intraday resources 1-minute rows
+  * (time "HH:mm", 1440/day), thirty-day resources one daily summary row
+  * (time "00:00").
   *
   * The fetch itself is a documented stand-in: production code would HTTP
   * GET the partition's URL and parse JSON (this environment has no
@@ -35,7 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * source replayable in the DuckDB oracle, partition pruning included.
   *
   * Row shape after the P5 flatten the reference applies
-  * (fitbit_utils.py:374-388): (resource, date, time "HH:mm", value).
+  * (fitbit_utils.py:374-388): (resource, date, time, value).
   * value = h60("iv|resource|date|time") % 1000.
   */
 class RestIntradaySource extends TableProvider {
@@ -51,7 +63,15 @@ class RestIntradaySource extends TableProvider {
           "(resources=csv, start/end=yyyy-MM-dd)")
       v
     }
-    new RestIntradayTable(req("resources"), req("start"), req("end"),
+    val resources = req("resources")
+    // F8: unsupported resource fails at ANALYSIS time, like the
+    // reference's ValueError (fitbit_utils.py:415-417)
+    val unknown = resources.split(",").map(_.trim).filter(_.nonEmpty)
+      .filterNot(RestIntradaySource.ALL_RESOURCES)
+    require(unknown.isEmpty,
+      s"Unsupported resource(s): ${unknown.mkString(", ")} — supported: " +
+        RestIntradaySource.ALL_RESOURCES.toSeq.sorted.mkString(", "))
+    new RestIntradayTable(resources, req("start"), req("end"),
       Option(properties.get("missingDates")).getOrElse(""))
   }
 }
@@ -63,7 +83,28 @@ object RestIntradaySource {
     StructField("time", StringType, nullable = false),
     StructField("value", LongType, nullable = false)))
 
+  /** The two resource families (services/fitbit/globals.py:5-15). */
+  val INTRADAY_RESOURCES: Seq[String] = Seq(
+    "calories", "distance", "elevation", "floors", "steps",
+    "swimming-strokes", "heart", "active-zone-minutes")
+  val THIRTY_DAY_RESOURCES: Seq[String] = Seq(
+    "br", "hrv", "spo2", "temp", "cardioscore", "weight", "sleep")
+  val ALL_RESOURCES: Set[String] =
+    (INTRADAY_RESOURCES ++ THIRTY_DAY_RESOURCES).toSet
+
   val MINUTES_PER_DAY = 1440
+  val SECONDS_PER_DAY = 86400
+  val WINDOW_DAYS = 30
+
+  def isThirtyDay(resource: String): Boolean =
+    THIRTY_DAY_RESOURCES.contains(resource)
+
+  /** Per-resource detail grain (fitbit_utils.py:419-423: heart fetches
+    * `1sec`, other intraday `1min`; thirty-day responses are daily). */
+  def rowsPerDay(resource: String): Int =
+    if (resource == "heart") SECONDS_PER_DAY
+    else if (isThirtyDay(resource)) 1
+    else MINUTES_PER_DAY
 
   /** Portable 60-bit hash — bit-identical to functions.Portable.h60 and
     * the DuckDB fragment (first 15 hex digits of md5 as a long). */
@@ -74,8 +115,12 @@ object RestIntradaySource {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  def timeStr(minuteOfDay: Int): String =
-    f"${minuteOfDay / 60}%02d:${minuteOfDay % 60}%02d"
+  /** Time-of-day string for the i-th row of a resource's day. */
+  def timeStr(resource: String, i: Int): String =
+    if (resource == "heart")
+      f"${i / 3600}%02d:${i / 60 % 60}%02d:${i % 60}%02d"
+    else if (isThirtyDay(resource)) "00:00"
+    else f"${i / 60}%02d:${i % 60}%02d"
 
   def value(resource: String, date: String, time: String): Long =
     h60(s"iv|$resource|$date|$time") % 1000
@@ -164,20 +209,44 @@ final class RestIntradayScanBuilder(
       s"RestIntradayScan resources=$resources dates=[$lo..$hi] " +
         s"columns=${required.fieldNames.mkString(",")}"
     override def planInputPartitions(): Array[InputPartition] = {
+      if (lo.isAfter(hi)) return Array.empty
       val days = Iterator.iterate(lo)(_.plusDays(1))
         .takeWhile(!_.isAfter(hi)).toSeq
-      (for (r <- resources; d <- days)
-        yield RestPartition(r, d.toString,
-          missing = missingDates.contains(d.toString)): InputPartition)
-        .toArray
+      resources.flatMap { r =>
+        if (RestIntradaySource.isThirtyDay(r)) {
+          // one partition per 30-day WINDOW (the thirty-day fetch unit,
+          // fitbit_utils.py:427-457). Windows are anchored at the
+          // TABLE's start option — pruning narrows the date clip, never
+          // shifts window boundaries, so payloads stay deterministic.
+          Iterator.iterate(start)(_.plusDays(RestIntradaySource.WINDOW_DAYS))
+            .takeWhile(!_.isAfter(hi))
+            .flatMap { w0 =>
+              val wEnd = w0.plusDays(RestIntradaySource.WINDOW_DAYS - 1)
+              val clipLo = if (w0.isBefore(lo)) lo else w0
+              val clipHi = if (wEnd.isAfter(hi)) hi else wEnd
+              if (clipLo.isAfter(clipHi)) None
+              else Some(RestPartition(r,
+                Iterator.iterate(clipLo)(_.plusDays(1))
+                  .takeWhile(!_.isAfter(clipHi)).map(_.toString)
+                  .filterNot(missingDates).toVector))
+            }.toSeq
+        } else {
+          // intraday: one partition per (resource, day); a `missing`
+          // (404) day keeps its partition but yields zero rows
+          days.map(d => RestPartition(r,
+            if (missingDates.contains(d.toString)) Vector.empty
+            else Vector(d.toString)))
+        }
+      }.map(p => p: InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new RestReaderFactory(required)
   }
 }
 
-final case class RestPartition(
-    resource: String, date: String, missing: Boolean = false)
+/** One fetch unit: an intraday partition carries a single date (empty =
+  * the 404 path), a thirty-day partition up to 30 dates. */
+final case class RestPartition(resource: String, dates: Seq[String])
   extends InputPartition
 
 final class RestReaderFactory(required: StructType)
@@ -185,24 +254,24 @@ final class RestReaderFactory(required: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[RestPartition]
     new PartitionReader[InternalRow] {
-      // production: HTTP GET the per-(day,resource) URL here, honoring
+      // production: HTTP GET the partition's URL here, honoring
       // rate-limit headers; canned deterministic payload instead. A
-      // `missing` partition is the 404 path (F6, utils.py:349-351):
+      // zero-date partition is the 404 path (F6, utils.py:349-351):
       // the reader yields zero rows and the job proceeds — the dropped
-      // activity never surfaces downstream, no error propagation.
-      private var m = -1
-      override def next(): Boolean = {
-        if (part.missing) return false
-        m += 1; m < RestIntradaySource.MINUTES_PER_DAY
-      }
+      // day never surfaces downstream, no error propagation.
+      private val perDay = RestIntradaySource.rowsPerDay(part.resource)
+      private val total = part.dates.length * perDay
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < total }
       override def get(): InternalRow = {
-        val t = RestIntradaySource.timeStr(m)
+        val date = part.dates(i / perDay)
+        val t = RestIntradaySource.timeStr(part.resource, i % perDay)
         val cols = required.fieldNames.map {
           case "resource" => UTF8String.fromString(part.resource)
-          case "date" => UTF8String.fromString(part.date)
+          case "date" => UTF8String.fromString(date)
           case "time" => UTF8String.fromString(t)
           case "value" => java.lang.Long.valueOf(
-            RestIntradaySource.value(part.resource, part.date, t))
+            RestIntradaySource.value(part.resource, date, t))
         }
         InternalRow.fromSeq(cols.toIndexedSeq)
       }

@@ -57,11 +57,53 @@ class RestSourceSpec extends SparkSuite {
   test("payload generator matches the portable-hash contract") {
     val row = load()
       .filter(col("date") === "2024-01-03" && col("resource") === "heart" &&
-        col("time") === "07:30")
+        col("time") === "07:30:00")
       .select("value").collect().head.getLong(0)
-    assert(row === RestIntradaySource.value("heart", "2024-01-03", "07:30"))
+    assert(row === RestIntradaySource.value("heart", "2024-01-03", "07:30:00"))
     assert(row ===
-      graft.sources.rest.RestIntradaySource.h60("iv|heart|2024-01-03|07:30")
-        % 1000)
+      RestIntradaySource.h60("iv|heart|2024-01-03|07:30:00") % 1000)
+  }
+
+  test("S2b: per-resource grain — heart 1sec, others 1min") {
+    val oneDay = load().filter(col("date") === "2024-01-05")
+    val counts = oneDay.groupBy(col("resource")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map(
+      "heart" -> RestIntradaySource.SECONDS_PER_DAY.toLong,
+      "calories" -> RestIntradaySource.MINUTES_PER_DAY.toLong,
+      "steps" -> RestIntradaySource.MINUTES_PER_DAY.toLong))
+    // heart carries seconds in the time string
+    assert(oneDay.filter(col("resource") === "heart")
+      .select("time").first().getString(0).length === 8)
+  }
+
+  test("S2c: thirty-day resources partition per WINDOW, rows per day") {
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "hrv")
+      .option("start", "2024-01-01").option("end", "2024-03-30")
+      .load()
+    // 90 days = 3 windows of 30 — the fetch unit is the window
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.count() === 90)
+    // a clipping date filter prunes whole windows AND clips the rest
+    val clipped = df.filter(col("date") >= lit("2024-01-20") &&
+      col("date") <= lit("2024-02-10"))
+    assert(clipped.rdd.getNumPartitions === 2,
+      "window 3 (Mar 1-30) must be pruned before any fetch")
+    assert(clipped.count() === 22)
+    assert(clipped.select("time").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("00:00"))
+  }
+
+  test("F8: an unsupported resource fails analysis like the ValueError") {
+    val e = intercept[Exception] {
+      spark.read
+        .format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "steps,no_such_resource")
+        .option("start", "2024-01-01").option("end", "2024-01-03")
+        .load()
+    }
+    assert(e.getMessage.contains("no_such_resource"))
   }
 }
