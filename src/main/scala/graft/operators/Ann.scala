@@ -189,13 +189,20 @@ object Ann {
       val cents = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("emb").as("c_emb"))
       // nearest-centroid assignment: argmax cosine over the 4 centroids,
-      // deterministic tie-break on cid (one hash-agg, no sort)
+      // deterministic tie-break on cid. Packed-long max → a TRUE
+      // HashAggregate: max(struct(...)) silently degrades to a full
+      // SortAggregate (struct buffers aren't hash-aggregable — the same
+      // trap a1b and s5 document). csim is already rounded to 6 digits,
+      // so round(csim*1e6) is exact; high bits carry it, the low 4 carry
+      // (15 - cid), so max picks highest csim then LOWEST cid.
       val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("emb"),
+        .select(col("vec_id"),
           round(cosine(s, "emb", "c_emb"), 6).as("csim"), col("cid"))
         .groupBy(col("vec_id"))
-        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("m"))
-        .select(col("vec_id"), (-col("m.ncid")).as("cell"))
+        .agg(max(expr(
+          "CAST(round(csim * 1000000) AS BIGINT) * 16 + (15 - cid)"))
+          .as("pk"))
+        .select(col("vec_id"), (lit(15) - pmod(col("pk"), lit(16))).as("cell"))
       val cellsOf = assigned
         .join(e, Seq("vec_id"))
         .select(col("vec_id"), col("cell"), col("emb"))
