@@ -209,6 +209,100 @@ object LlmOps {
       FROM sums"""))
 
   // ---------------------------------------------------------------------
+  // D5: n-gram Jaccard near-dup — EXACT Jaccard over word-trigram sets,
+  // with anchor-gram blocking for candidate generation: each doc
+  // nominates its ANCHORS smallest-hash trigrams, and only docs sharing
+  // an anchor are compared. A deliberately different scale scheme from
+  // d2 (banded MinHash over bigram shingles): no signature table, recall
+  // is governed by the anchor count, and the similarity is computed on
+  // the raw n-gram sets. Anchor buckets shuffle on the gram hash; a hot
+  // anchor (boilerplate phrase) is AQE skew-join territory, exactly like
+  // a hot band key in d2.
+  // ---------------------------------------------------------------------
+  private val ANCHORS = 2
+
+  /** Distinct word-trigram set per doc — the unit set for d5's Jaccard. */
+  private def wordTrigrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+      .distinct()
+
+  val d5NgramJaccard = Q(
+    "d5_ngram_jaccard",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = wordTrigrams(s, d)
+        .withColumn("h", Portable.h60(col("gram"), "ng|"))
+      // per-doc top-ANCHORS by hash: WindowGroupLimit keeps the partial
+      // top-k on the map side, so only ANCHORS rows per doc shuffle
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("h").asc, col("gram").asc)
+      val anchors = grams
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= ANCHORS)
+        .select(col("doc_id"), col("h").as("anchor"))
+      val cand = anchors.select(col("doc_id").as("id_a"), col("anchor"))
+        .join(anchors.select(col("doc_id").as("id_b"), col("anchor")),
+          Seq("anchor"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(grams.select(col("doc_id").as("id_a"), col("gram")),
+          Seq("id_a"))
+        .join(grams.select(col("doc_id").as("id_b"), col("gram")),
+          Seq("id_b", "gram"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      cand.join(inter, Seq("id_a", "id_b"), "left")
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(range(len(t)-2),
+               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+        FROM toks WHERE len(t) >= 3),
+      gh AS (SELECT doc_id, gram,
+               ${Portable.h60Duck("gram", "ng|")} AS h FROM grams),
+      anchors AS (
+        SELECT doc_id, h AS anchor FROM (
+          SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id
+            ORDER BY h ASC, gram ASC) AS rn FROM gh) t
+        WHERE rn <= $ANCHORS),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM anchors a JOIN anchors b
+          ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.id_a
+        JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+        GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+          round(coalesce(i.n_inter, 0)::DOUBLE /
+                (za.n + zb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b) t
+      WHERE jaccard >= 0.2"""))
+
+  // ---------------------------------------------------------------------
   // T1: text quality stats — token count, char count, avg token length,
   // stopword ratio, punctuation count, and a composite quality score.
   // Pure per-row projection: codegen'd, zero shuffles, embarrassingly
@@ -543,7 +637,7 @@ object LlmOps {
 
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
-    d1DedupExact, d2DedupMinhash, d3Simhash,
+    d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     c1CurateCorpus)

@@ -91,4 +91,28 @@ class DedupSpec extends SparkSuite {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("D5: exact duplicates score jaccard 1.0; pairs are canonical") {
+    val rows = graft.operators.LlmOps.d5NgramJaccard.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata contains near-dups; d5 must find some")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.2 && j <= 1.0)
+    }
+    // exact text duplicates share every trigram AND every anchor: they
+    // must appear with jaccard exactly 1.0
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .filter(_.getString(1).split(" ").length >= 3) // else no trigrams
+      .groupBy(_.getString(1)).values.filter(_.length > 1)
+      .flatMap(g => g.map(_.getLong(0)).sorted.toSeq.sliding(2)
+        .collect { case Seq(a, b) => (a, b) })
+      .toSet
+    if (texts.nonEmpty) {
+      val found = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(t => texts.contains((t._1, t._2)))
+      assert(found.nonEmpty && found.forall(_._3 === 1.0))
+    }
+  }
 }
