@@ -22,7 +22,8 @@ object ExplainAudit {
       "x1_asof_join", "x2_rollup", "x5_bucketed_join", "s2s3s4_rest_source",
       "t5_length_percentiles", "t6_length_histogram", "m3_frame_sample",
       "s5_catalog_argmax", "p4_json_flatten", "m1_multimodal_meta",
-      "p9_normalize_full")
+      "p9_normalize_full", "d5_ngram_jaccard", "s2b_heart_1sec",
+      "s2c_thirty_day", "m2_multimodal_decode")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
