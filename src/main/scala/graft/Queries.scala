@@ -469,11 +469,42 @@ object Queries {
       CAST(embedding[k+5] AS DOUBLE) AS vb
       FROM embeddings CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)"""))
 
+  // P11b: pivot from the reference's ACTUAL raw shape — a list of
+  // {type, data} stream records → one column per stream type
+  // (utils.py:352-357: `{s["type"]: s["data"] for s in streams}`).
+  // Spark-first: map_from_entries turns the struct array into a map in
+  // one codegen'd expression, then per-type lookups project the columns —
+  // no explode/groupBy/pivot shuffle; a pure per-row projection at any
+  // scale. The struct array is synthesized inline from embeddings so the
+  // oracle is the flat relational answer. (VERDICT r3 next-round item 5.)
+  val p11bRawStreamPivot = Q(
+    "p11b_raw_stream_pivot",
+    (s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), array(
+          struct(lit("latlng").as("type"),
+            element_at(col("embedding"), 1).cast("double").as("data")),
+          struct(lit("velocity_smooth").as("type"),
+            element_at(col("embedding"), 2).cast("double").as("data")),
+          struct(lit("altitude").as("type"),
+            element_at(col("embedding"), 3).cast("double").as("data")))
+          .as("streams"))
+        .select(col("vec_id"), map_from_entries(col("streams")).as("m"))
+        .select(col("vec_id"),
+          col("m")("latlng").as("latlng"),
+          col("m")("velocity_smooth").as("velocity_smooth"),
+          col("m")("altitude").as("altitude")),
+    Some("""SELECT vec_id,
+      CAST(embedding[1] AS DOUBLE) AS latlng,
+      CAST(embedding[2] AS DOUBLE) AS velocity_smooth,
+      CAST(embedding[3] AS DOUBLE) AS altitude
+      FROM embeddings"""))
+
   /** All registered queries, in registration order. */
   def all: Seq[Q] = Seq(
     q1Flagship, s1Scan, s7DateSeq, p1Derive, p5Json, f1f2Filter,
     j1Join, j1bBroadcastDim, j2Anti, j3Semi, a1Argmax, a1bArgmaxMaxBy,
     a3Distinct, aggBattery, o2Top1, u1Union, scalarBattery,
     s8EpochBounds, f7LengthYear, f3a4EmptyGuard, k4Incremental,
-    p9Normalize, p6p7ArrayExtract, p11ArrayPivot)
+    p9Normalize, p6p7ArrayExtract, p11ArrayPivot, p11bRawStreamPivot)
 }

@@ -42,6 +42,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release d2's terminal pinned frames (ADVICE r3)
+    operators.LlmOps.releaseCaches()
     spark.stop()
   }
 }

@@ -77,6 +77,16 @@ object LlmOps {
   private val d2Pinned =
     scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
 
+  /** Unpersist every frame d2 still has pinned in this JVM (ADVICE r3).
+    * The re-entry unpin above only covers REPEATED runs of the same
+    * (app, dataset); without this, the TERMINAL run's three cached
+    * relations stay resident in the block manager for the life of the
+    * application. Bench and Verify call it after their last query;
+    * long-lived sessions embedding the library should too. */
+  def releaseCaches(): Unit =
+    d2Pinned.keys.toSeq.foreach(k =>
+      d2Pinned.remove(k).foreach(_.foreach(_.unpersist(blocking = false))))
+
   val d2DedupMinhash = Q(
     "d2_dedup_minhash",
     (s, d) => {
@@ -257,16 +267,23 @@ object LlmOps {
         .join(grams.select(col("doc_id").as("id_b"), col("gram")),
           Seq("id_b", "gram"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      // threshold on EXACT integer arithmetic — jaccard >= 1/5 iff
+      // 5*|A∩B| >= |A∪B| — so Spark's BigDecimal HALF_UP round and
+      // DuckDB's double-scaled round can't disagree on a 6th-digit tie
+      // and flip a pair across the cut (ADVICE r3); round() is display
+      // only.
       cand.join(inter, Seq("id_a", "id_b"), "left")
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
           Seq("id_a"))
         .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
           Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
-            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
+          coalesce(col("n_inter"), lit(0L)).as("ni"),
+          col("na"), col("nb"))
+        .filter(col("ni") * 5 >= col("na") + col("nb") - col("ni"))
+        .select(col("id_a"), col("id_b"),
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
     },
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
@@ -292,15 +309,16 @@ object LlmOps {
         JOIN grams ga ON ga.doc_id = c.id_a
         JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
         GROUP BY c.id_a, c.id_b)
-      SELECT id_a, id_b, jaccard FROM (
-        SELECT c.id_a, c.id_b,
-          round(coalesce(i.n_inter, 0)::DOUBLE /
-                (za.n + zb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+      SELECT id_a, id_b,
+        round(ni::DOUBLE / (na + nb - ni), 6) AS jaccard
+      FROM (
+        SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
+          za.n AS na, zb.n AS nb
         FROM cand c
         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
         JOIN sizes za ON za.doc_id = c.id_a
         JOIN sizes zb ON zb.doc_id = c.id_b) t
-      WHERE jaccard >= 0.2"""))
+      WHERE ni * 5 >= na + nb - ni"""))
 
   // ---------------------------------------------------------------------
   // T1: text quality stats — token count, char count, avg token length,

@@ -71,9 +71,86 @@ class RestIntradaySource extends TableProvider {
     require(unknown.isEmpty,
       s"Unsupported resource(s): ${unknown.mkString(", ")} — supported: " +
         RestIntradaySource.ALL_RESOURCES.toSeq.sorted.mkString(", "))
+    def opt(k: String): Option[String] =
+      Option(properties.get(k)).map(_.trim).filter(_.nonEmpty)
+    val fetch = RestFetchOptions(
+      maxRequestsPerSecond = opt("maxRequestsPerSecond").map { v =>
+        val r = v.toDouble
+        require(r > 0, s"maxRequestsPerSecond must be > 0, got $v")
+        r
+      },
+      maxRetries = opt("maxRetries").map(_.toInt).getOrElse(3),
+      retryBackoffMs = opt("retryBackoffMs").map(_.toLong).getOrElse(100L),
+      fail429Dates = opt("simulate429Dates")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty),
+      fail429Count = opt("simulate429Count").map(_.toInt).getOrElse(0))
     new RestIntradayTable(resources, req("start"), req("end"),
-      Option(properties.get("missingDates")).getOrElse(""))
+      Option(properties.get("missingDates")).getOrElse(""), fetch)
   }
+}
+
+/** Fetch-discipline options for the connector — the engine counterpart of
+  * the reference's rate-limit sleeps and 5xx retry loops
+  * (fitbit_utils.py:309-329 sleeps when `fitbit-rate-limit-remaining`
+  * drops below 10; :38-43 retries 5xx with backoff; strava
+  * utils.py:337-347 sleeps 900 s on the 15-minute budget).
+  *
+  *  - `maxRequestsPerSecond`: token-bucket pacing PER EXECUTOR JVM,
+  *    shared by every reader of the same scan (keyed by a scan-unique id
+  *    so concurrent scans don't share a bucket). Cluster-wide request
+  *    rate = this × executors, so users set the per-executor slice of
+  *    the API budget — the distributed analogue of the reference's
+  *    per-process sleep.
+  *  - `maxRetries` / `retryBackoffMs`: per-fetch-unit retry with
+  *    exponential backoff (backoff × 2^attempt), matching the
+  *    reference's retriable-5xx loop.
+  *  - `simulate429Dates`/`simulate429Count`: fault injection for the
+  *    stand-in fetch (no egress here) — each fetch unit touching one of
+  *    these dates throws a simulated 429 on its first `count` attempts.
+  *    Production code would replace the injected throw with the real
+  *    HTTP status check; the retry/pacing machinery is identical.
+  */
+final case class RestFetchOptions(
+    maxRequestsPerSecond: Option[Double],
+    maxRetries: Int,
+    retryBackoffMs: Long,
+    fail429Dates: Set[String],
+    fail429Count: Int)
+
+object RestFetchOptions {
+  val default: RestFetchOptions =
+    RestFetchOptions(None, 3, 100L, Set.empty, 0)
+}
+
+/** Minimum-interval pacing limiter: admits one request per 1/rate sec,
+  * blocking callers past the budget. Synchronized — shared by all reader
+  * threads in the executor JVM. */
+final class RestRateLimiter(ratePerSec: Double) {
+  private val intervalNanos = (1e9 / ratePerSec).toLong
+  private var nextSlot = Long.MinValue
+  def acquire(): Unit = {
+    val wait = synchronized {
+      val now = System.nanoTime()
+      if (nextSlot < now) nextSlot = now
+      val w = nextSlot - now
+      nextSlot += intervalNanos
+      w
+    }
+    if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+  }
+}
+
+/** Per-JVM limiter registry (keyed by scan id) + fetch counters the spec
+  * asserts against. On a cluster each executor JVM holds its own bucket —
+  * see RestFetchOptions. */
+object RestFetchRuntime {
+  private val limiters =
+    scala.collection.concurrent.TrieMap.empty[String, RestRateLimiter]
+  def limiter(key: String, rate: Double): RestRateLimiter =
+    limiters.getOrElseUpdate(key, new RestRateLimiter(rate))
+  val requests = new java.util.concurrent.atomic.AtomicLong
+  val simulated429s = new java.util.concurrent.atomic.AtomicLong
 }
 
 object RestIntradaySource {
@@ -127,7 +204,8 @@ object RestIntradaySource {
 }
 
 final class RestIntradayTable(
-    resourcesCsv: String, start: String, end: String, missingCsv: String)
+    resourcesCsv: String, start: String, end: String, missingCsv: String,
+    fetch: RestFetchOptions = RestFetchOptions.default)
   extends Table with SupportsRead {
   override def name(): String =
     s"rest_intraday($resourcesCsv, $start..$end)"
@@ -139,12 +217,13 @@ final class RestIntradayTable(
     new RestIntradayScanBuilder(
       resourcesCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted,
       LocalDate.parse(start), LocalDate.parse(end),
-      missingCsv.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      missingCsv.split(",").map(_.trim).filter(_.nonEmpty).toSet, fetch)
 }
 
 final class RestIntradayScanBuilder(
     allResources: Seq[String], start: LocalDate, end: LocalDate,
-    missingDates: Set[String])
+    missingDates: Set[String],
+    fetch: RestFetchOptions = RestFetchOptions.default)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -240,7 +319,11 @@ final class RestIntradayScanBuilder(
       }.map(p => p: InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new RestReaderFactory(required)
+      // scan-unique limiter key, minted on the driver: every reader of
+      // THIS scan shares one pacing bucket per executor JVM; concurrent
+      // scans get separate buckets
+      new RestReaderFactory(required, fetch,
+        java.util.UUID.randomUUID().toString)
   }
 }
 
@@ -249,7 +332,10 @@ final class RestIntradayScanBuilder(
 final case class RestPartition(resource: String, dates: Seq[String])
   extends InputPartition
 
-final class RestReaderFactory(required: StructType)
+final class RestReaderFactory(
+    required: StructType,
+    fetch: RestFetchOptions = RestFetchOptions.default,
+    limiterKey: String = "default")
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[RestPartition]
@@ -262,7 +348,43 @@ final class RestReaderFactory(required: StructType)
       private val perDay = RestIntradaySource.rowsPerDay(part.resource)
       private val total = part.dates.length * perDay
       private var i = -1
-      override def next(): Boolean = { i += 1; i < total }
+      private var fetched = false
+
+      /** One "request" per fetch unit, with the connector's fetch
+        * discipline: pace via the shared per-JVM bucket, then retry a
+        * retriable failure (simulated 429 here; HTTP 429/5xx in
+        * production) up to maxRetries times with exponential backoff —
+        * the reference's sleep-and-retry loops, executor-side
+        * (fitbit_utils.py:38-43,309-329; utils.py:337-347). Lazy: a
+        * pruned-away partition never spends a request. */
+      private def fetchOnce(): Unit = {
+        val limiter = fetch.maxRequestsPerSecond
+          .map(RestFetchRuntime.limiter(limiterKey, _))
+        val failing = fetch.fail429Count > 0 &&
+          part.dates.exists(fetch.fail429Dates)
+        var attempt = 0
+        var ok = false
+        while (!ok) {
+          limiter.foreach(_.acquire())
+          RestFetchRuntime.requests.incrementAndGet()
+          if (failing && attempt < fetch.fail429Count) {
+            RestFetchRuntime.simulated429s.incrementAndGet()
+            if (attempt >= fetch.maxRetries)
+              throw new java.io.IOException(
+                s"HTTP 429 (simulated) for ${part.resource} " +
+                  s"${part.dates.headOption.getOrElse("-")} after " +
+                  s"${attempt + 1} attempts (maxRetries=${fetch.maxRetries})")
+            Thread.sleep(fetch.retryBackoffMs << attempt)
+            attempt += 1
+          } else ok = true
+        }
+        fetched = true
+      }
+
+      override def next(): Boolean = {
+        if (!fetched && total > 0) fetchOnce()
+        i += 1; i < total
+      }
       override def get(): InternalRow = {
         val date = part.dates(i / perDay)
         val t = RestIntradaySource.timeStr(part.resource, i % perDay)

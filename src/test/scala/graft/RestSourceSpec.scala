@@ -96,6 +96,72 @@ class RestSourceSpec extends SparkSuite {
       .map(_.getString(0)).toSeq === Seq("00:00"))
   }
 
+  test("backpressure: a simulated 429 retries with backoff, then yields " +
+    "the full partition") {
+    import graft.sources.rest.RestFetchRuntime
+    val before429 = RestFetchRuntime.simulated429s.get()
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps")
+      .option("start", "2024-01-01").option("end", "2024-01-03")
+      .option("simulate429Dates", "2024-01-02")
+      .option("simulate429Count", "2")
+      .option("maxRetries", "3")
+      .option("retryBackoffMs", "1")
+      .load()
+    // the failing day retries transparently: no rows lost, no error
+    val byDay = df.groupBy(col("date")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDay === Map(
+      "2024-01-01" -> RestIntradaySource.MINUTES_PER_DAY.toLong,
+      "2024-01-02" -> RestIntradaySource.MINUTES_PER_DAY.toLong,
+      "2024-01-03" -> RestIntradaySource.MINUTES_PER_DAY.toLong))
+    assert(RestFetchRuntime.simulated429s.get() - before429 === 2,
+      "the failing fetch unit must have seen exactly simulate429Count 429s")
+  }
+
+  test("backpressure: failures past maxRetries surface as a task error") {
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps")
+      .option("start", "2024-01-01").option("end", "2024-01-01")
+      .option("simulate429Dates", "2024-01-01")
+      .option("simulate429Count", "5")
+      .option("maxRetries", "2")
+      .option("retryBackoffMs", "1")
+      .load()
+    val e = intercept[Exception] { df.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("429")),
+      s"exhausted retries must propagate the 429, got: ${messages(e)}")
+  }
+
+  test("backpressure: maxRequestsPerSecond paces fetches per JVM") {
+    import graft.sources.rest.RestRateLimiter
+    // unit-level: 5 acquires at 50 req/s must span >= 4 intervals = 80 ms
+    val limiter = new RestRateLimiter(50.0)
+    val t0 = System.nanoTime()
+    (1 to 5).foreach(_ => limiter.acquire())
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 80.0,
+      s"5 acquires at 50 rps took ${elapsedMs}ms; pacing not applied")
+    // end-to-end: the option threads through to the reader (3 partitions
+    // at 20 rps => at least ~100 ms; generous bound to stay unflaky)
+    val t1 = System.nanoTime()
+    val n = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps")
+      .option("start", "2024-01-01").option("end", "2024-01-03")
+      .option("maxRequestsPerSecond", "20")
+      .load().count()
+    val wallMs = (System.nanoTime() - t1) / 1e6
+    assert(n === 3L * RestIntradaySource.MINUTES_PER_DAY)
+    assert(wallMs >= 100.0,
+      s"3 fetches at 20 rps finished in ${wallMs}ms; bucket not shared")
+  }
+
   test("F8: an unsupported resource fails analysis like the ValueError") {
     val e = intercept[Exception] {
       spark.read
