@@ -231,15 +231,21 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private val ANCHORS = 2
 
-  /** Distinct word-trigram set per doc — the unit set for d5's Jaccard. */
-  private def wordTrigrams(s: SparkSession, d: String): DataFrame =
+  /** Distinct word n-gram set per doc — the unit set for d5's Jaccard
+    * (n=3) and d6's overlap probe (n=5). One explode, map-side distinct
+    * via the downstream aggregation; linear in corpus size. */
+  private def wordNgrams(s: SparkSession, d: String, n: Int): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .filter(size(col("t")) >= 3)
+      .filter(size(col("t")) >= n)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+        s"transform(sequence(0, size(t)-$n), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))"))
+        .as("gram"))
       .distinct()
+
+  private def wordTrigrams(s: SparkSession, d: String): DataFrame =
+    wordNgrams(s, d, 3)
 
   val d5NgramJaccard = Q(
     "d5_ngram_jaccard",
@@ -319,6 +325,50 @@ object LlmOps {
         JOIN sizes za ON za.doc_id = c.id_a
         JOIN sizes zb ON zb.doc_id = c.id_b) t
       WHERE ni * 5 >= na + nb - ni"""))
+
+  // ---------------------------------------------------------------------
+  // D6: benchmark decontamination — flag corpus documents that share
+  // word 4-grams with a held-out evaluation set (the training-data
+  // hygiene step LLM pipelines run before training: any eval n-gram
+  // appearing in the corpus is potential test-set leakage). The eval set
+  // here is a deterministic 5% slice (doc_id % 20 = 0) standing in for a
+  // benchmark suite.
+  //
+  // Scale shape: grams are hashed to a 60-bit long BEFORE the join, so
+  // the shuffle key is 8 bytes, not a 5-word string; the join is a plain
+  // equi-join corpus-grams ⋈ eval-grams — the eval side is tiny compared
+  // to the corpus (benchmarks are MBs, corpora are TBs), so at scale AQE
+  // broadcasts it and the corpus side never shuffles at all. Per-doc
+  // counts are one hash-agg. Never all-pairs, no driver-side set.
+  // ---------------------------------------------------------------------
+  val d6Decontaminate = Q(
+    "d6_decontaminate",
+    (s, d) => {
+      val grams = wordNgrams(s, d, 4)
+        .select(col("doc_id"), Portable.h60(col("gram"), "dc|").as("gh"))
+      val eval5 = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("gh"))
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(eval5, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("n_shared_grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(
+            "unnest(list_transform(range(len(t)-3), i -> concat_ws(' ', " +
+              "t[i+1], t[i+2], t[i+3], t[i+4])))", "dc|")} AS gh
+        FROM toks WHERE len(t) >= 4)
+      SELECT c.doc_id,
+        count(DISTINCT c.gh) AS n_shared_grams,
+        count(DISTINCT e.doc_id) AS n_eval_docs
+      FROM grams c
+      JOIN grams e ON e.gh = c.gh AND e.doc_id % 20 = 0
+      WHERE c.doc_id % 20 <> 0
+      GROUP BY c.doc_id"""))
 
   // ---------------------------------------------------------------------
   // T1: text quality stats — token count, char count, avg token length,
@@ -610,6 +660,79 @@ object LlmOps {
       FROM injected"""))
 
   // ---------------------------------------------------------------------
+  // T9: sequence packing — assign documents to fixed-budget context
+  // windows ("packs") by running token count, the step that turns a
+  // curated corpus into training sequences (fill each 512-token context
+  // with consecutive docs; a doc straddling a boundary starts in the pack
+  // where its first token lands). Relational form: a running sum over a
+  // window, pack_id = floor(tokens-before-this-doc / budget).
+  //
+  // Scale shape: the window partitions by `source` (the natural corpus
+  // shard key), so the sort is per-shard, not global — a total order over
+  // 100 TB would serialize into one reducer; per-shard packing is what
+  // distributed training-data builds actually do (pack within a shard,
+  // shuffle shards). One exchange on source, one sort per partition.
+  // ---------------------------------------------------------------------
+  private val PACK_BUDGET = 512
+
+  val t9SequencePack = Q(
+    "t9_sequence_pack",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / PACK_BUDGET)
+            .as("pack_id"),
+          (col("cum") - col("n_tokens") - floor((col("cum") - col("n_tokens"))
+            / PACK_BUDGET) * PACK_BUDGET).as("pack_offset"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+            - n_tokens AS before_
+        FROM toks)
+      SELECT doc_id, source, n_tokens,
+        CAST(floor(before_ / $PACK_BUDGET) AS BIGINT) AS pack_id,
+        before_ - CAST(floor(before_ / $PACK_BUDGET) AS BIGINT)
+          * $PACK_BUDGET AS pack_offset
+      FROM c"""))
+
+  // ---------------------------------------------------------------------
+  // C2: deterministic stratified split — route every document to
+  // train/valid/test by a seeded portable hash of its id (8/1/1), the
+  // assignment step every training build runs before packing. Hash-based
+  // (not random) so the split is reproducible, join-free, and stable
+  // under corpus growth: a doc's split never changes when other docs
+  // arrive. Pure per-row projection — zero shuffles at any scale; the
+  // per-(split, lang) histogram downstream is one hash-agg.
+  // ---------------------------------------------------------------------
+  val c2SplitAssign = Q(
+    "c2_split_assign",
+    (s, d) => {
+      val bucket = Portable.h60(col("doc_id").cast("string"), "split|") % 10
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("valid"))
+            .otherwise(lit("test")).as("split"))
+    },
+    Some(s"""SELECT doc_id, lang,
+      CASE WHEN ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "split|")} % 10 < 8
+             THEN 'train'
+           WHEN ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "split|")} % 10 = 8
+             THEN 'valid'
+           ELSE 'test' END AS split
+      FROM documents"""))
+
+  // ---------------------------------------------------------------------
   // C1: the curation pipeline end to end — what a training-data run
   // actually executes: exact-dedup survivors (min doc_id per normalized
   // hash) → quality gate (token count + stopword ratio) → curated
@@ -656,7 +779,7 @@ object LlmOps {
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
-    t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    d6Decontaminate, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    c1CurateCorpus)
+    t9SequencePack, c1CurateCorpus, c2SplitAssign)
 }

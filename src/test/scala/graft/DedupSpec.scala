@@ -92,6 +92,30 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("D6: a planted eval 4-gram flags exactly the corpus docs carrying it") {
+    val rows = graft.operators.LlmOps.d6Decontaminate.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata overlap exists; d6 must flag docs")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 20 !== 0L, "eval docs must never be flagged")
+      assert(r.getLong(1) >= 1L, "flagged docs share at least one gram")
+      assert(r.getLong(2) >= 1L, "flagged docs hit at least one eval doc")
+    }
+    // ground truth, computed independently: every (corpus, eval) doc pair
+    // sharing a distinct lowercase word-4-gram
+    val gramsOf = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map { r =>
+        val t = r.getString(1).toLowerCase.split(" ")
+        r.getLong(0) -> t.sliding(4).filter(_.length == 4)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val evalGrams = gramsOf.filter(_._1 % 20 == 0).values
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = gramsOf.collect {
+      case (id, g) if id % 20 != 0 && (g & evalGrams).nonEmpty => id
+    }.toSet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+  }
+
   test("D5: exact duplicates score jaccard 1.0; pairs are canonical") {
     val rows = graft.operators.LlmOps.d5NgramJaccard.fn(spark, sf).collect()
     assert(rows.nonEmpty, "testdata contains near-dups; d5 must find some")
