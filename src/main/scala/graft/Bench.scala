@@ -32,6 +32,7 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
       sources.Ingest.p4DocsFixture(spark, sfDir)
       sources.Ingest.p4bAzmFixture(spark, sfDir)
+      sources.Ingest.s9JsonlFixture(spark, sfDir)
     } catch { case _: Throwable => () }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {

@@ -22,16 +22,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Each side may be FLOAT[] or DOUBLE[] independently (floats upcast to
+  // double per element, same as the HOF/oracle forms): the corpus is
+  // float in parquet, but derived vectors — k-means centroids (a8),
+  // normalized embeddings — are double.
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cosine_sim expects (array<float>, array<float>), got " +
-            s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
-    }
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (array<float|double>, array<float|double>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
   // NULL when lengths differ or any element is null (matching the
@@ -49,10 +58,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var na = 0.0
     var nb = 0.0
     var i = 0
+    val leftIsFloat = elemType(left.dataType).contains(FloatType)
+    val rightIsFloat = elemType(right.dataType).contains(FloatType)
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -85,6 +96,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
                 ${ev.isNull} = true; break;
               }"""
         else ""
+      def get(v: String, side: DataType): String =
+        if (elemType(side).contains(FloatType)) s"(double) $v.getFloat($i)"
+        else s"$v.getDouble($i)"
       s"""
         int $n = $x.numElements();
         if ($n != $y.numElements()) {
@@ -93,8 +107,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             $elemNullCheck
-            double $xv = (double) $x.getFloat($i);
-            double $yv = (double) $y.getFloat($i);
+            double $xv = ${get(x, left.dataType)};
+            double $yv = ${get(y, right.dataType)};
             $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
           }
           if (!${ev.isNull}) {

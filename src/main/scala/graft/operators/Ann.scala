@@ -252,6 +252,103 @@ object Ann {
             ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
       WHERE rn <= 5"""))
 
+  // ---------------------------------------------------------------------
+  // A8: coarse-quantizer TRAINING — two Lloyd iterations of k-means,
+  // fully relational, upgrading a7's documented "stand-in centroids"
+  // caveat: this is the job that produces the IVF centroids. Each
+  // iteration is (a) nearest-centroid assignment — broadcast the K
+  // centroid arrays, one corpus pass, packed-long argmax (a7's trick: no
+  // SortAggregate) — and (b) centroid recomputation — posexplode to
+  // (cell, dim, x), one hash-agg per (cell, dim), mean accumulated in
+  // DECIMAL over 6-digit-rounded terms so partition order can't move an
+  // ulp, arrays rebuilt with collect_list(struct(dim, v)) sorted by dim.
+  //
+  // Scale: per iteration one broadcast + one shuffle on (cell, dim) —
+  // K*64 groups, trivially parallel; the corpus is scanned once per
+  // iteration and never self-joined. More iterations = a loop of the
+  // same two stages (checkpoint the centroid table between rounds at
+  // 100 TB). Output: the iteration-2 assignment with its similarity —
+  // exactly what a7 would consume as its cell index.
+  // ---------------------------------------------------------------------
+  private val KMEANS_K = 4
+
+  val a8KmeansRefine = Q(
+    "a8_kmeans_refine",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+
+      // packed-long argmax assignment against a (cid, c_emb) frame
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            round(cosine(s, "emb", "c_emb"), 6).as("csim"), col("cid"))
+          .groupBy(col("vec_id"))
+          .agg(max(expr(
+            "CAST(round(csim * 1000000) AS BIGINT) * 16 + (15 - cid)"))
+            .as("pk"))
+          .select(col("vec_id"),
+            (lit(15) - pmod(col("pk"), lit(16))).as("cell"),
+            (floor(col("pk") / 16) / 1e6).as("csim"))
+
+      // per-cell, per-dim mean → centroid arrays, deterministically
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.join(e, Seq("vec_id"))
+          .select(col("cell"), posexplode(col("emb")))
+          .select(col("cell"), col("pos"),
+            round(col("col").cast("double"), 6).as("x"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(round(
+            sum(col("x").cast("decimal(20,6)")).cast("double") /
+              count(lit(1)), 6).as("v"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, v))), " +
+            "r -> r.v)").as("c_emb"))
+          .select(col("cell").as("cid"), col("c_emb"))
+
+      val c0 = e.filter(col("vec_id") < KMEANS_K)
+        .select(col("vec_id").cast("int").as("cid"), col("emb").as("c_emb"))
+      val a1 = assign(c0).select("vec_id", "cell")
+      val c1 = recompute(a1)
+      assign(c1).select(col("vec_id"), col("cell"),
+        round(col("csim"), 6).as("csim"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, emb AS c_emb, nrm AS c_nrm
+             FROM e WHERE vec_id < $KMEANS_K),
+      a1 AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_inner_product(e.emb, c.c_emb) /
+                             (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+      m1 AS (
+        SELECT a1.cell, p.pos,
+          round(CAST(sum(CAST(round(e.emb[p.pos + 1], 6)
+                   AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS v
+        FROM a1 JOIN e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        GROUP BY a1.cell, p.pos),
+      c1 AS (
+        SELECT cell AS cid, list(v ORDER BY pos) AS c_emb,
+               sqrt(list_inner_product(list(v ORDER BY pos),
+                                       list(v ORDER BY pos))) AS c_nrm
+        FROM m1 GROUP BY cell)
+      SELECT vec_id, cell, csim FROM (
+        SELECT e.vec_id, c.cid AS cell,
+          round(list_inner_product(e.emb, c.c_emb) /
+                (e.nrm * c.c_nrm), 6) AS csim,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_inner_product(e.emb, c.c_emb) /
+                           (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c1 c) t WHERE rn = 1"""))
+
   /** All similarity-search queries, registration order. */
-  def all: Seq[Q] = Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, d4EmbedNeardup)
+  def all: Seq[Q] =
+    Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a8KmeansRefine, d4EmbedNeardup)
 }

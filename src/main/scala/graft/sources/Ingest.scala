@@ -232,6 +232,42 @@ object Ingest {
       FROM lineitem"""))
 
   // ---------------------------------------------------------------------
+  // S9: JSON-lines file source with a DECLARED schema — the third source
+  // family (parquet scan S1, REST DSv2 S2-S4, and now semi-structured
+  // files): the landing format REST ingests actually persist before
+  // compaction (the reference holds raw API JSON in memory,
+  // fitbit_utils.py:266-268; a lake pipeline spills it as JSONL). The
+  // schema is declared, NOT inferred — inference is a full extra pass
+  // over 100 TB before the real one. Filter + projection run post-parse
+  // (JSON rows don't push down like parquet; the lesson S1 teaches in
+  // reverse, which is why K1 compacts to parquet).
+  // ---------------------------------------------------------------------
+  private[graft] def s9JsonlFixture(s: SparkSession, d: String): String =
+    memoFixture("s9_jsonl", d) { out =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").json(out)
+    }
+
+  val s9JsonlSource = Q(
+    "s9_jsonl_source",
+    (s, d) =>
+      s.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, " +
+            "o_orderstatus STRING, o_totalprice DOUBLE"))
+        .json(s9JsonlFixture(s, d))
+        .filter(col("o_orderstatus") === "O")
+        // o_totalprice passes through unrounded: Spark's JSON writer
+        // emits the shortest round-trip repr, so the double read back
+        // is bit-identical to the parquet value the oracle reads
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("total")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice AS total
+      FROM orders WHERE o_orderstatus = 'O'"""))
+
+  // ---------------------------------------------------------------------
   // P9 full fidelity: wide normalization with nested structs + defaults —
   // the 47-field SummaryActivity shape (utils.py:146-233) restated: direct
   // picks, deterministic synthesized gaps, coalesce() defaults (False /
@@ -687,5 +723,6 @@ object Ingest {
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
     e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten, p9NormalizeFull,
-    s5CatalogArgmax, f5ExactKey, s2RestSource, s2bHeart1sec, s2cThirtyDay)
+    s5CatalogArgmax, f5ExactKey, s2RestSource, s2bHeart1sec, s2cThirtyDay,
+    s9JsonlSource)
 }

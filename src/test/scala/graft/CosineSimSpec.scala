@@ -71,8 +71,31 @@ class CosineSimSpec extends SparkSuite {
       === null)
   }
 
-  test("cosine_sim rejects non-float-array inputs at analysis time") {
-    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
+  test("cosine_sim accepts float/double arrays per side, bit-equal to " +
+    "the upcast HOF form") {
+    // double×double and the MIXED case (float corpus × double centroid,
+    // a8's iteration-2 shape) — each must equal the all-double HOF fold
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.0f), Seq(0.5, 4.0, -1.125)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.3, 0.2, 0.1))
+    ).toDF("f", "d")
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val ref = s"${dot("f", "d")} / (sqrt(${dot("f", "f")}) * sqrt(${dot("d", "d")}))"
+    val out = df.select(
+      expr("cosine_sim(f, d)").as("mixed"),
+      expr("cosine_sim(CAST(f AS ARRAY<DOUBLE>), d)").as("dd"),
+      expr(ref).as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(2), "mixed must match HOF")
+      assert(r.getDouble(1) === r.getDouble(2), "double×double must match")
+    }
+  }
+
+  test("cosine_sim rejects non-numeric-array inputs at analysis time") {
+    val bad = Seq((Seq("x", "y"), Seq(1.0, 2.0))).toDF("a", "b")
     val err = intercept[Exception] {
       bad.select(expr("cosine_sim(a, b)")).collect()
     }
