@@ -86,7 +86,8 @@ class RestIntradaySource extends TableProvider {
         .getOrElse(Set.empty),
       fail429Count = opt("simulate429Count").map(_.toInt).getOrElse(0))
     new RestIntradayTable(resources, req("start"), req("end"),
-      Option(properties.get("missingDates")).getOrElse(""), fetch)
+      Option(properties.get("missingDates")).getOrElse(""), fetch,
+      opt("daysPerBatch").map(_.toInt).getOrElse(1))
   }
 }
 
@@ -201,29 +202,68 @@ object RestIntradaySource {
 
   def value(resource: String, date: String, time: String): Long =
     h60(s"iv|$resource|$date|$time") % 1000
+
+  /** Fetch-unit planning shared by the batch scan and the micro-batch
+    * stream: intraday resources get one partition per (resource, day);
+    * thirty-day resources one partition per 30-day window clipped to
+    * [lo, hi], windows anchored at `anchor` (the TABLE's start option)
+    * so pruning/batching never shifts window boundaries. */
+  def planPartitions(
+      resources: Seq[String], anchor: LocalDate,
+      lo: LocalDate, hi: LocalDate,
+      missingDates: Set[String]): Array[RestPartition] = {
+    if (lo.isAfter(hi)) return Array.empty
+    val days = Iterator.iterate(lo)(_.plusDays(1))
+      .takeWhile(!_.isAfter(hi)).toSeq
+    resources.flatMap { r =>
+      if (isThirtyDay(r)) {
+        Iterator.iterate(anchor)(_.plusDays(WINDOW_DAYS))
+          .takeWhile(!_.isAfter(hi))
+          .flatMap { w0 =>
+            val wEnd = w0.plusDays(WINDOW_DAYS - 1)
+            val clipLo = if (w0.isBefore(lo)) lo else w0
+            val clipHi = if (wEnd.isAfter(hi)) hi else wEnd
+            if (clipLo.isAfter(clipHi)) None
+            else Some(RestPartition(r,
+              Iterator.iterate(clipLo)(_.plusDays(1))
+                .takeWhile(!_.isAfter(clipHi)).map(_.toString)
+                .filterNot(missingDates).toVector))
+          }.toSeq
+      } else {
+        // a `missing` (404) day keeps its partition but yields zero rows
+        days.map(d => RestPartition(r,
+          if (missingDates.contains(d.toString)) Vector.empty
+          else Vector(d.toString)))
+      }
+    }.toArray
+  }
 }
 
 final class RestIntradayTable(
     resourcesCsv: String, start: String, end: String, missingCsv: String,
-    fetch: RestFetchOptions = RestFetchOptions.default)
+    fetch: RestFetchOptions = RestFetchOptions.default,
+    daysPerBatch: Int = 1)
   extends Table with SupportsRead {
   override def name(): String =
     s"rest_intraday($resourcesCsv, $start..$end)"
   override def schema(): StructType = RestIntradaySource.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new RestIntradayScanBuilder(
       resourcesCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted,
       LocalDate.parse(start), LocalDate.parse(end),
-      missingCsv.split(",").map(_.trim).filter(_.nonEmpty).toSet, fetch)
+      missingCsv.split(",").map(_.trim).filter(_.nonEmpty).toSet, fetch,
+      daysPerBatch)
 }
 
 final class RestIntradayScanBuilder(
     allResources: Seq[String], start: LocalDate, end: LocalDate,
     missingDates: Set[String],
-    fetch: RestFetchOptions = RestFetchOptions.default)
+    fetch: RestFetchOptions = RestFetchOptions.default,
+    daysPerBatch: Int = 1)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -287,44 +327,86 @@ final class RestIntradayScanBuilder(
     override def description(): String =
       s"RestIntradayScan resources=$resources dates=[$lo..$hi] " +
         s"columns=${required.fieldNames.mkString(",")}"
-    override def planInputPartitions(): Array[InputPartition] = {
-      if (lo.isAfter(hi)) return Array.empty
-      val days = Iterator.iterate(lo)(_.plusDays(1))
-        .takeWhile(!_.isAfter(hi)).toSeq
-      resources.flatMap { r =>
-        if (RestIntradaySource.isThirtyDay(r)) {
-          // one partition per 30-day WINDOW (the thirty-day fetch unit,
-          // fitbit_utils.py:427-457). Windows are anchored at the
-          // TABLE's start option — pruning narrows the date clip, never
-          // shifts window boundaries, so payloads stay deterministic.
-          Iterator.iterate(start)(_.plusDays(RestIntradaySource.WINDOW_DAYS))
-            .takeWhile(!_.isAfter(hi))
-            .flatMap { w0 =>
-              val wEnd = w0.plusDays(RestIntradaySource.WINDOW_DAYS - 1)
-              val clipLo = if (w0.isBefore(lo)) lo else w0
-              val clipHi = if (wEnd.isAfter(hi)) hi else wEnd
-              if (clipLo.isAfter(clipHi)) None
-              else Some(RestPartition(r,
-                Iterator.iterate(clipLo)(_.plusDays(1))
-                  .takeWhile(!_.isAfter(clipHi)).map(_.toString)
-                  .filterNot(missingDates).toVector))
-            }.toSeq
-        } else {
-          // intraday: one partition per (resource, day); a `missing`
-          // (404) day keeps its partition but yields zero rows
-          days.map(d => RestPartition(r,
-            if (missingDates.contains(d.toString)) Vector.empty
-            else Vector(d.toString)))
-        }
-      }.map(p => p: InputPartition).toArray
-    }
+    // one partition per fetch unit (intraday: day; thirty-day: window,
+    // fitbit_utils.py:427-457) — planning shared with the stream
+    override def planInputPartitions(): Array[InputPartition] =
+      RestIntradaySource.planPartitions(resources, start, lo, hi,
+        missingDates).map(p => p: InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
       // scan-unique limiter key, minted on the driver: every reader of
       // THIS scan shares one pacing bucket per executor JVM; concurrent
       // scans get separate buckets
       new RestReaderFactory(required, fetch,
         java.util.UUID.randomUUID().toString)
+
+    // ---- streaming form: the daily incremental ingest AS a stream ----
+    // (fitbit_utils.py:224-232's date loop, re-expressed as Structured
+    // Streaming micro-batches: the offset axis is days-since-start, each
+    // trigger admits at most daysPerBatch days, and a batch's partitions
+    // are exactly the batch-date-range's fetch units — so checkpointed
+    // restart resumes at the first unfetched day, the engine-level form
+    // of the reference's skip-existing incremental load.)
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new RestMicroBatchStream(resources, start, hi, daysPerBatch,
+        missingDates, fetch, required)
   }
+}
+
+/** Offset = number of days from the table's start already admitted. */
+final case class RestDayOffset(days: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = days.toString
+}
+
+final class RestMicroBatchStream(
+    resources: Seq[String], start: LocalDate, end: LocalDate,
+    daysPerBatch: Int, missingDates: Set[String],
+    fetch: RestFetchOptions, schema: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val totalDays =
+    java.time.temporal.ChronoUnit.DAYS.between(start, end) + 1
+
+  private def days(o: Offset): Long = o match {
+    case RestDayOffset(d) => d
+    case other => other.json().trim.toLong
+  }
+
+  override def initialOffset(): Offset = RestDayOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    RestDayOffset(json.trim.toLong)
+
+  // Admission control — STATELESS pacing off the engine-supplied start
+  // offset: next = start + daysPerBatch (clipped). A mutable
+  // "advance-per-call" cursor would regress after restart (the fresh
+  // stream instance would admit an offset BELOW the checkpointed one,
+  // and the engine would then plan a batch spanning already-committed
+  // days — observed as duplicated days in the file sink).
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+    RestDayOffset(
+      math.min(totalDays, days(startOffset) + math.max(1, daysPerBatch)))
+  override def reportLatestOffset(): Offset = RestDayOffset(totalDays)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+
+  override def planInputPartitions(s0: Offset, e0: Offset): Array[InputPartition] = {
+    val from = days(s0)
+    val until = days(e0) // exclusive
+    if (until <= from) Array.empty
+    else RestIntradaySource.planPartitions(resources, start,
+      start.plusDays(from), start.plusDays(until - 1), missingDates)
+      .map(p => p: InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(schema, fetch,
+      java.util.UUID.randomUUID().toString)
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One fetch unit: an intraday partition carries a single date (empty =
