@@ -49,7 +49,8 @@ object ExplainAudit {
       "p9_normalize_full", "d5_ngram_jaccard", "s2b_heart_1sec",
       "s2c_thirty_day", "m2_multimodal_decode", "p4b_azm_flatten",
       "p11b_raw_stream_pivot", "d6_decontaminate", "t9_sequence_pack",
-      "c2_split_assign", "a8_kmeans_refine", "s9_jsonl_source")
+      "c2_split_assign", "a8_kmeans_refine", "s9_jsonl_source",
+      "x6_interval_join", "t10_tfidf")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -159,7 +159,66 @@ object Extended {
       o_custkey, o_orderpriority
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
 
+  // ---------------------------------------------------------------------
+  // X6: interval (range) join, bin-bucketed — events matched to time
+  // WINDOWS on ts ∈ [lo, hi), the join shape Spark has no native operator
+  // for. The naive plan is a BroadcastNestedLoopJoin (quadratic when both
+  // sides are fact-sized — the range-join trap). The scalable pattern:
+  // derive the EQUI bin both sides share (here the calendar day — every
+  // window lies inside one day by construction), hash-join on
+  // (event_type, bin), and apply the range predicate as a residual
+  // filter. The join is then an ordinary shuffled equi-join: at 100 TB it
+  // partitions by (type, day) like every other fact-fact join here, and
+  // a window spanning B bins would simply explode into B bin rows.
+  // Windows are synthesized deterministically per (event_type, day):
+  // start = 06:00 + (h60 % 6) hours, 8 hours long — so the oracle
+  // replays them exactly.
+  // ---------------------------------------------------------------------
+  val x6IntervalJoin = Q(
+    "x6_interval_join",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"), to_date(col("ts")).as("event_date"))
+      val win = ev.select(col("event_type"), col("event_date")).distinct()
+        .withColumn("off",
+          (graft.functions.Portable.h60(
+            concat_ws("|", col("event_type"),
+              col("event_date").cast("string")), "win|") % 6).cast("int"))
+        .select(col("event_type"), col("event_date"),
+          expr("timestampadd(HOUR, 6 + off, CAST(event_date AS TIMESTAMP))")
+            .as("lo"))
+        .withColumn("hi", expr("timestampadd(HOUR, 8, lo)"))
+      ev.join(win, Seq("event_type", "event_date"))
+        .filter(col("ts") >= col("lo") && col("ts") < col("hi"))
+        .groupBy(col("event_type"), col("event_date"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+          CAST(ts AS DATE) AS event_date
+        FROM events),
+      win AS (
+        SELECT event_type, event_date,
+          CAST(event_date AS TIMESTAMP) + INTERVAL 6 HOUR +
+            to_hours(CAST(CAST(concat('0x', substring(md5(concat('win|',
+              event_type, '|', strftime(event_date, '%Y-%m-%d'))), 1, 15))
+              AS BIGINT) % 6 AS BIGINT)) AS lo
+        FROM (SELECT DISTINCT event_type, event_date FROM ev)),
+      w2 AS (SELECT event_type, event_date, lo,
+               lo + INTERVAL 8 HOUR AS hi FROM win)
+      SELECT e.event_type, e.event_date, w.lo, w.hi,
+        count(*) AS n_in_window,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM ev e JOIN w2 w
+        ON e.event_type = w.event_type AND e.event_date = w.event_date
+      WHERE e.ts >= w.lo AND e.ts < w.hi
+      GROUP BY e.event_type, e.event_date, w.lo, w.hi"""))
+
   /** All extension queries, registration order. */
   def all: Seq[Q] = Seq(
-    x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin)
+    x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
+    x6IntervalJoin)
 }

@@ -733,6 +733,58 @@ object LlmOps {
       FROM documents"""))
 
   // ---------------------------------------------------------------------
+  // T10: TF-IDF top terms per document — the classic distinctive-term
+  // extractor (keyword indexing, topic sampling, dedup features). Three
+  // relational stages: per-(doc, term) counts (one hash-agg), document
+  // frequency per term (one hash-agg on the vocabulary — orders of
+  // magnitude smaller than the corpus), and a broadcast of the single-row
+  // corpus size; the per-doc top-3 is a WindowGroupLimit window, so only
+  // 3 rows per doc survive the final shuffle. Scores are rounded to 6
+  // digits BEFORE ranking with a term tie-break: ln() is the one libm
+  // call in the suite, and the two engines' log implementations may
+  // differ in the last ulp — rounding first makes rank boundaries
+  // deterministic.
+  // ---------------------------------------------------------------------
+  val t10Tfidf = Q(
+    "t10_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") *
+            log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+            .as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("tfidf"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.tok,
+          round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS tfidf
+        FROM tf t JOIN df d USING (tok) CROSS JOIN n)
+      SELECT doc_id, tok, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, tok ASC) AS rn FROM scored) z
+      WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------------
   // C1: the curation pipeline end to end — what a training-data run
   // actually executes: exact-dedup survivors (min doc_id per normalized
   // hash) → quality gate (token count + stopword ratio) → curated
@@ -781,5 +833,5 @@ object LlmOps {
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    t9SequencePack, c1CurateCorpus, c2SplitAssign)
+    t9SequencePack, t10Tfidf, c1CurateCorpus, c2SplitAssign)
 }
