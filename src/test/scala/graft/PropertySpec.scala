@@ -102,4 +102,52 @@ class PropertySpec extends SparkSuite {
         col("has_heartrate").isNull).count() === 0)
     }
   }
+
+  test("T9: packing invariants — offsets in [0, budget), ids/offsets " +
+    "equal a sequential recompute, every doc assigned exactly once") {
+    // columns: doc_id, source, n_tokens, pack_id, pack_offset
+    val rows = graft.operators.LlmOps.t9SequencePack.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = 512L
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) < budget,
+        "a doc starts in the pack its first token lands in")
+    }
+    // every doc exactly once
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // ground truth, recomputed sequentially per shard: pack_id/offset
+    // must equal floor/mod of the running sum of preceding token counts
+    rows.groupBy(_.getString(1)).foreach { case (_, shard) =>
+      var before = 0L
+      shard.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) === before / budget, "pack_id")
+        assert(r.getLong(4) === before % budget, "pack_offset")
+        before += r.getLong(2)
+      }
+    }
+  }
+
+  test("C2: split assignment is deterministic, total, and ~8/1/1") {
+    val a = graft.operators.LlmOps.c2SplitAssign.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = graft.operators.LlmOps.c2SplitAssign.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b, "seeded hash split must be run-stable")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac.keySet === Set("train", "valid", "test"))
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac("valid") > 0.02 && frac("test") > 0.02)
+    // growth stability: a doc's split never changes when the corpus
+    // shrinks (hash of the id alone, no corpus-dependent state)
+    val subset = graft.Tables.documents(spark, sf).limit(100)
+    import org.apache.spark.sql.functions._
+    val bucket =
+      graft.functions.Portable.h60(col("doc_id").cast("string"), "split|") % 10
+    val sub = subset.select(col("doc_id"),
+      when(bucket < 8, lit("train")).when(bucket === 8, lit("valid"))
+        .otherwise(lit("test")).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    sub.foreach { case (id, split) => assert(a(id) === split) }
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL entry point: every capability reachable from the
+  * DataFrame API must also be reachable from `spark.sql` — temp views
+  * over the testdata tables, the injected `cosine_sim` extension
+  * function, and the DSv2 REST source via CREATE TABLE ... USING. A
+  * user of the reference switching to this library gets a SQL surface,
+  * not just a Scala one. */
+class SqlSurfaceSpec extends SparkSuite {
+
+  test("flagship query in pure SQL matches the DataFrame form") {
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    val sqlOut = spark.sql("""
+      SELECT o_custkey, count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) -
+                  CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        sum(l_quantity) AS sum_qty, max(l_shipdate) AS last_ship
+      FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= '1998-01-01' AND o_orderdate <= '2000-12-31'
+      GROUP BY o_custkey""")
+    val dfOut = Queries.q1Flagship.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
+
+  test("cosine_sim is callable from SQL (extension-injected function)") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings_v")
+    val top = spark.sql("""
+      SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 6) AS sim
+      FROM embeddings_v a JOIN embeddings_v b ON b.vec_id = 0
+      WHERE a.vec_id <> 0
+      ORDER BY sim DESC, a.vec_id ASC LIMIT 5""").collect()
+    assert(top.length === 5)
+    assert(top.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("the REST source is reachable via CREATE TABLE ... USING") {
+    spark.sql("DROP TABLE IF EXISTS rest_sql")
+    spark.sql("""
+      CREATE TABLE rest_sql
+      USING graft.sources.rest.RestIntradaySource
+      OPTIONS (resources 'steps', start '2024-01-01', end '2024-01-02')""")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM rest_sql WHERE date = '2024-01-01'")
+        .collect().head.getLong(0)
+      assert(n === 1440L)
+    } finally spark.sql("DROP TABLE IF EXISTS rest_sql")
+  }
+}
