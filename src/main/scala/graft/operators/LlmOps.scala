@@ -59,7 +59,14 @@ object LlmOps {
   private val P = 8 // MinHash permutations
   private val BANDS = 4 // bands of r = 2 rows
 
-  /** Distinct word-bigram shingles per doc — the unit set for Jaccard. */
+  /** Distinct word-bigram shingles per doc, identified by their 60-bit
+    * portable hash — the unit set for Jaccard. Hashing happens BEFORE
+    * the distinct, so the dedup shuffle and every downstream join moves
+    * 8-byte longs instead of shingle strings (at 100 TB the shingle
+    * table dominates shuffle volume; this is the narrow-key form d6
+    * uses). Two distinct shingles colliding would merge set elements in
+    * BOTH engines identically (p ≈ n²/2^61 per doc — negligible, and
+    * oracle-invisible since the oracle replays the same hash). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
@@ -68,6 +75,7 @@ object LlmOps {
         explode(expr(
           "transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"))
           .as("shingle"))
+      .select(col("doc_id"), Portable.h60(col("shingle"), "sh|").as("sh"))
       .distinct()
 
   /** d2's pinned frames per (app, dataset): re-entry unpersists the prior
@@ -101,10 +109,14 @@ object LlmOps {
       // local-mode analogue of checkpointing the signature table to
       // storage, which is what a 100 TB dedup pipeline does anyway.
       val sh = shingles(s, d).persist()
+      // minhash "permutations" = seeded re-hashes of the shingle's hash
+      // (rendered as a decimal string — portable: both engines print a
+      // non-negative BIGINT identically); map-side, only the 8 partial
+      // mins per doc shuffle
       val mh = sh.groupBy(col("doc_id")).agg(
-        min(Portable.h60(col("shingle"), "mh0|")).as("m0"),
+        min(Portable.h60(col("sh").cast("string"), "mh0|")).as("m0"),
         ((1 until P).map(i =>
-          min(Portable.h60(col("shingle"), s"mh$i|")).as(s"m$i")) :+
+          min(Portable.h60(col("sh").cast("string"), s"mh$i|")).as(s"m$i")) :+
           count(lit(1)).as("n")): _*)
         .persist()
       val bands = mh
@@ -126,9 +138,9 @@ object LlmOps {
       d2Pinned(pinKey) = Seq(sh, mh, cand)
       val sizes = mh.select(col("doc_id"), col("n"))
       val inter = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("shingle")),
-          Seq("id_b", "shingle"))
+        .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh")),
+          Seq("id_b", "sh"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_inter"))
       cand
@@ -144,13 +156,15 @@ object LlmOps {
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       sh AS (
-        SELECT DISTINCT doc_id, unnest(list_transform(range(len(t)-1),
-               i -> concat_ws(' ', t[i+1], t[i+2]))) AS shingle
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(
+            "unnest(list_transform(range(len(t)-1), " +
+              "i -> concat_ws(' ', t[i+1], t[i+2])))", "sh|")} AS sh
         FROM toks WHERE len(t) >= 2),
       mh AS (
         SELECT doc_id,
           ${(0 until P).map(i =>
-            s"min(${Portable.h60Duck("shingle", s"mh$i|")}) AS m$i")
+            s"min(${Portable.h60Duck("CAST(sh AS VARCHAR)", s"mh$i|")}) AS m$i")
             .mkString(", ")}
         FROM sh GROUP BY doc_id),
       bands AS (
@@ -166,7 +180,7 @@ object LlmOps {
         SELECT c.id_a, c.id_b, count(*) AS n_inter
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
         GROUP BY c.id_a, c.id_b)
       SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
         round(coalesce(i.n_inter, 0)::DOUBLE /
@@ -231,10 +245,13 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private val ANCHORS = 2
 
-  /** Distinct word n-gram set per doc — the unit set for d5's Jaccard
-    * (n=3) and d6's overlap probe (n=5). One explode, map-side distinct
-    * via the downstream aggregation; linear in corpus size. */
-  private def wordNgrams(s: SparkSession, d: String, n: Int): DataFrame =
+  /** Distinct word n-grams per doc, identified by their seeded 60-bit
+    * hash — the unit sets for d5's Jaccard (n=3) and d6's overlap probe
+    * (n=4). Hashing precedes the distinct, so the dedup shuffle and all
+    * downstream joins move 8-byte longs, never gram strings (same
+    * narrow-key rationale and collision caveat as `shingles`). */
+  private def wordNgramHashes(
+      s: SparkSession, d: String, n: Int, seed: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= n)
@@ -242,25 +259,23 @@ object LlmOps {
         s"transform(sequence(0, size(t)-$n), " +
           s"i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))"))
         .as("gram"))
+      .select(col("doc_id"), Portable.h60(col("gram"), seed).as("gh"))
       .distinct()
-
-  private def wordTrigrams(s: SparkSession, d: String): DataFrame =
-    wordNgrams(s, d, 3)
 
   val d5NgramJaccard = Q(
     "d5_ngram_jaccard",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = wordTrigrams(s, d)
-        .withColumn("h", Portable.h60(col("gram"), "ng|"))
+      val grams = wordNgramHashes(s, d, 3, "ng|")
       // per-doc top-ANCHORS by hash: WindowGroupLimit keeps the partial
-      // top-k on the map side, so only ANCHORS rows per doc shuffle
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("h").asc, col("gram").asc)
+      // top-k on the map side, so only ANCHORS rows per doc shuffle.
+      // gh is the per-doc distinct key, so the ordering needs no
+      // tie-break column.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("gh").asc)
       val anchors = grams
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= ANCHORS)
-        .select(col("doc_id"), col("h").as("anchor"))
+        .select(col("doc_id"), col("gh").as("anchor"))
       val cand = anchors.select(col("doc_id").as("id_a"), col("anchor"))
         .join(anchors.select(col("doc_id").as("id_b"), col("anchor")),
           Seq("anchor"))
@@ -268,10 +283,10 @@ object LlmOps {
         .select("id_a", "id_b").distinct()
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
-        .join(grams.select(col("doc_id").as("id_a"), col("gram")),
+        .join(grams.select(col("doc_id").as("id_a"), col("gh")),
           Seq("id_a"))
-        .join(grams.select(col("doc_id").as("id_b"), col("gram")),
-          Seq("id_b", "gram"))
+        .join(grams.select(col("doc_id").as("id_b"), col("gh")),
+          Seq("id_b", "gh"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
       // threshold on EXACT integer arithmetic — jaccard >= 1/5 iff
       // 5*|A∩B| >= |A∪B| — so Spark's BigDecimal HALF_UP round and
@@ -294,15 +309,15 @@ object LlmOps {
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       grams AS (
-        SELECT DISTINCT doc_id, unnest(list_transform(range(len(t)-2),
-               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(
+            "unnest(list_transform(range(len(t)-2), " +
+              "i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))", "ng|")} AS gh
         FROM toks WHERE len(t) >= 3),
-      gh AS (SELECT doc_id, gram,
-               ${Portable.h60Duck("gram", "ng|")} AS h FROM grams),
       anchors AS (
-        SELECT doc_id, h AS anchor FROM (
-          SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id
-            ORDER BY h ASC, gram ASC) AS rn FROM gh) t
+        SELECT doc_id, gh AS anchor FROM (
+          SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id
+            ORDER BY gh ASC) AS rn FROM grams) t
         WHERE rn <= $ANCHORS),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -313,7 +328,7 @@ object LlmOps {
         SELECT c.id_a, c.id_b, count(*) AS n_inter
         FROM cand c
         JOIN grams ga ON ga.doc_id = c.id_a
-        JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+        JOIN grams gb ON gb.doc_id = c.id_b AND gb.gh = ga.gh
         GROUP BY c.id_a, c.id_b)
       SELECT id_a, id_b,
         round(ni::DOUBLE / (na + nb - ni), 6) AS jaccard
@@ -344,8 +359,7 @@ object LlmOps {
   val d6Decontaminate = Q(
     "d6_decontaminate",
     (s, d) => {
-      val grams = wordNgrams(s, d, 4)
-        .select(col("doc_id"), Portable.h60(col("gram"), "dc|").as("gh"))
+      val grams = wordNgramHashes(s, d, 4, "dc|")
       val eval5 = grams.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("eval_id"), col("gh"))
       grams.filter(col("doc_id") % 20 =!= 0)
