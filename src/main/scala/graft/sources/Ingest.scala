@@ -466,6 +466,52 @@ object Ingest {
       FROM raw"""))
 
   // ---------------------------------------------------------------------
+  // E2: the Strava activities-snapshot entry point end to end
+  // (get_activity_data.py:19-34, SURVEY §3 E2) — the remaining top-3
+  // lifecycle after E1 (fitbit ingest) and E3 (streams build):
+  //   year-range bounded scan (S3/S8, utils.py:33-79)
+  //   → full 47-field normalization (P9/P10, utils.py:236-246)
+  //   → date-stamped snapshot write + read-back (K2,
+  //     get_activity_data.py:29-34)
+  //   → per-(visibility, year) activity report over the SNAPSHOT.
+  // Green means the whole chain — filter pushdown through the nested
+  // projection, the parquet round trip of the nested athlete/map
+  // structs, and the read-back aggregation — reproduces the relational
+  // answer computed straight from the source table.
+  // ---------------------------------------------------------------------
+  val e2ActivitiesSnapshot = Q(
+    "e2_activities_snapshot",
+    (s, d) => {
+      val out = freshDir("e2/activities_2025-06-01.parquet")
+      p9FullNested(s, d)
+        .filter(substring(col("start_date_local"), 1, 4)
+          .between("1995", "1997"))
+        .withColumn("snapshot_date", lit("2025-06-01"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("visibility"),
+          substring(col("start_date_local"), 1, 4).as("yr"))
+        .agg(count(lit(1)).as("n_activities"),
+          sum(col("distance").cast("decimal(18,2)")).cast("double")
+            .as("total_distance"))
+    },
+    Some("""WITH raw AS (
+        SELECT o_orderkey AS id,
+          CASE WHEN o_orderkey % 5 = 0 THEN NULL
+               ELSE o_orderstatus END AS visibility_raw,
+          CASE WHEN o_orderkey % 3 = 0 THEN NULL
+               ELSE o_totalprice END AS distance_raw,
+          CAST(o_orderdate AS DATE) AS od
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1995 AND 1997)
+      SELECT coalesce(visibility_raw, 'everyone') AS visibility,
+        strftime(od, '%Y') AS yr,
+        count(*) AS n_activities,
+        CAST(sum(CAST(coalesce(distance_raw, 0.0) AS DECIMAL(18,2)))
+             AS DOUBLE) AS total_distance
+      FROM raw GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------------
   // S5 + A1: file-listing catalog as a DataFrame — keys synthesized in
   // the reference's naming convention, date + id parsed back out with
   // regexp_extract, then argmax as a global top-1 via orderBy(..).limit(1),
@@ -722,7 +768,7 @@ object Ingest {
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
-    e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten, p9NormalizeFull,
-    s5CatalogArgmax, f5ExactKey, s2RestSource, s2bHeart1sec, s2cThirtyDay,
-    s9JsonlSource)
+    e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
+    p9NormalizeFull, s5CatalogArgmax, f5ExactKey, s2RestSource,
+    s2bHeart1sec, s2cThirtyDay, s9JsonlSource)
 }
