@@ -50,7 +50,8 @@ object ExplainAudit {
       "s2c_thirty_day", "m2_multimodal_decode", "p4b_azm_flatten",
       "p11b_raw_stream_pivot", "d6_decontaminate", "t9_sequence_pack",
       "c2_split_assign", "a8_kmeans_refine", "s9_jsonl_source",
-      "x6_interval_join", "t10_tfidf", "e2_activities_snapshot")
+      "x6_interval_join", "t10_tfidf", "e2_activities_snapshot",
+      "a7b_ivf_trained")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -272,48 +272,52 @@ object Ann {
   // ---------------------------------------------------------------------
   private val KMEANS_K = 4
 
-  val a8KmeansRefine = Q(
-    "a8_kmeans_refine",
-    (s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("emb"))
+  /** Two Lloyd iterations over the embeddings table; returns the
+    * iteration-2 assignment (vec_id, cell, csim). Shared by a8 (reports
+    * it) and a7b (searches with it). */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb"))
 
-      // packed-long argmax assignment against a (cid, c_emb) frame
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            round(cosine(s, "emb", "c_emb"), 6).as("csim"), col("cid"))
-          .groupBy(col("vec_id"))
-          .agg(max(expr(
-            "CAST(round(csim * 1000000) AS BIGINT) * 16 + (15 - cid)"))
-            .as("pk"))
-          .select(col("vec_id"),
-            (lit(15) - pmod(col("pk"), lit(16))).as("cell"),
-            (floor(col("pk") / 16) / 1e6).as("csim"))
+    // packed-long argmax assignment against a (cid, c_emb) frame
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(cosine(s, "emb", "c_emb"), 6).as("csim"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(max(expr(
+          "CAST(round(csim * 1000000) AS BIGINT) * 16 + (15 - cid)"))
+          .as("pk"))
+        .select(col("vec_id"),
+          (lit(15) - pmod(col("pk"), lit(16))).as("cell"),
+          (floor(col("pk") / 16) / 1e6).as("csim"))
 
-      // per-cell, per-dim mean → centroid arrays, deterministically
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned.join(e, Seq("vec_id"))
-          .select(col("cell"), posexplode(col("emb")))
-          .select(col("cell"), col("pos"),
-            round(col("col").cast("double"), 6).as("x"))
-          .groupBy(col("cell"), col("pos"))
-          .agg(round(
-            sum(col("x").cast("decimal(20,6)")).cast("double") /
-              count(lit(1)), 6).as("v"))
-          .groupBy(col("cell"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, v))), " +
-            "r -> r.v)").as("c_emb"))
-          .select(col("cell").as("cid"), col("c_emb"))
+    // per-cell, per-dim mean → centroid arrays, deterministically
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.join(e, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("emb")))
+        .select(col("cell"), col("pos"),
+          round(col("col").cast("double"), 6).as("x"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(
+          sum(col("x").cast("decimal(20,6)")).cast("double") /
+            count(lit(1)), 6).as("v"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, v))), " +
+          "r -> r.v)").as("c_emb"))
+        .select(col("cell").as("cid"), col("c_emb"))
 
-      val c0 = e.filter(col("vec_id") < KMEANS_K)
-        .select(col("vec_id").cast("int").as("cid"), col("emb").as("c_emb"))
-      val a1 = assign(c0).select("vec_id", "cell")
-      val c1 = recompute(a1)
-      assign(c1).select(col("vec_id"), col("cell"),
-        round(col("csim"), 6).as("csim"))
-    },
-    Some(s"""WITH e AS (
+    val c0 = e.filter(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("c_emb"))
+    val a1 = assign(c0).select("vec_id", "cell")
+    val c1 = recompute(a1)
+    assign(c1).select(col("vec_id"), col("cell"),
+      round(col("csim"), 6).as("csim"))
+  }
+
+  /** The k-means derivation as DuckDB CTEs (no trailing SELECT), shared
+    * by a8's report and a7b's trained-index search. */
+  private val KMEANS_CTES: String = s"""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
@@ -338,17 +342,73 @@ object Ann {
         SELECT cell AS cid, list(v ORDER BY pos) AS c_emb,
                sqrt(list_inner_product(list(v ORDER BY pos),
                                        list(v ORDER BY pos))) AS c_nrm
-        FROM m1 GROUP BY cell)
-      SELECT vec_id, cell, csim FROM (
-        SELECT e.vec_id, c.cid AS cell,
-          round(list_inner_product(e.emb, c.c_emb) /
-                (e.nrm * c.c_nrm), 6) AS csim,
-          row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY round(list_inner_product(e.emb, c.c_emb) /
-                           (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
-        FROM e CROSS JOIN c1 c) t WHERE rn = 1"""))
+        FROM m1 GROUP BY cell),
+      a2 AS (
+        SELECT vec_id, cell, csim FROM (
+          SELECT e.vec_id, c.cid AS cell,
+            round(list_inner_product(e.emb, c.c_emb) /
+                  (e.nrm * c.c_nrm), 6) AS csim,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_inner_product(e.emb, c.c_emb) /
+                             (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM e CROSS JOIN c1 c) t WHERE rn = 1)"""
+
+  val a8KmeansRefine = Q(
+    "a8_kmeans_refine",
+    (s, d) => kmeansAssign(s, d),
+    Some(s"""$KMEANS_CTES
+      SELECT vec_id, cell, csim FROM a2"""))
+
+  // ---------------------------------------------------------------------
+  // A7b: IVF search over the TRAINED quantizer — the two halves chained:
+  // a8's iteration-2 assignment is the cell index, probes search only
+  // their own trained cell. Together with a7 (fixed seed centroids) this
+  // is the full IVF lifecycle: train → index → search, all relational.
+  // Same scale shape as a7 — the search shuffle keys on cell, a probe
+  // touches |corpus|/k vectors.
+  // ---------------------------------------------------------------------
+  val a7bIvfTrained = Q(
+    "a7b_ivf_trained",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val cellsOf = kmeansAssign(s, d).select("vec_id", "cell")
+        .join(e, Seq("vec_id"))
+      val probes = cellsOf
+        .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("probe_id"), col("cell"),
+          col("emb").as("p_emb"))
+      import org.apache.spark.sql.expressions.Window
+      val sims = cellsOf.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "vec_id", "sim")
+    },
+    Some(s"""$KMEANS_CTES,
+      cells AS (
+        SELECT e.vec_id, a2.cell, e.emb, e.nrm
+        FROM e JOIN a2 ON e.vec_id = a2.vec_id),
+      probes AS (
+        SELECT vec_id AS probe_id, cell, emb AS p_emb, nrm AS p_nrm
+        FROM cells WHERE vec_id >= 100 AND vec_id < 110),
+      sims AS (
+        SELECT probe_id, c.vec_id,
+          round(list_inner_product(c.emb, p.p_emb) /
+                (c.nrm * p.p_nrm), 6) AS sim
+        FROM cells c JOIN probes p USING (cell)
+        WHERE c.vec_id <> p.probe_id)
+      SELECT probe_id, vec_id, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
+      WHERE rn <= 5"""))
 
   /** All similarity-search queries, registration order. */
   def all: Seq[Q] =
-    Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a8KmeansRefine, d4EmbedNeardup)
+    Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
+      d4EmbedNeardup)
 }
