@@ -390,9 +390,10 @@ final class RestMicroBatchStream(
     RestDayOffset(
       math.min(totalDays, days(startOffset) + math.max(1, daysPerBatch)))
   override def reportLatestOffset(): Offset = RestDayOffset(totalDays)
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "admission-control latestOffset(start, limit) is used")
+  // engines honoring SupportsAdmissionControl never call this; a trigger
+  // path that does gets everything in one batch — correct data, just
+  // unpaced (never a regressed offset)
+  override def latestOffset(): Offset = RestDayOffset(totalDays)
 
   override def planInputPartitions(s0: Offset, e0: Offset): Array[InputPartition] = {
     val from = days(s0)

@@ -1,0 +1,58 @@
+package graft
+
+/** Executable plan-shape guards: the properties PLANS.md documents,
+  * asserted on the FINAL adaptive plan so a regression fails the suite
+  * instead of waiting for a manual audit. Each materializes its
+  * queryExecution (AQE finalizes plans only after a run). */
+class PlanInvariantsSpec extends SparkSuite {
+
+  private def finalPlan(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+    qe.toRdd.count()
+    qe.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("s5/a1b/a7: packed-long argmax stays a HashAggregate — no " +
+    "SortAggregate anywhere") {
+    Seq("s5_catalog_argmax", "a1b_argmax_maxby", "a7_ann_ivf").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("SortAggregate"),
+        s"$q regressed to SortAggregate:\n$p")
+    }
+  }
+
+  test("s5: top-1 plans as TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("s5_catalog_argmax")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x6: the range join stays an equi-join — no nested-loop join") {
+    val p = finalPlan("x6_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join must bin-bucket to an equi-join:\n$p")
+  }
+
+  test("s1: filter and projection reach the parquet scan") {
+    val p = finalPlan("s1_scan_prune")
+    assert(p.contains("PushedFilters: [I"), p)
+    assert(!p.contains("Exchange"), "s1 is scan+filter+project only")
+  }
+
+  test("rest source: pushed predicates prune partitions before the scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps,calories")
+      .option("start", "2024-01-01").option("end", "2024-01-31")
+      .load()
+      .filter(col("date") === "2024-01-05" && col("resource") === "steps")
+    assert(df.rdd.getNumPartitions === 1,
+      "exactly one fetch unit must survive pruning")
+  }
+
+  test("t3/t10: per-group top-k carries a WindowGroupLimit (map-side " +
+    "partial top-k)") {
+    val p = finalPlan("t10_tfidf")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}
