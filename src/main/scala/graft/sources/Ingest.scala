@@ -154,15 +154,27 @@ object Ingest {
   private val fixtureLock = new Object
 
   private def memoFixture(fixture: String, d: String)(
-      build: String => Unit): String = fixtureLock.synchronized {
-    fixtureDirs.getOrElseUpdate(s"$fixture|$d", {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      val out = freshDir(s"$fixture/$key")
-      build(out)
-      out
-    })
+      build: String => Unit): String = {
+    val memoKey = s"$fixture|$d"
+    // lock-free fast path: a memoized fixture must not block behind an
+    // unrelated in-flight build (the lock guards BUILDS only)
+    fixtureDirs.get(memoKey).getOrElse {
+      fixtureLock.synchronized {
+        fixtureDirs.getOrElseUpdate(memoKey, {
+          val out = freshDir(s"$fixture/${datasetKey(d)}")
+          build(out)
+          out
+        })
+      }
+    }
   }
+
+  /** md5 of a dataset dir path — collision-free directory keying for
+    * per-dataset outputs (two paths that SANITIZE identically can't
+    * collide; ADVICE r3). */
+  private def datasetKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** Exposed (private[graft]) so Bench pre-materializes it in the warmup
     * block — r3's bench charged the fixture build to the measured query
@@ -482,7 +494,10 @@ object Ingest {
   val e2ActivitiesSnapshot = Q(
     "e2_activities_snapshot",
     (s, d) => {
-      val out = freshDir("e2/activities_2025-06-01.parquet")
+      // dataset-keyed like the fixtures: two sessions running e2 against
+      // different dataset dirs in one JVM must not wipe each other's
+      // snapshot between write and read-back
+      val out = freshDir(s"e2/${datasetKey(d)}/activities_2025-06-01.parquet")
       p9FullNested(s, d)
         .filter(substring(col("start_date_local"), 1, 4)
           .between("1995", "1997"))

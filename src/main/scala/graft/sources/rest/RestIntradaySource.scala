@@ -150,6 +150,10 @@ object RestFetchRuntime {
     scala.collection.concurrent.TrieMap.empty[String, RestRateLimiter]
   def limiter(key: String, rate: Double): RestRateLimiter =
     limiters.getOrElseUpdate(key, new RestRateLimiter(rate))
+  /** Drop a limiter when its scan/stream is done (streams call this from
+    * stop(); batch scans use deterministic option-derived keys, so they
+    * reuse entries instead of leaking one per scan). */
+  def release(key: String): Unit = { limiters.remove(key); () }
   val requests = new java.util.concurrent.atomic.AtomicLong
   val simulated429s = new java.util.concurrent.atomic.AtomicLong
 }
@@ -333,11 +337,14 @@ final class RestIntradayScanBuilder(
       RestIntradaySource.planPartitions(resources, start, lo, hi,
         missingDates).map(p => p: InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
-      // scan-unique limiter key, minted on the driver: every reader of
-      // THIS scan shares one pacing bucket per executor JVM; concurrent
-      // scans get separate buckets
+      // limiter key derived from the table options: every reader of this
+      // scan shares one pacing bucket per executor JVM, repeated scans of
+      // the same table REUSE the bucket (same API budget — and no
+      // registry entry leaked per scan), and tables with different
+      // options get separate buckets
       new RestReaderFactory(required, fetch,
-        java.util.UUID.randomUUID().toString)
+        s"batch|${allResources.mkString(",")}|$start|$end|" +
+          s"${fetch.maxRequestsPerSecond.getOrElse(0.0)}")
 
     // ---- streaming form: the daily incremental ingest AS a stream ----
     // (fitbit_utils.py:224-232's date loop, re-expressed as Structured
@@ -353,10 +360,15 @@ final class RestIntradayScanBuilder(
   }
 }
 
-/** Offset = number of days from the table's start already admitted. */
-final case class RestDayOffset(days: Long)
+/** Offset = the first UNFETCHED calendar date, as its ISO string (which
+  * compares lexicographically in date order). Encoding the DATE rather
+  * than a days-since-start count makes checkpoints unambiguous under
+  * option changes: restarting with a different `start` cannot silently
+  * remap committed offsets onto different days (a day-count offset
+  * would re-fetch some days and silently skip others). */
+final case class RestDayOffset(nextDate: String)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = days.toString
+  override def json(): String = nextDate
 }
 
 final class RestMicroBatchStream(
@@ -367,17 +379,22 @@ final class RestMicroBatchStream(
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private val totalDays =
-    java.time.temporal.ChronoUnit.DAYS.between(start, end) + 1
+  private val endExclusive = end.plusDays(1)
 
-  private def days(o: Offset): Long = o match {
-    case RestDayOffset(d) => d
-    case other => other.json().trim.toLong
-  }
+  private def date(o: Offset): LocalDate = LocalDate.parse(o.json().trim)
+  private def clip(d: LocalDate): LocalDate =
+    if (d.isAfter(endExclusive)) endExclusive else d
 
-  override def initialOffset(): Offset = RestDayOffset(0L)
+  // ONE pacing bucket for the stream's whole lifetime: minting a key per
+  // micro-batch would reset the token bucket at every batch boundary
+  // (bursting above the rate exactly when it matters) and leak a
+  // registry entry per batch on a long-running stream.
+  private val limiterKey =
+    s"stream|${java.util.UUID.randomUUID()}"
+
+  override def initialOffset(): Offset = RestDayOffset(start.toString)
   override def deserializeOffset(json: String): Offset =
-    RestDayOffset(json.trim.toLong)
+    RestDayOffset(LocalDate.parse(json.trim).toString)
 
   // Admission control — STATELESS pacing off the engine-supplied start
   // offset: next = start + daysPerBatch (clipped). A mutable
@@ -388,26 +405,26 @@ final class RestMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
     RestDayOffset(
-      math.min(totalDays, days(startOffset) + math.max(1, daysPerBatch)))
-  override def reportLatestOffset(): Offset = RestDayOffset(totalDays)
+      clip(date(startOffset).plusDays(math.max(1, daysPerBatch))).toString)
+  override def reportLatestOffset(): Offset =
+    RestDayOffset(endExclusive.toString)
   // engines honoring SupportsAdmissionControl never call this; a trigger
   // path that does gets everything in one batch — correct data, just
   // unpaced (never a regressed offset)
-  override def latestOffset(): Offset = RestDayOffset(totalDays)
+  override def latestOffset(): Offset = RestDayOffset(endExclusive.toString)
 
   override def planInputPartitions(s0: Offset, e0: Offset): Array[InputPartition] = {
-    val from = days(s0)
-    val until = days(e0) // exclusive
-    if (until <= from) Array.empty
+    val from = date(s0)
+    val until = date(e0) // exclusive
+    if (!until.isAfter(from)) Array.empty
     else RestIntradaySource.planPartitions(resources, start,
-      start.plusDays(from), start.plusDays(until - 1), missingDates)
+      from, until.minusDays(1), missingDates)
       .map(p => p: InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new RestReaderFactory(schema, fetch,
-      java.util.UUID.randomUUID().toString)
+    new RestReaderFactory(schema, fetch, limiterKey)
   override def commit(offset: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = RestFetchRuntime.release(limiterKey)
 }
 
 /** One fetch unit: an intraday partition carries a single date (empty =

@@ -220,6 +220,41 @@ class RestSourceSpec extends SparkSuite {
       "restart must not re-emit already-committed days")
   }
 
+  test("streaming: offsets encode DATES, so a restart with a changed " +
+    "start option cannot remap committed days") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("rest-stream-ckpt2").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("rest-stream-out2").toString
+    def run(start: String, end: String): Map[String, Long] = {
+      val stream = spark.readStream
+        .format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "steps")
+        .option("start", start).option("end", end)
+        .option("daysPerBatch", "2")
+        .load()
+      val q = stream.writeStream.format("parquet")
+        .outputMode("append").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).groupBy(col("date")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(run("2024-01-03", "2024-01-04").keySet ===
+      Set("2024-01-03", "2024-01-04"))
+    // restart with an EARLIER start: the committed date offset still
+    // means the same calendar days — the stream resumes at Jan 5, never
+    // re-fetches Jan 3-4, and (linear offset axis) does not backfill
+    // Jan 1-2. A days-since-start offset would have remapped offset 2
+    // to Jan 3 and silently duplicated/skipped days.
+    val after = run("2024-01-01", "2024-01-06")
+    assert(after.keySet ===
+      Set("2024-01-03", "2024-01-04", "2024-01-05", "2024-01-06"))
+    assert(after.values.toSet ===
+      Set(RestIntradaySource.MINUTES_PER_DAY.toLong),
+      "no day may be fetched twice across the start-option change")
+  }
+
   test("F8: an unsupported resource fails analysis like the ValueError") {
     val e = intercept[Exception] {
       spark.read
