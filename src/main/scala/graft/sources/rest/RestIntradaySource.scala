@@ -403,9 +403,12 @@ final class RestMicroBatchStream(
   // and the engine would then plan a batch spanning already-committed
   // days — observed as duplicated days in the file sink).
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val d0 = date(startOffset)
+    val base = if (d0.isBefore(start)) start else d0 // later-start restart
     RestDayOffset(
-      clip(date(startOffset).plusDays(math.max(1, daysPerBatch))).toString)
+      clip(base.plusDays(math.max(1, daysPerBatch))).toString)
+  }
   override def reportLatestOffset(): Offset =
     RestDayOffset(endExclusive.toString)
   // engines honoring SupportsAdmissionControl never call this; a trigger
@@ -414,8 +417,14 @@ final class RestMicroBatchStream(
   override def latestOffset(): Offset = RestDayOffset(endExclusive.toString)
 
   override def planInputPartitions(s0: Offset, e0: Offset): Array[InputPartition] = {
-    val from = date(s0)
-    val until = date(e0) // exclusive
+    // clamp to the TABLE's range: a checkpointed offset from a run with
+    // different start/end options must not fetch days outside [start,
+    // end] (a later-start restart would otherwise hand the thirty-day
+    // window planner a range before its anchor and silently drop it)
+    val from0 = date(s0)
+    val from = if (from0.isBefore(start)) start else from0
+    val until0 = date(e0) // exclusive
+    val until = if (until0.isAfter(endExclusive)) endExclusive else until0
     if (!until.isAfter(from)) Array.empty
     else RestIntradaySource.planPartitions(resources, start,
       from, until.minusDays(1), missingDates)
