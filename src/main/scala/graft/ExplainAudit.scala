@@ -51,7 +51,7 @@ object ExplainAudit {
       "p11b_raw_stream_pivot", "d6_decontaminate", "t9_sequence_pack",
       "c2_split_assign", "a8_kmeans_refine", "s9_jsonl_source",
       "x6_interval_join", "t10_tfidf", "e2_activities_snapshot",
-      "a7b_ivf_trained")
+      "a7b_ivf_trained", "s6_exists_probe")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -574,6 +574,44 @@ object Ingest {
       FROM parsed ORDER BY fdate DESC, fid DESC LIMIT 1"""))
 
   // ---------------------------------------------------------------------
+  // S6: the existence probe as a first-class operator — for every
+  // candidate fetch key, a boolean "already materialized?" flag against
+  // the store catalog (fitbit_utils.py:230-232 answers this per key with
+  // a driver-side `in existing` list; get_stream_data routes on it,
+  // utils.py:410-418). J2/J3/F4 consume the answer as routing; this
+  // exposes the PROBE itself: left join on the parsed catalog id,
+  // flag = match present. Distributed form: the candidate list is tiny
+  // next to the catalog, the join is an equi-join on the id, and no
+  // driver-side membership set ever exists.
+  // ---------------------------------------------------------------------
+  val s6ExistsProbe = Q(
+    "s6_exists_probe",
+    (s, d) => {
+      val catalog = orders(s, d)
+        .select(col("o_orderkey").as("fid")).distinct()
+      // candidate worklist: some ids that exist (every 97th key) and
+      // their successors, which mostly don't (TPC-H orderkeys are
+      // sparse) — both flags must come back right
+      val worklist = orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("cand_id"))
+        .union(orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 1).as("cand_id")))
+        .distinct()
+      worklist.join(catalog, col("cand_id") === col("fid"), "left")
+        .select(col("cand_id"), col("fid").isNotNull.as("exists_flag"))
+    },
+    Some("""WITH catalog AS (SELECT DISTINCT o_orderkey AS fid FROM orders),
+      worklist AS (
+        SELECT DISTINCT cand_id FROM (
+          SELECT o_orderkey AS cand_id FROM orders WHERE o_orderkey % 97 = 0
+          UNION ALL
+          SELECT o_orderkey + 1 FROM orders WHERE o_orderkey % 97 = 0))
+      SELECT w.cand_id, c.fid IS NOT NULL AS exists_flag
+      FROM worklist w LEFT JOIN catalog c ON w.cand_id = c.fid"""))
+
+  // ---------------------------------------------------------------------
   // F5 done right: exact-key membership via regexp parse + semi-join —
   // the reference's substring test (`str(id) in key`, utils.py:412) can
   // false-positive across ids sharing prefixes (§2.12.4); the intended
@@ -784,6 +822,6 @@ object Ingest {
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
-    p9NormalizeFull, s5CatalogArgmax, f5ExactKey, s2RestSource,
-    s2bHeart1sec, s2cThirtyDay, s9JsonlSource)
+    p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
+    s2RestSource, s2bHeart1sec, s2cThirtyDay, s9JsonlSource)
 }
