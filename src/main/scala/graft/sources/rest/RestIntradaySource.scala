@@ -97,12 +97,13 @@ class RestIntradaySource extends TableProvider {
   * drops below 10; :38-43 retries 5xx with backoff; strava
   * utils.py:337-347 sleeps 900 s on the 15-minute budget).
   *
-  *  - `maxRequestsPerSecond`: token-bucket pacing PER EXECUTOR JVM,
-  *    shared by every reader of the same scan (keyed by a scan-unique id
-  *    so concurrent scans don't share a bucket). Cluster-wide request
-  *    rate = this × executors, so users set the per-executor slice of
-  *    the API budget — the distributed analogue of the reference's
-  *    per-process sleep.
+  *  - `maxRequestsPerSecond`: token-bucket pacing PER EXECUTOR JVM.
+  *    Batch scans of the SAME table options share one bucket (same API
+  *    budget — and repeated scans reuse the registry entry instead of
+  *    leaking one per scan); each stream gets one bucket for its whole
+  *    lifetime. Cluster-wide request rate = this × executors, so users
+  *    set the per-executor slice of the API budget — the distributed
+  *    analogue of the reference's per-process sleep.
   *  - `maxRetries` / `retryBackoffMs`: per-fetch-unit retry with
   *    exponential backoff (backoff × 2^attempt), matching the
   *    reference's retriable-5xx loop.
@@ -148,8 +149,17 @@ final class RestRateLimiter(ratePerSec: Double) {
 object RestFetchRuntime {
   private val limiters =
     scala.collection.concurrent.TrieMap.empty[String, RestRateLimiter]
-  def limiter(key: String, rate: Double): RestRateLimiter =
+  def limiter(key: String, rate: Double): RestRateLimiter = {
+    // backstop against executor-side growth: stream keys are released on
+    // the DRIVER in stop(), but executor JVMs instantiate entries lazily
+    // in fetch and have no end-of-stream signal — on long-lived
+    // executors running many streams the map would otherwise grow one
+    // entry per stream for the JVM lifetime. Clearing resets pacing
+    // windows for in-flight scans (momentary burst), which beats an
+    // unbounded map.
+    if (limiters.size > 1024) limiters.clear()
     limiters.getOrElseUpdate(key, new RestRateLimiter(rate))
+  }
   /** Drop a limiter when its scan/stream is done (streams call this from
     * stop(); batch scans use deterministic option-derived keys, so they
     * reuse entries instead of leaking one per scan). */
@@ -381,7 +391,17 @@ final class RestMicroBatchStream(
 
   private val endExclusive = end.plusDays(1)
 
-  private def date(o: Offset): LocalDate = LocalDate.parse(o.json().trim)
+  private def date(o: Offset): LocalDate = {
+    val j = o.json().trim
+    try LocalDate.parse(j)
+    catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalStateException(
+          s"Incompatible checkpoint offset '$j' for RestIntradaySource: " +
+            "offsets are ISO dates (older numeric day-count checkpoints " +
+            "are not migratable — restart from a fresh checkpoint)", e)
+    }
+  }
   private def clip(d: LocalDate): LocalDate =
     if (d.isAfter(endExclusive)) endExclusive else d
 
@@ -406,8 +426,12 @@ final class RestMicroBatchStream(
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val d0 = date(startOffset)
     val base = if (d0.isBefore(start)) start else d0 // later-start restart
-    RestDayOffset(
-      clip(base.plusDays(math.max(1, daysPerBatch))).toString)
+    val next = clip(base.plusDays(math.max(1, daysPerBatch)))
+    // NEVER return an offset before the engine-supplied start: when a
+    // restart shrinks `end`, clip() could otherwise move the admitted
+    // offset BACKWARDS past already-committed days, poisoning the
+    // checkpoint so a later restart re-fetches them
+    RestDayOffset((if (next.isBefore(d0)) d0 else next).toString)
   }
   override def reportLatestOffset(): Offset =
     RestDayOffset(endExclusive.toString)

@@ -255,6 +255,39 @@ class RestSourceSpec extends SparkSuite {
       "no day may be fetched twice across the start-option change")
   }
 
+  test("streaming: shrinking `end` across a restart never regresses the " +
+    "committed offset (no re-fetch after it grows back)") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("rest-stream-ckpt3").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("rest-stream-out3").toString
+    def run(end: String): Map[String, Long] = {
+      val stream = spark.readStream
+        .format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "steps")
+        .option("start", "2024-01-01").option("end", end)
+        .option("daysPerBatch", "2")
+        .load()
+      val q = stream.writeStream.format("parquet")
+        .outputMode("append").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).groupBy(col("date")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(run("2024-01-04").keySet.size === 4)
+    // shrink end below the committed offset: no new days, and crucially
+    // the checkpoint must not be rewound past Jan 1-4
+    assert(run("2024-01-02").keySet.size === 4)
+    // grow it back: only Jan 5-6 are new; a rewound offset would have
+    // re-fetched Jan 3-4 here (2880 counts)
+    val after = run("2024-01-06")
+    assert(after.keySet.size === 6)
+    assert(after.values.toSet ===
+      Set(RestIntradaySource.MINUTES_PER_DAY.toLong),
+      "offset regression would duplicate days after end grows back")
+  }
+
   test("F8: an unsupported resource fails analysis like the ValueError") {
     val e = intercept[Exception] {
       spark.read
