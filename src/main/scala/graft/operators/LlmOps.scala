@@ -799,6 +799,122 @@ object LlmOps {
       WHERE rn <= 3"""))
 
   // ---------------------------------------------------------------------
+  // T11: naive-Bayes language ID, trained FROM the corpus — the
+  // principled upgrade over t2's marker lists: per-language token
+  // likelihoods are LEARNED from the labeled 80% slice (Laplace
+  // smoothing), and the held-out 20% is classified by additive
+  // log-probability. Everything is relational: training is two
+  // hash-aggs ((lang, tok) counts + per-lang totals), the model is a
+  // vocab×langs table (tiny next to the corpus → broadcast at scale),
+  // and scoring is one (doc, lang) hash-agg over a broadcast join.
+  //
+  // Model choice: BERNOULLI likelihoods over distinct tokens —
+  // P(tok|lang) = (docs_of_lang_containing_tok + 1) / (docs_of_lang + 2)
+  // — not multinomial Laplace. With unbalanced classes and a large
+  // vocabulary, multinomial smoothing biases EVERY shared token toward
+  // the class with the most training tokens ((r·n+1)/(n+V) grows with
+  // n when V dominates), which collapses the classifier to the majority
+  // class; document-frequency likelihoods normalize by class size, so
+  // shared tokens are neutral and the language markers decide.
+  //
+  // Parity discipline: every log-prob is round(ln(...), 6) then summed
+  // as DECIMAL(20,6) — double sums are partition-order dependent, and
+  // ln() is a libm call that may differ in the last ulp between engines;
+  // rounding per-term and accumulating exactly makes the scores (and
+  // therefore the argmax) bit-stable in both engines.
+  // ---------------------------------------------------------------------
+  val t11NbLangid = Q(
+    "t11_nb_langid",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val train = toks.filter(col("doc_id") % 10 < 8)
+      val testToks = toks.filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "tok").distinct()
+
+      val trainDocs = documents(s, d).filter(col("doc_id") % 10 < 8)
+        .select("doc_id", "lang")
+      val nl = trainDocs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val df = train.groupBy(col("lang"), col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val probs = df.join(nl, Seq("lang"))
+        .select(col("lang").as("p_lang"), col("tok"),
+          round(log((col("df") + lit(1.0)) / (col("n_docs") + lit(2))), 6)
+            .as("logp"))
+      val unseen = nl
+        .select(col("lang").as("p_lang"),
+          round(log(lit(1.0) / (col("n_docs") + lit(2))), 6)
+            .as("logp_unseen"))
+      val prior = nl
+        .crossJoin(broadcast(trainDocs.agg(count(lit(1)).as("total"))))
+        .select(col("lang").as("p_lang"),
+          round(log(col("n_docs") / col("total")), 6).as("logprior"))
+
+      val scored = testToks
+        .crossJoin(broadcast(unseen)) // every (doc, tok) meets every lang
+        .join(probs, Seq("p_lang", "tok"), "left")
+        .select(col("doc_id"), col("p_lang"),
+          coalesce(col("logp"), col("logp_unseen"))
+            .cast("decimal(20,6)").as("lp"))
+        .groupBy(col("doc_id"), col("p_lang"))
+        .agg(sum(col("lp")).as("sum_lp"))
+        .join(broadcast(prior), Seq("p_lang"))
+        .select(col("doc_id"), col("p_lang"),
+          (col("sum_lp") + col("logprior").cast("decimal(20,6)"))
+            .as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("p_lang").asc)
+      val win = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("p_lang").as("guess"))
+      win.join(documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("guess"),
+          (col("guess") === col("lang")).as("is_match"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      train AS (SELECT * FROM toks WHERE doc_id % 10 < 8),
+      test AS (SELECT DISTINCT doc_id, tok FROM toks WHERE doc_id % 10 >= 8),
+      tdocs AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 < 8),
+      nl AS (SELECT lang, count(*) AS n_docs FROM tdocs GROUP BY 1),
+      df AS (SELECT lang, tok, count(DISTINCT doc_id) AS df
+             FROM train GROUP BY 1, 2),
+      probs AS (
+        SELECT df.lang AS p_lang, df.tok,
+          round(ln((df.df + 1.0) / (nl.n_docs + 2)), 6) AS logp
+        FROM df JOIN nl USING (lang)),
+      unseen AS (
+        SELECT lang AS p_lang,
+          round(ln(1.0 / (n_docs + 2)), 6) AS logp_unseen
+        FROM nl),
+      prior AS (
+        SELECT lang AS p_lang,
+          round(ln(n_docs::DOUBLE / (SELECT count(*) FROM tdocs)), 6)
+            AS logprior
+        FROM nl),
+      scored AS (
+        SELECT t.doc_id, u.p_lang,
+          sum(CAST(coalesce(p.logp, u.logp_unseen) AS DECIMAL(20,6)))
+            AS sum_lp
+        FROM test t CROSS JOIN unseen u
+        LEFT JOIN probs p ON p.p_lang = u.p_lang AND p.tok = t.tok
+        GROUP BY 1, 2),
+      final AS (
+        SELECT s.doc_id, s.p_lang,
+          s.sum_lp + CAST(pr.logprior AS DECIMAL(20,6)) AS score
+        FROM scored s JOIN prior pr USING (p_lang)),
+      win AS (
+        SELECT doc_id, p_lang AS guess FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, p_lang ASC) AS rn FROM final) z
+        WHERE rn = 1)
+      SELECT w.doc_id, d.lang, w.guess, w.guess = d.lang AS is_match
+      FROM win w JOIN documents d ON d.doc_id = w.doc_id"""))
+
+  // ---------------------------------------------------------------------
   // C1: the curation pipeline end to end — what a training-data run
   // actually executes: exact-dedup survivors (min doc_id per normalized
   // hash) → quality gate (token count + stopword ratio) → curated
@@ -847,5 +963,5 @@ object LlmOps {
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    t9SequencePack, t10Tfidf, c1CurateCorpus, c2SplitAssign)
+    t9SequencePack, t10Tfidf, t11NbLangid, c1CurateCorpus, c2SplitAssign)
 }
