@@ -78,11 +78,12 @@ object LlmOps {
       .select(col("doc_id"), Portable.h60(col("shingle"), "sh|").as("sh"))
       .distinct()
 
-  /** d2's pinned frames per (app, dataset): re-entry unpersists the prior
-    * run's blocks so repeated invocations in one JVM (RegistrySpec, bench
-    * warmup+measure) don't accumulate block-manager residents (ADVICE r2).
-    */
-  private val d2Pinned =
+  /** Pinned frames per (query, app, dataset): re-entry unpersists the
+    * prior run's blocks so repeated invocations in one JVM (RegistrySpec,
+    * bench warmup+measure) don't accumulate block-manager residents
+    * (ADVICE r2). Shared by d2 (signature tables) and d7 (edge list +
+    * per-round label frontiers). */
+  private val pinned =
     scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
 
   /** Unpersist every frame d2 still has pinned in this JVM (ADVICE r3).
@@ -92,14 +93,14 @@ object LlmOps {
     * application. Bench and Verify call it after their last query;
     * long-lived sessions embedding the library should too. */
   def releaseCaches(): Unit =
-    d2Pinned.keys.toSeq.foreach(k =>
-      d2Pinned.remove(k).foreach(_.foreach(_.unpersist(blocking = false))))
+    pinned.keys.toSeq.foreach(k =>
+      pinned.remove(k).foreach(_.foreach(_.unpersist(blocking = false))))
 
   val d2DedupMinhash = Q(
     "d2_dedup_minhash",
     (s, d) => {
       val pinKey = s"${s.sparkContext.applicationId}|$d"
-      d2Pinned.remove(pinKey)
+      pinned.remove(pinKey)
         .foreach(_.foreach(_.unpersist(blocking = false)))
       // The shingle and signature tables feed MULTIPLE downstream joins
       // (band self-join, intersection probes, size lookups); Catalyst
@@ -135,7 +136,7 @@ object LlmOps {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
         .persist()
-      d2Pinned(pinKey) = Seq(sh, mh, cand)
+      pinned(pinKey) = Seq(sh, mh, cand)
       val sizes = mh.select(col("doc_id"), col("n"))
       val inter = cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
@@ -262,51 +263,45 @@ object LlmOps {
       .select(col("doc_id"), Portable.h60(col("gram"), seed).as("gh"))
       .distinct()
 
-  val d5NgramJaccard = Q(
-    "d5_ngram_jaccard",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val grams = wordNgramHashes(s, d, 3, "ng|")
-      // per-doc top-ANCHORS by hash: WindowGroupLimit keeps the partial
-      // top-k on the map side, so only ANCHORS rows per doc shuffle.
-      // gh is the per-doc distinct key, so the ordering needs no
-      // tie-break column.
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("gh").asc)
-      val anchors = grams
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= ANCHORS)
-        .select(col("doc_id"), col("gh").as("anchor"))
-      val cand = anchors.select(col("doc_id").as("id_a"), col("anchor"))
-        .join(anchors.select(col("doc_id").as("id_b"), col("anchor")),
-          Seq("anchor"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(grams.select(col("doc_id").as("id_a"), col("gh")),
-          Seq("id_a"))
-        .join(grams.select(col("doc_id").as("id_b"), col("gh")),
-          Seq("id_b", "gh"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-      // threshold on EXACT integer arithmetic — jaccard >= 1/5 iff
-      // 5*|A∩B| >= |A∪B| — so Spark's BigDecimal HALF_UP round and
-      // DuckDB's double-scaled round can't disagree on a 6th-digit tie
-      // and flip a pair across the cut (ADVICE r3); round() is display
-      // only.
-      cand.join(inter, Seq("id_a", "id_b"), "left")
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
-          Seq("id_a"))
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
-          Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          coalesce(col("n_inter"), lit(0L)).as("ni"),
-          col("na"), col("nb"))
-        .filter(col("ni") * 5 >= col("na") + col("nb") - col("ni"))
-        .select(col("id_a"), col("id_b"),
-          round(col("ni").cast("double") /
-            (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
-    },
-    Some(s"""WITH toks AS (
+  /** Anchor-blocked candidate pairs with exact intersection/set sizes —
+    * the shared generator for d5 (thresholded Jaccard report) and d7
+    * (duplicate-cluster assembly). Columns: id_a, id_b, ni, na, nb.
+    * Per-doc top-ANCHORS by hash: WindowGroupLimit keeps the partial
+    * top-k on the map side, so only ANCHORS rows per doc shuffle; gh is
+    * the per-doc distinct key, so the ordering needs no tie-break. */
+  private def ngramPairStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = wordNgramHashes(s, d, 3, "ng|")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("gh").asc)
+    val anchors = grams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ANCHORS)
+      .select(col("doc_id"), col("gh").as("anchor"))
+    val cand = anchors.select(col("doc_id").as("id_a"), col("anchor"))
+      .join(anchors.select(col("doc_id").as("id_b"), col("anchor")),
+        Seq("anchor"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(grams.select(col("doc_id").as("id_a"), col("gh")),
+        Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("gh")),
+        Seq("id_b", "gh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_inter"), lit(0L)).as("ni"),
+        col("na"), col("nb"))
+  }
+
+  /** DuckDB CTE chain mirroring [[ngramPairStats]] (ends in `pstats`);
+    * prefix with WITH / WITH RECURSIVE and append consumers. */
+  private val ngramPairStatsSql = s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       grams AS (
         SELECT DISTINCT doc_id,
@@ -329,17 +324,120 @@ object LlmOps {
         FROM cand c
         JOIN grams ga ON ga.doc_id = c.id_a
         JOIN grams gb ON gb.doc_id = c.id_b AND gb.gh = ga.gh
-        GROUP BY c.id_a, c.id_b)
-      SELECT id_a, id_b,
-        round(ni::DOUBLE / (na + nb - ni), 6) AS jaccard
-      FROM (
+        GROUP BY c.id_a, c.id_b),
+      pstats AS (
         SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
           za.n AS na, zb.n AS nb
         FROM cand c
         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
         JOIN sizes za ON za.doc_id = c.id_a
-        JOIN sizes zb ON zb.doc_id = c.id_b) t
+        JOIN sizes zb ON zb.doc_id = c.id_b)"""
+
+  val d5NgramJaccard = Q(
+    "d5_ngram_jaccard",
+    (s, d) =>
+      // threshold on EXACT integer arithmetic — jaccard >= 1/5 iff
+      // 5*|A∩B| >= |A∪B| — so Spark's BigDecimal HALF_UP round and
+      // DuckDB's double-scaled round can't disagree on a 6th-digit tie
+      // and flip a pair across the cut (ADVICE r3); round() is display
+      // only.
+      ngramPairStats(s, d)
+        .filter(col("ni") * 5 >= col("na") + col("nb") - col("ni"))
+        .select(col("id_a"), col("id_b"),
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")), 6).as("jaccard")),
+    Some(s"""WITH $ngramPairStatsSql
+      SELECT id_a, id_b,
+        round(ni::DOUBLE / (na + nb - ni), 6) AS jaccard
+      FROM pstats
       WHERE ni * 5 >= na + nb - ni"""))
+
+  // ---------------------------------------------------------------------
+  // D7: duplicate-CLUSTER assembly — connected components over the
+  // near-dup pair graph d5 emits. Pairwise similarity is not a dedup
+  // decision: if A~B and B~C, one survivor must represent {A,B,C} even
+  // when A~C was never scored, so every production dedup pipeline runs a
+  // CC pass between candidate scoring and survivor election.
+  //
+  // Algorithm: iterative min-label propagation to a FIXPOINT —
+  // lbl(v) ← min(lbl(v), min over neighbors lbl(u)) — each round one
+  // self-equi-join on the symmetrized edge list plus one hash-agg, with
+  // the frontier persisted and a changed-labels count as the
+  // convergence action. Rounds needed = graph diameter, and near-dup
+  // components are anchor-bucket cliques glued at shared docs (diameter
+  // a few hops), so the loop is O(few) rounds of narrow (v, lbl) long
+  // pairs; an adversarial long-chain graph would call for the
+  // large-star/small-star contraction (O(log²) rounds) on the same
+  // relational skeleton. The driver-side loop holds only a changed-row
+  // COUNT, never data.
+  //
+  // The fixpoint is algorithm-independent (component-min labels), which
+  // is what makes an engine-independent oracle possible: DuckDB computes
+  // the same labels by recursive reachability closure — min reachable
+  // vertex id == component min on a symmetric graph.
+  // ---------------------------------------------------------------------
+  private val CC_MAX_ROUNDS = 50
+
+  val d7DedupCc = Q(
+    "d7_dedup_cc",
+    (s, d) => {
+      val pinKey = s"d7|${s.sparkContext.applicationId}|$d"
+      pinned.remove(pinKey)
+        .foreach(_.foreach(_.unpersist(blocking = false)))
+      val edges = ngramPairStats(s, d)
+        .filter(col("ni") * 5 >= col("na") + col("nb") - col("ni"))
+        .select(col("id_a"), col("id_b"))
+      // symmetrize once and pin: every propagation round re-reads it
+      val sym = edges.select(col("id_a").as("v"), col("id_b").as("n"))
+        .union(edges.select(col("id_b").as("v"), col("id_a").as("n")))
+        .persist()
+      var lbl = sym.select(col("v")).distinct()
+        .select(col("v"), col("v").as("lbl")).persist()
+      var kept = List[DataFrame](sym, lbl)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < CC_MAX_ROUNDS) {
+        val next = sym.as("s")
+          .join(lbl.as("l"), col("s.n") === col("l.v"))
+          .select(col("s.v").as("v"), col("l.lbl").as("lbl"))
+          .union(lbl)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .persist()
+        // labels only ever decrease under min-propagation, so one
+        // strict-< count is a complete convergence test
+        val changed = next.as("a").join(lbl.as("b"), col("a.v") === col("b.v"))
+          .filter(col("a.lbl") < col("b.lbl")).count()
+        kept ::= next
+        lbl = next
+        converged = changed == 0
+        rounds += 1
+      }
+      require(converged,
+        s"d7: label propagation not at fixpoint after $CC_MAX_ROUNDS rounds")
+      pinned(pinKey) = kept
+      val cs = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      // cluster count ≤ vertex count and shrinks with merging — the size
+      // lookup is a textbook broadcast dimension
+      lbl.as("x").join(broadcast(cs).as("c"), col("x.lbl") === col("c.lbl"))
+        .select(col("x.v").as("doc_id"), col("x.lbl").as("cluster_id"),
+          col("c.cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE $ngramPairStatsSql,
+      edges AS (
+        SELECT id_a, id_b FROM pstats WHERE ni * 5 >= na + nb - ni),
+      sym AS (
+        SELECT id_a AS v, id_b AS n FROM edges
+        UNION ALL
+        SELECT id_b AS v, id_a AS n FROM edges),
+      verts AS (SELECT DISTINCT v FROM sym),
+      reach AS (
+        SELECT v, v AS lbl FROM verts
+        UNION
+        SELECT s.n AS v, r.lbl FROM reach r JOIN sym s ON s.v = r.v),
+      labels AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+      cs AS (SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY lbl)
+      SELECT l.v AS doc_id, l.lbl AS cluster_id, c.cluster_size
+      FROM labels l JOIN cs c ON c.lbl = l.lbl"""))
 
   // ---------------------------------------------------------------------
   // D6: benchmark decontamination — flag corpus documents that share
@@ -961,7 +1059,7 @@ object LlmOps {
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
-    d6Decontaminate, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, c1CurateCorpus, c2SplitAssign)
 }

@@ -139,4 +139,39 @@ class DedupSpec extends SparkSuite {
       assert(found.nonEmpty && found.forall(_._3 === 1.0))
     }
   }
+
+  test("D7: distributed label propagation matches a driver union-find") {
+    val pairs = graft.operators.LlmOps.d5NgramJaccard.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // independent reference: classic union-find over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(v => v -> find(v)).toMap
+    // canonical label = min member id per component
+    val expected = roots.groupBy(_._2).values.flatMap { m =>
+      val lbl = m.keys.min
+      m.keys.map(_ -> lbl)
+    }.toMap
+    val sizes = expected.groupBy(_._2).map { case (l, m) => l -> m.size.toLong }
+
+    val out = graft.operators.LlmOps.d7DedupCc.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet === expected.keySet)
+    out.foreach { case (v, lbl, cs) =>
+      assert(lbl === expected(v), s"doc $v labeled $lbl")
+      assert(cs === sizes(lbl), s"cluster $lbl size")
+    }
+    // transitivity actually exercised: some component must be larger
+    // than any single pair
+    assert(sizes.values.max >= 3L,
+      "fixture graph should chain at least one 3-doc component")
+  }
 }
