@@ -845,6 +845,43 @@ object LlmOps {
       FROM documents"""))
 
   // ---------------------------------------------------------------------
+  // C3: deterministic stratified sampling — rebalance the corpus mix by
+  // keeping each document iff its seeded hash falls under its stratum's
+  // threshold. This is how training mixes are actually struck at scale:
+  // rand() sampling is irreproducible across retries/executors and
+  // unstable under repartition, while hash-gating is a pure map-side
+  // codegen'd filter — no shuffle, no state, the same sample on every
+  // rerun of a 100 TB corpus, and membership of any doc is auditable
+  // from its id alone. Thresholds are EXACT powers-of-two fractions of
+  // the h60 range (rate r = thr / 2^60), so both engines compare
+  // integers — no double rounding at the gate. Strata absent from the
+  // table (here: de) keep everything — the sane default for a mix spec
+  // that names only the strata it downsamples.
+  // ---------------------------------------------------------------------
+  /** stratum → keep-threshold over h60's [0, 2^60) range. */
+  private val SAMPLE_THRESHOLDS: Seq[(String, Long)] = Seq(
+    "en" -> (1L << 59), // 1/2 — the over-represented stratum
+    "zh" -> 3L * (1L << 58), // 3/4
+    "es" -> 5L * (1L << 57), // 5/8
+    "fr" -> (1L << 58)) // 1/4
+  private val KEEP_ALL = 1L << 60 // > any h60 value
+
+  val c3StratifiedSample = Q(
+    "c3_stratified_sample",
+    (s, d) => {
+      val thr = SAMPLE_THRESHOLDS.foldRight(lit(KEEP_ALL): Column) {
+        case ((l, t), acc) => when(col("lang") === l, lit(t)).otherwise(acc)
+      }
+      documents(s, d)
+        .filter(Portable.h60(col("doc_id").cast("string"), "samp|") < thr)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    Some(s"""SELECT doc_id, lang, source FROM documents
+      WHERE ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "samp|")} <
+        CASE lang ${SAMPLE_THRESHOLDS.map { case (l, t) =>
+          s"WHEN '$l' THEN $t" }.mkString(" ")} ELSE $KEEP_ALL END"""))
+
+  // ---------------------------------------------------------------------
   // T10: TF-IDF top terms per document — the classic distinctive-term
   // extractor (keyword indexing, topic sampling, dedup features). Three
   // relational stages: per-(doc, term) counts (one hash-agg), document
@@ -1061,5 +1098,6 @@ object LlmOps {
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    t9SequencePack, t10Tfidf, t11NbLangid, c1CurateCorpus, c2SplitAssign)
+    t9SequencePack, t10Tfidf, t11NbLangid, c1CurateCorpus, c2SplitAssign,
+    c3StratifiedSample)
 }

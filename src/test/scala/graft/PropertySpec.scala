@@ -150,4 +150,39 @@ class PropertySpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getString(1))
     sub.foreach { case (id, split) => assert(a(id) === split) }
   }
+
+  test("C3: stratified sample is run-stable, per-stratum rated, id-local") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = graft.operators.LlmOps.c3StratifiedSample.fn(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.operators.LlmOps.c3StratifiedSample.fn(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "hash gate must be run-stable")
+    assert(a.nonEmpty && a.size < docs.size, "must actually downsample")
+    // un-named strata pass through untouched
+    val de = docs.collect { case (id, "de") => id }.toSet
+    assert(de.subsetOf(a), "strata without a threshold keep every doc")
+    // named strata land near their configured rate (binomial slack)
+    def rate(lang: String): Double = {
+      val all = docs.collect { case (id, l) if l == lang => id }
+      all.count(a).toDouble / all.size
+    }
+    assert(math.abs(rate("en") - 0.5) < 0.25)
+    assert(math.abs(rate("fr") - 0.25) < 0.25)
+    // membership is decidable from the id alone: gating a 1-row frame
+    // agrees with the full-corpus run for every doc
+    import org.apache.spark.sql.functions._
+    val h = graft.functions.Portable.h60(col("doc_id").cast("string"), "samp|")
+    val hs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), h.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thr = Map("en" -> (1L << 59), "zh" -> 3L * (1L << 58),
+      "es" -> 5L * (1L << 57), "fr" -> (1L << 58))
+    docs.foreach { case (id, lang) =>
+      val keep = hs(id) < thr.getOrElse(lang, 1L << 60)
+      assert(keep === a.contains(id), s"doc $id gate mismatch")
+    }
+  }
 }
