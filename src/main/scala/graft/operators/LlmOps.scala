@@ -882,6 +882,101 @@ object LlmOps {
           s"WHEN '$l' THEN $t" }.mkString(" ")} ELSE $KEEP_ALL END"""))
 
   // ---------------------------------------------------------------------
+  // A9: HyperLogLog distinct-count sketch, fully relational and
+  // engine-portable — per-language distinct-trigram cardinality without
+  // a distinct. THE cardinality tool at 100 TB: exact countDistinct
+  // shuffles every distinct value, while the sketch reduces a stratum
+  // to a FIXED 2^p-register table (here p=8 → 256 rows per language)
+  // built by one map-side-partial max aggregation, and register tables
+  // are mergeable by pairwise max — across partitions, days, or
+  // clusters — which is what makes the sketch composable in a lake.
+  //
+  // Portability discipline: the h60 hash splits into a p-bit register
+  // index and a (60-p)-bit suffix whose leading-zero rank comes from
+  // length(bin(w)) — string length of the binary form, identical in
+  // both engines, no floating log2. The harmonic mean accumulates as
+  // Σ 2^(53-M_j) in EXACT BIGINT arithmetic (≤ 2^61, no overflow), so
+  // the only floating-point steps are one division by the inlined
+  // alpha·m²·2^53 literal and the small-range linear-counting branch
+  // (m·ln(m/V)) — each a single correctly-rounded IEEE op on identical
+  // inputs, rounded to 4dp on both sides. The exact countDistinct rides
+  // along to exhibit the sketch error (≈1.04/√m ≈ 6.5% at p=8); a
+  // production run would drop it — it is the shuffle being avoided.
+  // ---------------------------------------------------------------------
+  private val HLL_P = 8
+  private val HLL_M = 1 << HLL_P // registers per stratum
+  private val HLL_WMASK = 1L << (60 - HLL_P) // 2^52: suffix range
+  /** alpha_m · m² · 2^53 — numerator of the scaled harmonic-mean
+    * estimate; shortest-round-trip literal shared with the oracle. */
+  private val HLL_NUMC: Double =
+    0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * math.pow(2, 53)
+
+  val a9HllDistinct = Q(
+    "a9_hll_distinct",
+    (s, d) => {
+      val grams = documents(s, d)
+        .select(col("lang"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(t)-3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+      val reg = grams
+        .select(col("lang"), Portable.h60(col("gram"), "hll|").as("h"))
+        .select(col("lang"), expr(s"h div $HLL_WMASK").as("idx"),
+          (col("h") % HLL_WMASK).as("w"))
+        .select(col("lang"), col("idx"),
+          when(col("w") === 0, lit(53))
+            .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
+        .groupBy(col("lang"), col("idx"))
+        .agg(max(col("rho")).as("m_rho"))
+      val z = reg.groupBy(col("lang")).agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_rho AS INT))")) +
+          (lit(HLL_M.toLong) - count(lit(1))) * lit(1L << 53)).as("z_scaled"),
+        (lit(HLL_M.toLong) - count(lit(1))).as("v_zero"))
+      val fin = z
+        .select(col("lang"), (lit(HLL_NUMC) / col("z_scaled")).as("raw"),
+          col("v_zero"))
+        .select(col("lang"),
+          when(col("raw") <= lit(2.5 * HLL_M) && col("v_zero") > 0,
+            round(lit(HLL_M.toDouble) *
+              log(lit(HLL_M.toDouble) / col("v_zero")), 4))
+            .otherwise(round(col("raw"), 4)).as("n_hll"))
+      grams.groupBy(col("lang"))
+        .agg(countDistinct(col("gram")).as("n_exact"))
+        .join(fin, Seq("lang"))
+        .select(col("lang"), col("n_exact"), col("n_hll"),
+          round(abs(col("n_hll") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
+      g AS (
+        SELECT lang, unnest(list_transform(range(len(t)-2),
+          i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+        FROM toks WHERE len(t) >= 3),
+      reg AS (
+        SELECT lang, h // $HLL_WMASK AS idx,
+          max(CASE WHEN h % $HLL_WMASK = 0 THEN 53
+              ELSE 53 - length(bin(h % $HLL_WMASK)) END) AS m_rho
+        FROM (SELECT lang, ${Portable.h60Duck("gram", "hll|")} AS h FROM g) t
+        GROUP BY 1, 2),
+      z AS (
+        SELECT lang,
+          sum(1::BIGINT << CAST(53 - m_rho AS INT)) +
+            ($HLL_M - count(*)) * (1::BIGINT << 53) AS z_scaled,
+          $HLL_M - count(*) AS v_zero
+        FROM reg GROUP BY 1),
+      fin AS (
+        SELECT lang, CASE WHEN raw <= ${2.5 * HLL_M} AND v_zero > 0
+            THEN round($HLL_M.0 * ln($HLL_M.0 / v_zero), 4)
+            ELSE round(raw, 4) END AS n_hll
+        FROM (SELECT lang, $HLL_NUMC / z_scaled AS raw, v_zero FROM z) t),
+      ex AS (SELECT lang, count(DISTINCT gram) AS n_exact FROM g GROUP BY 1)
+      SELECT e.lang, e.n_exact, f.n_hll,
+        round(abs(f.n_hll - e.n_exact) / e.n_exact, 4) AS rel_err
+      FROM ex e JOIN fin f USING (lang)"""))
+
+  // ---------------------------------------------------------------------
   // T10: TF-IDF top terms per document — the classic distinctive-term
   // extractor (keyword indexing, topic sampling, dedup features). Three
   // relational stages: per-(doc, term) counts (one hash-agg), document
@@ -1098,6 +1193,6 @@ object LlmOps {
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    t9SequencePack, t10Tfidf, t11NbLangid, c1CurateCorpus, c2SplitAssign,
-    c3StratifiedSample)
+    t9SequencePack, t10Tfidf, t11NbLangid, a9HllDistinct, c1CurateCorpus,
+    c2SplitAssign, c3StratifiedSample)
 }

@@ -185,4 +185,45 @@ class PropertySpec extends SparkSuite {
       assert(keep === a.contains(id), s"doc $id gate mismatch")
     }
   }
+
+  test("A9: HLL estimate tracks exact cardinality; registers merge by max") {
+    val rows = graft.operators.LlmOps.a9HllDistinct.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, err) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(est > 0.0)
+      // 3-sigma bound for m=256 (sigma = 1.04/sqrt(256) = 6.5%)
+      assert(err < 0.20, s"lang ${r.getString(0)}: est $est vs exact $exact")
+    }
+    // mergeability: the register table of the union equals the pairwise
+    // max of the halves' register tables — the property that lets 1000
+    // executors (or 30 daily snapshots) sketch independently
+    import org.apache.spark.sql.functions._
+    val grams = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(t)-3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+    def regs(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Int] = {
+      val w = 1L << 52
+      df.select(col("lang"),
+        graft.functions.Portable.h60(col("gram"), "hll|").as("h"))
+        .select(col("lang"), expr(s"h div $w").as("idx"),
+          (col("h") % w).as("rem"))
+        .select(col("lang"), col("idx"),
+          when(col("rem") === 0, lit(53))
+            .otherwise(lit(53) - length(bin(col("rem")))).as("rho"))
+        .groupBy("lang", "idx").agg(max("rho").as("m"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    }
+    val all = regs(grams)
+    val lo = regs(grams.filter(col("doc_id") % 2 === 0))
+    val hi = regs(grams.filter(col("doc_id") % 2 === 1))
+    val merged = (lo.keySet ++ hi.keySet).map(k =>
+      k -> math.max(lo.getOrElse(k, 0), hi.getOrElse(k, 0))).toMap
+    assert(merged === all)
+  }
 }
