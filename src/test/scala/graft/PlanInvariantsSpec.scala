@@ -55,4 +55,17 @@ class PlanInvariantsSpec extends SparkSuite {
     val p = finalPlan("t10_tfidf")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("a9: register aggregation hash-aggregates; no nested-loop joins") {
+    val p = finalPlan("a9_hll_distinct")
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d7: the cluster-size lookup broadcasts; labels read from cache") {
+    val p = finalPlan("d7_dedup_cc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("InMemoryTableScan"),
+      s"fixpoint labels must come from the persisted frontier:\n$p")
+  }
 }
