@@ -407,8 +407,76 @@ object Ann {
             ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
       WHERE rn <= 5"""))
 
+  // ---------------------------------------------------------------------
+  // A10: int8 scalar quantization — the embedding-STORAGE operator: at
+  // 100 TB of float32 vectors, 4× compression (one byte per dimension,
+  // per-dimension min/max codebook) is the difference between an index
+  // that fits executor memory and one that doesn't. Relational shape:
+  // one posexplode + per-dim min/max agg (the codebook: 64 rows — a
+  // broadcast dimension), then encode/decode as a pure projection and a
+  // per-vector reconstruction report. Parity: codes are computed with
+  // floor(t·255 + 0.5) — floor is exact on both engines, unlike
+  // round()'s half-up/half-even split — and squared errors accumulate
+  // as DECIMAL cast from identical doubles, so partition order cannot
+  // move an ulp. code_sum is an exact integer checksum over the whole
+  // code vector: if ANY of the 64 codes differed between engines, it
+  // would break before rmse rounding could hide it.
+  // ---------------------------------------------------------------------
+  val a10ScalarQuant = Q(
+    "a10_scalar_quant",
+    (s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+      val codebook = dims.groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val coded = dims.join(broadcast(codebook), Seq("dim"))
+        .select(col("vec_id"), col("x"), col("mn"), col("mx"),
+          when(col("mx") > col("mn"),
+            least(lit(255.0), greatest(lit(0.0),
+              floor((col("x") - col("mn")) / (col("mx") - col("mn")) *
+                255.0 + 0.5))))
+            .otherwise(lit(0.0)).cast("long").as("code"))
+      coded
+        .select(col("vec_id"), col("code"), col("x"),
+          (col("mn") + col("code").cast("double") / 255.0 *
+            (col("mx") - col("mn"))).as("xq"))
+        .select(col("vec_id"), col("code"),
+          ((col("x") - col("xq")) * (col("x") - col("xq")))
+            .cast("decimal(30,15)").as("sqerr"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("code")).as("code_sum"),
+          round(sqrt(sum(col("sqerr")).cast("double") / count(lit(1))), 6)
+            .as("rmse"))
+    },
+    Some("""WITH dims AS (
+        SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(len(embedding))) AS dim
+              FROM embeddings) t),
+      codebook AS (
+        SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+      coded AS (
+        SELECT vec_id, x, mn, mx,
+          CAST(CASE WHEN mx > mn
+            THEN least(255.0, greatest(0.0,
+              floor((x - mn) / (mx - mn) * 255.0 + 0.5)))
+            ELSE 0.0 END AS BIGINT) AS code
+        FROM dims JOIN codebook USING (dim)),
+      rec AS (
+        SELECT vec_id, code,
+          CAST((x - (mn + code / 255.0 * (mx - mn))) *
+               (x - (mn + code / 255.0 * (mx - mn)))
+            AS DECIMAL(30,15)) AS sqerr
+        FROM coded)
+      SELECT vec_id, count(*) AS n_dims,
+        CAST(sum(code) AS BIGINT) AS code_sum,
+        round(sqrt(CAST(sum(sqerr) AS DOUBLE) / count(*)), 6) AS rmse
+      FROM rec GROUP BY 1"""))
+
   /** All similarity-search queries, registration order. */
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
-      d4EmbedNeardup)
+      a10ScalarQuant, d4EmbedNeardup)
 }

@@ -845,6 +845,69 @@ object LlmOps {
       FROM documents"""))
 
   // ---------------------------------------------------------------------
+  // T12: count-min heavy hitters — frequency estimation from a sketch
+  // that is a FIXED D×W counter table (4×64 here) no matter how large
+  // the corpus: D seeded bucket projections of every token occurrence,
+  // one hash-agg, and the estimate for any token is the MIN of its D
+  // bucket counts (never an undercount — collisions only inflate).
+  // This is the standing answer to "what are the hot tokens/URLs/docs"
+  // at 100 TB: the sketch build is map-side partial counting into 256
+  // cells, sketches merge by cell-wise ADD across partitions or days,
+  // and no per-token state survives the scan. The whole operator is
+  // integer arithmetic — hash, modulo, count, min — so both engines
+  // agree bit-for-bit with no rounding discipline needed. The exact
+  // top-10 rides along to exhibit the overcount (W=64 forces visible
+  // collisions on this vocabulary).
+  // ---------------------------------------------------------------------
+  private val CM_W = 64 // buckets per row (power of two: exact modulo)
+  private val CM_D = 4 // seeded rows; estimate = min across rows
+
+  val t12CountminTopk = Q(
+    "t12_countmin_topk",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+      def buckets(c: Column): Column = array((0 until CM_D).map(i =>
+        struct(lit(i).as("depth"),
+          (Portable.h60(c, s"cm$i|") % CM_W).as("bucket"))): _*)
+      val sk = toks.select(explode(buckets(col("tok"))).as("db"))
+        .groupBy(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc).limit(10)
+      top
+        .select(col("tok"), col("n_exact"),
+          explode(buckets(col("tok"))).as("db"))
+        .select(col("tok"), col("n_exact"), col("db.depth").as("depth"),
+          col("db.bucket").as("bucket"))
+        .join(broadcast(sk), Seq("depth", "bucket"))
+        .groupBy(col("tok"), col("n_exact"))
+        .agg(min(col("cnt")).as("n_cm"))
+        .select(col("tok"), col("n_exact"), col("n_cm"),
+          (col("n_cm") - col("n_exact")).as("overcount"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      sk AS (
+        SELECT depth, bucket, count(*) AS cnt FROM (
+          ${(0 until CM_D).map(i =>
+            s"SELECT $i AS depth, ${Portable.h60Duck("tok", s"cm$i|")} % $CM_W AS bucket FROM toks")
+            .mkString(" UNION ALL ")}) u
+        GROUP BY 1, 2),
+      top AS (
+        SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1
+        ORDER BY n_exact DESC, tok ASC LIMIT 10),
+      probes AS (
+        ${(0 until CM_D).map(i =>
+          s"SELECT tok, n_exact, $i AS depth, ${Portable.h60Duck("tok", s"cm$i|")} % $CM_W AS bucket FROM top")
+          .mkString(" UNION ALL ")}),
+      est AS (
+        SELECT p.tok, p.n_exact, min(s.cnt) AS n_cm
+        FROM probes p JOIN sk s ON s.depth = p.depth AND s.bucket = p.bucket
+        GROUP BY 1, 2)
+      SELECT tok, n_exact, n_cm, n_cm - n_exact AS overcount FROM est"""))
+
+  // ---------------------------------------------------------------------
   // C3: deterministic stratified sampling — rebalance the corpus mix by
   // keeping each document iff its seeded hash falls under its stratum's
   // threshold. This is how training mixes are actually struck at scale:
@@ -1193,6 +1256,6 @@ object LlmOps {
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    t9SequencePack, t10Tfidf, t11NbLangid, a9HllDistinct, c1CurateCorpus,
-    c2SplitAssign, c3StratifiedSample)
+    t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, a9HllDistinct,
+    c1CurateCorpus, c2SplitAssign, c3StratifiedSample)
 }

@@ -226,4 +226,58 @@ class PropertySpec extends SparkSuite {
       k -> math.max(lo.getOrElse(k, 0), hi.getOrElse(k, 0))).toMap
     assert(merged === all)
   }
+
+  test("T12: count-min never undercounts; sketches merge by cell-wise add") {
+    val rows = graft.operators.LlmOps.t12CountminTopk.fn(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: estimate under exact count")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+    // mergeability: cell counts over the full corpus = sum of the
+    // halves' cells (counters are additive, unlike HLL's max-registers)
+    import org.apache.spark.sql.functions._
+    def cells(p: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Map[(Int, Long), Long] = {
+      val toks = p(graft.Tables.documents(spark, sf))
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      toks.select(explode(array((0 until 4).map(i =>
+          struct(lit(i).as("d"),
+            (graft.functions.Portable.h60(col("tok"), s"cm$i|") % 64)
+              .as("b"))): _*)).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val full = cells(identity)
+    val lo = cells(_.filter(col("doc_id") % 2 === 0))
+    val hi = cells(_.filter(col("doc_id") % 2 === 1))
+    val merged = (lo.keySet ++ hi.keySet).map(k =>
+      k -> (lo.getOrElse(k, 0L) + hi.getOrElse(k, 0L))).toMap
+    assert(merged === full)
+  }
+
+  test("A10: codes are bytes and reconstruction error is within a half-step") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Ann.a10ScalarQuant.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    // worst per-dim step: (mx - mn) / 255 over the widest dimension
+    val rng = graft.Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")))
+      .select(col("pos"), col("col").cast("double").as("x"))
+      .groupBy("pos").agg((max("x") - min("x")).as("r"))
+      .agg(max("r")).collect()(0).getDouble(0)
+    val halfStep = rng / 255.0 / 2.0
+    out.foreach { r =>
+      assert(r.getLong(1) > 0, "vector must have dimensions")
+      val maxSum = 255L * r.getLong(1)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= maxSum,
+        s"vec ${r.getLong(0)}: code_sum out of byte range")
+      // rmse over dims can't exceed the worst half-step (+ float slack)
+      assert(r.getDouble(3) <= halfStep * 1.0001,
+        s"vec ${r.getLong(0)}: rmse ${r.getDouble(3)} > half-step $halfStep")
+    }
+  }
 }
