@@ -88,4 +88,44 @@ object StreamingJobs {
           Iterator(UserTotal(user, total))
         })
   }
+
+  /** Streaming maintenance of a9's HyperLogLog registers: per-stratum
+    * state is the FIXED 256-int register array, each micro-batch folds
+    * its hashes in by max, and the emitted rows are the non-zero
+    * registers after the batch. Because registers only ever grow, the
+    * final streaming state equals the batch-computed register table
+    * EXACTLY (StreamingSpec proves it) — so a 100 TB backfill sketched
+    * in batch and a live stream sketched here are one mergeable,
+    * interchangeable artifact. State per stratum is 1 KB, independent
+    * of stream length — the sketch property doing the state bounding. */
+  final case class HllRegister(lang: String, idx: Int, m_rho: Int)
+  def streamingHllRegisters(
+      spark: org.apache.spark.sql.SparkSession,
+      hashed: DataFrame): org.apache.spark.sql.Dataset[HllRegister] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val W = 52 // suffix bits of the 60-bit h60 (p = 8 index bits)
+    hashed.select(col("lang"), col("h")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (lang: String, rows: Iterator[(String, Long)],
+            state: GroupState[Array[Int]]) => {
+          val regs = state.getOption.getOrElse(new Array[Int](1 << (60 - W)))
+          rows.foreach { case (_, h) =>
+            val idx = (h >>> W).toInt
+            val w = h & ((1L << W) - 1)
+            // rho = 53 - bitlength(w); bin-length parity with the batch
+            // form's length(bin(w)) = 64 - numberOfLeadingZeros(w)
+            val rho =
+              if (w == 0L) W + 1
+              else W + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(idx)) regs(idx) = rho
+          }
+          state.update(regs)
+          regs.iterator.zipWithIndex.collect {
+            case (m, i) if m > 0 => HllRegister(lang, i, m)
+          }
+        })
+  }
 }

@@ -161,4 +161,51 @@ class StreamingSpec extends SparkSuite {
       assert(out === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming HLL registers converge to the batch register table") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-side truth: the a9 register table over the sf corpus
+    val grams = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(t)-3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Portable.h60(col("gram"), "hll|").as("h"))
+    val w = 1L << 52
+    val batchRegs = grams
+      .select(col("lang"), expr(s"h div $w").as("idx"),
+        (col("h") % w).as("rem"))
+      .select(col("lang"), col("idx"),
+        when(col("rem") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("rem")))).as("rho"))
+      .groupBy("lang", "idx").agg(max("rho").as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt) -> r.getInt(2)).toMap
+
+    // stream the same hashes in three chunks
+    val rows = grams.select(col("doc_id"), col("lang"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(String, Long)]
+    val hashed = input.toDF().toDF("lang", "h")
+    val q = StreamingJobs.streamingHllRegisters(spark, hashed)
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.map(t => (t._2, t._3)).toSeq)
+        q.processAllAvailable()
+      }
+      // registers only grow → the max emission per (lang, idx) is the
+      // final state; it must equal the batch table exactly
+      val streamRegs = spark.table("hll_test")
+        .groupBy(col("lang"), col("idx")).agg(max(col("m_rho")).as("m"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(streamRegs === batchRegs,
+        "streaming sketch must be the batch sketch, register for register")
+    } finally q.stop()
+  }
 }
