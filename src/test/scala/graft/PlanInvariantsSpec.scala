@@ -68,4 +68,38 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(p.contains("InMemoryTableScan"),
       s"fixpoint labels must come from the persisted frontier:\n$p")
   }
+
+  test("runtime bloom filter reduces the fact side of a selective " +
+    "shuffle join (the 100 TB semi-join-reduction posture)") {
+    // At fact-fact scale the dim side can't broadcast, but a SELECTIVE
+    // dim filter can still prune the fact shuffle: Spark injects a
+    // bloom_filter_agg on the filtered side and a might_contain guard
+    // on the fact scan. Local thresholds are tuned down to make the
+    // optimizer fire at test scale; production leaves the defaults.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      val o = graft.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderdate") >=
+          "1998-06-01")
+      val l = graft.Tables.lineitem(spark, sf)
+      val plan = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom build on the selective side:\n$plan")
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no bloom probe on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
 }
