@@ -391,8 +391,12 @@ object LlmOps {
       val sym = edges.select(col("id_a").as("v"), col("id_b").as("n"))
         .union(edges.select(col("id_b").as("v"), col("id_a").as("n")))
         .persist()
-      var lbl = sym.select(col("v")).distinct()
-        .select(col("v"), col("v").as("lbl")).persist()
+      // seed with min(v, min neighbor) — this IS propagation round 1,
+      // fused into the vertex-set aggregation that initialization needs
+      // anyway: star components centered at their min converge at once
+      var lbl = sym.groupBy(col("v"))
+        .agg(min(col("n")).as("mn"))
+        .select(col("v"), least(col("v"), col("mn")).as("lbl")).persist()
       var kept = List[DataFrame](sym, lbl)
       var converged = false
       var rounds = 0
