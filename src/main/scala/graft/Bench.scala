@@ -53,7 +53,7 @@ object Bench {
         else samples.sorted.apply(PASSES / 2)
       name -> median
     }
-    // release d2's terminal pinned frames (ADVICE r3) — bench hygiene,
+    // release the terminal pinned frames (d2, d7 — ADVICE r3) — bench hygiene,
     // outside any timed region
     operators.LlmOps.releaseCaches()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

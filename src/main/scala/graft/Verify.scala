@@ -42,7 +42,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // release d2's terminal pinned frames (ADVICE r3)
+    // release the terminal pinned frames (d2, d7 — ADVICE r3)
     operators.LlmOps.releaseCaches()
     spark.stop()
   }

@@ -86,10 +86,11 @@ object LlmOps {
   private val pinned =
     scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
 
-  /** Unpersist every frame d2 still has pinned in this JVM (ADVICE r3).
-    * The re-entry unpin above only covers REPEATED runs of the same
-    * (app, dataset); without this, the TERMINAL run's three cached
-    * relations stay resident in the block manager for the life of the
+  /** Unpersist every frame any query still has pinned in this JVM
+    * (ADVICE r3). The re-entry unpin only covers REPEATED runs of the
+    * same (query, app, dataset); without this, the TERMINAL run's
+    * cached relations (d2's signature tables, d7's edge list + final
+    * frontier) stay resident in the block manager for the life of the
     * application. Bench and Verify call it after their last query;
     * long-lived sessions embedding the library should too. */
   def releaseCaches(): Unit =
@@ -99,7 +100,7 @@ object LlmOps {
   val d2DedupMinhash = Q(
     "d2_dedup_minhash",
     (s, d) => {
-      val pinKey = s"${s.sparkContext.applicationId}|$d"
+      val pinKey = s"d2|${s.sparkContext.applicationId}|$d"
       pinned.remove(pinKey)
         .foreach(_.foreach(_.unpersist(blocking = false)))
       // The shingle and signature tables feed MULTIPLE downstream joins
@@ -397,7 +398,6 @@ object LlmOps {
       var lbl = sym.groupBy(col("v"))
         .agg(min(col("n")).as("mn"))
         .select(col("v"), least(col("v"), col("mn")).as("lbl")).persist()
-      var kept = List[DataFrame](sym, lbl)
       var converged = false
       var rounds = 0
       while (!converged && rounds < CC_MAX_ROUNDS) {
@@ -408,17 +408,22 @@ object LlmOps {
           .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
           .persist()
         // labels only ever decrease under min-propagation, so one
-        // strict-< count is a complete convergence test
+        // strict-< count is a complete convergence test; it also
+        // materializes next's cache, after which the superseded
+        // frontier is dead weight — release it immediately rather than
+        // letting round count multiply the cache footprint
         val changed = next.as("a").join(lbl.as("b"), col("a.v") === col("b.v"))
           .filter(col("a.lbl") < col("b.lbl")).count()
-        kept ::= next
+        lbl.unpersist(blocking = false)
         lbl = next
         converged = changed == 0
         rounds += 1
       }
+      // pin BEFORE the convergence check: if require throws, re-entry
+      // and releaseCaches() can still find and release the frames
+      pinned(pinKey) = Seq(sym, lbl)
       require(converged,
         s"d7: label propagation not at fixpoint after $CC_MAX_ROUNDS rounds")
-      pinned(pinKey) = kept
       val cs = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       // cluster count ≤ vertex count and shrinks with merging — the size
       // lookup is a textbook broadcast dimension

@@ -98,7 +98,7 @@ class PlanInvariantsSpec extends SparkSuite {
         .queryExecution.optimizedPlan.toString
       assert(plan.contains("bloom_filter_agg"),
         s"no bloom build on the selective side:\n$plan")
-      assert(plan.toLowerCase.contains("bloomfilter"),
+      assert(plan.contains("might_contain"),
         s"no bloom probe on the fact side:\n$plan")
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
