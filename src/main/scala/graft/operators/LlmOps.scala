@@ -917,6 +917,50 @@ object LlmOps {
       SELECT tok, n_exact, n_cm, n_cm - n_exact AS overcount FROM est"""))
 
   // ---------------------------------------------------------------------
+  // T13: within-document repetition — the boilerplate/spam/loop signal
+  // quality filters cut on: the fraction of trigram OCCURRENCES that
+  // are repeats of an earlier trigram in the same doc, plus the hottest
+  // trigram's count. One explode + one (doc, gram) hash-agg + one
+  // per-doc rollup; grams are hashed to 60-bit longs before the shuffle
+  // (family rule), and the ratio is a single integer-derived division
+  // rounded identically in both engines. Generated text loops hard, so
+  // this is also the column the c-family curation would gate on next.
+  // ---------------------------------------------------------------------
+  val t13Repetition = Q(
+    "t13_repetition",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+        .select(col("doc_id"), Portable.h60(col("gram"), "rep|").as("gh"))
+        .groupBy(col("doc_id"), col("gh"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_rep"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          col("max_rep"),
+          round((col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams"), 6).as("rep_ratio")),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      g AS (
+        SELECT doc_id, ${Portable.h60Duck(
+          "unnest(list_transform(range(len(t)-2), " +
+            "i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))", "rep|")} AS gh
+        FROM toks WHERE len(t) >= 3),
+      pc AS (SELECT doc_id, gh, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        count(*) AS n_distinct, max(c) AS max_rep,
+        round((CAST(sum(c) AS BIGINT) - count(*))::DOUBLE /
+              CAST(sum(c) AS BIGINT), 6) AS rep_ratio
+      FROM pc GROUP BY 1"""))
+
+  // ---------------------------------------------------------------------
   // C3: deterministic stratified sampling — rebalance the corpus mix by
   // keeping each document iff its seeded hash falls under its stratum's
   // threshold. This is how training mixes are actually struck at scale:
@@ -1265,6 +1309,6 @@ object LlmOps {
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, a9HllDistinct,
-    c1CurateCorpus, c2SplitAssign, c3StratifiedSample)
+    t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
+    a9HllDistinct, c1CurateCorpus, c2SplitAssign, c3StratifiedSample)
 }

@@ -818,10 +818,76 @@ object Ingest {
           AS BIGINT) % 1000 AS value
       FROM rows_"""))
 
+  // ---------------------------------------------------------------------
+  // S10: snapshot diff — the CDC primitive over K2's date-stamped
+  // snapshots: given the same keyed aggregate taken at two cuts, emit
+  // added / removed / changed keys (the upsert-and-tombstone stream a
+  // downstream consumer applies). One full-outer join on the snapshot
+  // key; at 100 TB both snapshot builds aggregate map-side to one row
+  // per key and the join shuffles only the two key-narrow state tables,
+  // so the diff costs O(state), not O(events). Value sums accumulate in
+  // DECIMAL cast to double on both sides, so the 'changed' equality
+  // test compares identical doubles, and the unchanged majority is
+  // dropped before the result edge.
+  // Ref intent: services' date-stamped snapshot reconciliation
+  // (utils.py:299-333 snapshot listing + latest-pick).
+  // ---------------------------------------------------------------------
+  val s10SnapshotDiff = Q(
+    "s10_snapshot_diff",
+    (s, d) => {
+      def snap(day: String) = graft.Tables.events(s, d)
+        .filter(to_date(col("ts")) === lit(day))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      val a = snap("2024-01-10").select(col("user_id"), col("event_type"),
+        col("n").as("old_n"), col("v").as("old_v"))
+      val b = snap("2024-01-20").select(col("user_id"), col("event_type"),
+        col("n").as("new_n"), col("v").as("new_v"))
+      a.join(b, Seq("user_id", "event_type"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_n").isNull, lit("added"))
+            .when(col("new_n").isNull, lit("removed"))
+            .when(col("old_n") =!= col("new_n") ||
+              col("old_v") =!= col("new_v"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("user_id"), col("event_type"), col("change_type"),
+          col("old_n"), col("new_n"),
+          round(col("old_v"), 6).as("old_v"),
+          round(col("new_v"), 6).as("new_v"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type,
+          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        FROM events),
+      a AS (
+        SELECT user_id, event_type, count(*) AS old_n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS old_v
+        FROM ev WHERE day = DATE '2024-01-10' GROUP BY 1, 2),
+      b AS (
+        SELECT user_id, event_type, count(*) AS new_n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS new_v
+        FROM ev WHERE day = DATE '2024-01-20' GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+          coalesce(a.event_type, b.event_type) AS event_type,
+          CASE WHEN a.user_id IS NULL THEN 'added'
+               WHEN b.user_id IS NULL THEN 'removed'
+               WHEN a.old_n <> b.new_n OR a.old_v <> b.new_v THEN 'changed'
+               ELSE 'unchanged' END AS change_type,
+          old_n, new_n, old_v, new_v
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type)
+      SELECT user_id, event_type, change_type, old_n, new_n,
+        round(old_v, 6) AS old_v, round(new_v, 6) AS new_v
+      FROM j WHERE change_type <> 'unchanged'"""))
+
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
-    s2RestSource, s2bHeart1sec, s2cThirtyDay, s9JsonlSource)
+    s2RestSource, s2bHeart1sec, s2cThirtyDay, s9JsonlSource,
+    s10SnapshotDiff)
 }

@@ -259,6 +259,52 @@ class PropertySpec extends SparkSuite {
     assert(merged === full)
   }
 
+  test("T13: repetition stats equal a direct per-doc recomputation") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = texts.flatMap { case (id, text) =>
+      val t = text.toLowerCase.split(" ")
+      if (t.length < 3) None
+      else {
+        val grams = t.sliding(3).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        Some(id -> ((grams.size.toLong, counts.size.toLong,
+          counts.values.max.toLong)))
+      }
+    }
+    val out = graft.operators.LlmOps.t13Repetition.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === expected.keySet)
+    out.foreach { case (id, (n, dist, maxRep, ratio)) =>
+      val (en, edist, emax) = expected(id)
+      assert((n, dist, maxRep) === ((en, edist, emax)), s"doc $id")
+      // the query rounds to 6dp — allow half an ulp at that scale
+      assert(math.abs(ratio - (en - edist).toDouble / en) < 5.1e-7)
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
+
+  test("S10: every diff row is a well-formed upsert or tombstone") {
+    val rows = graft.sources.Ingest.s10SnapshotDiff.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getString(2)).toSet
+    assert(types.subsetOf(Set("added", "removed", "changed")))
+    rows.foreach { r =>
+      r.getString(2) match {
+        case "added" =>
+          assert(r.isNullAt(3) && !r.isNullAt(4), "added: no old state")
+        case "removed" =>
+          assert(!r.isNullAt(3) && r.isNullAt(4), "removed: no new state")
+        case "changed" =>
+          assert(!r.isNullAt(3) && !r.isNullAt(4))
+          assert(r.getLong(3) != r.getLong(4) ||
+            r.getDouble(5) != r.getDouble(6), "changed rows must differ")
+      }
+    }
+  }
+
   test("A10: codes are bytes and reconstruction error is within a half-step") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Ann.a10ScalarQuant.fn(spark, sf).collect()
