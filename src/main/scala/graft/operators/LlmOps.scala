@@ -1304,11 +1304,80 @@ object LlmOps {
       SELECT lang, source, count(*) AS n_docs
       FROM survivors GROUP BY lang, source"""))
 
+  // ---------------------------------------------------------------------
+  // C1b: curation with near-dup cluster election — c1's pipeline plus
+  // the step real corpora can't skip: after exact dedup, every document
+  // that sits in a d7 near-dup CLUSTER without being its canonical
+  // (minimum) member is dropped too, so a paraphrase family contributes
+  // exactly one survivor even when its pairwise scores never compared
+  // the two losers directly. The election is one anti-join against the
+  // cluster labels (losers = labels where doc ≠ cluster id); everything
+  // else is c1's shape: quality gate as a map-side projection, curated
+  // lake write, read-back report. The oracle replays the entire chain —
+  // pair generation, recursive closure, election, gate — in one
+  // WITH RECURSIVE statement.
+  // ---------------------------------------------------------------------
+  val c1bCurateNeardup = Q(
+    "c1b_curate_neardup",
+    (s, d) => {
+      val out = graft.sources.Ingest.freshDir("c1b_curated")
+      val docs = documents(s, d)
+        .withColumn("h", md5(normText))
+        .withColumn("t", split(lower(col("text")), " "))
+      val losers = d7DedupCc.fn(s, d)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val survivors = docs
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .join(docs, Seq("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .filter(size(col("t")) >= 15 &&
+          expr("size(filter(t, x -> x IN ('the', 'a')))")
+            .cast("double") / size(col("t")) <= 0.4)
+        .select(col("doc_id"), col("lang"), col("source"))
+      survivors
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH RECURSIVE $ngramPairStatsSql,
+      edges AS (
+        SELECT id_a, id_b FROM pstats WHERE ni * 5 >= na + nb - ni),
+      sym AS (
+        SELECT id_a AS v, id_b AS n FROM edges
+        UNION ALL
+        SELECT id_b AS v, id_a AS n FROM edges),
+      verts AS (SELECT DISTINCT v FROM sym),
+      reach AS (
+        SELECT v, v AS lbl FROM verts
+        UNION
+        SELECT s.n AS v, r.lbl FROM reach r JOIN sym s ON s.v = r.v),
+      labels AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+      losers AS (SELECT v AS doc_id FROM labels WHERE v <> lbl),
+      docs AS (
+        SELECT doc_id, lang, source,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+          string_split(lower(text), ' ') AS t
+        FROM documents),
+      keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY h),
+      survivors AS (
+        SELECT d.lang, d.source FROM docs d
+        JOIN keep k ON d.doc_id = k.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+          AND len(d.t) >= 15
+          AND CAST(len(list_filter(d.t, x -> x IN ('the', 'a'))) AS DOUBLE)
+              / len(d.t) <= 0.4)
+      SELECT lang, source, count(*) AS n_docs
+      FROM survivors GROUP BY lang, source"""))
+
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
-    a9HllDistinct, c1CurateCorpus, c2SplitAssign, c3StratifiedSample)
+    a9HllDistinct, c1CurateCorpus, c1bCurateNeardup, c2SplitAssign,
+    c3StratifiedSample)
 }

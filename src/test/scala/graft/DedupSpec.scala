@@ -174,4 +174,21 @@ class DedupSpec extends SparkSuite {
     assert(sizes.values.max >= 3L,
       "fixture graph should chain at least one 3-doc component")
   }
+
+  test("C1b: near-dup election only ever removes survivors vs C1") {
+    def counts(q: graft.Queries.Q): Map[(String, String), Long] =
+      q.fn(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val base = counts(graft.operators.LlmOps.c1CurateCorpus)
+    val elected = counts(graft.operators.LlmOps.c1bCurateNeardup)
+    assert(elected.nonEmpty)
+    // every surviving group existed before, never larger than before
+    elected.foreach { case (k, n) =>
+      assert(base.contains(k), s"group $k appeared from nowhere")
+      assert(n <= base(k), s"group $k grew under a pure filter")
+    }
+    // and the election actually fired on this corpus
+    assert(elected.values.sum < base.values.sum,
+      "corpus contains near-dup clusters; some loser must be dropped")
+  }
 }
