@@ -29,6 +29,19 @@ object LlmOps {
   private def normText: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
+  /** The n-gram window over a token array `t`, ONE definition per
+    * engine: the Spark SQL `transform` (0-based) and its DuckDB
+    * `list_transform` twin (1-based). Every gram-consuming operator
+    * (d2 shingles, d5/d6/d7 candidates, a9's sketch, t13's counts)
+    * builds from these two, so a tokenizer change cannot silently leave
+    * one copy behind. */
+  private def ngramExpr(n: Int): String =
+    s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', " +
+      (0 until n).map(j => s"t[i+$j]").mkString(", ") + "))"
+  private def ngramDuck(n: Int): String =
+    s"list_transform(range(len(t)-${n - 1}), i -> concat_ws(' ', " +
+      (1 to n).map(j => s"t[i+$j]").mkString(", ") + "))"
+
   // ---------------------------------------------------------------------
   // D1: exact dedup — hash-groupBy on normalized text. One shuffle on the
   // 32-hex md5 key; survivor = min(doc_id) per hash group (deterministic).
@@ -71,10 +84,7 @@ object LlmOps {
     documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))"))
-          .as("shingle"))
+      .select(col("doc_id"), explode(expr(ngramExpr(2))).as("shingle"))
       .select(col("doc_id"), Portable.h60(col("shingle"), "sh|").as("sh"))
       .distinct()
 
@@ -159,9 +169,7 @@ object LlmOps {
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
-          ${Portable.h60Duck(
-            "unnest(list_transform(range(len(t)-1), " +
-              "i -> concat_ws(' ', t[i+1], t[i+2])))", "sh|")} AS sh
+          ${Portable.h60Duck(s"unnest(${ngramDuck(2)})", "sh|")} AS sh
         FROM toks WHERE len(t) >= 2),
       mh AS (
         SELECT doc_id,
@@ -253,16 +261,15 @@ object LlmOps {
     * downstream joins move 8-byte longs, never gram strings (same
     * narrow-key rationale and collision caveat as `shingles`). */
   private def wordNgramHashes(
-      s: SparkSession, d: String, n: Int, seed: String): DataFrame =
-    documents(s, d)
+      s: SparkSession, d: String, n: Int, seed: String,
+      dedup: Boolean = true): DataFrame = {
+    val g = documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t)-$n), " +
-          s"i -> concat_ws(' ', ${(0 until n).map(j => s"t[i+$j]").mkString(", ")}))"))
-        .as("gram"))
+      .select(col("doc_id"), explode(expr(ngramExpr(n))).as("gram"))
       .select(col("doc_id"), Portable.h60(col("gram"), seed).as("gh"))
-      .distinct()
+    if (dedup) g.distinct() else g
+  }
 
   /** Anchor-blocked candidate pairs with exact intersection/set sizes —
     * the shared generator for d5 (thresholded Jaccard report) and d7
@@ -306,9 +313,7 @@ object LlmOps {
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       grams AS (
         SELECT DISTINCT doc_id,
-          ${Portable.h60Duck(
-            "unnest(list_transform(range(len(t)-2), " +
-              "i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))", "ng|")} AS gh
+          ${Portable.h60Duck(s"unnest(${ngramDuck(3)})", "ng|")} AS gh
         FROM toks WHERE len(t) >= 3),
       anchors AS (
         SELECT doc_id, gh AS anchor FROM (
@@ -379,6 +384,23 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private val CC_MAX_ROUNDS = 50
 
+  /** Recursive-closure CTE chain from `pstats` to component-min
+    * `labels` — the ONE oracle definition of the near-dup cluster
+    * labels, shared by d7's report and c1b's election. Must follow
+    * [[ngramPairStatsSql]] under a WITH RECURSIVE. */
+  private val ccLabelsSql = """edges AS (
+        SELECT id_a, id_b FROM pstats WHERE ni * 5 >= na + nb - ni),
+      sym AS (
+        SELECT id_a AS v, id_b AS n FROM edges
+        UNION ALL
+        SELECT id_b AS v, id_a AS n FROM edges),
+      verts AS (SELECT DISTINCT v FROM sym),
+      reach AS (
+        SELECT v, v AS lbl FROM verts
+        UNION
+        SELECT s.n AS v, r.lbl FROM reach r JOIN sym s ON s.v = r.v),
+      labels AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v)"""
+
   val d7DedupCc = Q(
     "d7_dedup_cc",
     (s, d) => {
@@ -432,18 +454,7 @@ object LlmOps {
           col("c.cluster_size"))
     },
     Some(s"""WITH RECURSIVE $ngramPairStatsSql,
-      edges AS (
-        SELECT id_a, id_b FROM pstats WHERE ni * 5 >= na + nb - ni),
-      sym AS (
-        SELECT id_a AS v, id_b AS n FROM edges
-        UNION ALL
-        SELECT id_b AS v, id_a AS n FROM edges),
-      verts AS (SELECT DISTINCT v FROM sym),
-      reach AS (
-        SELECT v, v AS lbl FROM verts
-        UNION
-        SELECT s.n AS v, r.lbl FROM reach r JOIN sym s ON s.v = r.v),
-      labels AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+      $ccLabelsSql,
       cs AS (SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY lbl)
       SELECT l.v AS doc_id, l.lbl AS cluster_id, c.cluster_size
       FROM labels l JOIN cs c ON c.lbl = l.lbl"""))
@@ -479,9 +490,7 @@ object LlmOps {
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       grams AS (
         SELECT DISTINCT doc_id,
-          ${Portable.h60Duck(
-            "unnest(list_transform(range(len(t)-3), i -> concat_ws(' ', " +
-              "t[i+1], t[i+2], t[i+3], t[i+4])))", "dc|")} AS gh
+          ${Portable.h60Duck(s"unnest(${ngramDuck(4)})", "dc|")} AS gh
         FROM toks WHERE len(t) >= 4)
       SELECT c.doc_id,
         count(DISTINCT c.gh) AS n_shared_grams,
@@ -929,13 +938,7 @@ object LlmOps {
   val t13Repetition = Q(
     "t13_repetition",
     (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t)-3), " +
-            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
-        .select(col("doc_id"), Portable.h60(col("gram"), "rep|").as("gh"))
+      wordNgramHashes(s, d, 3, "rep|", dedup = false)
         .groupBy(col("doc_id"), col("gh"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -949,9 +952,7 @@ object LlmOps {
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       g AS (
-        SELECT doc_id, ${Portable.h60Duck(
-          "unnest(list_transform(range(len(t)-2), " +
-            "i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))", "rep|")} AS gh
+        SELECT doc_id, ${Portable.h60Duck(s"unnest(${ngramDuck(3)})", "rep|")} AS gh
         FROM toks WHERE len(t) >= 3),
       pc AS (SELECT doc_id, gh, count(*) AS c FROM g GROUP BY 1, 2)
       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
@@ -1033,9 +1034,7 @@ object LlmOps {
       val grams = documents(s, d)
         .select(col("lang"), split(lower(col("text")), " ").as("t"))
         .filter(size(col("t")) >= 3)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(0, size(t)-3), " +
-            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+        .select(col("lang"), explode(expr(ngramExpr(3))).as("gram"))
       val reg = grams
         .select(col("lang"), Portable.h60(col("gram"), "hll|").as("h"))
         .select(col("lang"), expr(s"h div $HLL_WMASK").as("idx"),
@@ -1067,8 +1066,7 @@ object LlmOps {
     Some(s"""WITH toks AS (
         SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
       g AS (
-        SELECT lang, unnest(list_transform(range(len(t)-2),
-          i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+        SELECT lang, unnest(${ngramDuck(3)}) AS gram
         FROM toks WHERE len(t) >= 3),
       reg AS (
         SELECT lang, h // $HLL_WMASK AS idx,
@@ -1268,41 +1266,57 @@ object LlmOps {
   // source) survivor counts. One dedup shuffle + one count shuffle;
   // every gate is a map-side projection.
   // ---------------------------------------------------------------------
-  val c1CurateCorpus = Q(
-    "c1_curate_corpus",
-    (s, d) => {
-      val out = graft.sources.Ingest.freshDir("c1_curated")
-      val docs = documents(s, d)
-        .withColumn("h", md5(normText))
-        .withColumn("t", split(lower(col("text")), " "))
-      val survivors = docs
-        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-        .join(docs, Seq("doc_id"))
-        .filter(size(col("t")) >= 15 &&
-          expr("size(filter(t, x -> x IN ('the', 'a')))")
-            .cast("double") / size(col("t")) <= 0.4)
-        .select(col("doc_id"), col("lang"), col("source"))
-      survivors
-        .repartition(col("lang"))
-        .write.mode("overwrite").partitionBy("lang").parquet(out)
-      s.read.parquet(out)
-        .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-    },
-    Some("""WITH docs AS (
+  /** The curation pipeline body shared by c1 and c1b: exact-dedup
+    * survivors, an optional extra loser set anti-joined away (c1b's
+    * cluster election), the quality gate, the curated partitioned lake
+    * write, and the read-back report. ONE definition of the gates so
+    * the two queries cannot drift apart. */
+  private def curateReport(
+      s: SparkSession, d: String,
+      losers: Option[DataFrame], fixture: String): DataFrame = {
+    val out = graft.sources.Ingest.freshDir(fixture)
+    val docs = documents(s, d)
+      .withColumn("h", md5(normText))
+      .withColumn("t", split(lower(col("text")), " "))
+    val elected = docs
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+    val survivors = losers.fold(elected)(l =>
+        elected.join(l, Seq("doc_id"), "left_anti"))
+      .filter(size(col("t")) >= 15 &&
+        expr("size(filter(t, x -> x IN ('the', 'a')))")
+          .cast("double") / size(col("t")) <= 0.4)
+      .select(col("doc_id"), col("lang"), col("source"))
+    survivors
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** docs→keep→survivors→report oracle chain, with c1b's election spliced
+    * in as an extra WHERE conjunct. Mirrors [[curateReport]]. */
+  private def curateSql(extraWhere: String): String =
+    s"""docs AS (
         SELECT doc_id, lang, source,
-          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
           string_split(lower(text), ' ') AS t
         FROM documents),
       keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY h),
       survivors AS (
         SELECT d.lang, d.source FROM docs d
         JOIN keep k ON d.doc_id = k.doc_id
-        WHERE len(d.t) >= 15
+        WHERE ${extraWhere}len(d.t) >= 15
           AND CAST(len(list_filter(d.t, x -> x IN ('the', 'a'))) AS DOUBLE)
               / len(d.t) <= 0.4)
       SELECT lang, source, count(*) AS n_docs
-      FROM survivors GROUP BY lang, source"""))
+      FROM survivors GROUP BY lang, source"""
+
+  val c1CurateCorpus = Q(
+    "c1_curate_corpus",
+    (s, d) => curateReport(s, d, None, "c1_curated"),
+    Some(s"""WITH ${curateSql("")}"""))
 
   // ---------------------------------------------------------------------
   // C1b: curation with near-dup cluster election — c1's pipeline plus
@@ -1319,58 +1333,16 @@ object LlmOps {
   // ---------------------------------------------------------------------
   val c1bCurateNeardup = Q(
     "c1b_curate_neardup",
-    (s, d) => {
-      val out = graft.sources.Ingest.freshDir("c1b_curated")
-      val docs = documents(s, d)
-        .withColumn("h", md5(normText))
-        .withColumn("t", split(lower(col("text")), " "))
-      val losers = d7DedupCc.fn(s, d)
+    (s, d) => curateReport(s, d,
+      losers = Some(d7DedupCc.fn(s, d)
         .filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id"))
-      val survivors = docs
-        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-        .join(docs, Seq("doc_id"))
-        .join(losers, Seq("doc_id"), "left_anti")
-        .filter(size(col("t")) >= 15 &&
-          expr("size(filter(t, x -> x IN ('the', 'a')))")
-            .cast("double") / size(col("t")) <= 0.4)
-        .select(col("doc_id"), col("lang"), col("source"))
-      survivors
-        .repartition(col("lang"))
-        .write.mode("overwrite").partitionBy("lang").parquet(out)
-      s.read.parquet(out)
-        .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-    },
+        .select(col("doc_id"))),
+      fixture = "c1b_curated"),
     Some(s"""WITH RECURSIVE $ngramPairStatsSql,
-      edges AS (
-        SELECT id_a, id_b FROM pstats WHERE ni * 5 >= na + nb - ni),
-      sym AS (
-        SELECT id_a AS v, id_b AS n FROM edges
-        UNION ALL
-        SELECT id_b AS v, id_a AS n FROM edges),
-      verts AS (SELECT DISTINCT v FROM sym),
-      reach AS (
-        SELECT v, v AS lbl FROM verts
-        UNION
-        SELECT s.n AS v, r.lbl FROM reach r JOIN sym s ON s.v = r.v),
-      labels AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+      $ccLabelsSql,
       losers AS (SELECT v AS doc_id FROM labels WHERE v <> lbl),
-      docs AS (
-        SELECT doc_id, lang, source,
-          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
-          string_split(lower(text), ' ') AS t
-        FROM documents),
-      keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY h),
-      survivors AS (
-        SELECT d.lang, d.source FROM docs d
-        JOIN keep k ON d.doc_id = k.doc_id
-        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-          AND len(d.t) >= 15
-          AND CAST(len(list_filter(d.t, x -> x IN ('the', 'a'))) AS DOUBLE)
-              / len(d.t) <= 0.4)
-      SELECT lang, source, count(*) AS n_docs
-      FROM survivors GROUP BY lang, source"""))
+      ${curateSql(
+        "d.doc_id NOT IN (SELECT doc_id FROM losers)\n          AND ")}"""))
 
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(

@@ -872,8 +872,8 @@ object Ingest {
       j AS (
         SELECT coalesce(a.user_id, b.user_id) AS user_id,
           coalesce(a.event_type, b.event_type) AS event_type,
-          CASE WHEN a.user_id IS NULL THEN 'added'
-               WHEN b.user_id IS NULL THEN 'removed'
+          CASE WHEN a.old_n IS NULL THEN 'added'
+               WHEN b.new_n IS NULL THEN 'removed'
                WHEN a.old_n <> b.new_n OR a.old_v <> b.new_v THEN 'changed'
                ELSE 'unchanged' END AS change_type,
           old_n, new_n, old_v, new_v

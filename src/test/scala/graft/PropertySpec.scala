@@ -264,7 +264,9 @@ class PropertySpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val expected = texts.flatMap { case (id, text) =>
-      val t = text.toLowerCase.split(" ")
+      // limit -1: keep trailing empty tokens, like Spark split/DuckDB
+      // string_split do — Java's default drops them
+      val t = text.toLowerCase.split(" ", -1)
       if (t.length < 3) None
       else {
         val grams = t.sliding(3).map(_.mkString(" ")).toSeq
