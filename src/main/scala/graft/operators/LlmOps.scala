@@ -962,6 +962,93 @@ object LlmOps {
       FROM pc GROUP BY 1"""))
 
   // ---------------------------------------------------------------------
+  // T14: KMV quantile sketch — the third sketch leg (a9 answers "how
+  // many distinct", t12 "how often", t14 "how is it distributed"): a
+  // bottom-K-by-hash sample per stratum is a uniform sample that is
+  // DETERMINISTIC, id-auditable, and mergeable (bottom-K of a union =
+  // bottom-K of the merged bottom-Ks — the d5-anchor WindowGroupLimit
+  // pattern, so only K rows per stratum survive the map side), and
+  // order statistics read off the sample estimate the stratum's
+  // quantiles with O(K) state. Selection ranks use the deterministic
+  // type-1 formula (row (n+1) div 2 of the (value, id) ordering), all
+  // integer arithmetic; the exact ranks ride along for the error
+  // exhibit, costing the full-stratum sort the sketch exists to avoid.
+  // ---------------------------------------------------------------------
+  private val KMV_K = 64
+
+  val t14KmvQuantile = Q(
+    "t14_kmv_quantile",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          Portable.h60(col("doc_id").cast("string"), "kmv|").as("hk"))
+      val byVal = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      def ranksOf(df: DataFrame, nCol: String): DataFrame = {
+        val counts = df.groupBy(col("lang")).agg(count(lit(1)).as(nCol))
+        df.withColumn("rv", row_number().over(byVal))
+          .join(broadcast(counts), Seq("lang"))
+      }
+      def pick(df: DataFrame, nCol: String, tag: String): DataFrame =
+        df.groupBy(col("lang"), col(nCol))
+          .agg(
+            max(when(col("rv") === expr(s"($nCol + 1) div 2"),
+              col("n_chars"))).as(s"p50_$tag"),
+            max(when(col("rv") === expr(s"(9 * $nCol + 9) div 10"),
+              col("n_chars"))).as(s"p90_$tag"))
+      val sample = base
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("hk").asc)))
+        .filter(col("rs") <= KMV_K)
+        .select("lang", "doc_id", "n_chars")
+      pick(ranksOf(base, "n_docs"), "n_docs", "exact")
+        .join(pick(ranksOf(sample, "n_sample"), "n_sample", "kmv"),
+          Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_sample"),
+          col("p50_exact"), col("p50_kmv"), col("p90_exact"),
+          col("p90_kmv"))
+    },
+    Some(s"""WITH base AS (
+        SELECT lang, doc_id, n_chars,
+          ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "kmv|")} AS hk
+        FROM documents),
+      exact_r AS (
+        SELECT lang, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars ASC, doc_id ASC) AS rv,
+          count(*) OVER (PARTITION BY lang) AS n_docs
+        FROM base),
+      exact_q AS (
+        SELECT lang, n_docs,
+          max(CASE WHEN rv = (n_docs + 1) // 2 THEN n_chars END)
+            AS p50_exact,
+          max(CASE WHEN rv = (9 * n_docs + 9) // 10 THEN n_chars END)
+            AS p90_exact
+        FROM exact_r GROUP BY 1, 2),
+      sample_ AS (
+        SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars, row_number() OVER (
+            PARTITION BY lang ORDER BY hk ASC) AS rs FROM base) t
+        WHERE rs <= $KMV_K),
+      sample_r AS (
+        SELECT lang, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars ASC, doc_id ASC) AS rv,
+          count(*) OVER (PARTITION BY lang) AS n_sample
+        FROM sample_),
+      sample_q AS (
+        SELECT lang, n_sample,
+          max(CASE WHEN rv = (n_sample + 1) // 2 THEN n_chars END)
+            AS p50_kmv,
+          max(CASE WHEN rv = (9 * n_sample + 9) // 10 THEN n_chars END)
+            AS p90_kmv
+        FROM sample_r GROUP BY 1, 2)
+      SELECT e.lang, e.n_docs, s.n_sample, e.p50_exact, s.p50_kmv,
+        e.p90_exact, s.p90_kmv
+      FROM exact_q e JOIN sample_q s ON s.lang = e.lang"""))
+
+  // ---------------------------------------------------------------------
   // C3: deterministic stratified sampling — rebalance the corpus mix by
   // keeping each document iff its seeded hash falls under its stratum's
   // threshold. This is how training mixes are actually struck at scale:
@@ -1350,6 +1437,6 @@ object LlmOps {
     d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
-    a9HllDistinct, c1CurateCorpus, c1bCurateNeardup, c2SplitAssign,
-    c3StratifiedSample)
+    t14KmvQuantile, a9HllDistinct, c1CurateCorpus, c1bCurateNeardup,
+    c2SplitAssign, c3StratifiedSample)
 }

@@ -307,6 +307,41 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("T14: KMV sample merges by re-taking bottom-K; estimates bracket " +
+    "exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.LlmOps.t14KmvQuantile.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      assert(c === math.min(64L, n), "sample is bottom-64 or the stratum")
+      // estimates are real stratum values within the exact min/max band
+      if (c == n) {
+        assert(r.getLong(4) === r.getLong(3), "full sample = exact p50")
+        assert(r.getLong(6) === r.getLong(5), "full sample = exact p90")
+      }
+    }
+    // mergeability: bottom-K(union) == bottom-K(bottom-K(A) ∪ bottom-K(B))
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.Portable.h60(col("doc_id").cast("string"), "kmv|")
+          .as("hk"))
+    def bottomK(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(
+          _.sortBy(_._3).take(64).map(_._2).toSeq).toMap
+    val full = bottomK(base)
+    val a = bottomK(base.filter(col("doc_id") % 2 === 0))
+    val b = bottomK(base.filter(col("doc_id") % 2 === 1))
+    val hk = base.collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = (a.keySet ++ b.keySet).map { l =>
+      l -> (a.getOrElse(l, Nil) ++ b.getOrElse(l, Nil))
+        .sortBy(hk).take(64)
+    }.toMap
+    assert(merged === full)
+  }
+
   test("A10: codes are bytes and reconstruction error is within a half-step") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Ann.a10ScalarQuant.fn(spark, sf).collect()
