@@ -997,9 +997,12 @@ object LlmOps {
               col("n_chars"))).as(s"p50_$tag"),
             max(when(col("rv") === expr(s"(9 * $nCol + 9) div 10"),
               col("n_chars"))).as(s"p90_$tag"))
+      // doc_id tie-break: an h60 collision straddling rank K must pick
+      // the same doc in both engines or sample membership diverges
       val sample = base
         .withColumn("rs", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("hk").asc)))
+          Window.partitionBy(col("lang"))
+            .orderBy(col("hk").asc, col("doc_id").asc)))
         .filter(col("rs") <= KMV_K)
         .select("lang", "doc_id", "n_chars")
       pick(ranksOf(base, "n_docs"), "n_docs", "exact")
@@ -1029,7 +1032,8 @@ object LlmOps {
       sample_ AS (
         SELECT lang, doc_id, n_chars FROM (
           SELECT lang, doc_id, n_chars, row_number() OVER (
-            PARTITION BY lang ORDER BY hk ASC) AS rs FROM base) t
+            PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rs
+          FROM base) t
         WHERE rs <= $KMV_K),
       sample_r AS (
         SELECT lang, n_chars,

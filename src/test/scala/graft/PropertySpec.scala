@@ -307,37 +307,45 @@ class PropertySpec extends SparkSuite {
     }
   }
 
-  test("T14: KMV sample merges by re-taking bottom-K; estimates bracket " +
-    "exact quantiles") {
+  test("T14: KMV sample merges by re-taking bottom-K; estimates equal an " +
+    "independent recompute from the sample") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.LlmOps.t14KmvQuantile.fn(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (n, c) = (r.getLong(1), r.getLong(2))
-      assert(c === math.min(64L, n), "sample is bottom-64 or the stratum")
-      // estimates are real stratum values within the exact min/max band
-      if (c == n) {
-        assert(r.getLong(4) === r.getLong(3), "full sample = exact p50")
-        assert(r.getLong(6) === r.getLong(5), "full sample = exact p90")
-      }
-    }
-    // mergeability: bottom-K(union) == bottom-K(bottom-K(A) ∪ bottom-K(B))
     val base = graft.Tables.documents(spark, sf)
-      .select(col("lang"), col("doc_id"),
+      .select(col("lang"), col("doc_id"), col("n_chars"),
         graft.functions.Portable.h60(col("doc_id").cast("string"), "kmv|")
           .as("hk"))
-    def bottomK(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
-      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .groupBy(_._1).view.mapValues(
-          _.sortBy(_._3).take(64).map(_._2).toSeq).toMap
-    val full = bottomK(base)
-    val a = bottomK(base.filter(col("doc_id") % 2 === 0))
-    val b = bottomK(base.filter(col("doc_id") % 2 === 1))
-    val hk = base.collect()
-      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val all = base.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent ground truth: bottom-64 by (hash, id), then type-1
+    // order statistics over (value, id) — plain Scala, no Spark windows
+    val expected = all.groupBy(_._1).map { case (lang, ds) =>
+      val sample = ds.sortBy(t => (t._4, t._2)).take(64)
+      val sVals = sample.sortBy(t => (t._3, t._2)).map(_._3).toSeq
+      val eVals = ds.sortBy(t => (t._3, t._2)).map(_._3).toSeq
+      lang -> ((ds.size.toLong, sample.size.toLong,
+        eVals((eVals.size + 1) / 2 - 1), sVals((sVals.size + 1) / 2 - 1),
+        eVals((9 * eVals.size + 9) / 10 - 1),
+        sVals((9 * sVals.size + 9) / 10 - 1)))
+    }
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(got === expected(r.getString(0)), s"lang ${r.getString(0)}")
+      assert(r.getLong(2) === math.min(64L, r.getLong(1)))
+    }
+    // mergeability: bottom-K(union) == bottom-K(bottom-K(A) ∪ bottom-K(B))
+    def bottomK(p: Long => Boolean): Map[String, Seq[Long]] =
+      all.filter(t => p(t._2)).groupBy(_._1).view.mapValues(
+        _.sortBy(t => (t._4, t._2)).take(64).map(_._2).toSeq).toMap
+    val full = bottomK(_ => true)
+    val a = bottomK(_ % 2 == 0)
+    val b = bottomK(_ % 2 == 1)
+    val key = all.map(t => t._2 -> ((t._4, t._2))).toMap
     val merged = (a.keySet ++ b.keySet).map { l =>
       l -> (a.getOrElse(l, Nil) ++ b.getOrElse(l, Nil))
-        .sortBy(hk).take(64)
+        .sortBy(key).take(64)
     }.toMap
     assert(merged === full)
   }
