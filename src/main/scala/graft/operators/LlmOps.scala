@@ -831,8 +831,8 @@ object LlmOps {
         FROM toks)
       SELECT doc_id, source, n_tokens,
         CAST(floor(before_ / $PACK_BUDGET) AS BIGINT) AS pack_id,
-        before_ - CAST(floor(before_ / $PACK_BUDGET) AS BIGINT)
-          * $PACK_BUDGET AS pack_offset
+        CAST(before_ - CAST(floor(before_ / $PACK_BUDGET) AS BIGINT)
+          * $PACK_BUDGET AS BIGINT) AS pack_offset
       FROM c"""))
 
   // ---------------------------------------------------------------------
