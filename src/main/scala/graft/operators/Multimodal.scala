@@ -163,9 +163,12 @@ object Multimodal {
     val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate.toLong) ++
       le32(sampleRate.toLong * blockAlign) ++ le16(blockAlign) ++
       le16(bitsPerSample)
+    // RIFF chunks pad to even length; the pad byte is not counted in len
+    val pad: Array[Byte] =
+      if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
     val body = ascii("WAVE") ++
       ascii("fmt ") ++ le32(fmt.length.toLong) ++ fmt ++
-      ascii("data") ++ le32(data.length.toLong) ++ data
+      ascii("data") ++ le32(data.length.toLong) ++ data ++ pad
     ascii("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
@@ -202,6 +205,7 @@ object Multimodal {
     while (!done) {
       require(off + 8 <= bytes.length, "truncated PNG: no chunk header")
       val len = readBe32(bytes, off).toInt
+      require(len >= 0, "PNG chunk length overflow")
       require(off + 12 + len <= bytes.length, "truncated PNG chunk")
       val tag = new String(bytes, off + 4, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
@@ -240,14 +244,18 @@ object Multimodal {
     var data: Array[Byte] = null
     while (off + 8 <= bytes.length) {
       val len = readLe32(bytes, off + 4).toInt
+      require(len >= 0, "WAV chunk length overflow")
       require(off + 8 + len <= bytes.length, "truncated WAV chunk")
       tag(off) match {
-        case "fmt " => blockAlign = readLe16(bytes, off + 20)
+        case "fmt " =>
+          require(len >= 14, "WAV fmt chunk too short")
+          blockAlign = readLe16(bytes, off + 20)
         case "data" =>
           data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case _ => ()
       }
-      off += 8 + len
+      // odd-length chunks are followed by a pad byte not counted in len
+      off += 8 + len + (len % 2)
     }
     require(blockAlign > 0 && data != null, "WAV missing fmt/data chunk")
     WavDecoded(blockAlign, data)

@@ -54,21 +54,59 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("M2: decode stage is deterministic and dispatches on mime") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val img = Multimodal.decodeBatch(
-      Iterator(MediaRow(1L, bytes, "image/png"))).toSeq.head
-    val aud = Multimodal.decodeBatch(
-      Iterator(MediaRow(1L, bytes, "audio/wav"))).toSeq.head
-    val vid = Multimodal.decodeBatch(
-      Iterator(MediaRow(1L, bytes, "video/mp4"))).toSeq.head
+    // mirror the production pipeline in decoded(): raw payload →
+    // containerize → decodeBatch parses the real container back
+    val bytes = "hello world".getBytes("UTF-8") // 11 bytes
+    def run(mime: String) = Multimodal.decodeBatch(
+      Iterator(Multimodal.containerize(MediaRow(1L, bytes, mime)))).toSeq.head
+    val img = run("image/png")
+    val aud = run("audio/wav")
+    val vid = run("video/mp4")
+    // PNG: containerize synthesizes a (64+n%576)×(64+n%416) header and
+    // the decoder reads it back from the parsed IHDR; IDAT == payload
     assert(img === DecodedMedia(1L, "image/png", 64 + 11, 64 + 11, 1,
-      img.checksum))
-    assert(aud.n_frames === 11 / 4 && aud.width === 0)
+      Multimodal.payloadChecksum(bytes)))
+    // WAV: block align 4 from the parsed fmt chunk; data == payload
+    assert(aud.n_frames === 11 / 4 && aud.width === 0 && aud.height === 0)
+    // video stays raw (acknowledged stub): fixed 320×240, len/16 frames
     assert(vid === vid.copy(width = 320, height = 240))
-    // same bytes ⇒ same checksum across mimes; decode is pure
+    assert(vid.n_frames === 11 / 16)
+    // the parsed-out media bytes equal the original payload in every
+    // branch, so the checksum is mime-independent; decode is pure
     assert(Set(img.checksum, aud.checksum, vid.checksum).size === 1)
-    assert(Multimodal.decodeBatch(
-      Iterator(MediaRow(1L, bytes, "image/png"))).toSeq.head === img)
+    assert(run("image/png") === img)
+  }
+
+  test("M2: container parsers reject malformed input with clear errors") {
+    val bytes = "hello world".getBytes("UTF-8")
+    // raw (uncontainerized) bytes are not a valid container
+    intercept[IllegalArgumentException](Multimodal.decodePng(bytes))
+    intercept[IllegalArgumentException](Multimodal.decodeWav(bytes))
+    // a flipped IDAT byte must fail the CRC check
+    val png = Multimodal.pngContainer(bytes, 75, 75)
+    val corrupt = png.clone()
+    corrupt(8 + 25 + 8 + 2) = (corrupt(8 + 25 + 8 + 2) ^ 0x1).toByte
+    val crcErr =
+      intercept[IllegalArgumentException](Multimodal.decodePng(corrupt))
+    assert(crcErr.getMessage.contains("CRC"))
+  }
+
+  test("M2: WAV walk honors odd-chunk padding and short-fmt guard") {
+    // odd-length data chunk: container emits a pad byte, decoder skips it
+    val odd = "hello".getBytes("UTF-8") // 5 bytes → padded data chunk
+    val wav = Multimodal.wavContainer(odd)
+    assert(wav.length % 2 === 0)
+    val w = Multimodal.decodeWav(wav)
+    assert(w.data.toSeq === odd.toSeq && w.blockAlign === 4)
+    // a truncated fmt chunk is a clear parse error, not an index crash
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val shortFmt = ascii("WAVE") ++ ascii("fmt ") ++ le32(4) ++
+      Array[Byte](1, 0, 2, 0)
+    val bad = ascii("RIFF") ++ le32(shortFmt.length) ++ shortFmt
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    assert(e.getMessage.contains("fmt chunk too short"))
   }
 
   test("M2: distributed decode covers every document exactly once") {
