@@ -103,9 +103,18 @@ object LlmOps {
     * frontier) stay resident in the block manager for the life of the
     * application. Bench and Verify call it after their last query;
     * long-lived sessions embedding the library should too. */
-  def releaseCaches(): Unit =
+  def releaseCaches(): Unit = {
     pinned.keys.toSeq.foreach(k =>
       pinned.remove(k).foreach(_.foreach(_.unpersist(blocking = false))))
+    pinnedReleases.keys.toSeq.foreach(k =>
+      pinnedReleases.remove(k).foreach(_.apply()))
+  }
+
+  /** Like [[pinned]], but for frames whose blocks Dataset.unpersist
+    * cannot release (d8's checkpointed star frontier): the value is the
+    * release callback itself. */
+  private val pinnedReleases =
+    scala.collection.concurrent.TrieMap.empty[String, () => Unit]
 
   val d2DedupMinhash = Q(
     "d2_dedup_minhash",
@@ -449,6 +458,143 @@ object LlmOps {
       val cs = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       // cluster count ≤ vertex count and shrinks with merging — the size
       // lookup is a textbook broadcast dimension
+      lbl.as("x").join(broadcast(cs).as("c"), col("x.lbl") === col("c.lbl"))
+        .select(col("x.v").as("doc_id"), col("x.lbl").as("cluster_id"),
+          col("c.cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE $ngramPairStatsSql,
+      $ccLabelsSql,
+      cs AS (SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY lbl)
+      SELECT l.v AS doc_id, l.lbl AS cluster_id, c.cluster_size
+      FROM labels l JOIN cs c ON c.lbl = l.lbl"""))
+
+  // ---------------------------------------------------------------------
+  // D8: connected components by LARGE-STAR / SMALL-STAR contraction —
+  // the O(log² n)-round alternative to d7's min-label propagation
+  // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  // SoCC 2014). d7 needs diameter-many rounds, which is fine for the
+  // clique-glued near-dup graphs it targets but degenerates on long
+  // chains; star contraction REWRITES the edge set each round so every
+  // vertex hops toward the component minimum at doubling speed:
+  //   large-star: per center u, reconnect each larger neighbor to
+  //     m = min(Γ(u) ∪ {u})  — one window-min over the symmetrized list;
+  //   small-star: per center u, reconnect u and its smaller neighbors
+  //     to their minimum    — one window-min over the edge list directed
+  //     at its larger endpoint.
+  // Both steps are (window-min + filter + dedup) — pure relational,
+  // shuffle keyed on the center vertex, no driver-side data; the loop
+  // holds only a changed-edge COUNT. At a fixpoint the edge set IS the
+  // star {(m, v)} of every component, so labels fall out of the final
+  // edge list without a closure query. Same candidate generator
+  // (pstats), same output shape, and the same oracle as d7 — the
+  // fixpoint (component-min labels) is algorithm-independent.
+  // ---------------------------------------------------------------------
+
+  /** One large-star round: every vertex-center reconnects its LARGER
+    * neighbors to the minimum of its closed neighborhood. Canonical
+    * (a &lt; b) distinct edges in and out. */
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    sym.select(col("u"), col("v"),
+        least(col("u"), min(col("v")).over(w)).as("m"))
+      .filter(col("v") > col("u"))
+      .select(col("m").as("a"), col("v").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** One small-star round: every vertex-center reconnects ITSELF and its
+    * smaller neighbors to their collective minimum. Canonical edges in
+    * and out. */
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    // input is canonical, so b is each edge's larger endpoint: partition
+    // by it directly — no symmetrize needed
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val withMin = edges.select(col("a"), col("b"),
+      min(col("a")).over(w).as("m"))
+    withMin.select(col("m").as("a"), col("a").as("b"))
+      .union(withMin.select(col("m").as("a"), col("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Converged star edges + round count + a callback releasing the
+    * final frontier's checkpoint blocks (the caller owns the frame's
+    * lifetime — d8 pins the release until re-entry/releaseCaches). */
+  private[graft] final case class StarCc(
+      stars: DataFrame, rounds: Int, release: () => Unit)
+
+  /** Alternate large-star/small-star to a fixpoint.
+    *
+    * Each round REWRITES the frontier in terms of the previous one
+    * several times over (largeStar reads it twice, smallStar twice
+    * more), so un-truncated lineage grows ~4× per round and the logical
+    * plan explodes long before the data does — the iterative-algorithm
+    * trap every distributed CC implementation must break. We break it
+    * the way GraphX/GraphFrames do: an EAGER checkpoint of the frontier
+    * every round (localCheckpoint here — the local-mode analogue of
+    * checkpointing to cluster storage), so every round starts from a
+    * leaf plan. Superseded frontiers' blocks are released by RDD id;
+    * Dataset.unpersist cannot reach checkpoint blocks. */
+  private[graft] def starContract(
+      edges0: DataFrame, maxRounds: Int): StarCc = {
+    val sc = edges0.sparkSession.sparkContext
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // lazy checkpoint + the ids of the blocks it pins (id-diff: single
+    // query execution, nothing else registers RDDs concurrently; the
+    // RDD registers at mark time even though blocks materialize on the
+    // round's convergence count, saving one job per round vs eager)
+    def snap(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager = false)
+      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    var (edges, ids) = snap(edges0.select(col("a"), col("b")).distinct())
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val (next, nids) = snap(smallStar(largeStar(edges)))
+      // set equality via one full-outer probe: both sides are canonical
+      // distinct, so any null-padded row is a symmetric-difference
+      // member — ONE count job per round (it also materializes next's
+      // checkpoint blocks)
+      val changed = next.withColumn("l", lit(1))
+        .join(edges.withColumn("r", lit(1)), Seq("a", "b"), "full_outer")
+        .filter(col("l").isNull || col("r").isNull).count()
+      release(ids)
+      edges = next
+      ids = nids
+      converged = changed == 0
+      rounds += 1
+    }
+    if (!converged) release(ids)
+    require(converged,
+      s"d8: star contraction not at fixpoint after $maxRounds rounds")
+    StarCc(edges, rounds, () => release(ids))
+  }
+
+  val d8DedupCcStar = Q(
+    "d8_dedup_cc_star",
+    (s, d) => {
+      val pinKey = s"d8|${s.sparkContext.applicationId}|$d"
+      pinnedReleases.remove(pinKey).foreach(_.apply())
+      val pairEdges = ngramPairStats(s, d)
+        .filter(col("ni") * 5 >= col("na") + col("nb") - col("ni"))
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val cc = starContract(pairEdges, CC_MAX_ROUNDS)
+      val stars = cc.stars
+      pinnedReleases(pinKey) = cc.release
+      // at the fixpoint every non-min vertex carries exactly (m, v) and
+      // every component min appears as some edge's `a` — so the LABELS
+      // read straight off the tiny checkpointed star list (never
+      // re-derive the vertex set from pstats: that would re-run the
+      // whole candidate subtree a second time)
+      val lbl = stars.select(col("b").as("v"), col("a").as("lbl"))
+        .union(stars.select(col("a").as("v"), col("a").as("lbl")).distinct())
+      val cs = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       lbl.as("x").join(broadcast(cs).as("c"), col("x.lbl") === col("c.lbl"))
         .select(col("x.v").as("doc_id"), col("x.lbl").as("cluster_id"),
           col("c.cluster_size"))
@@ -883,16 +1029,25 @@ object LlmOps {
   val t12CountminTopk = Q(
     "t12_countmin_topk",
     (s, d) => {
-      val toks = documents(s, d)
+      // Per-token counts FIRST (one tokenize + one map-side-combined
+      // hash-agg); the sketch is then built from DISTINCT tokens with
+      // their counts as weights — cell count = Σ n over tokens hashing
+      // into the cell, identical to counting occurrences, but the 4
+      // seeded md5 projections run once per distinct token instead of
+      // once per token OCCURRENCE (vocabulary ≪ corpus at 100 TB). The
+      // exact top-10 consumes the same aggregate, so the per-token
+      // shuffle exchange is computed once and reused (ReusedExchange).
+      val cnts = documents(s, d)
         .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
       def buckets(c: Column): Column = array((0 until CM_D).map(i =>
         struct(lit(i).as("depth"),
           (Portable.h60(c, s"cm$i|") % CM_W).as("bucket"))): _*)
-      val sk = toks.select(explode(buckets(col("tok"))).as("db"))
+      val sk = cnts
+        .select(explode(buckets(col("tok"))).as("db"), col("n_exact"))
         .groupBy(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("tok").asc).limit(10)
+        .agg(sum(col("n_exact")).as("cnt"))
+      val top = cnts.orderBy(col("n_exact").desc, col("tok").asc).limit(10)
       top
         .select(col("tok"), col("n_exact"),
           explode(buckets(col("tok"))).as("db"))
@@ -1438,7 +1593,7 @@ object LlmOps {
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
-    d6Decontaminate, d7DedupCc, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    d6Decontaminate, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
     t14KmvQuantile, a9HllDistinct, c1CurateCorpus, c1bCurateNeardup,

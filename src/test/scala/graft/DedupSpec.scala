@@ -175,6 +175,46 @@ class DedupSpec extends SparkSuite {
       "fixture graph should chain at least one 3-doc component")
   }
 
+  test("D8: star contraction matches d7 labels on the real near-dup graph") {
+    val byStar = graft.operators.LlmOps.d8DedupCcStar.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byProp = graft.operators.LlmOps.d7DedupCc.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byStar.nonEmpty)
+    assert(byStar === byProp,
+      "two CC algorithms must agree on the component-min fixpoint")
+  }
+
+  test("D8: a 1000-link chain converges in O(log² n) rounds, not diameter") {
+    // the adversarial graph for min-label propagation: a path of 1001
+    // vertices (diameter 1000). Star contraction must converge in a
+    // logarithmic number of alternations — the documented scale caveat
+    // this variant exists to close. log2(1001) ≈ 10; the bound below is
+    // generous headroom over the observed count while still two orders
+    // of magnitude under the diameter.
+    val n = 1000
+    // shuffle vertex ids so convergence can't lean on ids increasing
+    // along the path: bit-reverse each id within 10 bits (a fixed
+    // permutation of 0..1023)
+    def perm(v: Long): Long =
+      (0 until 10).map(i => ((v >> i) & 1L) << (9 - i)).sum
+    val chain = (0 until n).map { i =>
+      val (x, y) = (perm(i.toLong), perm(i.toLong + 1))
+      (math.min(x, y), math.max(x, y))
+    }.toDF("a", "b")
+    val cc = graft.operators.LlmOps.starContract(chain, 50)
+    try {
+      assert(cc.rounds <= 25, s"chain of $n links took ${cc.rounds} rounds")
+      // every vertex on the path must end up labeled with the component
+      // minimum (vertex 0 — bit-reversal fixes 0)
+      val lbls = cc.stars.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(lbls.length === n) // n+1 vertices, n of them non-min
+      assert(lbls.forall(_._1 === 0L), "all labels must be the global min")
+      assert(lbls.map(_._2).toSet === (0 to n).map(v => perm(v.toLong))
+        .toSet - 0L)
+    } finally cc.release()
+  }
+
   test("C1b: near-dup election only ever removes survivors vs C1") {
     def counts(q: graft.Queries.Q): Map[(String, String), Long] =
       q.fn(spark, sf).collect()
