@@ -408,6 +408,122 @@ object Ann {
       WHERE rn <= 5"""))
 
   // ---------------------------------------------------------------------
+  // A11: ANN recall report — the self-evaluation loop every approximate
+  // index needs: score a6 (LSH buckets) and a7b (trained IVF) against
+  // the EXACT brute-force top-k for their own probe sets and k, and emit
+  // per-probe recall@k. Pure relational: exact ground truth is one
+  // broadcast-probe corpus pass per index (the a5 shape), the hit count
+  // is a left join on (probe, neighbor), and recall is an exact integer
+  // ratio — no new shuffle shapes beyond what the index queries already
+  // use. At 100 TB this runs on a sampled probe set the same way; the
+  // report is what decides bucket-bit / nlist tuning before reindexing.
+  // ---------------------------------------------------------------------
+  val a11AnnRecall = Q(
+    "a11_ann_recall",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      import org.apache.spark.sql.expressions.Window
+      def exactTopK(probeFilter: Column, k: Int): DataFrame = {
+        val probes = e.filter(probeFilter)
+          .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+        val sims = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        sims.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).select("probe_id", "vec_id")
+      }
+      def recallOf(index: String, approx: DataFrame,
+          probeFilter: Column, k: Int): DataFrame =
+        exactTopK(probeFilter, k)
+          .join(approx.select(col("probe_id"), col("vec_id"),
+            lit(1).as("hit")), Seq("probe_id", "vec_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(col("hit")).as("n_hits"))
+          .select(lit(index).as("index_type"), col("probe_id"),
+            lit(k).as("k"), col("n_hits"),
+            round(col("n_hits").cast("double") / k, 6).as("recall"))
+      recallOf("lsh", a6AnnLsh.fn(s, d), col("vec_id") < 40, 3)
+        .union(recallOf("ivf", a7bIvfTrained.fn(s, d),
+          col("vec_id") >= 100 && col("vec_id") < 110, 5))
+    },
+    Some(s"""$KMEANS_CTES,
+      cells AS (
+        SELECT e.vec_id, a2.cell, e.emb, e.nrm
+        FROM e JOIN a2 ON e.vec_id = a2.vec_id),
+      probes_ivf AS (
+        SELECT vec_id AS probe_id, cell, emb AS p_emb, nrm AS p_nrm
+        FROM cells WHERE vec_id >= 100 AND vec_id < 110),
+      sims_ivf AS (
+        SELECT probe_id, c.vec_id,
+          round(list_inner_product(c.emb, p.p_emb) /
+                (c.nrm * p.p_nrm), 6) AS sim
+        FROM cells c JOIN probes_ivf p USING (cell)
+        WHERE c.vec_id <> p.probe_id),
+      approx_ivf AS (
+        SELECT probe_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM sims_ivf) t
+        WHERE rn <= 5),
+      eb AS (SELECT vec_id, emb, nrm,
+               CAST(${signBucketDuck("emb")} AS INTEGER) AS bucket FROM e),
+      probes_lsh AS (
+        SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, bucket
+        FROM eb WHERE vec_id < 40),
+      sims_lsh AS (
+        SELECT probe_id, eb.vec_id,
+          round(list_inner_product(eb.emb, p.p_emb) /
+                (eb.nrm * p.p_nrm), 6) AS sim
+        FROM eb JOIN probes_lsh p USING (bucket)
+        WHERE eb.vec_id <> p.probe_id),
+      approx_lsh AS (
+        SELECT probe_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM sims_lsh) t
+        WHERE rn <= 3),
+      ex_sims_lsh AS (
+        SELECT p.vec_id AS probe_id, e.vec_id,
+          round(list_inner_product(e.emb, p.emb) / (e.nrm * p.nrm), 6) AS sim
+        FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 40) p
+        WHERE e.vec_id <> p.vec_id),
+      exact_lsh AS (
+        SELECT probe_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM ex_sims_lsh) t
+        WHERE rn <= 3),
+      ex_sims_ivf AS (
+        SELECT p.vec_id AS probe_id, e.vec_id,
+          round(list_inner_product(e.emb, p.emb) / (e.nrm * p.nrm), 6) AS sim
+        FROM e CROSS JOIN
+          (SELECT * FROM e WHERE vec_id >= 100 AND vec_id < 110) p
+        WHERE e.vec_id <> p.vec_id),
+      exact_ivf AS (
+        SELECT probe_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM ex_sims_ivf) t
+        WHERE rn <= 5),
+      r_lsh AS (
+        SELECT 'lsh' AS index_type, x.probe_id, 3 AS k,
+          count(a.vec_id) AS n_hits
+        FROM exact_lsh x LEFT JOIN approx_lsh a
+          ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+        GROUP BY x.probe_id),
+      r_ivf AS (
+        SELECT 'ivf' AS index_type, x.probe_id, 5 AS k,
+          count(a.vec_id) AS n_hits
+        FROM exact_ivf x LEFT JOIN approx_ivf a
+          ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+        GROUP BY x.probe_id)
+      SELECT index_type, probe_id, k, n_hits,
+        round(CAST(n_hits AS DOUBLE) / k, 6) AS recall FROM r_lsh
+      UNION ALL
+      SELECT index_type, probe_id, k, n_hits,
+        round(CAST(n_hits AS DOUBLE) / k, 6) AS recall FROM r_ivf"""))
+
+  // ---------------------------------------------------------------------
   // A10: int8 scalar quantization — the embedding-STORAGE operator: at
   // 100 TB of float32 vectors, 4× compression (one byte per dimension,
   // per-dimension min/max codebook) is the difference between an index
@@ -478,5 +594,5 @@ object Ann {
   /** All similarity-search queries, registration order. */
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
-      a10ScalarQuant, d4EmbedNeardup)
+      a10ScalarQuant, a11AnnRecall, d4EmbedNeardup)
 }

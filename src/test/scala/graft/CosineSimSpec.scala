@@ -101,4 +101,24 @@ class CosineSimSpec extends SparkSuite {
     }
     assert(err.getMessage.toLowerCase.contains("cosine_sim"))
   }
+
+  test("A11: recall report covers both indexes with bounded, exact ratios") {
+    val rows = graft.operators.Ann.a11AnnRecall.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    // one row per probe per index, nobody dropped by the hit join
+    assert(rows.count(_._1 == "lsh") === 40)
+    assert(rows.count(_._1 == "ivf") === 10)
+    rows.foreach { case (idx, probe, k, hits, recall) =>
+      assert(k === (if (idx == "lsh") 3 else 5))
+      assert(hits >= 0L && hits <= k.toLong, s"$idx probe $probe hits $hits")
+      assert(recall ===
+        BigDecimal(hits.toDouble / k)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // an index that found NOTHING for every probe would make the report
+    // vacuous — the buckets/cells must deliver some true neighbors
+    assert(rows.filter(_._1 == "lsh").map(_._4).sum > 0L)
+    assert(rows.filter(_._1 == "ivf").map(_._4).sum > 0L)
+  }
 }
