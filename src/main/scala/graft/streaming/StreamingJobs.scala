@@ -89,6 +89,40 @@ object StreamingJobs {
         })
   }
 
+  /** File-source stream over a directory of stream-row parquet shards —
+    * the readStream twin of e3's lineitem-derived `streams` frame. Each
+    * shard landing in `dir` is one fetched activity batch; with a
+    * checkpointed sink the pipeline is the exactly-once version of the
+    * reference's cached-file reuse. */
+  def streamShards(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("activity_id BIGINT, time BIGINT, distance DOUBLE")
+      .parquet(dir)
+
+  /** The e3 Strava streams composition as a STREAMING job: the same
+    * cached ∪ fresh split (stream-static left-semi joins against the
+    * id dimension), the same union, the same metadata enrich join —
+    * only the execution mode changes. The static side is broadcast, so
+    * each micro-batch is one narrow pass over its new shard; writeStream
+    * with a checkpoint dir to a parquet sink makes the whole pipeline
+    * restart-resumable with exactly-once file handling (StreamingSpec
+    * proves a shard landing during downtime is neither lost nor
+    * duplicated). */
+  def streamsPipeline(stream: DataFrame, activities: DataFrame): DataFrame = {
+    val ids = activities.select(col("activity_id")).distinct()
+    val cachedIds = ids.filter(col("activity_id") % 4 === 0)
+    val freshIds = ids.join(cachedIds, Seq("activity_id"), "left_anti")
+    val cached = stream
+      .join(broadcast(cachedIds), Seq("activity_id"), "left_semi")
+      .withColumn("src", lit("cached"))
+    val fresh = stream
+      .join(broadcast(freshIds), Seq("activity_id"), "left_semi")
+      .withColumn("src", lit("fetched"))
+    cached.unionByName(fresh)
+      .join(broadcast(activities), Seq("activity_id"))
+  }
+
   /** Streaming maintenance of a9's HyperLogLog registers: per-stratum
     * state is the FIXED 256-int register array, each micro-batch folds
     * its hashes in by max, and the emitted rows are the non-zero

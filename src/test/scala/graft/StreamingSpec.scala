@@ -96,6 +96,63 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming E3: shards → enrich → checkpointed parquet sink, restart-resume") {
+    import org.apache.spark.sql.DataFrame
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-e3-src").toString
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft-e3-sink").toString + "/out"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-e3-ckpt").toString
+    // the e3 batch inputs: date-filtered activity dimension + stream rows
+    val activities = Tables.orders(spark, sf)
+      .filter(to_date(col("o_orderdate")) >= lit("1998-01-01") &&
+        to_date(col("o_orderdate")) <= lit("1999-12-31"))
+      .select(col("o_orderkey").as("activity_id"),
+        col("o_orderpriority").as("sport_type"))
+    val streams = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long").as("activity_id"),
+        col("l_linenumber").cast("long").as("time"),
+        col("l_quantity").cast("double").as("distance"))
+    def landShard(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-e3-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name"))
+    }
+    def startQuery() = StreamingJobs
+      .streamsPipeline(StreamingJobs.streamShards(spark, srcDir), activities)
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // phase 1: the even-keyed shard, process, stop
+    landShard(streams.filter(col("activity_id") % 2 === 0), "shard1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // phase 2: the odd-keyed shard lands while the query is DOWN;
+    // restart from the same checkpoint — shard1 must not re-ingest
+    landShard(streams.filter(col("activity_id") % 2 === 1), "shard2.parquet")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    // the sink must hold EXACTLY the batch pipeline's enriched rows
+    def multiset(df: DataFrame) = df
+      .select("activity_id", "time", "distance", "src", "sport_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getString(4)))
+      .sorted.toSeq
+    val batch = streams
+      .join(activities.select("activity_id").distinct(),
+        Seq("activity_id"), "left_semi")
+      .withColumn("src", when(col("activity_id") % 4 === 0, "cached")
+        .otherwise("fetched"))
+      .join(activities, Seq("activity_id"))
+    assert(multiset(spark.read.parquet(sinkDir)) === multiset(batch),
+      "restart must deliver each shard exactly once, enriched")
+  }
+
   test("streaming dedup drops repeats across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
