@@ -54,7 +54,8 @@ object ExplainAudit {
       "a7b_ivf_trained", "s6_exists_probe", "t11_nb_langid", "d7_dedup_cc",
       "c3_stratified_sample", "a9_hll_distinct", "t12_countmin_topk",
       "a10_scalar_quant", "t13_repetition", "s10_snapshot_diff",
-      "c1b_curate_neardup", "t14_kmv_quantile")
+      "c1b_curate_neardup", "t14_kmv_quantile", "d8_dedup_cc_star",
+      "a11_ann_recall")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

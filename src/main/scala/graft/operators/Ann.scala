@@ -591,8 +591,101 @@ object Ann {
         round(sqrt(CAST(sum(sqerr) AS DOUBLE) / count(*)), 6) AS rmse
       FROM rec GROUP BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // A12: product quantization — the OTHER embedding-storage operator:
+  // where a10 compresses per-dimension (4×), PQ compresses per-SUBSPACE
+  // (here 64 dims → 8 sub-codes of 2 bits = 16 bits/vector, 128×), the
+  // representation ANN systems actually ship at 100 TB. The 64-dim
+  // vector splits into 8 contiguous 8-dim subvectors; each is assigned
+  // to its nearest subspace centroid by squared L2 (centroids = the
+  // seed vectors' subvectors, the same stand-in convention as a7; a
+  // trained variant would swap in per-subspace k-means exactly as a8
+  // does for IVF). Relational shape: one posexplode, one broadcast join
+  // against the 8×4×8-row centroid dimension, a (vec, sub, cid)
+  // hash-agg for distances, a packed-long argmin (no SortAggregate),
+  // and a final per-vector rollup emitting the packed code and the
+  // reconstruction rmse. Parity discipline: distance terms are rounded
+  // to 6 digits and summed in DECIMAL (partition order can't move an
+  // ulp), the argmin key is exact integer arithmetic, and the packed
+  // code is an integer checksum — any cross-engine code flip breaks
+  // the hash before rmse rounding could hide it.
+  // ---------------------------------------------------------------------
+  private val PQ_M = 8 // subspaces (8 dims each over 64)
+  private val PQ_K = 4 // centroids per subspace (2-bit codes)
+
+  val a12ProductQuant = Q(
+    "a12_product_quant",
+    (s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("dim"),
+          round(col("col").cast("double"), 6).as("x"))
+        .withColumn("sub", (col("dim") / (64 / PQ_M)).cast("int"))
+      val cents = dims.filter(col("vec_id") < PQ_K)
+        .select(col("vec_id").cast("int").as("cid"), col("dim"),
+          col("sub"), col("x").as("c"))
+      val sqd = dims.join(broadcast(cents.drop("sub")), Seq("dim"))
+        .select(col("vec_id"), col("sub"), col("cid"),
+          round((col("x") - col("c")) * (col("x") - col("c")), 6)
+            .cast("decimal(20,6)").as("term"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum(col("term")).cast("double").as("sqdist"))
+      // the packed argmin key carries BOTH outputs: low bits the winning
+      // centroid, high bits its (6-decimal-exact) squared distance in
+      // integer micros — which IS the subspace's reconstruction error,
+      // so no rejoin against the exploded dims table is ever needed (the
+      // naive recon join re-shuffled the full (vec, dim) table; this is
+      // one narrow hash-agg instead)
+      val codes = sqd
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(expr(
+          s"CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K + cid"))
+          .as("pk"))
+        .select(col("vec_id"), col("sub"),
+          pmod(col("pk"), lit(PQ_K)).cast("int").as("code"),
+          expr(s"pk div $PQ_K").as("sqd_micro"))
+      // packed 16-bit code: 2 bits per subspace — integer arithmetic end
+      // to end, so it doubles as a cross-engine checksum of every code
+      codes.groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(CAST(code AS BIGINT), 2 * sub)"))
+          .as("pq_code"),
+          (count(lit(1)) * (64 / PQ_M)).as("n_dims"),
+          sum(col("sqd_micro")).as("micro"))
+        .select(col("vec_id"), col("pq_code"), col("n_dims"),
+          round(sqrt(col("micro").cast("double") / 1e6 / col("n_dims")), 6)
+            .as("rmse"))
+    },
+    Some(s"""WITH dims AS (
+        SELECT vec_id, dim, round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS x,
+               CAST(dim // ${64 / PQ_M} AS INTEGER) AS sub
+        FROM (SELECT vec_id, embedding,
+                unnest(range(len(embedding))) AS dim
+              FROM embeddings) t),
+      cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, dim, sub, x AS c
+        FROM dims WHERE vec_id < $PQ_K),
+      sqd AS (
+        SELECT d.vec_id, d.sub, c.cid,
+          CAST(sum(CAST(round((d.x - c.c) * (d.x - c.c), 6)
+                 AS DECIMAL(20,6))) AS DOUBLE) AS sqdist
+        FROM dims d JOIN cents c ON c.dim = d.dim
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub,
+          CAST(min(CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K + cid)
+               % $PQ_K AS INTEGER) AS code,
+          min(CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K + cid)
+               // $PQ_K AS sqd_micro
+        FROM sqd GROUP BY 1, 2)
+      SELECT vec_id,
+        CAST(sum(code * (1 << (2 * sub))) AS BIGINT) AS pq_code,
+        CAST(count(*) * ${64 / PQ_M} AS BIGINT) AS n_dims,
+        round(sqrt(CAST(sum(sqd_micro) AS DOUBLE) / 1000000 /
+                   (count(*) * ${64 / PQ_M})), 6) AS rmse
+      FROM codes GROUP BY 1"""))
+
   /** All similarity-search queries, registration order. */
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
-      a10ScalarQuant, a11AnnRecall, d4EmbedNeardup)
+      a10ScalarQuant, a11AnnRecall, a12ProductQuant, d4EmbedNeardup)
 }

@@ -121,4 +121,27 @@ class CosineSimSpec extends SparkSuite {
     assert(rows.filter(_._1 == "lsh").map(_._4).sum > 0L)
     assert(rows.filter(_._1 == "ivf").map(_._4).sum > 0L)
   }
+
+  test("A12: product quantization is exact on the codebook's own vectors") {
+    val rows = graft.operators.Ann.a12ProductQuant.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (code, nDims, rmse)) =>
+      assert(nDims === 64L, s"vec $id reconstructed $nDims dims")
+      assert(code >= 0L && code < (1L << 16), s"vec $id code $code")
+      assert(rmse >= 0.0)
+    }
+    // a centroid-source vector is its own nearest centroid in EVERY
+    // subspace: code_m = vec_id for all 8 subspaces, rmse exactly 0
+    val allSubs = (0 until 8).map(sub => 1L << (2 * sub)).sum
+    (0 until 4).foreach { v =>
+      val (code, _, rmse) = rows(v.toLong)
+      assert(code === v * allSubs, s"seed $v packed code")
+      assert(rmse === 0.0, s"seed $v must reconstruct exactly")
+    }
+    // quantization is lossy on the rest of the corpus — if every vector
+    // had rmse 0 the operator would be vacuous
+    assert(rows.values.count(_._3 > 0.0) > rows.size / 2)
+  }
 }
