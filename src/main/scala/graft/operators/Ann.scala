@@ -613,49 +613,41 @@ object Ann {
   private val PQ_M = 8 // subspaces (8 dims each over 64)
   private val PQ_K = 4 // centroids per subspace (2-bit codes)
 
-  val a12ProductQuant = Q(
-    "a12_product_quant",
-    (s, d) => {
-      val dims = embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").as("dim"),
-          round(col("col").cast("double"), 6).as("x"))
-        .withColumn("sub", (col("dim") / (64 / PQ_M)).cast("int"))
-      val cents = dims.filter(col("vec_id") < PQ_K)
-        .select(col("vec_id").cast("int").as("cid"), col("dim"),
-          col("sub"), col("x").as("c"))
-      val sqd = dims.join(broadcast(cents.drop("sub")), Seq("dim"))
-        .select(col("vec_id"), col("sub"), col("cid"),
-          round((col("x") - col("c")) * (col("x") - col("c")), 6)
-            .cast("decimal(20,6)").as("term"))
-        .groupBy(col("vec_id"), col("sub"), col("cid"))
-        .agg(sum(col("term")).cast("double").as("sqdist"))
-      // the packed argmin key carries BOTH outputs: low bits the winning
-      // centroid, high bits its (6-decimal-exact) squared distance in
-      // integer micros — which IS the subspace's reconstruction error,
-      // so no rejoin against the exploded dims table is ever needed (the
-      // naive recon join re-shuffled the full (vec, dim) table; this is
-      // one narrow hash-agg instead)
-      val codes = sqd
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(expr(
-          s"CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K + cid"))
-          .as("pk"))
-        .select(col("vec_id"), col("sub"),
-          pmod(col("pk"), lit(PQ_K)).cast("int").as("code"),
-          expr(s"pk div $PQ_K").as("sqd_micro"))
-      // packed 16-bit code: 2 bits per subspace — integer arithmetic end
-      // to end, so it doubles as a cross-engine checksum of every code
-      codes.groupBy(col("vec_id"))
-        .agg(sum(expr("shiftleft(CAST(code AS BIGINT), 2 * sub)"))
-          .as("pq_code"),
-          (count(lit(1)) * (64 / PQ_M)).as("n_dims"),
-          sum(col("sqd_micro")).as("micro"))
-        .select(col("vec_id"), col("pq_code"), col("n_dims"),
-          round(sqrt(col("micro").cast("double") / 1e6 / col("n_dims")), 6)
-            .as("rmse"))
-    },
-    Some(s"""WITH dims AS (
+  /** Per-(vector, subspace, centroid) squared L2 in integer-exact form:
+    * the shared first half of the PQ family (a12 encodes from it; a13's
+    * probe distance tables ARE its probe slice). */
+  private def pqSqdist(s: SparkSession, d: String): DataFrame = {
+    val dims = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        round(col("col").cast("double"), 6).as("x"))
+      .withColumn("sub", (col("dim") / (64 / PQ_M)).cast("int"))
+    val cents = dims.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast("int").as("cid"), col("dim"),
+        col("x").as("c"))
+    dims.join(broadcast(cents), Seq("dim"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        round((col("x") - col("c")) * (col("x") - col("c")), 6)
+          .cast("decimal(20,6)").as("term"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(col("term")).cast("double").as("sqdist"))
+  }
+
+  /** Per-(vector, subspace) winning code + its exact squared distance in
+    * integer micros, via the packed argmin. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqSqdist(s, d)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(expr(
+        s"CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K + cid"))
+        .as("pk"))
+      .select(col("vec_id"), col("sub"),
+        pmod(col("pk"), lit(PQ_K)).cast("int").as("code"),
+        expr(s"pk div $PQ_K").as("sqd_micro"))
+
+  /** The PQ derivation as DuckDB CTEs ending in `codes` (no trailing
+    * SELECT), shared by a12's report and a13's ADC search. */
+  private val PQ_CTES: String = s"""WITH dims AS (
         SELECT vec_id, dim, round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS x,
                CAST(dim // ${64 / PQ_M} AS INTEGER) AS sub
         FROM (SELECT vec_id, embedding,
@@ -676,7 +668,29 @@ object Ann {
                % $PQ_K AS INTEGER) AS code,
           min(CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K + cid)
                // $PQ_K AS sqd_micro
-        FROM sqd GROUP BY 1, 2)
+        FROM sqd GROUP BY 1, 2)"""
+
+  val a12ProductQuant = Q(
+    "a12_product_quant",
+    (s, d) => {
+      // the packed argmin key carries BOTH outputs: low bits the winning
+      // centroid, high bits its (6-decimal-exact) squared distance in
+      // integer micros — which IS the subspace's reconstruction error,
+      // so no rejoin against the exploded dims table is ever needed (the
+      // naive recon join re-shuffled the full (vec, dim) table; this is
+      // one narrow hash-agg instead)
+      // packed 16-bit code: 2 bits per subspace — integer arithmetic end
+      // to end, so it doubles as a cross-engine checksum of every code
+      pqCodes(s, d).groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(CAST(code AS BIGINT), 2 * sub)"))
+          .as("pq_code"),
+          (count(lit(1)) * (64 / PQ_M)).as("n_dims"),
+          sum(col("sqd_micro")).as("micro"))
+        .select(col("vec_id"), col("pq_code"), col("n_dims"),
+          round(sqrt(col("micro").cast("double") / 1e6 / col("n_dims")), 6)
+            .as("rmse"))
+    },
+    Some(s"""$PQ_CTES
       SELECT vec_id,
         CAST(sum(code * (1 << (2 * sub))) AS BIGINT) AS pq_code,
         CAST(count(*) * ${64 / PQ_M} AS BIGINT) AS n_dims,
@@ -684,8 +698,59 @@ object Ann {
                    (count(*) * ${64 / PQ_M})), 6) AS rmse
       FROM codes GROUP BY 1"""))
 
+  // ---------------------------------------------------------------------
+  // A13: ADC search over the PQ codes — the payoff of a12, and the way
+  // PQ search actually runs at 100 TB: the corpus is touched ONLY
+  // through its 16-bit codes; each probe precomputes an M×K distance
+  // table (its squared L2 to every subspace centroid — which is exactly
+  // the probe slice of the shared pqSqdist frame), and a candidate's
+  // asymmetric distance is the sum of 8 table lookups. Relational
+  // shape: broadcast the (probes × M × K) table, join corpus codes on
+  // (sub, code), one (probe, vec) hash-agg summing exact integer
+  // micros, then a per-probe bottom-k window. No full-vector math
+  // touches the corpus after encoding — that is the entire point.
+  // ---------------------------------------------------------------------
+  val a13PqAdc = Q(
+    "a13_pq_adc",
+    (s, d) => {
+      val codes = pqCodes(s, d).select("vec_id", "sub", "code")
+      val table = pqSqdist(s, d)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("probe_id"), col("sub"),
+          col("cid").as("code"),
+          expr("CAST(round(sqdist * 1000000) AS BIGINT)").as("micro"))
+      import org.apache.spark.sql.expressions.Window
+      val adc = codes.join(broadcast(table), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("micro")).as("adc_micro"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      adc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("adc_micro").cast("double") / 1e6, 6).as("adc_dist"))
+    },
+    Some(s"""$PQ_CTES,
+      tbl AS (
+        SELECT vec_id AS probe_id, sub, cid AS code,
+          CAST(round(sqdist * 1000000) AS BIGINT) AS micro
+        FROM sqd WHERE vec_id >= 100 AND vec_id < 110),
+      adc AS (
+        SELECT t.probe_id, k.vec_id,
+          CAST(sum(t.micro) AS BIGINT) AS adc_micro
+        FROM codes k JOIN tbl t ON t.sub = k.sub AND t.code = k.code
+        WHERE k.vec_id <> t.probe_id
+        GROUP BY 1, 2)
+      SELECT probe_id, vec_id,
+        round(CAST(adc_micro AS DOUBLE) / 1000000, 6) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY adc_micro ASC, vec_id ASC) AS rn FROM adc) t
+      WHERE rn <= 5"""))
+
   /** All similarity-search queries, registration order. */
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
-      a10ScalarQuant, a11AnnRecall, a12ProductQuant, d4EmbedNeardup)
+      a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc,
+      d4EmbedNeardup)
 }

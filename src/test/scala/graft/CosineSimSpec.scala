@@ -144,4 +144,46 @@ class CosineSimSpec extends SparkSuite {
     // had rmse 0 the operator would be vacuous
     assert(rows.values.count(_._3 > 0.0) > rows.size / 2)
   }
+
+  test("A13: ADC ranking matches a driver-side table-lookup recompute") {
+    val out = graft.operators.Ann.a13PqAdc.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet === (100L until 110L).toSet)
+    byProbe.values.foreach { rs =>
+      assert(rs.length === 5)
+      assert(rs.map(_._3).toSeq === rs.map(_._3).sorted.toSeq,
+        "per-probe ADC distances must be ascending")
+      rs.foreach { case (_, _, dist) => assert(dist >= 0.0) }
+    }
+    // independent ground truth: rebuild the ADC sum for ONE probe from
+    // the embeddings table in plain Scala (same 6-decimal discipline)
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => BigDecimal(f.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray)
+      .toMap
+    def sqdMicro(v: Array[Double], c: Array[Double], sub: Int): Long = {
+      val terms = (sub * 8 until sub * 8 + 8).map { i =>
+        BigDecimal((v(i) - c(i)) * (v(i) - c(i)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (terms.sum * 1000000).toLongExact
+    }
+    val codeOf = embs.map { case (id, v) =>
+      id -> (0 until 8).map(sub =>
+        (0 until 4).minBy(cid => (sqdMicro(v, embs(cid.toLong), sub), cid)))
+    }
+    val probe = embs(100L)
+    val expected = embs.keys.filter(_ != 100L).map { id =>
+      id -> codeOf(id).zipWithIndex
+        .map { case (cid, sub) => sqdMicro(probe, embs(cid.toLong), sub) }
+        .sum
+    }.toSeq.sortBy { case (id, m) => (m, id) }.take(5)
+    val got = byProbe(100L).sortBy(r => (r._3, r._2))
+      .map(r => (r._2, math.round(r._3 * 1e6)))
+    assert(got.toSeq === expected.map { case (id, m) => (id, m) },
+      "probe 100's top-5 must match the scalar recompute exactly")
+  }
 }
