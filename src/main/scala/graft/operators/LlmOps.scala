@@ -1117,6 +1117,91 @@ object LlmOps {
       FROM pc GROUP BY 1"""))
 
   // ---------------------------------------------------------------------
+  // T15: bigram-LM quality score — the perplexity-proxy filter every
+  // training-data pipeline gates on: a Laplace-smoothed bigram model
+  // p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) trained on the 80% split, and
+  // each held-out doc scored by its mean bigram log-probability (low =
+  // gibberish/loop/foreign text; the gate a c-family curation would cut
+  // on next, beside t13's repetition signal).
+  //
+  // Scale shape: both model tables key on 60-bit hashes (family rule —
+  // the shuffle moves 8-byte longs, never token strings); scoring is
+  // two left joins (bigram hit; history count for the smoothing
+  // denominator) and one per-doc hash-agg. At 100 TB the model tables
+  // are the small side (vocabulary² is bounded, the corpus isn't) and
+  // AQE broadcasts them. Parity: log terms round to 6 digits and sum in
+  // DECIMAL — t11's discipline, argmax-stable in both engines; V counts
+  // distinct unigram HASHES so both engines count the same thing.
+  // ---------------------------------------------------------------------
+  val t15LmScore = Q(
+    "t15_lm_score",
+    (s, d) => {
+      // per-occurrence (bigram, history) pairs, hashed — shared
+      // derivation for train and test slices
+      def pairs(docs: DataFrame): DataFrame = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          s"arrays_zip(${ngramExpr(2)}, " +
+            "transform(sequence(0, size(t)-2), i -> t[i]))")).as("z"))
+        .select(col("doc_id"),
+          Portable.h60(col("z").getField("0"), "lm2|").as("gh"),
+          Portable.h60(col("z").getField("1"), "lm1|").as("w1h"))
+      val train = pairs(documents(s, d).filter(col("doc_id") % 10 < 8))
+      val c2 = train.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
+      // history counts: occurrences of w1 AS A HISTORY (pair count per
+      // w1), so Σ_w2 p(w2|w1) stays a proper distribution
+      val c1 = train.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+      val vocab = documents(s, d).filter(col("doc_id") % 10 < 8)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .agg(countDistinct(Portable.h60(col("tok"), "lm1|")).as("v"))
+      pairs(documents(s, d).filter(col("doc_id") % 10 >= 8))
+        .join(c2, Seq("gh"), "left")
+        .join(c1, Seq("w1h"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(log(
+            (coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
+              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6)
+            .cast("decimal(28,6)").as("logp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("logp")).cast("double").as("ll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("ll") / col("n_bigrams"), 6).as("avg_logp"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      pairs AS (
+        SELECT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(2)})", "lm2|")} AS gh,
+          ${Portable.h60Duck(
+            "unnest(list_transform(range(len(t)-1), i -> t[i+1]))", "lm1|")}
+            AS w1h
+        FROM toks WHERE len(t) >= 2),
+      c2 AS (SELECT gh, count(*) AS c2 FROM pairs
+             WHERE doc_id % 10 < 8 GROUP BY 1),
+      c1 AS (SELECT w1h, count(*) AS c1 FROM pairs
+             WHERE doc_id % 10 < 8 GROUP BY 1),
+      vocab AS (
+        SELECT count(DISTINCT h) AS v FROM (
+          SELECT ${Portable.h60Duck("unnest(t)", "lm1|")} AS h
+          FROM toks WHERE doc_id % 10 < 8) u),
+      scored AS (
+        SELECT p.doc_id,
+          CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+                        CAST(coalesce(c1.c1, 0) + vocab.v AS DOUBLE)), 6)
+               AS DECIMAL(28,6)) AS logp
+        FROM pairs p
+        LEFT JOIN c2 ON c2.gh = p.gh
+        LEFT JOIN c1 ON c1.w1h = p.w1h
+        CROSS JOIN vocab
+        WHERE p.doc_id % 10 >= 8)
+      SELECT doc_id, count(*) AS n_bigrams,
+        round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+      FROM scored GROUP BY 1"""))
+
+  // ---------------------------------------------------------------------
   // T14: KMV quantile sketch — the third sketch leg (a9 answers "how
   // many distinct", t12 "how often", t14 "how is it distributed"): a
   // bottom-K-by-hash sample per stratum is a uniform sample that is
@@ -1596,6 +1681,7 @@ object LlmOps {
     d6Decontaminate, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
-    t14KmvQuantile, a9HllDistinct, c1CurateCorpus, c1bCurateNeardup,
+    t14KmvQuantile, t15LmScore, a9HllDistinct, c1CurateCorpus,
+    c1bCurateNeardup,
     c2SplitAssign, c3StratifiedSample)
 }

@@ -215,6 +215,51 @@ class DedupSpec extends SparkSuite {
     } finally cc.release()
   }
 
+  test("T15: held-out scores match a scalar bigram-LM recompute") {
+    val out = graft.operators.LlmOps.t15LmScore.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    assert(out.keys.forall(_ % 10 >= 8), "only held-out docs are scored")
+    assert(out.values.forall(_._2 < 0.0), "log-probabilities are negative")
+
+    // scalar model with the same h60 keys and rounding discipline
+    def h60(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ", -1).toSeq)
+      .toMap
+    val trainPairs = docs.toSeq.filter(_._1 % 10 < 8).flatMap {
+      case (_, t) => t.sliding(2).filter(_.length == 2).map(p =>
+        (h60("lm2|" + p.mkString(" ")), h60("lm1|" + p.head)))
+    }
+    val c2 = trainPairs.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val c1 = trainPairs.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val v = docs.toSeq.filter(_._1 % 10 < 8)
+      .flatMap(_._2).map(t => h60("lm1|" + t)).distinct.size
+    docs.toSeq.filter { case (id, t) => id % 10 >= 8 && t.length >= 2 }
+      .foreach { case (id, t) =>
+        val terms = t.sliding(2).filter(_.length == 2).map { p =>
+          val num = c2.getOrElse(h60("lm2|" + p.mkString(" ")), 0) + 1
+          val den = c1.getOrElse(h60("lm1|" + p.head), 0) + v
+          BigDecimal(math.log(num.toDouble / den))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.toSeq
+        // mirror the engine: exact DECIMAL sum, cast to double, THEN the
+        // double division and 6-digit round
+        val want = BigDecimal(terms.sum.toDouble / terms.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (n, avg) = out(id)
+        assert(n === terms.length.toLong, s"doc $id bigram count")
+        assert(avg === want, s"doc $id avg_logp")
+      }
+  }
+
   test("C1b: near-dup election only ever removes survivors vs C1") {
     def counts(q: graft.Queries.Q): Map[(String, String), Long] =
       q.fn(spark, sf).collect()
