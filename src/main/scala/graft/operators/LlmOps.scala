@@ -1023,8 +1023,8 @@ object LlmOps {
   // top-10 rides along to exhibit the overcount (W=64 forces visible
   // collisions on this vocabulary).
   // ---------------------------------------------------------------------
-  private val CM_W = 64 // buckets per row (power of two: exact modulo)
-  private val CM_D = 4 // seeded rows; estimate = min across rows
+  private[graft] val CM_W = 64 // buckets per row (power of two: exact modulo)
+  private[graft] val CM_D = 4 // seeded rows; estimate = min across rows
 
   val t12CountminTopk = Q(
     "t12_countmin_topk",

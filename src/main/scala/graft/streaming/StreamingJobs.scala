@@ -132,6 +132,38 @@ object StreamingJobs {
     * in batch and a live stream sketched here are one mergeable,
     * interchangeable artifact. State per stratum is 1 KB, independent
     * of stream length — the sketch property doing the state bounding. */
+  /** Streaming maintenance of t12's count-min sketch: per-depth state is
+    * the FIXED 64-long counter row, each micro-batch ADDS its bucket
+    * hits in, and the emitted rows are the non-zero cells after the
+    * batch. Count-min is add-mergeable (cells sum across partitions,
+    * days, or a batch backfill and a live stream), so the streaming
+    * state converges to the batch sketch CELL FOR CELL (StreamingSpec
+    * proves it) — the second leg, beside the HLL registers, of "one
+    * sketch artifact, two execution modes". State per depth is 512
+    * bytes, independent of stream length. */
+  final case class CmCell(depth: Int, bucket: Int, cnt: Long)
+  def streamingCountminCells(
+      spark: org.apache.spark.sql.SparkSession,
+      cells: DataFrame): org.apache.spark.sql.Dataset[CmCell] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val W = graft.operators.LlmOps.CM_W
+    cells.select(col("depth").cast("int"), col("bucket").cast("int"))
+      .as[(Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (depth: Int, rows: Iterator[(Int, Int)],
+            state: GroupState[Array[Long]]) => {
+          val regs = state.getOption.getOrElse(new Array[Long](W))
+          rows.foreach { case (_, b) => regs(b) += 1L }
+          state.update(regs)
+          regs.iterator.zipWithIndex.collect {
+            case (c, i) if c > 0 => CmCell(depth, i, c)
+          }
+        })
+  }
+
   final case class HllRegister(lang: String, idx: Int, m_rho: Int)
   def streamingHllRegisters(
       spark: org.apache.spark.sql.SparkSession,

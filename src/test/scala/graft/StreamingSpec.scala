@@ -219,6 +219,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min cells converge to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val W = graft.operators.LlmOps.CM_W
+    val D = graft.operators.LlmOps.CM_D
+    // batch-side truth: every token occurrence's D bucket projections,
+    // counted per cell — exactly t12's sketch table
+    val hits = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .select((0 until D).map(i =>
+        (graft.functions.Portable.h60(col("tok"), s"cm$i|") % W)
+          .cast("int").as(s"b$i")): _*)
+      .collect()
+      .flatMap(r => (0 until D).map(i => (i, r.getInt(i))))
+    val batchCells = hits.groupBy(identity).map {
+      case ((d, b), v) => (d, b) -> v.length.toLong
+    }
+    // stream the same hits in three chunks; cells only grow, so the max
+    // emission per cell is the final state
+    val input = MemoryStream[(Int, Int)]
+    val q = StreamingJobs
+      .streamingCountminCells(spark, input.toDF().toDF("depth", "bucket"))
+      .writeStream.format("memory").queryName("cm_test")
+      .outputMode("update").start()
+    try {
+      hits.grouped(math.max(1, hits.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamCells = spark.table("cm_test")
+        .groupBy(col("depth"), col("bucket")).agg(max(col("cnt")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamCells === batchCells,
+        "streaming sketch must equal the batch sketch, cell for cell")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch register table") {
     implicit val sqlCtx = spark.sqlContext
     // batch-side truth: the a9 register table over the sf corpus
