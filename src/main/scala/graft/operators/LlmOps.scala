@@ -1082,6 +1082,8 @@ object LlmOps {
 
   // ---------------------------------------------------------------------
   // T13: within-document repetition — the boilerplate/spam/loop signal
+  // (repStatsSql precedes the query: Scala object vals initialize in
+  // declaration order, and a forward reference would interpolate null)
   // quality filters cut on: the fraction of trigram OCCURRENCES that
   // are repeats of an earlier trigram in the same doc, plus the hottest
   // trigram's count. One explode + one (doc, gram) hash-agg + one
@@ -1090,6 +1092,22 @@ object LlmOps {
   // rounded identically in both engines. Generated text loops hard, so
   // this is also the column the c-family curation would gate on next.
   // ---------------------------------------------------------------------
+  /** t13's repetition stats as DuckDB CTEs ending in `rep` (CTE names
+    * prefixed r- so the chain composes with lmScoreSql/curateSql in one
+    * WITH); shared by t13 and c1c. */
+  private val repStatsSql: String = s"""rtoks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      rg AS (
+        SELECT doc_id, ${Portable.h60Duck(s"unnest(${ngramDuck(3)})", "rep|")} AS gh
+        FROM rtoks WHERE len(t) >= 3),
+      rpc AS (SELECT doc_id, gh, count(*) AS c FROM rg GROUP BY 1, 2),
+      rep AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+          count(*) AS n_distinct, max(c) AS max_rep,
+          round((CAST(sum(c) AS BIGINT) - count(*))::DOUBLE /
+                CAST(sum(c) AS BIGINT), 6) AS rep_ratio
+        FROM rpc GROUP BY 1)"""
+
   val t13Repetition = Q(
     "t13_repetition",
     (s, d) =>
@@ -1104,17 +1122,9 @@ object LlmOps {
           col("max_rep"),
           round((col("n_grams") - col("n_distinct")).cast("double") /
             col("n_grams"), 6).as("rep_ratio")),
-    Some(s"""WITH toks AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      g AS (
-        SELECT doc_id, ${Portable.h60Duck(s"unnest(${ngramDuck(3)})", "rep|")} AS gh
-        FROM toks WHERE len(t) >= 3),
-      pc AS (SELECT doc_id, gh, count(*) AS c FROM g GROUP BY 1, 2)
-      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-        count(*) AS n_distinct, max(c) AS max_rep,
-        round((CAST(sum(c) AS BIGINT) - count(*))::DOUBLE /
-              CAST(sum(c) AS BIGINT), 6) AS rep_ratio
-      FROM pc GROUP BY 1"""))
+    Some(s"""WITH $repStatsSql
+      SELECT doc_id, n_grams, n_distinct, max_rep, rep_ratio
+      FROM rep"""))
 
   // ---------------------------------------------------------------------
   // T15: bigram-LM quality score — the perplexity-proxy filter every
@@ -1133,44 +1143,54 @@ object LlmOps {
   // DECIMAL — t11's discipline, argmax-stable in both engines; V counts
   // distinct unigram HASHES so both engines count the same thing.
   // ---------------------------------------------------------------------
-  val t15LmScore = Q(
-    "t15_lm_score",
-    (s, d) => {
-      // per-occurrence (bigram, history) pairs, hashed — shared
-      // derivation for train and test slices
-      def pairs(docs: DataFrame): DataFrame = docs
-        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          s"arrays_zip(${ngramExpr(2)}, " +
-            "transform(sequence(0, size(t)-2), i -> t[i]))")).as("z"))
-        .select(col("doc_id"),
-          Portable.h60(col("z").getField("0"), "lm2|").as("gh"),
-          Portable.h60(col("z").getField("1"), "lm1|").as("w1h"))
-      val train = pairs(documents(s, d).filter(col("doc_id") % 10 < 8))
-      val c2 = train.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
-      // history counts: occurrences of w1 AS A HISTORY (pair count per
-      // w1), so Σ_w2 p(w2|w1) stays a proper distribution
-      val c1 = train.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
-      val vocab = documents(s, d).filter(col("doc_id") % 10 < 8)
-        .select(explode(split(lower(col("text")), " ")).as("tok"))
-        .agg(countDistinct(Portable.h60(col("tok"), "lm1|")).as("v"))
-      pairs(documents(s, d).filter(col("doc_id") % 10 >= 8))
-        .join(c2, Seq("gh"), "left")
-        .join(c1, Seq("w1h"), "left")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          round(log(
-            (coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
-              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6)
-            .cast("decimal(28,6)").as("logp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("logp")).cast("double").as("ll"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("ll") / col("n_bigrams"), 6).as("avg_logp"))
-    },
-    Some(s"""WITH toks AS (
+  /** Per-doc mean bigram log-probability under the 80%-split model —
+    * the ONE scorer definition, shared by t15's held-out report
+    * (`heldOutOnly = true`) and c1c's whole-corpus quality election
+    * (`false`: score every doc with the same trained model). */
+  private def lmScores(
+      s: SparkSession, d: String, heldOutOnly: Boolean): DataFrame = {
+    // per-occurrence (bigram, history) pairs, hashed — shared
+    // derivation for train and scored slices
+    def pairs(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        s"arrays_zip(${ngramExpr(2)}, " +
+          "transform(sequence(0, size(t)-2), i -> t[i]))")).as("z"))
+      .select(col("doc_id"),
+        Portable.h60(col("z").getField("0"), "lm2|").as("gh"),
+        Portable.h60(col("z").getField("1"), "lm1|").as("w1h"))
+    val train = pairs(documents(s, d).filter(col("doc_id") % 10 < 8))
+    val c2 = train.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
+    // history counts: occurrences of w1 AS A HISTORY (pair count per
+    // w1), so Σ_w2 p(w2|w1) stays a proper distribution
+    val c1 = train.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+    val vocab = documents(s, d).filter(col("doc_id") % 10 < 8)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .agg(countDistinct(Portable.h60(col("tok"), "lm1|")).as("v"))
+    val slice =
+      if (heldOutOnly) documents(s, d).filter(col("doc_id") % 10 >= 8)
+      else documents(s, d)
+    pairs(slice)
+      .join(c2, Seq("gh"), "left")
+      .join(c1, Seq("w1h"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log(
+          (coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6)
+          .cast("decimal(28,6)").as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp")).cast("double").as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ll") / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
+  /** The LM-score chain as DuckDB CTEs ending in `lmscore` (no trailing
+    * SELECT); `scoreWhere` picks the scored slice. Mirrors [[lmScores]];
+    * shared by t15 and c1c. */
+  private def lmScoreSql(scoreWhere: String): String = s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       pairs AS (
         SELECT doc_id,
@@ -1196,10 +1216,17 @@ object LlmOps {
         LEFT JOIN c2 ON c2.gh = p.gh
         LEFT JOIN c1 ON c1.w1h = p.w1h
         CROSS JOIN vocab
-        WHERE p.doc_id % 10 >= 8)
-      SELECT doc_id, count(*) AS n_bigrams,
-        round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
-      FROM scored GROUP BY 1"""))
+        WHERE $scoreWhere),
+      lmscore AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+        FROM scored GROUP BY 1)"""
+
+  val t15LmScore = Q(
+    "t15_lm_score",
+    (s, d) => lmScores(s, d, heldOutOnly = true),
+    Some(s"""WITH ${lmScoreSql("p.doc_id % 10 >= 8")}
+      SELECT doc_id, n_bigrams, avg_logp FROM lmscore"""))
 
   // ---------------------------------------------------------------------
   // T14: KMV quantile sketch — the third sketch leg (a9 answers "how
@@ -1675,6 +1702,65 @@ object LlmOps {
       ${curateSql(
         "d.doc_id NOT IN (SELECT doc_id FROM losers)\n          AND ")}"""))
 
+  // ---------------------------------------------------------------------
+  // C1c: curation with QUALITY election — the gate t13 and t15 exist to
+  // feed: beside c1's exact dedup and lexical filters, drop each
+  // language's worst decile by bigram-LM score and worst 5% by
+  // repetition ratio (budget-style rank elections, which is how real
+  // curations cut — absolute thresholds go vacuous or catastrophic as
+  // the corpus mix drifts; ranks track the distribution). Scale shape:
+  // the elections window over the per-doc STATS tables (orders of
+  // magnitude smaller than the corpus), partitioned by language — no
+  // global sort; ties break on doc_id so both engines elect identical
+  // losers. Everything else is c1's shape via the shared curateReport.
+  // ---------------------------------------------------------------------
+  val c1cCurateQuality = Q(
+    "c1c_curate_quality",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val langOf = documents(s, d).select(col("doc_id"), col("lang"))
+      val cw = Window.partitionBy(col("lang"))
+      val lmLosers = lmScores(s, d, heldOutOnly = false)
+        .join(langOf, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          cw.orderBy(col("avg_logp").asc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") <= expr("n div 10"))
+        .select(col("doc_id"))
+      val repLosers = t13Repetition.fn(s, d)
+        .join(langOf, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          cw.orderBy(col("rep_ratio").desc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") <= expr("n div 20"))
+        .select(col("doc_id"))
+      curateReport(s, d,
+        losers = Some(lmLosers.union(repLosers).distinct()),
+        fixture = "c1c_curated")
+    },
+    Some(s"""WITH $repStatsSql,
+      ${lmScoreSql("TRUE")},
+      dl AS (SELECT doc_id, lang FROM documents),
+      lml AS (
+        SELECT doc_id FROM (
+          SELECT s.doc_id,
+            row_number() OVER (PARTITION BY dl.lang
+              ORDER BY s.avg_logp ASC, s.doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY dl.lang) AS n
+          FROM lmscore s JOIN dl ON dl.doc_id = s.doc_id) t
+        WHERE rn <= n // 10),
+      repl AS (
+        SELECT doc_id FROM (
+          SELECT r.doc_id,
+            row_number() OVER (PARTITION BY dl.lang
+              ORDER BY r.rep_ratio DESC, r.doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY dl.lang) AS n
+          FROM rep r JOIN dl ON dl.doc_id = r.doc_id) t
+        WHERE rn <= n // 20),
+      losers AS (SELECT doc_id FROM lml UNION SELECT doc_id FROM repl),
+      ${curateSql(
+        "d.doc_id NOT IN (SELECT doc_id FROM losers)\n          AND ")}"""))
+
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
@@ -1682,6 +1768,6 @@ object LlmOps {
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
     t14KmvQuantile, t15LmScore, a9HllDistinct, c1CurateCorpus,
-    c1bCurateNeardup,
+    c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample)
 }

@@ -260,6 +260,23 @@ class DedupSpec extends SparkSuite {
       }
   }
 
+  test("C1c: quality election removes the per-lang worst, never adds") {
+    def counts(q: graft.Queries.Q): Map[(String, String), Long] =
+      q.fn(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val base = counts(graft.operators.LlmOps.c1CurateCorpus)
+    val elected = counts(graft.operators.LlmOps.c1cCurateQuality)
+    assert(elected.nonEmpty)
+    elected.foreach { case (k, n) =>
+      assert(base.contains(k), s"group $k appeared from nowhere")
+      assert(n <= base(k), s"group $k grew under a pure filter")
+    }
+    // the rank election always fires on a corpus with >= 10 docs in
+    // some language — a vacuous gate would mean the windows are wrong
+    assert(elected.values.sum < base.values.sum,
+      "per-lang deciles exist at this sf; some loser must be dropped")
+  }
+
   test("C1b: near-dup election only ever removes survivors vs C1") {
     def counts(q: graft.Queries.Q): Map[(String, String), Long] =
       q.fn(spark, sf).collect()
