@@ -645,9 +645,11 @@ object Ann {
         pmod(col("pk"), lit(PQ_K)).cast("int").as("code"),
         expr(s"pk div $PQ_K").as("sqd_micro"))
 
-  /** The PQ derivation as DuckDB CTEs ending in `codes` (no trailing
-    * SELECT), shared by a12's report and a13's ADC search. */
-  private val PQ_CTES: String = s"""WITH dims AS (
+  /** The PQ derivation as DuckDB CTEs ending in `codes` (no leading
+    * WITH, no trailing SELECT) — a14 splices it after the k-means chain,
+    * whose CTE names (e, c0, a1, m1, c1, a2) are disjoint from these
+    * (dims, cents, sqd, codes). */
+  private val PQ_CTES_BODY: String = s"""dims AS (
         SELECT vec_id, dim, round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS x,
                CAST(dim // ${64 / PQ_M} AS INTEGER) AS sub
         FROM (SELECT vec_id, embedding,
@@ -669,6 +671,8 @@ object Ann {
           min(CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K + cid)
                // $PQ_K AS sqd_micro
         FROM sqd GROUP BY 1, 2)"""
+
+  private val PQ_CTES: String = "WITH " + PQ_CTES_BODY
 
   val a12ProductQuant = Q(
     "a12_product_quant",
@@ -748,9 +752,76 @@ object Ann {
             ORDER BY adc_micro ASC, vec_id ASC) AS rn FROM adc) t
       WHERE rn <= 5"""))
 
+  // ---------------------------------------------------------------------
+  // A14: IVF-PQ — the two index halves composed the way a 100 TB vector
+  // store actually ships (FAISS's IVFPQ, SCANN's tree-AH): the TRAINED
+  // coarse quantizer (a8's k-means cells) prunes the candidate set to
+  // the probe's cell, and within the cell candidates are scored only
+  // through their 16-bit PQ codes by asymmetric distance (a13's table
+  // lookups). Relational shape: the "index" is one narrow frame
+  // (vec_id, cell, sub, code) — built once, in reality stored — the
+  // probe side broadcasts its (cell × M × K) distance table, and the
+  // join keys on (cell, sub, code), so a corpus code row meets only
+  // probes routed to its own cell: per-probe work is |corpus|/nlist
+  // lookups, no full-vector math after encoding, and the one shuffle is
+  // the (probe, vec) partial-sum hash-agg. Everything upstream (cells,
+  // codes, tables) reuses the a8/a12 derivations verbatim, so parity is
+  // inherited: exact integer micros end to end.
+  // ---------------------------------------------------------------------
+  val a14IvfPq = Q(
+    "a14_ivfpq",
+    (s, d) => {
+      val cells = kmeansAssign(s, d).select(col("vec_id"), col("cell"))
+      // the stored index: one row per (vector, subspace) with its cell
+      // and 2-bit code — 16 bits + routing key per vector, nothing else
+      val index = pqCodes(s, d).select("vec_id", "sub", "code")
+        .join(cells, Seq("vec_id"))
+      val table = pqSqdist(s, d)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("probe_id"), col("sub"),
+          col("cid").as("code"),
+          expr("CAST(round(sqdist * 1000000) AS BIGINT)").as("micro"))
+        .join(cells.select(col("vec_id").as("probe_id"), col("cell")),
+          Seq("probe_id"))
+      import org.apache.spark.sql.expressions.Window
+      val adc = index.join(broadcast(table), Seq("cell", "sub", "code"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("micro")).as("adc_micro"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_micro").asc, col("vec_id").asc)
+      adc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"),
+          round(col("adc_micro").cast("double") / 1e6, 6).as("adc_dist"))
+    },
+    Some(s"""$KMEANS_CTES,
+      $PQ_CTES_BODY,
+      kcells AS (SELECT vec_id, cell FROM a2),
+      idx AS (
+        SELECT k.vec_id, kc.cell, k.sub, k.code
+        FROM codes k JOIN kcells kc USING (vec_id)),
+      tbl AS (
+        SELECT s.vec_id AS probe_id, kc.cell, s.sub, s.cid AS code,
+          CAST(round(s.sqdist * 1000000) AS BIGINT) AS micro
+        FROM sqd s JOIN kcells kc ON kc.vec_id = s.vec_id
+        WHERE s.vec_id >= 100 AND s.vec_id < 110),
+      adc AS (
+        SELECT t.probe_id, k.vec_id,
+          CAST(sum(t.micro) AS BIGINT) AS adc_micro
+        FROM idx k JOIN tbl t
+          ON t.cell = k.cell AND t.sub = k.sub AND t.code = k.code
+        WHERE k.vec_id <> t.probe_id
+        GROUP BY 1, 2)
+      SELECT probe_id, vec_id,
+        round(CAST(adc_micro AS DOUBLE) / 1000000, 6) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY adc_micro ASC, vec_id ASC) AS rn FROM adc) t
+      WHERE rn <= 5"""))
+
   /** All similarity-search queries, registration order. */
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
-      a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc,
+      a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup)
 }

@@ -186,4 +186,33 @@ class CosineSimSpec extends SparkSuite {
     assert(got.toSeq === expected.map { case (id, m) => (id, m) },
       "probe 100's top-5 must match the scalar recompute exactly")
   }
+
+  test("A14: IVF-PQ candidates stay in the probe's cell and agree with a13") {
+    val cellOf = graft.operators.Ann.a8KmeansRefine.fn(spark, sf)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = graft.operators.Ann.a14IvfPq.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byProbe = out.groupBy(_._1)
+    // every probe's trained cell is corpus-sized at this sf, so all 10
+    // probes must fill their top-5
+    assert(byProbe.keySet === (100L until 110L).toSet)
+    byProbe.values.foreach(rs => assert(rs.length === 5))
+    // cell routing: a candidate outside the probe's cell means the join
+    // keys leaked — the entire IVF pruning claim
+    out.foreach { case (probe, vec, _) =>
+      assert(cellOf(vec) === cellOf(probe),
+        s"candidate $vec not in probe $probe's cell")
+    }
+    // ADC is the same table-lookup sum as a13: any (probe, vec) pair
+    // surfaced by both searches must carry the identical distance
+    val a13Dist = graft.operators.Ann.a13PqAdc.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = out.filter { case (p, v, _) => a13Dist.contains((p, v)) }
+    assert(shared.nonEmpty,
+      "same-cell top-5s never intersecting the global top-5s is implausible")
+    shared.foreach { case (p, v, dist) =>
+      assert(dist === a13Dist((p, v)), s"ADC mismatch for ($p, $v)")
+    }
+  }
 }
