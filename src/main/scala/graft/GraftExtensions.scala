@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the graft engine — the public plug-in point
-  * for custom Catalyst pieces (SURVEY §7.3). Currently injects the
-  * codegen'd `cosine_sim` expression; activate with
+  * for custom Catalyst pieces (SURVEY §7.3). Injects the codegen'd
+  * `cosine_sim` scalar and the `hll_estimate` typed-imperative
+  * aggregate; activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (Verify, Bench, and the test fixtures all do).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.CosineSimilarity.description)
+    ext.injectFunction(functions.HllEstimate.description)
+  }
 }

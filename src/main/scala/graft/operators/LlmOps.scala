@@ -1386,13 +1386,47 @@ object LlmOps {
   private val HLL_NUMC: Double =
     0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * math.pow(2, 53)
 
+  /** Per-(lang) 3-gram stream with its 60-bit sketch hash — shared by
+    * a9 (relational registers) and a9b (native aggregate). */
+  private def hllGrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("lang"), explode(expr(ngramExpr(3))).as("gram"))
+
+  /** The ONE oracle for the HLL family: a9 and a9b must both equal it —
+    * which transitively pins native-aggregate == relational == DuckDB. */
+  private val hllOracleSql: String = s"""WITH toks AS (
+        SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
+      g AS (
+        SELECT lang, unnest(${ngramDuck(3)}) AS gram
+        FROM toks WHERE len(t) >= 3),
+      reg AS (
+        SELECT lang, h // $HLL_WMASK AS idx,
+          max(CASE WHEN h % $HLL_WMASK = 0 THEN 53
+              ELSE 53 - length(bin(h % $HLL_WMASK)) END) AS m_rho
+        FROM (SELECT lang, ${Portable.h60Duck("gram", "hll|")} AS h FROM g) t
+        GROUP BY 1, 2),
+      z AS (
+        SELECT lang,
+          sum(1::BIGINT << CAST(53 - m_rho AS INT)) +
+            ($HLL_M - count(*)) * (1::BIGINT << 53) AS z_scaled,
+          $HLL_M - count(*) AS v_zero
+        FROM reg GROUP BY 1),
+      fin AS (
+        SELECT lang, CASE WHEN raw <= ${2.5 * HLL_M} AND v_zero > 0
+            THEN round($HLL_M.0 * ln($HLL_M.0 / v_zero), 4)
+            ELSE round(raw, 4) END AS n_hll
+        FROM (SELECT lang, $HLL_NUMC / z_scaled AS raw, v_zero FROM z) t),
+      ex AS (SELECT lang, count(DISTINCT gram) AS n_exact FROM g GROUP BY 1)
+      SELECT e.lang, e.n_exact, f.n_hll,
+        round(abs(f.n_hll - e.n_exact) / e.n_exact, 4) AS rel_err
+      FROM ex e JOIN fin f USING (lang)"""
+
   val a9HllDistinct = Q(
     "a9_hll_distinct",
     (s, d) => {
-      val grams = documents(s, d)
-        .select(col("lang"), split(lower(col("text")), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("lang"), explode(expr(ngramExpr(3))).as("gram"))
+      val grams = hllGrams(s, d)
       val reg = grams
         .select(col("lang"), Portable.h60(col("gram"), "hll|").as("h"))
         .select(col("lang"), expr(s"h div $HLL_WMASK").as("idx"),
@@ -1421,32 +1455,35 @@ object LlmOps {
           round(abs(col("n_hll") - col("n_exact")) / col("n_exact"), 4)
             .as("rel_err"))
     },
-    Some(s"""WITH toks AS (
-        SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
-      g AS (
-        SELECT lang, unnest(${ngramDuck(3)}) AS gram
-        FROM toks WHERE len(t) >= 3),
-      reg AS (
-        SELECT lang, h // $HLL_WMASK AS idx,
-          max(CASE WHEN h % $HLL_WMASK = 0 THEN 53
-              ELSE 53 - length(bin(h % $HLL_WMASK)) END) AS m_rho
-        FROM (SELECT lang, ${Portable.h60Duck("gram", "hll|")} AS h FROM g) t
-        GROUP BY 1, 2),
-      z AS (
-        SELECT lang,
-          sum(1::BIGINT << CAST(53 - m_rho AS INT)) +
-            ($HLL_M - count(*)) * (1::BIGINT << 53) AS z_scaled,
-          $HLL_M - count(*) AS v_zero
-        FROM reg GROUP BY 1),
-      fin AS (
-        SELECT lang, CASE WHEN raw <= ${2.5 * HLL_M} AND v_zero > 0
-            THEN round($HLL_M.0 * ln($HLL_M.0 / v_zero), 4)
-            ELSE round(raw, 4) END AS n_hll
-        FROM (SELECT lang, $HLL_NUMC / z_scaled AS raw, v_zero FROM z) t),
-      ex AS (SELECT lang, count(DISTINCT gram) AS n_exact FROM g GROUP BY 1)
-      SELECT e.lang, e.n_exact, f.n_hll,
-        round(abs(f.n_hll - e.n_exact) / e.n_exact, 4) AS rel_err
-      FROM ex e JOIN fin f USING (lang)"""))
+    Some(hllOracleSql))
+
+  // ---------------------------------------------------------------------
+  // A9b: the same HLL estimate through the NATIVE `hll_estimate`
+  // Catalyst aggregate (functions/HllEstimate, injected by
+  // GraftExtensions) — one ObjectHashAggregate carrying a 256-byte
+  // register buffer with map-side partial merge, instead of a9's
+  // (lang, idx) register shuffle. Same oracle as a9: native ==
+  // relational == DuckDB, or the round fails. Falls back to a9's
+  // relational pipeline on a session without the extension.
+  // ---------------------------------------------------------------------
+  val a9bHllNative = Q(
+    "a9b_hll_native",
+    (s, d) =>
+      if (!s.catalog.functionExists("hll_estimate")) a9HllDistinct.fn(s, d)
+      else {
+        val grams = hllGrams(s, d)
+        val fin = grams
+          .select(col("lang"), Portable.h60(col("gram"), "hll|").as("h"))
+          .groupBy(col("lang"))
+          .agg(expr("hll_estimate(h)").as("n_hll"))
+        grams.groupBy(col("lang"))
+          .agg(countDistinct(col("gram")).as("n_exact"))
+          .join(fin, Seq("lang"))
+          .select(col("lang"), col("n_exact"), col("n_hll"),
+            round(abs(col("n_hll") - col("n_exact")) / col("n_exact"), 4)
+              .as("rel_err"))
+      },
+    Some(hllOracleSql))
 
   // ---------------------------------------------------------------------
   // T10: TF-IDF top terms per document — the classic distinctive-term
@@ -1767,7 +1804,7 @@ object LlmOps {
     d6Decontaminate, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
-    t14KmvQuantile, t15LmScore, a9HllDistinct, c1CurateCorpus,
+    t14KmvQuantile, t15LmScore, a9HllDistinct, a9bHllNative, c1CurateCorpus,
     c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample)
 }
