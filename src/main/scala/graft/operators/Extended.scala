@@ -217,8 +217,54 @@ object Extended {
       WHERE e.ts >= w.lo AND e.ts < w.hi
       GROUP BY e.event_type, e.event_date, w.lo, w.hi"""))
 
+  // ---------------------------------------------------------------------
+  // X7: UNPIVOT (wide → long reshape) — the inverse of p11's pivot and
+  // the standard first step of per-measure profiling over a wide fact
+  // table. Spark's native `Dataset.unpivot` compiles to one Expand node
+  // (each input row fans out to 4 measure rows map-side — no shuffle,
+  // no self-union scan per measure), and the single shuffle is the
+  // 12-group hash-agg. Money sums follow the integer-checksum
+  // discipline: 2-decimal values scale to exact BIGINT cents (round
+  // kills the binary representation error first), so the total is
+  // exact cross-engine and the double form is one shared IEEE division.
+  // The oracle spells the reshape as UNION ALL — ANSI for the same
+  // row-set (DuckDB's UNPIVOT would also do).
+  // ---------------------------------------------------------------------
+  val x7Unpivot = Q(
+    "x7_unpivot",
+    (s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(val * 100) AS BIGINT)")).as("total_c100"),
+          min(col("val")).as("mn"), max(col("val")).as("mx"))
+        .select(col("l_returnflag"), col("measure"), col("n"),
+          col("total_c100"),
+          (col("total_c100") / 100.0).as("total"), col("mn"), col("mx")),
+    Some("""WITH u AS (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      SELECT l_returnflag, measure, count(*) AS n,
+        CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS total_c100,
+        CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) / 100.0
+          AS total,
+        min(val) AS mn, max(val) AS mx
+      FROM u GROUP BY 1, 2"""))
+
   /** All extension queries, registration order. */
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
-    x6IntervalJoin)
+    x6IntervalJoin, x7Unpivot)
 }

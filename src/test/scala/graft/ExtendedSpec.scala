@@ -57,4 +57,24 @@ class ExtendedSpec extends SparkSuite {
         col("l_orderkey") === col("o_orderkey")).count()
     assert(df.count() === plain)
   }
+
+  test("X7: unpivot expands map-side (one Expand, no extra scan) and balances") {
+    val df = operators.Extended.x7Unpivot.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"native unpivot should plan an Expand:\n$plan")
+    // 4 measures per UNION-free scan: the fact table is read exactly once
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan)
+    val rows = df.collect()
+    val li = Tables.lineitem(spark, sf)
+    val nLi = li.count()
+    // every (flag, measure) cell counts exactly its flag's row count
+    val flagCounts = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length === flagCounts.size * 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) === flagCounts(r.getString(0)),
+        s"cell ${r.getString(0)}/${r.getString(1)}")
+    }
+    assert(rows.map(_.getLong(2)).sum === nLi * 4)
+  }
 }
