@@ -1009,6 +1009,54 @@ object LlmOps {
       FROM documents"""))
 
   // ---------------------------------------------------------------------
+  // C4: decontamination-aware split — c2's routing composed with d6's
+  // leakage flags, which is the order a real pretraining build runs:
+  // benchmark docs are fenced off as 'eval', any corpus doc sharing a
+  // word 4-gram with them is QUARANTINED (excluded from every split —
+  // re-routing it to train would defeat d6; dropping it silently would
+  // hide the leak), and only clean docs take their seeded hash split.
+  // Scale shape: the contaminated-id set is benchmark-sized (tiny next
+  // to the corpus), so the left join broadcasts under AQE and the
+  // corpus side keeps c2's zero-shuffle projection posture; quarantine
+  // stays stable under corpus growth for the same reason c2's hash
+  // routing does.
+  // ---------------------------------------------------------------------
+  val c4DecontSplit = Q(
+    "c4_decontaminated_split",
+    (s, d) => {
+      val contam = d6Decontaminate.fn(s, d)
+        .select(col("doc_id"), lit(1).as("contam"))
+      val bucket = Portable.h60(col("doc_id").cast("string"), "split|") % 10
+      documents(s, d)
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 20 === 0, lit("eval"))
+            .when(col("contam").isNotNull, lit("quarantine"))
+            .when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("valid"))
+            .otherwise(lit("test")).as("split"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(4)})", "dc|")} AS gh
+        FROM toks WHERE len(t) >= 4),
+      contam AS (
+        SELECT DISTINCT c.doc_id
+        FROM grams c JOIN grams e ON e.gh = c.gh AND e.doc_id % 20 = 0
+        WHERE c.doc_id % 20 <> 0)
+      SELECT d.doc_id, d.lang,
+        CASE WHEN d.doc_id % 20 = 0 THEN 'eval'
+             WHEN c.doc_id IS NOT NULL THEN 'quarantine'
+             WHEN ${Portable.h60Duck("CAST(d.doc_id AS VARCHAR)", "split|")}
+               % 10 < 8 THEN 'train'
+             WHEN ${Portable.h60Duck("CAST(d.doc_id AS VARCHAR)", "split|")}
+               % 10 = 8 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM documents d LEFT JOIN contam c ON c.doc_id = d.doc_id"""))
+
+  // ---------------------------------------------------------------------
   // T12: count-min heavy hitters — frequency estimation from a sketch
   // that is a FIXED D×W counter table (4×64 here) no matter how large
   // the corpus: D seeded bucket projections of every token occurrence,
@@ -1806,5 +1854,5 @@ object LlmOps {
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
     t14KmvQuantile, t15LmScore, a9HllDistinct, a9bHllNative, c1CurateCorpus,
     c1bCurateNeardup, c1cCurateQuality,
-    c2SplitAssign, c3StratifiedSample)
+    c2SplitAssign, c3StratifiedSample, c4DecontSplit)
 }

@@ -293,4 +293,23 @@ class DedupSpec extends SparkSuite {
     assert(elected.values.sum < base.values.sum,
       "corpus contains near-dup clusters; some loser must be dropped")
   }
+
+  test("C4: eval fenced, d6 flags quarantined, clean docs keep c2's split") {
+    val c4 = operators.LlmOps.c4DecontSplit.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val flagged = operators.LlmOps.d6Decontaminate.fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val c2 = operators.LlmOps.c2SplitAssign.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(c4.keySet === c2.keySet, "every document must be routed")
+    c4.foreach { case (id, split) =>
+      if (id % 20 == 0) assert(split === "eval", s"doc $id")
+      else if (flagged(id)) assert(split === "quarantine", s"doc $id")
+      else assert(split === c2(id),
+        s"clean doc $id must keep its seeded hash split")
+    }
+    // the composition is non-vacuous on this corpus: all routes taken
+    assert(Set("eval", "quarantine", "train", "valid", "test")
+      .subsetOf(c4.values.toSet))
+  }
 }
