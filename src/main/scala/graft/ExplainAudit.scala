@@ -55,7 +55,9 @@ object ExplainAudit {
       "c3_stratified_sample", "a9_hll_distinct", "t12_countmin_topk",
       "a10_scalar_quant", "t13_repetition", "s10_snapshot_diff",
       "c1b_curate_neardup", "t14_kmv_quantile", "d8_dedup_cc_star",
-      "a11_ann_recall", "a12_product_quant", "a13_pq_adc", "t15_lm_score")
+      "a11_ann_recall", "a12_product_quant", "a13_pq_adc", "t15_lm_score",
+      "a14_ivfpq", "a9b_hll_native", "x7_unpivot", "c4_decontaminated_split",
+      "c1c_curate_quality")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
