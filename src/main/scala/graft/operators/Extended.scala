@@ -263,8 +263,84 @@ object Extended {
         min(val) AS mn, max(val) AS mx
       FROM u GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------------
+  // X8: PIVOT (long → wide reshape) — the inverse of x7 and the standard
+  // report shape over a categorical dimension. The pivot VALUES are
+  // passed explicitly (`Seq("F","O")`), which matters at scale: without
+  // them Spark runs an extra distinct-collect job over the full fact
+  // table just to discover the column set, and the column set becomes
+  // data-dependent (a schema no downstream consumer can rely on). With
+  // pinned values the whole reshape is ONE hash aggregate — each pivot
+  // cell is an internal `pivotfirst` partial, so rows combine map-side
+  // and only |groups| × |values| cells shuffle. Money sums use the
+  // x7 integer-cents checksum discipline (exact cross-engine).
+  // ---------------------------------------------------------------------
+  val x8Pivot = Q(
+    "x8_pivot",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("price_c100")),
+    Some("""SELECT l_returnflag,
+        count(*) FILTER (WHERE l_linestatus = 'F') AS "F_n",
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F_price_c100",
+        count(*) FILTER (WHERE l_linestatus = 'O') AS "O_n",
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O_price_c100"
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  // ---------------------------------------------------------------------
+  // X9: SCD TYPE-2 HISTORY BUILD — collapse an event stream into validity
+  // intervals per entity: one row per (user, event_type run) carrying
+  // [valid_from, valid_to) and an is_current flag. This is the standard
+  // dimension-history derivation (and the relational form of
+  // "sessionize by attribute change"). Two window passes share ONE
+  // partitioning and ONE sort — (user_id) × (ts, event_id) — and the
+  // change-detection filter preserves that ordering, so Catalyst plans a
+  // single Exchange + single Sort for the whole query (asserted by
+  // ExtendedSpec). At 100 TB this scales as a per-entity timeline scan:
+  // no self-join, no materialized lag table, skew bounded by the hottest
+  // single entity's history.
+  // ---------------------------------------------------------------------
+  val x9Scd2 = Q(
+    "x9_scd2",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"), col("version"),
+          col("valid_to").isNull.as("is_current"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events),
+      c AS (
+        SELECT *, lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM e),
+      f AS (
+        SELECT user_id, ts, event_id, event_type FROM c
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type, ts AS valid_from,
+        lead(ts) OVER w AS valid_to,
+        CAST(row_number() OVER w AS INT) AS version,
+        (lead(ts) OVER w IS NULL) AS is_current
+      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
   /** All extension queries, registration order. */
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
-    x6IntervalJoin, x7Unpivot)
+    x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2)
 }
