@@ -73,7 +73,18 @@ object Bench {
     // action records HOW timings were taken: full-plan toRdd.count,
     // median of PASSES runs per query (round 4+; rounds 2-3 were a
     // single pass, round 1's df.count() let Catalyst prune projections)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median"}"""
+    println(line)
+    // The driver's BENCH_r*.json keeps only a 2000-char tail of sbt
+    // output, which truncated 38 of 98 per-query timings in round 7 —
+    // persist the FULL record so the per-query history survives in-repo.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_last.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -270,20 +271,34 @@ object Extended {
   // them Spark runs an extra distinct-collect job over the full fact
   // table just to discover the column set, and the column set becomes
   // data-dependent (a schema no downstream consumer can rely on). With
-  // pinned values the whole reshape is ONE hash aggregate — each pivot
-  // cell is an internal `pivotfirst` partial, so rows combine map-side
-  // and only |groups| × |values| cells shuffle. Money sums use the
-  // x7 integer-cents checksum discipline (exact cross-engine).
+  // pinned values the reshape is two hash aggregates over a single scan:
+  // a pre-aggregate keyed on (group, value) with map-side partials, then
+  // a `pivotfirst` rotate keyed on group — both shuffles carry only
+  // |groups| × |values| cells, never fact rows (plan asserted in
+  // ExtendedSpec). Money sums use the
+  // x7 integer-cents checksum discipline (exact cross-engine). Pivot
+  // counts for an EMPTY (group, value) cell come back NULL from Spark's
+  // pivotfirst but 0 from SQL's count(*) FILTER — the coalesce below
+  // pins the SQL semantics so the query stays correct on distributions
+  // where a returnflag×linestatus combination is absent (real TPC-H has
+  // no A/O or R/O rows). Empty-cell SUMs are NULL in both engines.
   // ---------------------------------------------------------------------
+  /** The x8 reshape over any lineitem-shaped input — split out so the
+    * empty-cell semantics (count → 0, never NULL) are testable on a
+    * fixture where a pivot cell is genuinely absent (ExtendedSpec). */
+  private[graft] def pivotFlags(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("price_c100"))
+      .select(col("l_returnflag"),
+        coalesce(col("F_n"), lit(0L)).as("F_n"), col("F_price_c100"),
+        coalesce(col("O_n"), lit(0L)).as("O_n"), col("O_price_c100"))
+
   val x8Pivot = Q(
     "x8_pivot",
-    (s, d) =>
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-            .as("price_c100")),
+    (s, d) => pivotFlags(lineitem(s, d)),
     Some("""SELECT l_returnflag,
         count(*) FILTER (WHERE l_linestatus = 'F') AS "F_n",
         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))

@@ -77,4 +77,52 @@ class ExtendedSpec extends SparkSuite {
     }
     assert(rows.map(_.getLong(2)).sum === nLi * 4)
   }
+
+  test("X8: pivot yields 0 (not NULL) for an empty cell, one scan, cells-only shuffles") {
+    // adversarial fixture: no (B, O) rows at all — real TPC-H
+    // distributions have empty returnflag×linestatus cells, and SQL's
+    // count(*) FILTER yields 0 there while Spark's pivotfirst yields NULL
+    val fixture = Seq(
+      ("A", "F", 10.0), ("A", "F", 20.0), ("A", "O", 5.0), ("B", "F", 7.0))
+      .toDF("l_returnflag", "l_linestatus", "l_extendedprice")
+    val out = operators.Extended.pivotFlags(fixture)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("B").getLong(3) === 0L, "empty (B,O) count must be 0")
+    assert(out("B").isNullAt(4), "empty (B,O) sum stays NULL (SQL parity)")
+    assert(out("A").getLong(1) === 2L && out("A").getLong(3) === 1L)
+    // plan shape: pinned pivot values ⇒ no distinct-discovery job; one
+    // scan feeds a (group,value) pre-aggregate then a pivotfirst rotate —
+    // two exchanges, each carrying only |groups|×|values| cells
+    val df = operators.Extended.x8Pivot.fn(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+    assert("partial_pivotfirst".r.findAllIn(plan).nonEmpty,
+      "map-side pivot partials expected")
+  }
+
+  test("X9: SCD2 history plans a single Exchange and single Sort") {
+    val df = operators.Extended.x9Scd2.fn(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"both window passes must share one partitioning:\n$plan")
+    assert("Sort \\[".r.findAllIn(plan).size === 1,
+      s"change-detect filter preserves ordering; second Sort is waste:\n$plan")
+    // semantic spot-checks: versions are dense per user, exactly one
+    // current row per user, and intervals chain (valid_to == next
+    // valid_from)
+    val byUser = df.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"), max(col("version")).as("maxv"),
+      sum(when(col("is_current"), 1).otherwise(0)).as("cur"))
+    assert(byUser.filter(col("n") =!= col("maxv") || col("cur") =!= 1)
+      .count() === 0, "dense versions and exactly one open interval")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    val chained = df.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+    assert(chained.count() === 0, "intervals must chain without gaps")
+  }
 }
