@@ -66,8 +66,11 @@ object LlmOps {
   //   a band key ONLY — never all-pairs) → exact shingle-Jaccard on the
   //   candidates. Output: candidate pair + exact jaccard.
   // Scale: the band self-join shuffles on (band, bkey); bucket sizes are
-  // bounded by collision probability, and AQE skew-join handles hot
-  // buckets. The shingle explode is linear in corpus size.
+  // bounded by collision probability for organic data, and the
+  // BUCKET_CAP guard structurally drops degenerate boilerplate buckets
+  // before they go quadratic (AQE skew-join only rebalances partitions —
+  // it cannot shrink a bucket's pair count). The shingle explode is
+  // linear in corpus size.
   // ---------------------------------------------------------------------
   private val P = 8 // MinHash permutations
   private val BANDS = 4 // bands of r = 2 rows
@@ -80,13 +83,53 @@ object LlmOps {
     * uses). Two distinct shingles colliding would merge set elements in
     * BOTH engines identically (p ≈ n²/2^61 per doc — negligible, and
     * oracle-invisible since the oracle replays the same hash). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(ngramExpr(2))).as("shingle"))
       .select(col("doc_id"), Portable.h60(col("shingle"), "sh|").as("sh"))
       .distinct()
+
+  /** Candidate-generation hot-bucket cap, shared by d2's (band, bkey)
+    * buckets and d5's anchor-gram buckets. A bucket of m members emits
+    * m(m-1)/2 candidate pairs, so one boilerplate-dominated bucket (a
+    * hot anchor gram, a degenerate band key) turns bucketed candidate
+    * generation back into all-pairs — the exact blowup bucketing exists
+    * to avoid. Buckets past the cap are DROPPED: at this size the
+    * members are overwhelmingly boilerplate-near-identical and are
+    * better handled by d1's exact pass, and a dropped bucket costs
+    * recall only for pairs whose EVERY shared anchor/band is hot
+    * (ANCHORS and BANDS give each pair multiple independent chances).
+    * 64² /2 ≈ 2k pairs per surviving bucket bounds the worst case.
+    * Production monitoring hangs `droppedBuckets` on a listener; the
+    * DedupSpec adversarial fixture (500 near-identical docs) proves the
+    * bound. */
+  private[graft] val BUCKET_CAP = 64
+
+  /** Drop every bucket whose membership exceeds `cap`. One map-side-
+    * partial count per bucket plus an inner join back on the bucket
+    * key — the join is co-partitioned with the candidate self-join that
+    * follows (same key), so the guard adds no extra shuffle of `rows`
+    * at scale, and AQE broadcasts the (small) size table when it fits. */
+  private[graft] def capBuckets(
+      rows: DataFrame, keys: Seq[String],
+      cap: Int = BUCKET_CAP): DataFrame = {
+    val sizes = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
+    rows.join(sizes, keys)
+  }
+
+  /** Diagnostic companion to [[capBuckets]]: the over-cap buckets and
+    * their sizes — what the guard dropped and why. */
+  private[graft] def droppedBuckets(
+      rows: DataFrame, keys: Seq[String],
+      cap: Int = BUCKET_CAP): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
 
   /** Pinned frames per (query, app, dataset): re-entry unpersists the
     * prior run's blocks so repeated invocations in one JVM (RegistrySpec,
@@ -116,10 +159,12 @@ object LlmOps {
   private val pinnedReleases =
     scala.collection.concurrent.TrieMap.empty[String, () => Unit]
 
-  val d2DedupMinhash = Q(
-    "d2_dedup_minhash",
-    (s, d) => {
-      val pinKey = s"d2|${s.sparkContext.applicationId}|$d"
+  /** D2's full MinHash/LSH pipeline over any (doc_id, text) input —
+    * split from the Q so DedupSpec can drive it with an adversarial
+    * corpus (hot-bucket fixture). `pinKey` scopes the persisted
+    * signature tables in [[pinned]]. */
+  private[graft] def minhashNearDups(
+      docs: DataFrame, pinKey: String): DataFrame = {
       pinned.remove(pinKey)
         .foreach(_.foreach(_.unpersist(blocking = false)))
       // The shingle and signature tables feed MULTIPLE downstream joins
@@ -129,7 +174,7 @@ object LlmOps {
       // every consumer then reads the same InMemoryRelation, the
       // local-mode analogue of checkpointing the signature table to
       // storage, which is what a 100 TB dedup pipeline does anyway.
-      val sh = shingles(s, d).persist()
+      val sh = shinglesOf(docs).persist()
       // minhash "permutations" = seeded re-hashes of the shingle's hash
       // (rendered as a decimal string — portable: both engines print a
       // non-negative BIGINT identically); map-side, only the 8 partial
@@ -147,11 +192,14 @@ object LlmOps {
               .as("bkey"))): _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"),
           col("bb.bkey").as("bkey"))
+      // hot-bucket guard BEFORE the self-join: a degenerate band key
+      // (boilerplate corpus) would emit |bucket|²/2 pairs
+      val kept = capBuckets(bands, Seq("band", "bkey"))
       // cand also feeds two consumers (the intersection aggregation and
       // the final left join) — materialize it too, or the band self-join
       // and its distinct run twice
-      val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+      val cand = kept.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+        .join(kept.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
           Seq("band", "bkey"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
@@ -173,7 +221,12 @@ object LlmOps {
           round(coalesce(col("n_inter"), lit(0L)).cast("double") /
             (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
             .as("jaccard"))
-    },
+  }
+
+  val d2DedupMinhash = Q(
+    "d2_dedup_minhash",
+    (s, d) => minhashNearDups(documents(s, d),
+      s"d2|${s.sparkContext.applicationId}|$d"),
     Some(s"""WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       sh AS (
@@ -190,9 +243,15 @@ object LlmOps {
         ${(0 until BANDS).map(b =>
           s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, m${2 * b + 1})) AS bkey FROM mh")
           .mkString(" UNION ALL ")}),
+      bsz AS (
+        SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+      bkept AS (
+        SELECT b.doc_id, b.band, b.bkey FROM bands b
+        JOIN bsz z ON z.band = b.band AND z.bkey = b.bkey
+          AND z.c <= $BUCKET_CAP),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM bkept a JOIN bkept b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
@@ -259,8 +318,10 @@ object LlmOps {
   // d2 (banded MinHash over bigram shingles): no signature table, recall
   // is governed by the anchor count, and the similarity is computed on
   // the raw n-gram sets. Anchor buckets shuffle on the gram hash; a hot
-  // anchor (boilerplate phrase) is AQE skew-join territory, exactly like
-  // a hot band key in d2.
+  // anchor (boilerplate phrase) is the same quadratic threat as a hot
+  // band key in d2, and gets the same structural BUCKET_CAP guard —
+  // AQE can rebalance a skewed partition but not shrink a bucket's
+  // pair count.
   // ---------------------------------------------------------------------
   private val ANCHORS = 2
 
@@ -271,8 +332,13 @@ object LlmOps {
     * narrow-key rationale and collision caveat as `shingles`). */
   private def wordNgramHashes(
       s: SparkSession, d: String, n: Int, seed: String,
+      dedup: Boolean = true): DataFrame =
+    wordNgramHashesOf(documents(s, d), n, seed, dedup)
+
+  private def wordNgramHashesOf(
+      docs: DataFrame, n: Int, seed: String,
       dedup: Boolean = true): DataFrame = {
-    val g = documents(s, d)
+    val g = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), explode(expr(ngramExpr(n))).as("gram"))
@@ -286,16 +352,22 @@ object LlmOps {
     * Per-doc top-ANCHORS by hash: WindowGroupLimit keeps the partial
     * top-k on the map side, so only ANCHORS rows per doc shuffle; gh is
     * the per-doc distinct key, so the ordering needs no tie-break. */
-  private def ngramPairStats(s: SparkSession, d: String): DataFrame = {
+  private def ngramPairStats(s: SparkSession, d: String): DataFrame =
+    ngramPairStatsOf(documents(s, d))
+
+  private[graft] def ngramPairStatsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = wordNgramHashes(s, d, 3, "ng|")
+    val grams = wordNgramHashesOf(docs, 3, "ng|")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("gh").asc)
     val anchors = grams
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= ANCHORS)
       .select(col("doc_id"), col("gh").as("anchor"))
-    val cand = anchors.select(col("doc_id").as("id_a"), col("anchor"))
-      .join(anchors.select(col("doc_id").as("id_b"), col("anchor")),
+    // hot-anchor guard: one boilerplate gram shared by m docs would
+    // otherwise emit m²/2 candidate pairs
+    val kept = capBuckets(anchors, Seq("anchor"))
+    val cand = kept.select(col("doc_id").as("id_a"), col("anchor"))
+      .join(kept.select(col("doc_id").as("id_b"), col("anchor")),
         Seq("anchor"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -329,9 +401,13 @@ object LlmOps {
           SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id
             ORDER BY gh ASC) AS rn FROM grams) t
         WHERE rn <= $ANCHORS),
+      asz AS (SELECT anchor, count(*) AS c FROM anchors GROUP BY 1),
+      akept AS (
+        SELECT a.doc_id, a.anchor FROM anchors a
+        JOIN asz z ON z.anchor = a.anchor AND z.c <= $BUCKET_CAP),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM anchors a JOIN anchors b
+        FROM akept a JOIN akept b
           ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
       inter AS (

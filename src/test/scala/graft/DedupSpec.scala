@@ -312,4 +312,47 @@ class DedupSpec extends SparkSuite {
     assert(Set("eval", "quarantine", "train", "valid", "test")
       .subsetOf(c4.values.toSet))
   }
+
+  test("hot-bucket guard: 500 boilerplate docs can't go all-pairs (d5 + d2)") {
+    // adversarial corpus: 500 near-identical docs — without the guard,
+    // their shared anchor grams / band keys each form ONE bucket and
+    // candidate generation emits ~500²/2 ≈ 125k pairs
+    val boiler = "subscribe to our newsletter for the latest updates and " +
+      "offers terms of service apply all rights reserved contact support"
+    val hot = (1 to 500).map(i => (i.toLong, s"$boiler edition $i"))
+    // a small organic near-dup pair that must SURVIVE the guard
+    val organic = Seq(
+      (9001L, "the catalyst optimizer rewrites logical plans into " +
+        "efficient physical plans using cost based rules"),
+      (9002L, "the catalyst optimizer rewrites logical plans into " +
+        "efficient physical plans using pattern based rules"))
+    val docs = spark.createDataFrame(hot ++ organic).toDF("doc_id", "text")
+    val allPairs = 500L * 499L / 2L
+
+    // d5 path: anchor-blocked pair stats
+    val d5 = operators.LlmOps.ngramPairStatsOf(docs).cache()
+    val nD5 = d5.count()
+    assert(nD5 < allPairs / 10,
+      s"anchor buckets went quadratic: $nD5 candidate pairs")
+    assert(d5.filter(col("id_a") === 9001L && col("id_b") === 9002L)
+      .count() === 1, "organic near-dup pair must survive the guard")
+    d5.unpersist()
+
+    // d2 path: banded MinHash candidates end-to-end
+    val d2 = operators.LlmOps.minhashNearDups(docs, "spec|hotbucket")
+    val nD2 = d2.count()
+    assert(nD2 < allPairs / 10,
+      s"band buckets went quadratic: $nD2 candidate pairs")
+    operators.LlmOps.releaseCaches()
+
+    // the diagnostic surfaces what was dropped: the boilerplate anchors
+    val anchorish = docs
+      .select(col("doc_id"), lit("shared").as("anchor"))
+    val dropped = operators.LlmOps.droppedBuckets(anchorish, Seq("anchor"))
+      .collect()
+    assert(dropped.length === 1 && dropped.head.getLong(1) === 502L)
+    // and capBuckets on the same frame keeps nothing
+    assert(operators.LlmOps.capBuckets(anchorish, Seq("anchor"))
+      .count() === 0L)
+  }
 }
