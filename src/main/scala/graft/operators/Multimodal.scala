@@ -14,13 +14,12 @@ import graft.Tables._
   * per-partition decode stage shaped like a real codec call
   * (`mapPartitions` over a typed Dataset — the JVM analogue of
   * `mapInPandas`: one iterator per partition, so a decoder library is
-  * initialized once per partition/batch, not per row). PNG and WAV are
-  * decoded FOR REAL: `containerize` wraps the payload bytes in
+  * initialized once per partition/batch, not per row). All three mimes
+  * are decoded FOR REAL: `containerize` wraps the payload bytes in
   * spec-conformant containers (PNG magic + CRC32-checked IHDR/IDAT;
-  * RIFF/WAVE chunk list) and `decodeBatch` parses them back — magic
-  * verification, big-endian header reads, CRC validation, chunk walks.
-  * Only the video branch remains a deterministic stand-in (no ISO-BMFF
-  * demuxer in this environment), clearly marked at its match arm.
+  * RIFF/WAVE chunk list; ISO-BMFF ftyp/moov/mdat boxes) and
+  * `decodeBatch` parses them back — magic verification, big/little-
+  * endian header reads, CRC validation, box and chunk walks.
   *
   * documents.text bytes stand in for media payloads; mime is derived
   * deterministically so results are oracle-stable.
@@ -172,9 +171,70 @@ object Multimodal {
     ascii("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
-  /** Wrap a raw payload in its mime's container. MP4 stays raw: an
-    * ISO-BMFF box synthesizer/parser is out of scope here, so the video
-    * branch of the decoder remains the one acknowledged stub.
+  // --- ISO-BMFF (MP4) ---------------------------------------------------
+  // Minimal but genuine ISO/IEC 14496-12 box structure: every box is a
+  // 4-byte big-endian size (header included) + 4-char type. The
+  // synthesized file is ftyp("isom") → moov(mvhd + trak(tkhd)) → mdat.
+  // mvhd carries timescale=30 and duration in timescale units, so at
+  // 30 fps the duration IS the frame count; tkhd carries width/height
+  // as 16.16 fixed-point, per spec. Everything is deterministic in the
+  // payload bytes, which keeps the DuckDB oracle replayable.
+
+  private def box(tag: String, body: Array[Byte]): Array[Byte] = {
+    val t = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(t.length == 4, s"box tag must be 4 bytes: $tag")
+    be32((body.length + 8).toLong) ++ t ++ body
+  }
+
+  /** Frames per second baked into mvhd's timescale: duration units of
+    * 1/30 s make mvhd.duration the frame count. */
+  private val MP4_FPS = 30
+
+  /** A minimal spec-conformant ISO-BMFF container: ftyp major-brand
+    * isom, moov with a version-0 mvhd (timescale 30, duration =
+    * `nFrames`) and one trak/tkhd (16.16 fixed-point width/height),
+    * then the media bytes as mdat.
+    */
+  def mp4Container(
+      data: Array[Byte], width: Int, height: Int, nFrames: Int)
+      : Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        be32(0x200L) ++
+        "isommp41".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val identityMatrix =
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = box("mvhd",
+      be32(0) ++ // version 0 + flags
+        be32(0) ++ be32(0) ++ // creation, modification
+        be32(MP4_FPS.toLong) ++ // timescale: duration units are frames
+        be32(nFrames.toLong) ++ // duration
+        be32(0x00010000L) ++ // rate 1.0
+        Array[Byte](0x01, 0x00) ++ // volume 1.0
+        Array.fill[Byte](10)(0) ++ // reserved
+        identityMatrix ++
+        Array.fill[Byte](24)(0) ++ // pre_defined
+        be32(2L)) // next_track_ID
+    val tkhd = box("tkhd",
+      be32(7L) ++ // version 0, flags: enabled|in-movie|in-preview
+        be32(0) ++ be32(0) ++ // creation, modification
+        be32(1L) ++ // track_ID
+        be32(0) ++ // reserved
+        be32(nFrames.toLong) ++ // duration (movie timescale)
+        Array.fill[Byte](8)(0) ++ // reserved
+        Array.fill[Byte](8)(0) ++ // layer, alt group, volume, reserved
+        identityMatrix ++
+        be32((width.toLong & 0xffffL) << 16) ++ // 16.16 fixed-point
+        be32((height.toLong & 0xffffL) << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov ++ box("mdat", data)
+  }
+
+  /** Wrap a raw payload in its mime's container. Width/height/frame
+    * counts are deterministic functions of the byte length so the
+    * downstream decode is oracle-replayable.
     */
   def containerize(r: MediaRow): MediaRow = r.mime match {
     case "image/png" =>
@@ -182,7 +242,11 @@ object Multimodal {
       MediaRow(r.doc_id,
         pngContainer(r.payload, 64 + n % 576, 64 + n % 416), r.mime)
     case "audio/wav" => MediaRow(r.doc_id, wavContainer(r.payload), r.mime)
-    case _ => r
+    case _ =>
+      val n = r.payload.length
+      MediaRow(r.doc_id,
+        mp4Container(r.payload, 320 + n % 1280, 240 + n % 840, n / 16),
+        r.mime)
   }
 
   /** Decoded PNG header + media bytes. */
@@ -261,12 +325,79 @@ object Multimodal {
     WavDecoded(blockAlign, data)
   }
 
+  /** Decoded MP4 header + media bytes. */
+  final case class Mp4Decoded(
+      width: Int, height: Int, nFrames: Int, mdat: Array[Byte])
+
+  /** A genuine ISO-BMFF parse: requires a leading ftyp with the isom
+    * major brand, walks the top-level box list on 4-byte big-endian
+    * sizes, descends moov → mvhd for timescale/duration (frame count at
+    * timescale 30 == fps) and moov → trak → tkhd for the 16.16
+    * fixed-point width/height, and takes the media bytes from mdat.
+    * Throws on any malformed box — demuxer behavior, not formula lookup.
+    */
+  def decodeMp4(bytes: Array[Byte]): Mp4Decoded = {
+    // walk a box list in [from, until): calls f(tag, bodyFrom, bodyUntil)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var off = from
+      while (off < until) {
+        require(off + 8 <= until, "truncated BMFF: no box header")
+        val size = readBe32(bytes, off)
+        require(size >= 8 && off + size <= until,
+          s"BMFF box size out of bounds: $size")
+        val tag = new String(bytes, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        f(tag, off + 8, off + size.toInt)
+        off += size.toInt
+      }
+    }
+    require(bytes.length >= 16 && new String(bytes, 4, 4,
+      java.nio.charset.StandardCharsets.US_ASCII) == "ftyp",
+      "not BMFF: first box must be ftyp")
+    require(new String(bytes, 8, 4,
+      java.nio.charset.StandardCharsets.US_ASCII) == "isom",
+      "BMFF: unsupported major brand")
+    var width = -1
+    var height = -1
+    var nFrames = -1
+    var mdat: Array[Byte] = null
+    walk(0, bytes.length) {
+      case ("moov", mFrom, mUntil) =>
+        walk(mFrom, mUntil) {
+          case ("mvhd", from, until) =>
+            require(until - from == 100 && bytes(from) == 0,
+              "BMFF: expected version-0 mvhd")
+            val timescale = readBe32(bytes, from + 12)
+            require(timescale > 0, "BMFF: mvhd timescale must be positive")
+            // duration is in timescale units; at timescale == fps the
+            // unit IS one frame
+            nFrames = (readBe32(bytes, from + 16) * MP4_FPS /
+              timescale).toInt
+          case ("trak", tFrom, tUntil) =>
+            walk(tFrom, tUntil) {
+              case ("tkhd", from, until) =>
+                require(until - from == 84 && bytes(from) == 0,
+                  "BMFF: expected version-0 tkhd")
+                width = (readBe32(bytes, until - 8) >> 16).toInt
+                height = (readBe32(bytes, until - 4) >> 16).toInt
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case ("mdat", from, until) =>
+        mdat = java.util.Arrays.copyOfRange(bytes, from, until)
+      case _ => () // ftyp, free, etc.: skip
+    }
+    require(nFrames >= 0, "BMFF missing mvhd")
+    require(width >= 0 && height >= 0, "BMFF missing tkhd")
+    require(mdat != null, "BMFF missing mdat")
+    Mp4Decoded(width, height, nFrames, mdat)
+  }
+
   /** The batched decode stage: a real parser over real containers for
-    * PNG (magic + CRC-checked IHDR/IDAT walk) and WAV (RIFF chunk walk);
-    * features and checksum come from the PARSED header and media bytes.
-    * The video branch is the one remaining stub — a production build
-    * links an ISO-BMFF/ffmpeg demuxer there; its features derive
-    * deterministically from the raw bytes so the oracle replays them.
+    * PNG (magic + CRC-checked IHDR/IDAT walk), WAV (RIFF chunk walk),
+    * and MP4 (ISO-BMFF box walk); features and checksum come from the
+    * PARSED headers and media bytes — no branch fabricates features.
     * Dataflow: typed rows in, one iterator per partition (decoder state
     * initialized once per partition, not per row), features out.
     */
@@ -281,9 +412,10 @@ object Multimodal {
           val w = decodeWav(r.payload)
           DecodedMedia(r.doc_id, r.mime, 0, 0,
             w.data.length / w.blockAlign, payloadChecksum(w.data))
-        case _ => // STUB: video demuxer not available in this environment
-          DecodedMedia(r.doc_id, r.mime, 320, 240, r.payload.length / 16,
-            payloadChecksum(r.payload))
+        case _ =>
+          val v = decodeMp4(r.payload)
+          DecodedMedia(r.doc_id, r.mime, v.width, v.height, v.nFrames,
+            payloadChecksum(v.mdat))
       }
     }
 
@@ -301,10 +433,11 @@ object Multimodal {
 
   // ---------------------------------------------------------------------
   // M2: the decode stage as a registered query. The decode is imperative
-  // (mapPartitions), but every output feature is a pure function of the
-  // payload bytes, so the oracle restates the feature math relationally
-  // over hex(encode(text)) — the stub's determinism buys a full
-  // rows+schema+hash check, not just rows-only.
+  // (mapPartitions), but containerize is deterministic in the payload
+  // bytes and decode only reads back what the container carries, so the
+  // oracle restates the feature math relationally over
+  // hex(encode(text)) — determinism buys a full rows+schema+hash check,
+  // not just rows-only.
   // ---------------------------------------------------------------------
   val m2MultimodalDecode = Q(
     "m2_multimodal_decode",
@@ -321,10 +454,10 @@ object Multimodal {
       SELECT doc_id, mime,
         CAST(CASE WHEN mime = 'image/png' THEN 64 + n % 576
                   WHEN mime = 'audio/wav' THEN 0
-                  ELSE 320 END AS INTEGER) AS width,
+                  ELSE 320 + n % 1280 END AS INTEGER) AS width,
         CAST(CASE WHEN mime = 'image/png' THEN 64 + n % 416
                   WHEN mime = 'audio/wav' THEN 0
-                  ELSE 240 END AS INTEGER) AS height,
+                  ELSE 240 + n % 840 END AS INTEGER) AS height,
         CAST(CASE WHEN mime = 'image/png' THEN 1
                   WHEN mime = 'audio/wav' THEN n // 4
                   ELSE n // 16 END AS INTEGER) AS n_frames,
@@ -334,10 +467,10 @@ object Multimodal {
   // ---------------------------------------------------------------------
   // M3: frame sampling as a relational op — every 4th frame index of
   // each video payload becomes a row (the shape a frame-extraction
-  // stage feeds to a vision encoder). The frame count derives from the
-  // payload bytes exactly as the decode stub does, so the explode is
-  // oracle-replayable; a real build would carry the frame's byte range
-  // alongside the index.
+  // stage feeds to a vision encoder). The frame count is the same
+  // n/16 the mp4 container carries as its mvhd duration (and m2's
+  // decode reads back), so the explode is oracle-replayable; a real
+  // build would carry the frame's byte range alongside the index.
   // ---------------------------------------------------------------------
   val m3FrameSample = Q(
     "m3_frame_sample",

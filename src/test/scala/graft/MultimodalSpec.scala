@@ -68,8 +68,9 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.payloadChecksum(bytes)))
     // WAV: block align 4 from the parsed fmt chunk; data == payload
     assert(aud.n_frames === 11 / 4 && aud.width === 0 && aud.height === 0)
-    // video stays raw (acknowledged stub): fixed 320×240, len/16 frames
-    assert(vid === vid.copy(width = 320, height = 240))
+    // MP4: tkhd 16.16 width/height and mvhd duration read back from the
+    // parsed boxes; mdat == payload
+    assert(vid === vid.copy(width = 320 + 11, height = 240 + 11))
     assert(vid.n_frames === 11 / 16)
     // the parsed-out media bytes equal the original payload in every
     // branch, so the checksum is mime-independent; decode is pure
@@ -107,6 +108,44 @@ class MultimodalSpec extends SparkSuite {
     val bad = ascii("RIFF") ++ le32(shortFmt.length) ++ shortFmt
     val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
     assert(e.getMessage.contains("fmt chunk too short"))
+  }
+
+  test("M2: BMFF walk reads tkhd/mvhd/mdat box fields and rejects damage") {
+    val bytes = (0 until 333).map(_.toByte).toArray // odd, >16 frames
+    val mp4 = Multimodal.mp4Container(bytes, 1920, 1080, 77)
+    // container structure: ftyp first, brand isom
+    assert(new String(mp4, 4, 4, "US-ASCII") === "ftyp")
+    assert(new String(mp4, 8, 4, "US-ASCII") === "isom")
+    val v = Multimodal.decodeMp4(mp4)
+    assert(v.width === 1920 && v.height === 1080, "16.16 tkhd round-trip")
+    assert(v.nFrames === 77, "mvhd duration at timescale=fps is frames")
+    assert(v.mdat.toSeq === bytes.toSeq, "mdat carries the payload")
+    // raw bytes are not a BMFF file
+    intercept[IllegalArgumentException](Multimodal.decodeMp4(bytes))
+    // a corrupted box size must be a clear parse error, not a misread:
+    // clobber the moov size field (first box after ftyp)
+    val ftypSize = ((mp4(0) & 0xff) << 24) | ((mp4(1) & 0xff) << 16) |
+      ((mp4(2) & 0xff) << 8) | (mp4(3) & 0xff)
+    val corrupt = mp4.clone()
+    corrupt(ftypSize + 3) = (corrupt(ftypSize + 3) ^ 0x40).toByte
+    val e =
+      intercept[IllegalArgumentException](Multimodal.decodeMp4(corrupt))
+    assert(e.getMessage.contains("BMFF"))
+    // a file whose moov lacks tkhd is incomplete, not silently defaulted
+    val noTrak = Multimodal.decodeMp4 _
+    val stripped = {
+      // rebuild with an empty moov: ftyp ++ moov(len 8) ++ mdat
+      val ftyp = java.util.Arrays.copyOfRange(mp4, 0, ftypSize)
+      val mdatOnly = Multimodal.mp4Container(bytes, 1, 1, 0)
+        .drop(ftypSize) // moov ++ mdat of a fresh container
+      val moovSize = ((mdatOnly(0) & 0xff) << 24) |
+        ((mdatOnly(1) & 0xff) << 16) | ((mdatOnly(2) & 0xff) << 8) |
+        (mdatOnly(3) & 0xff)
+      val mdat = mdatOnly.drop(moovSize)
+      ftyp ++ Array[Byte](0, 0, 0, 8) ++ "moov".getBytes("US-ASCII") ++ mdat
+    }
+    val e2 = intercept[IllegalArgumentException](noTrak(stripped))
+    assert(e2.getMessage.contains("missing"))
   }
 
   test("M2: distributed decode covers every document exactly once") {
