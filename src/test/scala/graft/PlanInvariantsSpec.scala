@@ -102,4 +102,67 @@ class PlanInvariantsSpec extends SparkSuite {
         s"no bloom probe on the fact side:\n$plan")
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
+
+  test("j1 under key skew: AQE splits the hot customer's partition " +
+    "(skew=true) instead of one straggler task") {
+    // The j1 enrich shape — fact join dim on a key — with a real-world
+    // pathology: one customer owns most of the fact rows (a bot
+    // account, a default/null-like key). When the dim side is too big
+    // to broadcast, the join is sort-merge and the hot key's partition
+    // would serialize into one straggler; AQE's skew-join must split it.
+    // Thresholds are scaled down so sf-test data registers as skewed;
+    // production keeps the stock 256 MB threshold.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // orders with 60% of rows funneled onto one hot custkey, then the
+      // hot rows replicated 16× — the megabytes a real bot account's
+      // rows occupy — so the scaled-down 16k threshold sees the hot
+      // partition the way production's 256 MB threshold sees real skew.
+      // Skew detection reads COMPRESSED shuffle sizes — the pad must be
+      // row-unique (md5 chain) or lz4 flattens it below the threshold.
+      val fact = graft.Tables.orders(spark, sf)
+        .withColumn("k",
+          when(col("o_orderkey") % 10 < 6, lit(1L))
+            .otherwise(col("o_custkey")))
+        .withColumn("rep", explode(
+          when(col("k") === 1L, expr("sequence(1, 16)"))
+            .otherwise(expr("array(1)"))))
+        .withColumn("pad", expr(
+          "concat(md5(CAST(o_orderkey * 100 + rep AS STRING)), " +
+            "md5(CAST(o_orderkey * 100 + rep + 50 AS STRING)), " +
+            "md5(CAST(o_orderkey * 317 + rep AS STRING)))"))
+        // AQE splits a skewed partition at MAPPER granularity
+        // (PartialReducerPartitionSpec reads mapper ranges) — the tiny
+        // sf file is one scan task, which would leave nothing to split.
+        // A real 100 TB scan has thousands of mappers; model that.
+        .repartition(8)
+      val dim = graft.Tables.customer(spark, sf)
+        .select(col("c_custkey").as("k"), col("c_name"), col("c_mktsegment"))
+      // pad must be in the output or column pruning strips it pre-shuffle
+      val joined = fact.join(dim, Seq("k"))
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+          col("pad"))
+      val qe = joined.queryExecution
+      val n = qe.toRdd.count()
+      assert(n === fact.count(),
+        "every fact row still enriches (key domain unchanged)")
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot-customer partition must be split by AQE skew-join:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
 }

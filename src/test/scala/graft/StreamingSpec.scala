@@ -256,6 +256,72 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min survives a mid-stream restart (checkpointed state)") {
+    val W = graft.operators.LlmOps.CM_W
+    val D = graft.operators.LlmOps.CM_D
+    // batch-side truth: the full corpus's sketch cells (as in the
+    // convergence test above)
+    val hitsDf = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .select((0 until D).map(i =>
+        (graft.functions.Portable.h60(col("tok"), s"cm$i|") % W)
+          .cast("int").as(s"b$i")): _*)
+    val hits = hitsDf.collect()
+      .flatMap(r => (0 until D).map(i => (i, r.getInt(i))))
+    val batchCells = hits.groupBy(identity).map {
+      case ((d, b), v) => (d, b) -> v.length.toLong
+    }
+    // stage the hits as file-source input so the checkpoint can resume a
+    // REAL source offset (MemoryStream state dies with the query)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-cm-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cm-ckpt").toString
+    def land(rows: Seq[(Int, Int)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cm-tmp")
+      rows.toDF("depth", "bucket").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name"))
+    }
+    // memory sink can't recover from a checkpoint; foreachBatch can —
+    // fold every emission into a driver-side max-per-cell map, which
+    // survives the restart the way a real sink's stored rows would
+    val emitted =
+      scala.collection.concurrent.TrieMap.empty[(Int, Int), Long]
+    def startQuery() = StreamingJobs.streamingCountminCells(spark,
+      spark.readStream.schema("depth INT, bucket INT").parquet(srcDir))
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingJobs.CmCell],
+            _: Long) =>
+          batch.collect().foreach { c =>
+            val k = (c.depth, c.bucket)
+            emitted(k) = math.max(emitted.getOrElse(k, 0L), c.cnt)
+          }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    // phase 1: first half, process, STOP mid-stream
+    val (h1, h2) = hits.splitAt(hits.length / 2)
+    land(h1.toSeq, "half1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // phase 2: second half lands while the query is DOWN; restart from
+    // the same checkpoint — half1's offsets AND the sketch state must
+    // both resume (re-ingesting half1 would overcount; losing state
+    // would undercount)
+    land(h2.toSeq, "half2.parquet")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(emitted.toMap === batchCells,
+        "post-restart sketch must equal the batch sketch, cell for cell")
+    } finally q2.stop()
+  }
+
   test("streaming HLL registers converge to the batch register table") {
     implicit val sqlCtx = spark.sqlContext
     // batch-side truth: the a9 register table over the sf corpus
