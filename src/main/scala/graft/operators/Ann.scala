@@ -139,38 +139,89 @@ object Ann {
       WHERE rn <= 3"""))
 
   // ---------------------------------------------------------------------
-  // D4: embedding-cosine near-dup — pairs above a similarity threshold,
-  // restricted to LSH-bucket collisions (the bucketed analogue of
-  // "crossJoin + filter", which would be quadratic at scale). a<b
-  // canonicalization dedups the pair space.
+  // D4: embedding-cosine near-dup — banded multi-table sign-LSH
+  // candidate generation (D4_TABLES tables × D4_BITS hyperplane bits,
+  // disjoint dimensions per table), then exact cosine on the distinct
+  // candidate pairs. A pair is a candidate iff SOME table agrees on all
+  // its bits — wide buckets keep collisions rare, multiple tables
+  // recover recall for genuinely-similar pairs; this is d2's band
+  // structure in embedding space. The round-8 scale probe showed why
+  // the old single-table 16-bucket form had to go: with a FIXED bucket
+  // count, candidate pairs grow as N²/buckets — measured 100.7× pair
+  // growth (124,875 → 12.58M) for 10× data. 2^D4_BITS buckets per
+  // table plus LlmOps.BUCKET_CAP (boilerplate/duplicate pile-ups get
+  // dropped, not exploded) bound the per-bucket pair work; production
+  // sizes D4_BITS ~ log2(N / target_bucket_size).
   // ---------------------------------------------------------------------
+  private val D4_TABLES = 4
+  private val D4_BITS = 8
+
+  /** Table `t`'s band key: 8 sign bits over dims {t*16 + 2i + 2}
+    * (1-based, odd stride keeps every table on its own dimensions). */
+  private def d4BandKey(t: Int, embCol: String): Column =
+    (0 until D4_BITS).map { i =>
+      when(expr(s"element_at($embCol, ${t * 16 + i * 2 + 2})") > 0,
+        lit(1 << (D4_BITS - 1 - i))).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
   val d4EmbedNeardup = Q(
     "d4_embed_neardup",
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-        .withColumn("bucket", signBucket("emb"))
-      val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
-        col("bucket"))
-      val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
-        col("bucket"))
-      a.join(b, Seq("bucket"))
+      val bands = e.select(col("vec_id"),
+        explode(array((0 until D4_TABLES).map(t =>
+          struct(lit(t).as("tbl"), d4BandKey(t, "emb").as("bkey"))): _*))
+          .as("b"))
+        .select(col("vec_id"), col("b.tbl").as("tbl"),
+          col("b.bkey").as("bkey"))
+      val kept = LlmOps.capBuckets(bands, Seq("tbl", "bkey"))
+      val cand = kept.select(col("vec_id").as("id_a"), col("tbl"),
+        col("bkey"))
+        .join(kept.select(col("vec_id").as("id_b"), col("tbl"),
+          col("bkey")), Seq("tbl", "bkey"))
         .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("emb").as("emb_a")),
+          Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")),
+          Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           round(cosine(s, "emb_a", "emb_b"), 6).as("sim"))
         .filter(col("sim") >= 0.3)
     },
-    Some(s"""WITH e AS (
+    Some {
+      val bandSelects = (0 until D4_TABLES).map { t =>
+        val bits = (0 until D4_BITS).map { i =>
+          s"(CASE WHEN emb[${t * 16 + i * 2 + 2}] > 0 " +
+            s"THEN ${1 << (D4_BITS - 1 - i)} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm,
-               CAST(${signBucketDuck("embedding")} AS INTEGER) AS bucket
-        FROM embeddings)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      bands AS ($bandSelects),
+      bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+      kept AS (
+        SELECT b.vec_id, b.tbl, b.bkey FROM bands b
+        JOIN bsz z ON z.tbl = b.tbl AND z.bkey = b.bkey
+          AND z.c <= ${LlmOps.BUCKET_CAP}),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b,
         round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
-      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN e a ON a.vec_id = c.id_a
+      JOIN e b ON b.vec_id = c.id_b
       WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
-            >= 0.3"""))
+            >= 0.3"""
+    })
 
   // ---------------------------------------------------------------------
   // A7: IVF-style ANN — a coarse quantizer partitions the corpus into
