@@ -723,6 +723,86 @@ object LlmOps {
       GROUP BY c.doc_id"""))
 
   // ---------------------------------------------------------------------
+  // D9: Bloom-filter decontamination PRE-filter — the cheap gram-level
+  // guard a production pipeline runs before d6's exact join. The eval
+  // set's 4-grams are folded into a FIXED 2^14-bit Bloom filter (K=3
+  // seeded re-hashes of the gram's h60, the d2 permutation trick), and
+  // corpus grams are probed against it: a gram is a candidate leak iff
+  // ALL K bit positions are set. Bloom filters admit no false
+  // negatives, so every d6-flagged document must surface here
+  // (DedupSpec proves the superset property), while false-positive
+  // grams cost only a wasted exact-check downstream.
+  //
+  // Scale shape: the filter is a DataFrame of set bit positions with AT
+  // MOST 2^14 rows NO MATTER HOW LARGE THE EVAL SET IS — always
+  // broadcastable, so the corpus-side probe is a broadcast semi-join
+  // with zero corpus shuffle; d6's equi-join only ever sees the
+  // pre-filtered survivors. (Spark's own might_contain/bloom_filter_agg
+  // does this for join reduction — see PlanInvariantsSpec — but its
+  // filter bits are not engine-portable; this relational form is
+  // oracle-replayable bit for bit.) The output reports each flagged
+  // doc's bloom-hit gram count beside its exact count, making the
+  // false-positive overhead (n_bloom >= n_exact) directly observable.
+  // ---------------------------------------------------------------------
+  private val BLOOM_M = 1 << 14 // bits in the filter
+  private val BLOOM_K = 3 // hash functions per gram
+
+  val d9BloomPrefilter = Q(
+    "d9_bloom_prefilter",
+    (s, d) => {
+      val grams = wordNgramHashes(s, d, 4, "dc|")
+      def positions(df: DataFrame): DataFrame = df.select(
+        col("doc_id"), col("gh"),
+        explode(array((0 until BLOOM_K).map(j =>
+          (Portable.h60(col("gh").cast("string"), s"bf$j|") % BLOOM_M)
+            .cast("int")): _*)).as("pos"))
+      val bits = positions(grams.filter(col("doc_id") % 20 === 0))
+        .select("pos").distinct()
+      val bloomHits = positions(grams.filter(col("doc_id") % 20 =!= 0))
+        .join(broadcast(bits), Seq("pos"))
+        .groupBy(col("doc_id"), col("gh"))
+        .agg(count(lit(1)).as("k_set"))
+        .filter(col("k_set") === BLOOM_K)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom_grams"))
+      val exact = d6Decontaminate.fn(s, d)
+        .select(col("doc_id"), col("n_shared_grams"))
+      bloomHits.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bloom_grams"),
+          coalesce(col("n_shared_grams"), lit(0L)).as("n_exact_grams"))
+    },
+    Some {
+      val posUnion = (0 until BLOOM_K).map(j =>
+        "SELECT doc_id, gh, " +
+          s"${Portable.h60Duck("CAST(gh AS VARCHAR)", s"bf$j|")} % $BLOOM_M" +
+          " AS pos FROM grams").mkString(" UNION ALL ")
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(4)})", "dc|")} AS gh
+        FROM toks WHERE len(t) >= 4),
+      pos AS ($posUnion),
+      bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 20 = 0),
+      hits AS (
+        SELECT p.doc_id, p.gh
+        FROM pos p JOIN bits b ON b.pos = p.pos
+        WHERE p.doc_id % 20 <> 0
+        GROUP BY p.doc_id, p.gh
+        HAVING count(*) = $BLOOM_K),
+      bloom AS (
+        SELECT doc_id, count(*) AS n_bloom_grams FROM hits GROUP BY 1),
+      exact AS (
+        SELECT c.doc_id, count(DISTINCT c.gh) AS n_exact
+        FROM grams c JOIN grams e ON e.gh = c.gh AND e.doc_id % 20 = 0
+        WHERE c.doc_id % 20 <> 0
+        GROUP BY c.doc_id)
+      SELECT b.doc_id, b.n_bloom_grams,
+        coalesce(e.n_exact, 0) AS n_exact_grams
+      FROM bloom b LEFT JOIN exact e ON e.doc_id = b.doc_id"""
+    })
+
+  // ---------------------------------------------------------------------
   // T1: text quality stats — token count, char count, avg token length,
   // stopword ratio, punctuation count, and a composite quality score.
   // Pure per-row projection: codegen'd, zero shuffles, embarrassingly
@@ -1925,7 +2005,7 @@ object LlmOps {
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
-    d6Decontaminate, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    d6Decontaminate, d9BloomPrefilter, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
     t14KmvQuantile, t15LmScore, a9HllDistinct, a9bHllNative, c1CurateCorpus,

@@ -313,6 +313,27 @@ class DedupSpec extends SparkSuite {
       .subsetOf(c4.values.toSet))
   }
 
+  test("D9: bloom pre-filter admits no false negatives vs d6's exact join") {
+    val bloom = operators.LlmOps.d9BloomPrefilter.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = operators.LlmOps.d6Decontaminate.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixture must exercise the leak path")
+    // every exactly-contaminated doc is bloom-flagged (no false negatives),
+    // and the bloom gram count dominates the exact count per doc
+    exact.foreach { case (id, nExact) =>
+      val (nBloom, nExactReported) = bloom.getOrElse(id,
+        fail(s"doc $id leaked past the bloom pre-filter"))
+      assert(nExactReported === nExact)
+      assert(nBloom >= nExact,
+        s"doc $id: bloom grams $nBloom < exact grams $nExact")
+    }
+    // bloom-only rows are false POSITIVES by construction: exact = 0
+    bloom.filterNot { case (id, _) => exact.contains(id) }.foreach {
+      case (id, (_, e)) => assert(e === 0L, s"doc $id")
+    }
+  }
+
   test("hot-bucket guard: 500 boilerplate docs can't go all-pairs (d5 + d2)") {
     // adversarial corpus: 500 near-identical docs — without the guard,
     // their shared anchor grams / band keys each form ONE bucket and
