@@ -10,14 +10,36 @@ class HllAggSpec extends SparkSuite {
 
   test("a9b native estimate equals a9's relational pipeline exactly") {
     val rel = operators.LlmOps.a9HllDistinct.fn(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getDouble(1)))
       .sortBy(_._1)
     val nat = operators.LlmOps.a9bHllNative.fn(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getDouble(1)))
       .sortBy(_._1)
     assert(nat.nonEmpty)
     assert(nat.toSeq === rel.toSeq,
       "native registers must reproduce the relational estimate bit-for-bit")
+  }
+
+  test("a9 estimate tracks the exact per-language cardinality (error exhibit)") {
+    // the exact countDistinct used to ride along INSIDE a9 — it was the
+    // shuffle the sketch exists to avoid, so it moved here (round 8)
+    val est = operators.LlmOps.a9HllDistinct.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(t)-3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("gram"))
+      .groupBy("lang").agg(countDistinct(col("gram")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val err = math.abs(est(lang) - n) / n
+      assert(err < 0.2,
+        f"$lang: estimate ${est(lang)}%.0f vs exact $n (err $err%.3f; " +
+          "expected ≈1.04/sqrt(256) ≈ 6.5%%)")
+    }
   }
 
   test("estimate is invariant under repartitioning (merge correctness)") {
