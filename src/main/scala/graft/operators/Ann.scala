@@ -164,11 +164,11 @@ object Ann {
         lit(1 << (D4_BITS - 1 - i))).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
-  val d4EmbedNeardup = Q(
-    "d4_embed_neardup",
-    (s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("emb"))
+  /** D4's banded candidate generation + exact cosine over any
+    * (vec_id, emb) frame — split from the Q so BandedLshRecallSpec can
+    * drive it with planted duplicates. */
+  private[graft] def bandedNearDups(s: SparkSession, e: DataFrame)
+      : DataFrame = {
       val bands = e.select(col("vec_id"),
         explode(array((0 until D4_TABLES).map(t =>
           struct(lit(t).as("tbl"), d4BandKey(t, "emb").as("bkey"))): _*))
@@ -190,7 +190,12 @@ object Ann {
         .select(col("id_a"), col("id_b"),
           round(cosine(s, "emb_a", "emb_b"), 6).as("sim"))
         .filter(col("sim") >= 0.3)
-    },
+  }
+
+  val d4EmbedNeardup = Q(
+    "d4_embed_neardup",
+    (s, d) => bandedNearDups(s,
+      embeddings(s, d).select(col("vec_id"), col("embedding").as("emb"))),
     Some {
       val bandSelects = (0 until D4_TABLES).map { t =>
         val bits = (0 until D4_BITS).map { i =>
@@ -871,8 +876,67 @@ object Ann {
       WHERE rn <= 5"""))
 
   /** All similarity-search queries, registration order. */
+  // ---------------------------------------------------------------------
+  // D4b: recall self-evaluation of the banded near-dup index — exact
+  // all-pairs cosine over the threshold is the ground truth, d4's
+  // banded candidates are the approximate answer, and the report is one
+  // row: how many true near-dup pairs exist, how many the index found,
+  // and the recall. d4's pairs are a strict subset of the truth (both
+  // apply the same exact cosine threshold; banding can only MISS
+  // pairs), so recall is the one number that matters. The quadratic
+  // exact side is the evaluation harness, not the shipping path — at
+  // production scale it runs on a sampled slice, exactly like a11's
+  // brute-force ground truth for top-k recall.
+  //
+  // Reading the number: a pair at cosine s collides in one table with
+  // probability (1 - acos(s)/π)^D4_BITS, and in ANY table with
+  // 1-(1-p^b)^L. The synthetic corpus's above-threshold pairs all sit
+  // in the weak 0.3–0.6 band (verified exhaustively at sf0.01), where
+  // the 4×8 configuration is ~3%-selective per table by design — so a
+  // LOW recall here documents the selectivity dial, not a defect; for
+  // genuine near-dups (s ≥ 0.95) the same index recalls ≳90%
+  // (BandedLshRecallSpec proves it on planted duplicates). Tuning for
+  // a weaker similarity target means fewer bits or more tables.
+  // ---------------------------------------------------------------------
+  val d4bNeardupRecall = Q(
+    "d4b_neardup_recall",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val exact = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+        .crossJoin(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(cosine(s, "emb_a", "emb_b"), 6) >= 0.3)
+        .select("id_a", "id_b")
+      val found = d4EmbedNeardup.fn(s, d).select("id_a", "id_b")
+      exact.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_exact"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_exact"), 4)
+            .as("recall"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      exact AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+              >= 0.3),
+      found AS (SELECT id_a, id_b FROM (__D4_SQL__) d4)
+      SELECT (SELECT count(*) FROM exact) AS n_exact,
+        (SELECT count(*) FROM exact x SEMI JOIN found f
+          ON f.id_a = x.id_a AND f.id_b = x.id_b) AS n_found,
+        round((SELECT count(*) FROM exact x SEMI JOIN found f
+          ON f.id_a = x.id_a AND f.id_b = x.id_b)::DOUBLE /
+          (SELECT count(*) FROM exact), 4) AS recall""".replace(
+      "__D4_SQL__", d4EmbedNeardup.oracle.get)))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
-      d4EmbedNeardup)
+      d4EmbedNeardup, d4bNeardupRecall)
 }
