@@ -744,8 +744,16 @@ object LlmOps {
   // doc's bloom-hit gram count beside its exact count, making the
   // false-positive overhead (n_bloom >= n_exact) directly observable.
   // ---------------------------------------------------------------------
-  private val BLOOM_M = 1 << 14 // bits in the filter
-  private val BLOOM_K = 3 // hash functions per gram
+  private[graft] val BLOOM_M = 1 << 14 // bits in the filter
+  private[graft] val BLOOM_K = 3 // hash functions per gram
+
+  /** The K bit positions of a gram hash column `gh` — ONE definition
+    * shared by d9's batch filter and the streaming bit-maintenance job
+    * (StreamingJobs.streamingBloomBits), so the two cannot drift. */
+  private[graft] def bloomPositionCols: Seq[Column] =
+    (0 until BLOOM_K).map(j =>
+      (Portable.h60(col("gh").cast("string"), s"bf$j|") % BLOOM_M)
+        .cast("int"))
 
   val d9BloomPrefilter = Q(
     "d9_bloom_prefilter",
@@ -753,9 +761,7 @@ object LlmOps {
       val grams = wordNgramHashes(s, d, 4, "dc|")
       def positions(df: DataFrame): DataFrame = df.select(
         col("doc_id"), col("gh"),
-        explode(array((0 until BLOOM_K).map(j =>
-          (Portable.h60(col("gh").cast("string"), s"bf$j|") % BLOOM_M)
-            .cast("int")): _*)).as("pos"))
+        explode(array(bloomPositionCols: _*)).as("pos"))
       val bits = positions(grams.filter(col("doc_id") % 20 === 0))
         .select("pos").distinct()
       val bloomHits = positions(grams.filter(col("doc_id") % 20 =!= 0))

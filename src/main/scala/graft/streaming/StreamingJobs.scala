@@ -194,4 +194,38 @@ object StreamingJobs {
           }
         })
   }
+
+  /** Streaming maintenance of d9's Bloom filter bits: eval-set gram
+    * hashes stream in, each folds to its K positions (the SAME
+    * derivation d9's batch filter uses — LlmOps.bloomPositionCols), and
+    * per-shard boolean state accumulates set bits. Bits only turn ON, so
+    * the union of emissions equals the batch bit table exactly
+    * (StreamingSpec proves it) — the third sketch, after HLL registers
+    * and count-min cells, shipping as one artifact with two execution
+    * modes. State per shard is SHARD_BITS booleans; total state is the
+    * filter's 2^14 bits regardless of stream length.
+    */
+  final case class BloomBit(shard: Int, pos: Int)
+  private val SHARD_BITS = 512
+  def streamingBloomBits(
+      spark: org.apache.spark.sql.SparkSession,
+      hashed: DataFrame): org.apache.spark.sql.Dataset[BloomBit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    hashed.select(explode(array(
+        graft.operators.LlmOps.bloomPositionCols: _*)).as("pos"))
+      .as[Int]
+      .groupByKey(_ / SHARD_BITS)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[Int],
+            state: GroupState[Array[Boolean]]) => {
+          val bits = state.getOption.getOrElse(new Array[Boolean](SHARD_BITS))
+          rows.foreach(p => bits(p - shard * SHARD_BITS) = true)
+          state.update(bits)
+          bits.iterator.zipWithIndex.collect {
+            case (set, i) if set => BloomBit(shard, shard * SHARD_BITS + i)
+          }
+        })
+  }
 }

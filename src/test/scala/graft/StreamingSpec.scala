@@ -322,6 +322,44 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming bloom bits converge to d9's batch filter bit table") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-side truth: the d9 eval-set bit table (same gram seed, same
+    // shared position derivation)
+    val evalGrams = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-4), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))")).as("gram"))
+      .select(graft.functions.Portable.h60(col("gram"), "dc|").as("gh"))
+      .distinct()
+    val batchBits = evalGrams
+      .select(explode(array(
+        graft.operators.LlmOps.bloomPositionCols: _*)).as("pos"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(batchBits.nonEmpty)
+    // stream the same hashes in three chunks; bits only turn on, so the
+    // union of emissions is the final filter
+    val hashes = evalGrams.collect().map(_.getLong(0))
+    val input = MemoryStream[Long]
+    val q = StreamingJobs
+      .streamingBloomBits(spark, input.toDF().toDF("gh"))
+      .writeStream.format("memory").queryName("bloom_test")
+      .outputMode("update").start()
+    try {
+      hashes.grouped(math.max(1, hashes.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamBits = spark.table("bloom_test").select("pos")
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(streamBits === batchBits,
+        "streaming filter must equal the batch filter, bit for bit")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch register table") {
     implicit val sqlCtx = spark.sqlContext
     // batch-side truth: the a9 register table over the sf corpus
