@@ -57,7 +57,8 @@ object ExplainAudit {
       "c1b_curate_neardup", "t14_kmv_quantile", "d8_dedup_cc_star",
       "a11_ann_recall", "a12_product_quant", "a13_pq_adc", "t15_lm_score",
       "a14_ivfpq", "a9b_hll_native", "x7_unpivot", "c4_decontaminated_split",
-      "c1c_curate_quality", "d4_embed_neardup", "x8_pivot", "x9_scd2")
+      "c1c_curate_quality", "d4_embed_neardup", "x8_pivot", "x9_scd2",
+      "d9_bloom_prefilter", "d4b_neardup_recall")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
