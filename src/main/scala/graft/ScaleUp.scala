@@ -24,9 +24,6 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcSfDir> <dstDir> [factor]")
-    val src = args(0)
-    val dst = args(1)
-    val factor = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,7 +32,15 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    spark.stop()
+  }
 
+  /** The replication itself, session-agnostic (ScaleUpSpec drives it on
+    * the shared test session). */
+  def run(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def keyRange(t: String, c: String): Long =
       rd(t).agg(max(col(c))).head().getLong(0) + 1
@@ -69,6 +74,5 @@ object ScaleUp {
     replicate("documents", Map("doc_id" -> dk))
     replicate("embeddings", Map("vec_id" -> vk))
     println(s"""{"scaled":"$src","to":"$dst","factor":$factor}""")
-    spark.stop()
   }
 }

@@ -103,6 +103,28 @@ class PlanInvariantsSpec extends SparkSuite {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
+  test("hot paths stay inside WholeStageCodegen, custom cosine included") {
+    // the brief's rule: widen the codegen spans — a hot-path projection
+    // or filter falling out of WSCG means interpreted row-at-a-time eval
+    val t1 = finalPlan("t1_text_stats")
+    assert(t1.contains("WholeStageCodegen") || t1.contains("*("),
+      s"t1's pure projection must be codegen'd:\n$t1")
+    // s1: the filter+project pipeline is one codegen stage over the scan
+    val s1 = finalPlan("s1_scan_prune")
+    assert(s1.split("\n").exists(l =>
+      l.contains("Filter") && l.trim.startsWith("+- *(")
+        || l.contains("*(") && l.contains("Filter")),
+      s"s1's filter must be inside a codegen span:\n$s1")
+    // the custom cosine_sim expression must not break codegen: the
+    // project evaluating it carries the *(n) codegen marker
+    val a5 = finalPlan("a5_ann_bruteforce")
+    // the expression prints under its class nodeName, `cosinesimilarity`
+    val cosLine = a5.split("\n").find(_.contains("cosinesimilarity"))
+    assert(cosLine.isDefined, s"a5 should evaluate cosine_sim:\n$a5")
+    assert(cosLine.get.contains("*("),
+      s"cosine_sim fell out of WholeStageCodegen:\n${cosLine.get}")
+  }
+
   test("j1 under key skew: AQE splits the hot customer's partition " +
     "(skew=true) instead of one straggler task") {
     // The j1 enrich shape — fact join dim on a key — with a real-world
