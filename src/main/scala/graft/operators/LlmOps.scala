@@ -60,6 +60,56 @@ object LlmOps {
       FROM documents GROUP BY 1"""))
 
   // ---------------------------------------------------------------------
+  // D10: INCREMENTAL exact dedup — the shape production dedup actually
+  // runs: a new batch (here the doc_id % 4 == 0 slice, standing in for
+  // today's crawl shard) deduped against the STANDING corpus's
+  // fingerprint table, not the corpus itself. Every new doc routes to
+  // exactly one of: 'new' (first sighting anywhere), 'dup_in_batch'
+  // (a smaller-id batch doc owns the fingerprint), 'dup_of_history'
+  // (the standing corpus owns it).
+  //
+  // Scale shape: the historical side is 16 bytes per document (md5 of
+  // the normalized text) — at 100 TB of corpus that is a fingerprint
+  // TABLE in the tens of GB, joined on its own hash key; stored
+  // bucketed by fingerprint it co-locates with every future batch's
+  // shuffle (x5's zero-Exchange pattern), and the batch side combines
+  // map-side first. The corpus text is never re-read. d1 is the
+  // full-rebuild form of the same fingerprint discipline.
+  // ---------------------------------------------------------------------
+  val d10IncrementalDedup = Q(
+    "d10_incremental_dedup",
+    (s, d) => {
+      val fp = documents(s, d)
+        .select(col("doc_id"), md5(normText).as("h"))
+      val history = fp.filter(col("doc_id") % 4 =!= 0)
+      val batch = fp.filter(col("doc_id") % 4 === 0)
+      val batchOwner = batch.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("owner_id"))
+      batch
+        .join(history.select(col("h")).distinct()
+          .withColumn("in_hist", lit(1)), Seq("h"), "left")
+        .join(batchOwner, Seq("h"))
+        .select(col("doc_id"), col("h"),
+          when(col("in_hist") === 1, "dup_of_history")
+            .when(col("doc_id") =!= col("owner_id"), "dup_in_batch")
+            .otherwise("new").as("status"))
+    },
+    Some("""WITH fp AS (
+        SELECT doc_id,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        FROM documents),
+      hist AS (SELECT DISTINCT h FROM fp WHERE doc_id % 4 <> 0),
+      batch AS (SELECT doc_id, h FROM fp WHERE doc_id % 4 = 0),
+      owner AS (SELECT h, min(doc_id) AS owner_id FROM batch GROUP BY 1)
+      SELECT b.doc_id, b.h,
+        CASE WHEN hist.h IS NOT NULL THEN 'dup_of_history'
+             WHEN b.doc_id <> o.owner_id THEN 'dup_in_batch'
+             ELSE 'new' END AS status
+      FROM batch b
+      LEFT JOIN hist ON hist.h = b.h
+      JOIN owner o ON o.h = b.h"""))
+
+  // ---------------------------------------------------------------------
   // D2: MinHash + LSH near-dup detection, end to end:
   //   word-bigram shingles → 8 MinHash values (seeded portable hashes) →
   //   4 bands of 2 rows → band-bucket self-join (candidates = docs sharing
@@ -1997,7 +2047,7 @@ object LlmOps {
 
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
-    d1DedupExact, d2DedupMinhash, d3Simhash, d5NgramJaccard,
+    d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash, d5NgramJaccard,
     d6Decontaminate, d9BloomPrefilter, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,

@@ -313,6 +313,41 @@ class DedupSpec extends SparkSuite {
       .subsetOf(c4.values.toSet))
   }
 
+  test("D10: incremental dedup routes every batch doc consistently with d1") {
+    val d10 = operators.LlmOps.d10IncrementalDedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // total routing: every batch doc appears exactly once
+    val batchIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(d10.map(_._1).toSet === batchIds && d10.length === batchIds.size)
+    // ground truth from d1 (full-corpus fingerprint groups)
+    val groups = operators.LlmOps.d1DedupExact.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // h -> min doc_id
+    d10.foreach { case (id, h, status) =>
+      val fullMin = groups(h)
+      status match {
+        case "new" =>
+          assert(fullMin === id,
+            s"doc $id claimed new but full-corpus min is $fullMin")
+        case "dup_in_batch" =>
+          assert(fullMin % 4 === 0 && fullMin < id, s"doc $id")
+        case "dup_of_history" => () // verified by the oracle's hist join
+        case other => fail(s"doc $id: unknown status $other")
+      }
+    }
+    // a 'new' doc must be the FIRST sighting anywhere: its fingerprint
+    // group contains no history member at all
+    val histHashes = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .as("h")).distinct().collect().map(_.getString(0)).toSet
+    d10.filter(_._3 == "new").foreach { case (id, h, _) =>
+      assert(!histHashes(h), s"doc $id 'new' but history holds $h")
+    }
+    assert(d10.exists(_._3 == "new"), "fixture must exercise every route")
+  }
+
   test("D9: bloom pre-filter admits no false negatives vs d6's exact join") {
     val bloom = operators.LlmOps.d9BloomPrefilter.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
