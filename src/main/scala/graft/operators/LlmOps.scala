@@ -157,19 +157,24 @@ object LlmOps {
     * bound. */
   private[graft] val BUCKET_CAP = 64
 
-  /** Drop every bucket whose membership exceeds `cap`. One map-side-
-    * partial count per bucket plus an inner join back on the bucket
-    * key — the join is co-partitioned with the candidate self-join that
-    * follows (same key), so the guard adds no extra shuffle of `rows`
-    * at scale, and AQE broadcasts the (small) size table when it fits. */
+  /** Drop every bucket whose membership exceeds `cap`. A window COUNT
+    * partitioned on the bucket key, not a groupBy+join-back: the join
+    * form scans `rows` twice (and `rows` here is the end of an
+    * explode→hash→distinct→top-k chain that is expensive to recompute),
+    * while the window form is one pass whose hash-partitioning on the
+    * bucket key is exactly what the candidate self-join that follows
+    * needs — Catalyst reuses the exchange, so the guard costs zero
+    * extra shuffles of `rows` (r8 plan audit: the join form had pushed
+    * d7 to 1.7× its pin; this form returned it). */
   private[graft] def capBuckets(
       rows: DataFrame, keys: Seq[String],
       cap: Int = BUCKET_CAP): DataFrame = {
-    val sizes = rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bsz"))
+    import org.apache.spark.sql.expressions.Window
+    rows
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .filter(col("bsz") <= cap)
       .drop("bsz")
-    rows.join(sizes, keys)
   }
 
   /** Diagnostic companion to [[capBuckets]]: the over-cap buckets and
@@ -545,9 +550,18 @@ object LlmOps {
       val edges = ngramPairStats(s, d)
         .filter(col("ni") * 5 >= col("na") + col("nb") - col("ni"))
         .select(col("id_a"), col("id_b"))
-      // symmetrize once and pin: every propagation round re-reads it
-      val sym = edges.select(col("id_a").as("v"), col("id_b").as("n"))
-        .union(edges.select(col("id_b").as("v"), col("id_a").as("n")))
+      // symmetrize once and pin: every propagation round re-reads it.
+      // explode-of-both-directions, NOT a self-union: a union's two
+      // branches each evaluate `edges` — i.e. the whole candidate-
+      // generation subtree (explode → hash → distinct → top-k → join)
+      // runs twice before the persist ever materializes. The explode
+      // form emits both directed rows from ONE scan of the pair list
+      // (r8: this alone was d7's 1.7×-vs-pin regression).
+      val sym = edges
+        .select(explode(array(
+          struct(col("id_a").as("v"), col("id_b").as("n")),
+          struct(col("id_b").as("v"), col("id_a").as("n")))).as("e"))
+        .select(col("e.v").as("v"), col("e.n").as("n"))
         .persist()
       // seed with min(v, min neighbor) — this IS propagation round 1,
       // fused into the vertex-set aggregation that initialization needs
@@ -579,6 +593,8 @@ object LlmOps {
       // pin BEFORE the convergence check: if require throws, re-entry
       // and releaseCaches() can still find and release the frames
       pinned(pinKey) = Seq(sym, lbl)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-debug] d7 rounds=$rounds")
       require(converged,
         s"d7: label propagation not at fixpoint after $CC_MAX_ROUNDS rounds")
       val cs = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
