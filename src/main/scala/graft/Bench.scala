@@ -76,7 +76,12 @@ object Bench {
     // action records HOW timings were taken: full-plan toRdd.count,
     // median of PASSES runs per query (round 4+; rounds 2-3 were a
     // single pass, round 1's df.count() let Catalyst prune projections)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median"}"""
+    // cpus is part of the record's identity: the pinned baseline is a
+    // local[32] measurement, and a local[4] rerun reads ~1.4-2x slower
+    // across the board — a ratio against the pin is meaningless without
+    // knowing which harness produced it (r8 triage burned an hour on
+    // exactly that).
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median","cpus":$cpus}"""
     println(line)
     // The driver's BENCH_r*.json keeps only a 2000-char tail of sbt
     // output, which truncated 38 of 98 per-query timings in round 7 —
