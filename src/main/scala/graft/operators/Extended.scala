@@ -354,8 +354,37 @@ object Extended {
         (lead(ts) OVER w IS NULL) AS is_current
       FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  // ---------------------------------------------------------------------
+  // X10: CUBE grouping sets with grouping_id — the full 2^k lattice over
+  // (returnflag, linestatus) in ONE pass (x2's ROLLUP covers only the
+  // prefix chain). grouping_id disambiguates a genuine NULL group value
+  // from a rolled-up cell — the reason production cube reports carry it
+  // — and Spark's bit encoding (bit i set = column i rolled up) matches
+  // DuckDB's GROUPING(...) exactly, so the oracle replays it verbatim.
+  // Same single Expand + hash-aggregate shape as x2: Expand multiplies
+  // rows 4× BEFORE the shuffle, but map-side partial aggregation
+  // collapses each grouping set to its cell count per mapper, so the
+  // exchange carries |cells| × 4 rows regardless of fact size — the
+  // cube is as scale-safe as the flat aggregate.
+  // ---------------------------------------------------------------------
+  val x10Cube = Q(
+    "x10_cube",
+    (s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("price_c100")),
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        count(*) AS n,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          AS price_c100
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   /** All extension queries, registration order. */
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
-    x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2)
+    x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube)
 }

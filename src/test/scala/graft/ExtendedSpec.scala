@@ -125,4 +125,30 @@ class ExtendedSpec extends SparkSuite {
         col("valid_to") =!= col("next_from"))
     assert(chained.count() === 0, "intervals must chain without gaps")
   }
+
+  test("X10: cube lattice is consistent and plans one Expand + one scan") {
+    val df = operators.Extended.x10Cube.fn(spark, sf)
+    val rows = df.collect()
+    // every grouping set present, and the lattice is self-consistent:
+    // each level's counts sum to the grand total
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L), "all four grouping sets")
+    val grand = byGid(3L).map(_.getLong(3)).sum
+    for (gid <- Seq(0L, 1L, 2L))
+      assert(byGid(gid).map(_.getLong(3)).sum === grand,
+        s"gid=$gid cell counts must sum to the grand total")
+    // rolled-up cells carry NULL group values; detail cells never do
+    assert(byGid(3L).forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(byGid(0L).forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    // plan: one scan, one Expand (4x BEFORE the shuffle), one exchange —
+    // map-side partials collapse each grouping set to cells per mapper
+    df.count()
+    // final adaptive plan only — the "== Initial Plan ==" echo repeats
+    // every node and would double the counts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("Expand"), s"cube should plan one Expand:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
 }
