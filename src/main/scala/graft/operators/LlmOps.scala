@@ -29,6 +29,16 @@ object LlmOps {
   private def normText: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
+  /** (doc_id, h) fingerprints over any documents-shaped frame — the ONE
+    * definition of the exact-dedup key (d1, d10, and the streaming
+    * incremental-dedup job all hash through here, so the normalization
+    * cannot drift between the batch and streaming paths; c1's curation
+    * keeps the text columns alongside and applies [[normText]] inline).
+    * Works on both batch and streaming inputs: pure column expressions,
+    * no shuffle. */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normText).as("h"))
+
   /** The n-gram window over a token array `t`, ONE definition per
     * engine: the Spark SQL `transform` (0-based) and its DuckDB
     * `list_transform` twin (1-based). Every gram-consuming operator
@@ -50,8 +60,7 @@ object LlmOps {
   val d1DedupExact = Q(
     "d1_dedup_exact",
     (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), md5(normText).as("h"))
+      fingerprintsOf(documents(s, d))
         .groupBy(col("h"))
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_dups")),
@@ -79,8 +88,7 @@ object LlmOps {
   val d10IncrementalDedup = Q(
     "d10_incremental_dedup",
     (s, d) => {
-      val fp = documents(s, d)
-        .select(col("doc_id"), md5(normText).as("h"))
+      val fp = fingerprintsOf(documents(s, d))
       val history = fp.filter(col("doc_id") % 4 =!= 0)
       val batch = fp.filter(col("doc_id") % 4 === 0)
       val batchOwner = batch.groupBy(col("h"))

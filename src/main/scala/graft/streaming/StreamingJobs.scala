@@ -205,6 +205,57 @@ object StreamingJobs {
     * modes. State per shard is SHARD_BITS booleans; total state is the
     * filter's 2^14 bits regardless of stream length.
     */
+  /** Streaming incremental dedup — d10's daily three-way routing run
+    * continuously: each arriving document is fingerprinted (the SAME
+    * LlmOps normalization the batch path hashes), checked against the
+    * STANDING corpus's fingerprint table (a stream-static broadcast
+    * join — the static side is the 16-byte-per-doc fingerprint table,
+    * never the corpus text), and then routed through per-fingerprint
+    * GroupState:
+    *   dup_of_history — fingerprint exists in the standing table;
+    *   new            — first in-stream arrival of an unseen fingerprint
+    *                    (the state records its doc_id as owner);
+    *   dup_in_batch   — any later arrival of an owned fingerprint.
+    * State is one Long per DISTINCT new fingerprint — the streaming twin
+    * of d10's batchOwner aggregate. Batch d10 elects min(doc_id) as
+    * owner while the stream elects the FIRST ARRIVAL — identical when
+    * ingestion is id-ordered (the daily-batch shape); under reordering
+    * the election differs but the new/dup partition sizes do not
+    * (StreamingSpec proves batch parity on ordered delivery). */
+  final case class DocRoute(doc_id: Long, h: String, status: String)
+  def streamingIncrementalDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      historyFp: DataFrame): org.apache.spark.sql.Dataset[DocRoute] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val fp = graft.operators.LlmOps.fingerprintsOf(docs)
+    val flagged = fp
+      .join(broadcast(historyFp.select(col("h")).distinct()
+        .withColumn("in_hist", lit(1))), Seq("h"), "left")
+      .select(col("doc_id").as("doc_id"), col("h"),
+        coalesce(col("in_hist"), lit(0)).as("in_hist"))
+      .as[(Long, String, Int)]
+    flagged
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (h: String, rows: Iterator[(Long, String, Int)],
+            state: GroupState[Long]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[DocRoute]
+          // sort the (small: same-fingerprint, same-micro-batch) group by
+          // doc_id so the WITHIN-batch election is min(doc_id), exactly
+          // d10's batchOwner aggregate — group iterator order is not
+          // otherwise deterministic
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, inHist) =>
+            if (inHist == 1) out += DocRoute(id, h, "dup_of_history")
+            else if (state.exists) out += DocRoute(id, h, "dup_in_batch")
+            else { state.update(id); out += DocRoute(id, h, "new") }
+          }
+          out.iterator
+        })
+  }
+
   final case class BloomBit(shard: Int, pos: Int)
   private val SHARD_BITS = 512
   def streamingBloomBits(

@@ -406,4 +406,39 @@ class StreamingSpec extends SparkSuite {
         "streaming sketch must be the batch sketch, register for register")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup matches batch d10 routing exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-side truth: d10's three-way routing over the sf corpus
+    val batchRoutes = graft.operators.LlmOps.d10IncrementalDedup
+      .fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the same standing/batch split d10 uses: history = doc_id % 4 != 0
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val history = graft.operators.LlmOps.fingerprintsOf(
+      docs.filter(col("doc_id") % 4 =!= 0))
+    val batchRows = docs.filter(col("doc_id") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1) // id-ordered delivery: stream election == min(doc_id)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs
+      .streamingIncrementalDedup(spark, stream, history)
+      .writeStream.format("memory").queryName("incdedup_test")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: in-batch dup election AND cross-batch
+      // state carry-over are both exercised
+      batchRows.grouped(math.max(1, batchRows.length / 3 + 1)).foreach {
+        chunk => input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamRoutes = spark.table("incdedup_test").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamRoutes.size === batchRoutes.size,
+        "every batch doc must be routed exactly once")
+      assert(streamRoutes === batchRoutes,
+        "stream routing must equal d10's batch routing doc for doc")
+    } finally q.stop()
+  }
 }
