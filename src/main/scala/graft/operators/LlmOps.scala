@@ -340,25 +340,28 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private val SIMHASH_BITS = 16
 
-  val d3Simhash = Q(
-    "d3_simhash",
-    (s, d) => {
-      val tok = documents(s, d)
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("tok"))
-        .distinct()
-        .withColumn("h", Portable.h60(col("tok"), "sh|"))
-      val sums = tok.groupBy(col("doc_id")).agg(
-        sum(when(expr(s"(h div ${1L}) % 2") === 1, 1).otherwise(-1)).as("b0"),
-        (1 until SIMHASH_BITS).map(j =>
-          sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1))
-            .as(s"b$j")): _*)
-      sums.select(col("doc_id"),
-        (0 until SIMHASH_BITS).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-    },
-    Some(s"""WITH tok AS (
+  /** The (doc_id, simhash) signature frame — d3's body, reused by d3b's
+    * near-dup pairing so the signature definition exists once. */
+  private def simhashesOf(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", Portable.h60(col("tok"), "sh|"))
+    val sums = tok.groupBy(col("doc_id")).agg(
+      sum(when(expr(s"(h div ${1L}) % 2") === 1, 1).otherwise(-1)).as("b0"),
+      (1 until SIMHASH_BITS).map(j =>
+        sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1))
+          .as(s"b$j")): _*)
+    sums.select(col("doc_id"),
+      (0 until SIMHASH_BITS).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** DuckDB CTE chain ending in `sh(doc_id, simhash)` — the oracle twin
+    * of [[simhashesOf]], shared by d3 and d3b. */
+  private val simhashSql = s"""tok AS (
         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents),
       th AS (SELECT doc_id, ${Portable.h60Duck("tok", "sh|")} AS h FROM tok),
@@ -367,11 +370,85 @@ object LlmOps {
           ${(0 until SIMHASH_BITS).map(j =>
             s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
             .mkString(", ")}
-        FROM th GROUP BY doc_id)
-      SELECT doc_id, CAST(${(0 until SIMHASH_BITS).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")}
-        AS BIGINT) AS simhash
-      FROM sums"""))
+        FROM th GROUP BY doc_id),
+      sh AS (
+        SELECT doc_id, CAST(${(0 until SIMHASH_BITS).map(j =>
+          s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")}
+          AS BIGINT) AS simhash
+        FROM sums)"""
+
+  val d3Simhash = Q(
+    "d3_simhash",
+    (s, d) => simhashesOf(s, d),
+    Some(s"""WITH $simhashSql SELECT doc_id, simhash FROM sh"""))
+
+  // ---------------------------------------------------------------------
+  // D3b: SimHash NEAR-DUP PAIRING — the decision d3's fingerprints
+  // exist to enable. Bit-sampling blocking: the 16-bit signature splits
+  // into 2 bands of 8 bits; docs sharing ANY band are candidates, then
+  // an exact popcount(xor) Hamming filter keeps pairs within HAM_MAX.
+  // With HAM_MAX = 1 < 2 bands the blocking is PIGEONHOLE-COMPLETE
+  // over surviving buckets — one differing bit cannot touch both
+  // bands, so every qualifying pair shares an intact band; the ONLY
+  // sanctioned loss is the structural BUCKET_CAP on degenerate-hot
+  // buckets (DedupSpec replicates banding+cap+hamming independently
+  // and demands exact set equality). Band width is a selectivity
+  // dial, and 8 bits is the deliberate choice: organic signatures
+  // concentrate hard (11% of sf0.001 all-pairs sit within Hamming 1),
+  // so 4-bit bands (16 buckets/band) degenerate toward all-pairs and
+  // force the cap to drop most of the corpus; 256 buckets/band keeps
+  // buckets ~n/256 and the cap a true anomaly guard. Scale shape is d2's: candidates
+  // shuffle on (band, bkey) — 2 rows per doc, never all-pairs — with
+  // the same structural BUCKET_CAP guard on degenerate buckets (a
+  // zero-ish signature from boilerplate is this scheme's hot band key).
+  // ---------------------------------------------------------------------
+  private val HAM_MAX = 1
+  private val SIMHASH_BANDS = 2
+  private val BAND_BITS = SIMHASH_BITS / SIMHASH_BANDS
+
+  val d3bSimhashNeardup = Q(
+    "d3b_simhash_neardup",
+    (s, d) => {
+      val sh = simhashesOf(s, d)
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SIMHASH_BANDS).map(j =>
+          struct(lit(j).as("band"),
+            expr(s"(simhash div ${1L << (BAND_BITS * j)}) % ${1 << BAND_BITS}")
+              .as("bkey"))): _*)).as("e"))
+        .select(col("doc_id"), col("simhash"),
+          col("e.band").as("band"), col("e.bkey").as("bkey"))
+      val kept = capBuckets(bands, Seq("band", "bkey"))
+      kept.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+          col("band"), col("bkey"))
+        .join(kept.select(col("doc_id").as("id_b"),
+          col("simhash").as("sh_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HAM_MAX)
+    },
+    Some(s"""WITH $simhashSql,
+      bands AS (
+        SELECT doc_id, simhash, j AS band,
+          (simhash // (CASE j ${(0 until SIMHASH_BANDS).map(j =>
+            s"WHEN $j THEN ${1L << (BAND_BITS * j)}").mkString(" ")}
+            END)) % ${1 << BAND_BITS} AS bkey
+        FROM sh, unnest([${(0 until SIMHASH_BANDS).mkString(", ")}]) AS t(j)),
+      bsz AS (
+        SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+      kept AS (
+        SELECT b.* FROM bands b
+        JOIN bsz z ON z.band = b.band AND z.bkey = b.bkey
+          AND z.c <= $BUCKET_CAP),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM kept a
+        JOIN kept b ON a.band = b.band AND a.bkey = b.bkey
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM cand WHERE hamming <= $HAM_MAX"""))
 
   // ---------------------------------------------------------------------
   // D5: n-gram Jaccard near-dup — EXACT Jaccard over word-trigram sets,
@@ -2071,7 +2148,8 @@ object LlmOps {
 
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
-    d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash, d5NgramJaccard,
+    d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
+    d3bSimhashNeardup, d5NgramJaccard,
     d6Decontaminate, d9BloomPrefilter, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,

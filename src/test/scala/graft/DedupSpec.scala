@@ -60,6 +60,49 @@ class DedupSpec extends SparkSuite {
     assert(out.values.forall(v => v >= 0L && v < (1L << 16)))
   }
 
+  test("D3b: banded simhash pairing is pigeonhole-complete modulo the cap") {
+    // with HAM_MAX = 1 < 2 bands, one differing bit cannot touch both
+    // bands, so blocking loses nothing over SURVIVING buckets; the only
+    // sanctioned loss is the structural BUCKET_CAP (organic signatures
+    // concentrate hard — 11% of sf0.001 all-pairs sit within hamming 1,
+    // so hot buckets are real, and dropping them is the operator's
+    // documented degenerate-bucket behavior). The test replicates the
+    // full definition (banding, cap, pigeonhole, hamming) independently
+    // on the driver and demands EXACT set equality.
+    val sh = graft.operators.LlmOps.d3Simhash.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toVector
+    val bands = sh.flatMap { case (id, s) =>
+      (0 until 2).map(j => (j, (s >> (8 * j)) & 255L, id, s))
+    }
+    val bucketSize = bands.groupBy(t => (t._1, t._2)).map {
+      case (k, v) => k -> v.length
+    }
+    val kept = bands.filter(t => bucketSize((t._1, t._2)) <= 64)
+    val expected = kept.groupBy(t => (t._1, t._2)).values.flatMap { bucket =>
+      bucket.flatMap { a => bucket.collect {
+        case b if a._3 < b._3 &&
+          java.lang.Long.bitCount(a._4 ^ b._4) <= 1 => (a._3, b._3)
+      } }
+    }.toSet
+    val banded = graft.operators.LlmOps.d3bSimhashNeardup.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === expected,
+      s"banded=${banded.size} expected=${expected.size}: must match exactly")
+    assert(expected.nonEmpty, "fixture must exercise at least one pair")
+    // and pigeonhole completeness itself, on the survivors: any pair
+    // within hamming 1 whose docs share a SURVIVING bucket must be found
+    val keptKeys = kept.groupBy(_._3)
+      .map { case (id, v) => id -> v.map(t => (t._1, t._2)).toSet }
+    val missed = for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 1 &&
+        (keptKeys.getOrElse(ia, Set.empty) &
+          keptKeys.getOrElse(ib, Set.empty)).nonEmpty &&
+        !banded.contains((ia, ib))
+    } yield (ia, ib)
+    assert(missed.isEmpty, s"pairs sharing a surviving bucket missed: $missed")
+  }
+
   test("T7: chunks cover every token and no chunk duplicates its predecessor") {
     val rows = graft.operators.LlmOps.t7Chunking.fn(spark, sf)
       .collect()
