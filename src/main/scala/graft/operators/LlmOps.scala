@@ -833,6 +833,32 @@ object LlmOps {
       FROM labels l JOIN cs c ON c.lbl = l.lbl"""))
 
   // ---------------------------------------------------------------------
+  // D7b: CLUSTER-SIZE DISTRIBUTION — the dedup report every production
+  // run logs: how many duplicate families exist at each size, and how
+  // many documents they absorb (n_docs = size × count tells you the
+  // dedup yield at a glance; a fat tail at large sizes means boilerplate
+  // is eating the corpus). One distinct + one hash-agg over d7's label
+  // table — |clusters| rows in, |distinct sizes| rows out, nothing
+  // scales with the corpus itself.
+  // ---------------------------------------------------------------------
+  val d7bClusterStats = Q(
+    "d7b_cluster_stats",
+    (s, d) =>
+      d7DedupCc.fn(s, d)
+        .select(col("cluster_id"), col("cluster_size"))
+        .distinct()
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs")),
+    Some(s"""WITH RECURSIVE $ngramPairStatsSql,
+      $ccLabelsSql,
+      cs AS (SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY lbl)
+      SELECT cluster_size, count(*) AS n_clusters,
+        cluster_size * count(*) AS n_docs
+      FROM cs GROUP BY cluster_size"""))
+
+  // ---------------------------------------------------------------------
   // D6: benchmark decontamination — flag corpus documents that share
   // word 4-grams with a held-out evaluation set (the training-data
   // hygiene step LLM pipelines run before training: any eval n-gram
@@ -2150,7 +2176,7 @@ object LlmOps {
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard,
-    d6Decontaminate, d9BloomPrefilter, d7DedupCc, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    d6Decontaminate, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
     t14KmvQuantile, t15LmScore, a9HllDistinct, a9bHllNative, c1CurateCorpus,
