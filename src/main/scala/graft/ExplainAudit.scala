@@ -59,7 +59,8 @@ object ExplainAudit {
       "a14_ivfpq", "a9b_hll_native", "x7_unpivot", "c4_decontaminated_split",
       "c1c_curate_quality", "d4_embed_neardup", "x8_pivot", "x9_scd2",
       "d9_bloom_prefilter", "d4b_neardup_recall", "d10_incremental_dedup",
-      "x10_cube", "d3b_simhash_neardup", "d7b_cluster_stats")
+      "x10_cube", "d3b_simhash_neardup", "d7b_cluster_stats",
+      "d11_substring_dedup", "c5_temperature_mix", "t12b_countmin_native")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

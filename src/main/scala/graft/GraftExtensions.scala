@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session extensions for the graft engine — the public plug-in point
   * for custom Catalyst pieces (SURVEY §7.3). Injects the codegen'd
-  * `cosine_sim` scalar and the `hll_estimate` typed-imperative
-  * aggregate; activate with
+  * `cosine_sim` scalar and the `hll_estimate` / `cm_sketch`
+  * typed-imperative aggregates; activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (Verify, Bench, and the test fixtures all do).
   */
@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(functions.CosineSimilarity.description)
     ext.injectFunction(functions.HllEstimate.description)
+    ext.injectFunction(functions.CmSketch.description)
   }
 }

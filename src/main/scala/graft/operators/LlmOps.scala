@@ -584,6 +584,110 @@ object LlmOps {
       WHERE ni * 5 >= na + nb - ni"""))
 
   // ---------------------------------------------------------------------
+  // D11: duplicated-SUBSTRING detection — the span-level dedup decision
+  // (Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better": remove repeated long substrings, not just whole near-dup
+  // documents). A K-token window slides over every doc; a window whose
+  // hash occurs in MORE THAN ONE document is duplicated text, and
+  // overlapping/adjacent duplicated windows merge into maximal spans
+  // per doc (gaps-and-islands over window positions). Output: per
+  // affected doc, how many spans and how many of its tokens sit inside
+  // cross-document duplicated text.
+  //
+  // THE scale property: unlike every pairing op (d2/d3b/d5), no pair
+  // is ever materialized — a boilerplate window shared by m docs costs
+  // m posting rows, never m²/2 candidates, so there is no hot-bucket
+  // guard to need. Three shuffles total, all on narrow keys: the
+  // postings hash-agg on the 8-byte window hash (map-side combined),
+  // the semi-join of postings against the duplicated-hash set (same
+  // key), and the per-doc window sort for span merge (doc_id key,
+  // positions only — the text never shuffles). At 100 TB the
+  // duplicated-hash set is the only intermediate that grows with
+  // corpus redundancy, and it stays (hash) 8 bytes/entry.
+  //
+  // Portability: within-doc window positions are 0-based on both
+  // sides (posexplode / range), and the island break is integer
+  // arithmetic — pos-diff > K starts a new span, so coverage
+  // [p, p+K-1] unions exactly. dup_frac is display-only round 6 on an
+  // integer ratio (d5's jaccard precedent).
+  // ---------------------------------------------------------------------
+  private val SUB_K = 8 // window length in tokens
+
+  /** d11's body over any documents-shaped frame — separated so DedupSpec
+    * can drive planted fixtures through the exact production path. */
+  private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wins = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .filter(size(col("t")) >= SUB_K)
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          posexplode(expr(ngramExpr(SUB_K))).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("n_tokens"), col("pos"),
+          Portable.h60(col("gram"), "ss|").as("gh"))
+      // windows present in >1 DISTINCT doc (within-doc repetition is
+      // t13's signal, not duplication): distinct (gh, doc) postings,
+      // then a count per hash — both map-side-combinable hash-aggs
+      val dup = wins.select(col("gh"), col("doc_id")).distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("gh"))
+      // (doc, pos) is unique by construction, so the semi-join output
+      // needs no dedup before the island pass
+      val hits = wins.join(dup, Seq("gh"), "left_semi")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = hits
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(w) <= SUB_K, 0)
+            .otherwise(1))
+        .withColumn("g", sum(col("brk")).over(w))
+        .groupBy(col("doc_id"), col("n_tokens"), col("g"))
+        .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+      spans.groupBy(col("doc_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("p1") - col("p0") + SUB_K).as("n_dup_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_dup_tokens"),
+          round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
+            .as("dup_frac"))
+  }
+
+  val d11SubstringDedup = Q(
+    "d11_substring_dedup",
+    (s, d) => substringDedupOf(documents(s, d)),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      win AS (
+        SELECT doc_id, len(t) AS n_tokens,
+          unnest(range(len(t) - ${SUB_K - 1})) AS pos, t
+        FROM toks WHERE len(t) >= $SUB_K),
+      wh AS (
+        SELECT doc_id, n_tokens, pos,
+          ${Portable.h60Duck(
+            s"concat_ws(' ', ${(1 to SUB_K).map(j => s"t[pos+$j]").mkString(", ")})",
+            "ss|")} AS gh
+        FROM win),
+      dup AS (
+        SELECT gh FROM (
+          SELECT gh, count(DISTINCT doc_id) AS c FROM wh GROUP BY 1)
+        WHERE c >= 2),
+      hits AS (SELECT w.doc_id, w.n_tokens, w.pos FROM wh w JOIN dup USING (gh)),
+      isl AS (
+        SELECT doc_id, n_tokens, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+            <= $SUB_K THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      grp AS (
+        SELECT doc_id, n_tokens, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM isl),
+      spans AS (
+        SELECT doc_id, n_tokens, min(pos) AS p0, max(pos) AS p1
+        FROM grp GROUP BY doc_id, n_tokens, g)
+      SELECT doc_id, n_tokens, count(*) AS n_spans,
+        sum(p1 - p0 + $SUB_K) AS n_dup_tokens,
+        round(sum(p1 - p0 + $SUB_K)::DOUBLE / n_tokens, 6) AS dup_frac
+      FROM spans GROUP BY doc_id, n_tokens"""))
+
+  // ---------------------------------------------------------------------
   // D7: duplicate-CLUSTER assembly — connected components over the
   // near-dup pair graph d5 emits. Pairwise similarity is not a dedup
   // decision: if A~B and B~C, one survivor must represent {A,B,C} even
@@ -1413,6 +1517,30 @@ object LlmOps {
   private[graft] val CM_W = 64 // buckets per row (power of two: exact modulo)
   private[graft] val CM_D = 4 // seeded rows; estimate = min across rows
 
+  /** The ONE oracle for the count-min family: t12 and t12b must both
+    * equal it — which transitively pins native-aggregate == relational
+    * == DuckDB (the a9/a9b discipline). */
+  private val cmOracleSql: String = s"""WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      sk AS (
+        SELECT depth, bucket, count(*) AS cnt FROM (
+          ${(0 until CM_D).map(i =>
+            s"SELECT $i AS depth, ${Portable.h60Duck("tok", s"cm$i|")} % $CM_W AS bucket FROM toks")
+            .mkString(" UNION ALL ")}) u
+        GROUP BY 1, 2),
+      top AS (
+        SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1
+        ORDER BY n_exact DESC, tok ASC LIMIT 10),
+      probes AS (
+        ${(0 until CM_D).map(i =>
+          s"SELECT tok, n_exact, $i AS depth, ${Portable.h60Duck("tok", s"cm$i|")} % $CM_W AS bucket FROM top")
+          .mkString(" UNION ALL ")}),
+      est AS (
+        SELECT p.tok, p.n_exact, min(s.cnt) AS n_cm
+        FROM probes p JOIN sk s ON s.depth = p.depth AND s.bucket = p.bucket
+        GROUP BY 1, 2)
+      SELECT tok, n_exact, n_cm, n_cm - n_exact AS overcount FROM est"""
+
   val t12CountminTopk = Q(
     "t12_countmin_topk",
     (s, d) => {
@@ -1446,26 +1574,49 @@ object LlmOps {
         .select(col("tok"), col("n_exact"), col("n_cm"),
           (col("n_cm") - col("n_exact")).as("overcount"))
     },
-    Some(s"""WITH toks AS (
-        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-      sk AS (
-        SELECT depth, bucket, count(*) AS cnt FROM (
-          ${(0 until CM_D).map(i =>
-            s"SELECT $i AS depth, ${Portable.h60Duck("tok", s"cm$i|")} % $CM_W AS bucket FROM toks")
-            .mkString(" UNION ALL ")}) u
-        GROUP BY 1, 2),
-      top AS (
-        SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1
-        ORDER BY n_exact DESC, tok ASC LIMIT 10),
-      probes AS (
-        ${(0 until CM_D).map(i =>
-          s"SELECT tok, n_exact, $i AS depth, ${Portable.h60Duck("tok", s"cm$i|")} % $CM_W AS bucket FROM top")
-          .mkString(" UNION ALL ")}),
-      est AS (
-        SELECT p.tok, p.n_exact, min(s.cnt) AS n_cm
-        FROM probes p JOIN sk s ON s.depth = p.depth AND s.bucket = p.bucket
-        GROUP BY 1, 2)
-      SELECT tok, n_exact, n_cm, n_cm - n_exact AS overcount FROM est"""))
+    Some(cmOracleSql))
+
+  // ---------------------------------------------------------------------
+  // T12b: the same heavy-hitter estimates through the NATIVE `cm_sketch`
+  // Catalyst aggregate (functions/CmSketch, injected by
+  // GraftExtensions) — one ObjectHashAggregate carrying a 2 KiB cell
+  // buffer with map-side partial merge and cell-wise-ADD combine,
+  // instead of t12's (depth, bucket) cell shuffle of D rows per
+  // distinct token. The flattened cell array is exploded back to
+  // (depth, bucket, cnt) rows, and the probe side is t12's verbatim.
+  // Same oracle as t12: native == relational == DuckDB, or the round
+  // fails. Falls back to t12's relational pipeline on a session
+  // without the extension.
+  // ---------------------------------------------------------------------
+  val t12bCountminNative = Q(
+    "t12b_countmin_native",
+    (s, d) =>
+      if (!s.catalog.functionExists("cm_sketch")) t12CountminTopk.fn(s, d)
+      else {
+        val cnts = documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        val sk = cnts
+          .agg(expr("cm_sketch(tok, n_exact)").as("sk"))
+          .select(posexplode(col("sk")).as(Seq("idx", "cnt")))
+          .select(expr(s"idx div $CM_W").as("depth"),
+            pmod(col("idx"), lit(CM_W)).as("bucket"), col("cnt"))
+        def buckets(c: Column): Column = array((0 until CM_D).map(i =>
+          struct(lit(i).as("depth"),
+            (Portable.h60(c, s"cm$i|") % CM_W).as("bucket"))): _*)
+        val top = cnts.orderBy(col("n_exact").desc, col("tok").asc).limit(10)
+        top
+          .select(col("tok"), col("n_exact"),
+            explode(buckets(col("tok"))).as("db"))
+          .select(col("tok"), col("n_exact"), col("db.depth").as("depth"),
+            col("db.bucket").as("bucket"))
+          .join(broadcast(sk), Seq("depth", "bucket"))
+          .groupBy(col("tok"), col("n_exact"))
+          .agg(min(col("cnt")).as("n_cm"))
+          .select(col("tok"), col("n_exact"), col("n_cm"),
+            (col("n_cm") - col("n_exact")).as("overcount"))
+      },
+    Some(cmOracleSql))
 
   // ---------------------------------------------------------------------
   // T13: within-document repetition — the boilerplate/spam/loop signal
@@ -1742,6 +1893,72 @@ object LlmOps {
       WHERE ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "samp|")} <
         CASE lang ${SAMPLE_THRESHOLDS.map { case (l, t) =>
           s"WHEN '$l' THEN $t" }.mkString(" ")} ELSE $KEEP_ALL END"""))
+
+  // ---------------------------------------------------------------------
+  // C5: temperature-weighted mixture sampling — c3 with the rates
+  // DERIVED from the data instead of hand-specified: each stratum keeps
+  // rate_s = sqrt(n_min / n_s), the α=0.5 temperature flattening every
+  // multilingual/multi-domain training mix uses (XLM-R style): sampled
+  // sizes become sqrt(n_min·n_s) — the geometric mean between uniform
+  // and proportional — so over-represented strata are suppressed and
+  // the smallest stratum keeps everything, with no magic constants to
+  // retune as the corpus grows.
+  //
+  // Scale: the stratum table is |langs| rows — aggregated once, then
+  // BROADCAST back; the gate itself is c3's pure map-side codegen'd
+  // hash compare against a per-stratum integer threshold (same seeded
+  // h60, so membership is auditable from the id alone and stable
+  // across reruns/retries). Two passes over documents, but the second
+  // reads only (doc_id, lang) — column pruning keeps the text out of
+  // both. Float discipline: rate = one IEEE sqrt of one IEEE division
+  // on exact integer inputs, threshold = floor(rate·2^60) — every step
+  // correctly rounded on identical inputs, so the engines' thresholds
+  // are bit-equal and no doc can flip across the gate.
+  // ---------------------------------------------------------------------
+  private val TWO60D: Double = 1152921504606846976.0 // 2^60, exact
+
+  /** c5's body over any documents-shaped frame — separated so the spec
+    * can replicate the gate driver-side on planted skew. */
+  private[graft] def temperatureMixOf(docs: DataFrame): DataFrame = {
+      val ns = docs
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val nref = ns.agg(min(col("n_docs")).as("n_ref"))
+      val rates = ns.crossJoin(broadcast(nref))
+        .withColumn("rate",
+          sqrt(col("n_ref").cast("double") / col("n_docs").cast("double")))
+        .withColumn("thr", floor(col("rate") * lit(TWO60D)))
+      val sampled = docs
+        .select(col("doc_id"), col("lang"))
+        .join(broadcast(rates.select(col("lang"), col("thr"))), Seq("lang"))
+        .filter(Portable.h60(col("doc_id").cast("string"), "mix|") <
+          col("thr"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          round(col("rate"), 6).as("rate"))
+  }
+
+  val c5TemperatureMix = Q(
+    "c5_temperature_mix",
+    (s, d) => temperatureMixOf(documents(s, d)),
+    Some(s"""WITH ns AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      nref AS (SELECT min(n_docs) AS n_ref FROM ns),
+      rates AS (
+        SELECT lang, n_docs,
+          sqrt(CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate,
+          CAST(floor(sqrt(CAST(n_ref AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            * CAST(1152921504606846976 AS DOUBLE)) AS BIGINT) AS thr
+        FROM ns, nref),
+      samp AS (
+        SELECT d.lang, count(*) AS n_sampled
+        FROM documents d JOIN rates r ON r.lang = d.lang
+        WHERE ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "mix|")} < r.thr
+        GROUP BY 1)
+      SELECT r.lang, r.n_docs, coalesce(s.n_sampled, 0) AS n_sampled,
+        round(r.rate, 6) AS rate
+      FROM rates r LEFT JOIN samp s ON s.lang = r.lang"""))
 
   // ---------------------------------------------------------------------
   // A9: HyperLogLog distinct-count sketch, fully relational and
@@ -2175,11 +2392,12 @@ object LlmOps {
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
-    d3bSimhashNeardup, d5NgramJaccard,
+    d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
     d6Decontaminate, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
-    t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk, t13Repetition,
+    t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
+    t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, a9HllDistinct, a9bHllNative, c1CurateCorpus,
     c1bCurateNeardup, c1cCurateQuality,
-    c2SplitAssign, c3StratifiedSample, c4DecontSplit)
+    c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix)
 }

@@ -454,4 +454,69 @@ class DedupSpec extends SparkSuite {
     assert(operators.LlmOps.capBuckets(anchorish, Seq("anchor"))
       .count() === 0L)
   }
+
+  test("C5: temperature mix replicates a driver-side gate on planted skew") {
+    // strata 512 / 128 / 32 docs: rates 0.25 / 0.5 / 1.0 — the smallest
+    // stratum keeps everything, and sampled sizes follow sqrt scaling
+    val docs = (
+      (1 to 512).map(i => (i.toLong, "big")) ++
+        (1001 to 1128).map(i => (i.toLong, "mid")) ++
+        (2001 to 2032).map(i => (i.toLong, "small"))
+      ).toDF("doc_id", "lang")
+    val out = operators.LlmOps.temperatureMixOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("small") === ((32L, 32L, 1.0)), "min stratum keeps all")
+    assert(out("big")._3 === 0.25 && out("mid")._3 === 0.5)
+    // independent driver-side replication of the whole gate
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("mix|" + s).getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    for ((lang, n) <- Seq("big" -> 512L, "mid" -> 128L, "small" -> 32L)) {
+      val thr = math.floor(math.sqrt(32.0 / n) * math.pow(2, 60)).toLong
+      val ids = docs.filter(col("lang") === lang)
+        .collect().map(_.getLong(0))
+      val expect = ids.count(id => h60(id.toString) < thr)
+      assert(out(lang)._2 === expect.toLong,
+        s"$lang: gate must be auditable from ids alone")
+    }
+  }
+
+  test("D11: duplicated substrings merge into maximal spans; " +
+    "within-doc repeats are not duplication") {
+    // vocabularies are disjoint so only the PLANTED runs collide.
+    def toks(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val run12 = toks("r", 12) // 12-token run shared by docs 1 and 2
+    val b1 = toks("b", 8) // 8-token block shared by docs 5 and 6
+    val b2 = toks("c", 8) // 8-token block shared by docs 5 and 7
+    val b3 = toks("e", 8) // 8-token block shared by docs 8 and 9
+    val docs = Seq(
+      // run12 at pos 5 of doc 1 (25 tokens) and pos 0 of doc 2 (20)
+      (1L, (toks("a", 5) ++ run12 ++ toks("z", 8)).mkString(" ")),
+      (2L, (run12 ++ toks("y", 8)).mkString(" ")),
+      (3L, toks("u", 30).mkString(" ")), // fully unique: absent
+      // doc 4 repeats one 8-gram twice WITHIN itself only: absent
+      (4L, (toks("w", 8) ++ toks("q", 4) ++ toks("w", 8)).mkString(" ")),
+      // doc 5: b1 at pos 4, b2 at pos 12 — dup windows exactly K
+      // apart (the straddling windows are unique to doc 5), so the
+      // islands MERGE into one contiguous 16-token span
+      (5L, (toks("f", 4) ++ b1 ++ b2 ++ toks("g", 4)).mkString(" ")),
+      (6L, (toks("h", 6) ++ b1 ++ toks("i", 6)).mkString(" ")),
+      (7L, (toks("j", 6) ++ b2 ++ toks("k", 6)).mkString(" ")),
+      // doc 8: b1 at pos 0, b3 at pos 9 — gap of 9 > K: two spans
+      (8L, (b1 ++ toks("m", 1) ++ b3 ++ toks("n", 3)).mkString(" ")),
+      (9L, (toks("p", 7) ++ b3 ++ toks("s", 7)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = operators.LlmOps.substringDedupOf(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // (n_spans, n_dup_tokens) per doc; docs 3 and 4 must be absent
+    assert(out === Map(
+      1L -> ((1L, 12L)), 2L -> ((1L, 12L)),
+      5L -> ((1L, 16L)), 6L -> ((1L, 8L)), 7L -> ((1L, 8L)),
+      8L -> ((2L, 16L)), 9L -> ((1L, 8L))))
+  }
 }
