@@ -1730,7 +1730,12 @@ object LlmOps {
     * shared by t15 and c1c. */
   private def lmScoreSql(scoreWhere: String): String = s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      pairs AS (
+      ${lmScoreSqlBody(scoreWhere)}"""
+
+  /** [[lmScoreSql]] minus its leading `toks` CTE, for WITH chains that
+    * already define the identical `toks` (e4 composes this after
+    * [[ngramPairStatsSql]], whose `toks` is the same projection). */
+  private def lmScoreSqlBody(scoreWhere: String): String = s"""pairs AS (
         SELECT doc_id,
           ${Portable.h60Duck(s"unnest(${ngramDuck(2)})", "lm2|")} AS gh,
           ${Portable.h60Duck(
@@ -2389,6 +2394,173 @@ object LlmOps {
       ${curateSql(
         "d.doc_id NOT IN (SELECT doc_id FROM losers)\n          AND ")}"""))
 
+  // ---------------------------------------------------------------------
+  // E4: the WHOLE training-data build as one declarative plan — every
+  // stage the family implements piecewise, composed in production
+  // order: exact-dedup election (c1) → near-dup cluster election (d7's
+  // labels) → quality rank elections (c1c's LM-decile + repetition-5%)
+  // → lexical gates → decontamination routing (c4's eval fence +
+  // quarantine) → split assignment (c2's seeded hash) → per-shard
+  // sequence packing of the train split (t9) → the run manifest: per
+  // (split, source) document count, token count, and pack count. This
+  // is the query a user of the engine actually ships; the point of
+  // expressing it as ONE DataFrame is that Catalyst sees the whole
+  // pipeline — the doc-stats subtrees (LM scores, repetition, CC
+  // labels) are computed once each and reused, and nothing rescans the
+  // corpus per stage.
+  //
+  // Scale posture is inherited stage by stage (each argued at its
+  // definition): elections window over per-doc STATS tables, the CC
+  // pair graph is anchor-blocked and capped, the contaminated-id set
+  // broadcasts, routing is a map-side hash gate, and packing sorts per
+  // source shard — never globally. The manifest is |splits|×|sources|
+  // rows.
+  // ---------------------------------------------------------------------
+  /** e4's per-document routed frame (doc_id, source, n_tokens, split) —
+    * the pipeline up to the manifest aggregation, separated so the spec
+    * can check each doc's fate against the component queries. */
+  private[graft] def e4Routed(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val langOf = documents(s, d).select(col("doc_id"), col("lang"))
+      val cw = Window.partitionBy(col("lang"))
+      // losers: near-dup cluster non-canonicals + c1c's two elections
+      val ccLosers = d7DedupCc.fn(s, d)
+        .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      val lmLosers = lmScores(s, d, heldOutOnly = false)
+        .join(langOf, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          cw.orderBy(col("avg_logp").asc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") <= expr("n div 10"))
+        .select(col("doc_id"))
+      val repLosers = t13Repetition.fn(s, d)
+        .join(langOf, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          cw.orderBy(col("rep_ratio").desc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") <= expr("n div 20"))
+        .select(col("doc_id"))
+      val losers = ccLosers.union(lmLosers).union(repLosers).distinct()
+      // exact-dedup election + gates (c1's definitions, verbatim)
+      val docs = documents(s, d)
+        .withColumn("h", md5(normText))
+        .withColumn("t", split(lower(col("text")), " "))
+      val survivors = docs
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .join(docs, Seq("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .filter(size(col("t")) >= 15 &&
+          expr("size(filter(t, x -> x IN ('the', 'a')))")
+            .cast("double") / size(col("t")) <= 0.4)
+        .select(col("doc_id"), col("source"),
+          size(col("t")).cast("long").as("n_tokens"))
+      // routing: c4's eval fence + quarantine, c2's hash split
+      val contam = d6Decontaminate.fn(s, d)
+        .select(col("doc_id"), lit(1).as("contam"))
+      val bucket = Portable.h60(col("doc_id").cast("string"), "split|") % 10
+      survivors
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          when(col("doc_id") % 20 === 0, lit("eval"))
+            .when(col("contam").isNotNull, lit("quarantine"))
+            .when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("valid"))
+            .otherwise(lit("test")).as("split"))
+  }
+
+  val e4LlmPipeline = Q(
+    "e4_llm_pipeline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val routed = e4Routed(s, d)
+      // t9's per-shard packing over the train split only
+      val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val packs = routed.filter(col("split") === "train")
+        .withColumn("cum", sum(col("n_tokens")).over(pw))
+        .select(col("source"),
+          floor((col("cum") - col("n_tokens")) / PACK_BUDGET).as("pack_id"))
+        .groupBy(col("source"))
+        .agg((max(col("pack_id")) + 1).as("np"))
+      routed.groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .join(broadcast(packs), Seq("source"), "left")
+        .select(col("split"), col("source"), col("n_docs"),
+          col("sum_tokens"),
+          when(col("split") === "train", col("np")).as("n_packs"))
+    },
+    Some(s"""WITH RECURSIVE $ngramPairStatsSql,
+      $ccLabelsSql,
+      ccl AS (SELECT v AS doc_id FROM labels WHERE v <> lbl),
+      $repStatsSql,
+      ${lmScoreSqlBody("TRUE")},
+      dl AS (SELECT doc_id, lang FROM documents),
+      lml AS (
+        SELECT doc_id FROM (
+          SELECT s.doc_id,
+            row_number() OVER (PARTITION BY dl.lang
+              ORDER BY s.avg_logp ASC, s.doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY dl.lang) AS n
+          FROM lmscore s JOIN dl ON dl.doc_id = s.doc_id) t
+        WHERE rn <= n // 10),
+      repl AS (
+        SELECT doc_id FROM (
+          SELECT r.doc_id,
+            row_number() OVER (PARTITION BY dl.lang
+              ORDER BY r.rep_ratio DESC, r.doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY dl.lang) AS n
+          FROM rep r JOIN dl ON dl.doc_id = r.doc_id) t
+        WHERE rn <= n // 20),
+      losers AS (
+        SELECT doc_id FROM ccl
+        UNION SELECT doc_id FROM lml
+        UNION SELECT doc_id FROM repl),
+      docs AS (
+        SELECT doc_id, source,
+          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+          string_split(lower(text), ' ') AS t
+        FROM documents),
+      keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY h),
+      survivors AS (
+        SELECT d.doc_id, d.source, CAST(len(d.t) AS BIGINT) AS n_tokens
+        FROM docs d JOIN keep k ON d.doc_id = k.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+          AND len(d.t) >= 15
+          AND CAST(len(list_filter(d.t, x -> x IN ('the', 'a'))) AS DOUBLE)
+              / len(d.t) <= 0.4),
+      cgrams AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(4)})", "dc|")} AS gh
+        FROM toks WHERE len(t) >= 4),
+      contam AS (
+        SELECT DISTINCT c.doc_id
+        FROM cgrams c JOIN cgrams e ON e.gh = c.gh AND e.doc_id % 20 = 0
+        WHERE c.doc_id % 20 <> 0),
+      routed AS (
+        SELECT s.doc_id, s.source, s.n_tokens,
+          CASE WHEN s.doc_id % 20 = 0 THEN 'eval'
+               WHEN c.doc_id IS NOT NULL THEN 'quarantine'
+               WHEN ${Portable.h60Duck("CAST(s.doc_id AS VARCHAR)", "split|")}
+                 % 10 < 8 THEN 'train'
+               WHEN ${Portable.h60Duck("CAST(s.doc_id AS VARCHAR)", "split|")}
+                 % 10 = 8 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM survivors s LEFT JOIN contam c ON c.doc_id = s.doc_id),
+      packed AS (
+        SELECT source,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+            - n_tokens AS before_
+        FROM routed WHERE split = 'train'),
+      pc AS (
+        SELECT source,
+          CAST(max(before_ // $PACK_BUDGET) + 1 AS BIGINT) AS np
+        FROM packed GROUP BY 1)
+      SELECT r.split, r.source, count(*) AS n_docs,
+        CAST(sum(r.n_tokens) AS BIGINT) AS sum_tokens,
+        CASE WHEN r.split = 'train' THEN max(pc.np) END AS n_packs
+      FROM routed r LEFT JOIN pc ON pc.source = r.source
+      GROUP BY r.split, r.source"""))
+
   /** All LLM-pipeline text queries, registration order. */
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
@@ -2399,5 +2571,6 @@ object LlmOps {
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, a9HllDistinct, a9bHllNative, c1CurateCorpus,
     c1bCurateNeardup, c1cCurateQuality,
-    c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix)
+    c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
+    e4LlmPipeline)
 }

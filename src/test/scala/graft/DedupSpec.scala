@@ -485,6 +485,61 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("E4: the composed pipeline agrees with its component queries " +
+    "doc for doc, and the manifest adds up") {
+    val routed = operators.LlmOps.e4Routed(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // 1. routing: every surviving doc takes exactly c4's split (c4
+    //    routes the WHOLE corpus with the same fence/quarantine/hash
+    //    rules, so on the survivor subset they must agree)
+    val c4 = operators.LlmOps.c4DecontSplit.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    routed.foreach { case (id, (_, _, split)) =>
+      assert(split === c4(id), s"doc $id: e4 and c4 disagree on routing")
+    }
+    // 2. elections: no survivor is a d7 near-dup non-canonical, and
+    //    every survivor is its exact-dedup group's minimum
+    val ccLosers = operators.LlmOps.d7DedupCc.fn(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(routed.keySet.intersect(ccLosers).isEmpty,
+      "a near-dup cluster loser survived")
+    val groupMin = operators.LlmOps.d1DedupExact.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // h -> min doc_id
+    assert(routed.keySet.subsetOf(groupMin.values.toSet),
+      "a non-canonical exact duplicate survived")
+    // 3. manifest: per-source train pack counts replicate a driver-side
+    //    running-sum pack assignment over the routed train docs
+    val report = operators.LlmOps.e4LlmPipeline.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(report.values.map(_._1).sum === routed.size.toLong,
+      "manifest doc counts must add up to the routed set")
+    val trainBySrc = routed.toSeq.collect {
+      case (id, (src, n, "train")) => (src, id, n) }
+      .groupBy(_._1)
+    trainBySrc.foreach { case (src, ds) =>
+      var cum = 0L
+      var lastPack = -1L
+      ds.sortBy(_._2).foreach { case (_, _, n) =>
+        lastPack = cum / 512; cum += n
+      }
+      assert(report(("train", src))._3 === lastPack + 1,
+        s"source $src: pack count must match the running-sum assignment")
+    }
+    report.foreach { case ((split, _), (_, _, np)) =>
+      if (split != "train") assert(np === -1L,
+        "n_packs must be NULL outside the train split")
+    }
+    // non-vacuous on this corpus: all five routes taken, packs > 1
+    assert(routed.values.map(_._3).toSet ===
+      Set("eval", "quarantine", "train", "valid", "test"))
+    assert(trainBySrc.exists { case (src, _) =>
+      report(("train", src))._3 > 1L })
+  }
+
   test("D11: duplicated substrings merge into maximal spans; " +
     "within-doc repeats are not duplication") {
     // vocabularies are disjoint so only the PLANTED runs collide.
