@@ -59,14 +59,19 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val samples = (1 to PASSES).map(_ => timeOnce(fn))
+      // Release THIS query's pinned frames before the next query runs.
+      // r8 released only once at suite end, so d2's signature tables and
+      // d7's frontiers stayed block-manager residents under all ~50
+      // subsequent queries and the committed record read 2.5× the pin
+      // sum while isolated reruns sat at 1.3× (VERDICT r8 What's-wrong
+      // #2). Outside the timed region: the release is bench hygiene,
+      // not part of any query's cost.
+      operators.LlmOps.releaseCaches()
       val median =
         if (samples.exists(_ < 0)) -1.0
         else samples.sorted.apply(PASSES / 2)
       name -> median
     }
-    // release the terminal pinned frames (d2, d7 — ADVICE r3) — bench hygiene,
-    // outside any timed region
-    operators.LlmOps.releaseCaches()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
@@ -92,7 +97,11 @@ object Bench {
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      // a silent write failure would leave a STALE record masquerading
+      // as this run (ADVICE r8) — warn; fatal errors propagate
+      System.err.println(s"[bench] failed to persist bench record: $e")
+    }
     spark.stop()
   }
 }

@@ -32,6 +32,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query release (r9): don't let one query's pinned frames
+      // occupy the block manager under the remaining ~100 queries
+      operators.LlmOps.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -156,13 +156,26 @@ object Ann {
   private val D4_TABLES = 4
   private val D4_BITS = 8
 
+  /** Highest 1-based dimension any band key reads: table D4_TABLES-1,
+    * bit D4_BITS-1. */
+  private val D4_MAX_DIM = (D4_TABLES - 1) * 16 + (D4_BITS - 1) * 2 + 2
+
   /** Table `t`'s band key: 8 sign bits over dims {t*16 + 2i + 2}
-    * (1-based, odd stride keeps every table on its own dimensions). */
-  private def d4BandKey(t: Int, embCol: String): Column =
-    (0 until D4_BITS).map { i =>
+    * (1-based, odd stride keeps every table on its own dimensions).
+    * Guarded: on an embedding narrower than [[D4_MAX_DIM]] the missing
+    * dims would read as null and silently collapse band bits to 0,
+    * degenerating every bucket (ADVICE r8) — raise instead, per row,
+    * inside the consumed expression so Catalyst can't prune the check. */
+  private def d4BandKey(t: Int, embCol: String): Column = {
+    val key = (0 until D4_BITS).map { i =>
       when(expr(s"element_at($embCol, ${t * 16 + i * 2 + 2})") > 0,
         lit(1 << (D4_BITS - 1 - i))).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
+    when(size(col(embCol)) >= D4_MAX_DIM, key)
+      .otherwise(raise_error(concat(
+        lit(s"d4BandKey: embedding dimension "), size(col(embCol)),
+        lit(s" < required $D4_MAX_DIM"))))
+  }
 
   /** D4's banded candidate generation + exact cosine over any
     * (vec_id, emb) frame — split from the Q so BandedLshRecallSpec can

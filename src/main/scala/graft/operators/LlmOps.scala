@@ -608,8 +608,12 @@ object LlmOps {
   // Portability: within-doc window positions are 0-based on both
   // sides (posexplode / range), and the island break is integer
   // arithmetic — pos-diff > K starts a new span, so coverage
-  // [p, p+K-1] unions exactly. dup_frac is display-only round 6 on an
-  // integer ratio (d5's jaccard precedent).
+  // [p, p+K-1] unions exactly. The duplicated-fraction report is
+  // dup_frac_ppm, a half-up-rounded parts-per-million computed in PURE
+  // integer arithmetic ((2·dup·10⁶ + n) div 2n) — r8 shipped it as a
+  // round(double/double, 6) and the driver hash caught the one
+  // engine-dependent ulp (CORRECTNESS_r08's single red row); integers
+  // cannot disagree.
   // ---------------------------------------------------------------------
   private val SUB_K = 8 // window length in tokens
 
@@ -646,8 +650,8 @@ object LlmOps {
           sum(col("p1") - col("p0") + SUB_K).as("n_dup_tokens"))
         .select(col("doc_id"), col("n_tokens"), col("n_spans"),
           col("n_dup_tokens"),
-          round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
-            .as("dup_frac"))
+          expr("(n_dup_tokens * 2000000L + n_tokens) div (n_tokens * 2)")
+            .as("dup_frac_ppm"))
   }
 
   val d11SubstringDedup = Q(
@@ -684,7 +688,8 @@ object LlmOps {
         FROM grp GROUP BY doc_id, n_tokens, g)
       SELECT doc_id, n_tokens, count(*) AS n_spans,
         sum(p1 - p0 + $SUB_K) AS n_dup_tokens,
-        round(sum(p1 - p0 + $SUB_K)::DOUBLE / n_tokens, 6) AS dup_frac
+        (sum(p1 - p0 + $SUB_K) * 2000000 + n_tokens) // (n_tokens * 2)
+          AS dup_frac_ppm
       FROM spans GROUP BY doc_id, n_tokens"""))
 
   // ---------------------------------------------------------------------

@@ -195,16 +195,6 @@ object StreamingJobs {
         })
   }
 
-  /** Streaming maintenance of d9's Bloom filter bits: eval-set gram
-    * hashes stream in, each folds to its K positions (the SAME
-    * derivation d9's batch filter uses — LlmOps.bloomPositionCols), and
-    * per-shard boolean state accumulates set bits. Bits only turn ON, so
-    * the union of emissions equals the batch bit table exactly
-    * (StreamingSpec proves it) — the third sketch, after HLL registers
-    * and count-min cells, shipping as one artifact with two execution
-    * modes. State per shard is SHARD_BITS booleans; total state is the
-    * filter's 2^14 bits regardless of stream length.
-    */
   /** Streaming incremental dedup — d10's daily three-way routing run
     * continuously: each arriving document is fingerprinted (the SAME
     * LlmOps normalization the batch path hashes), checked against the
@@ -258,6 +248,16 @@ object StreamingJobs {
 
   final case class BloomBit(shard: Int, pos: Int)
   private val SHARD_BITS = 512
+  /** Streaming maintenance of d9's Bloom filter bits: eval-set gram
+    * hashes stream in, each folds to its K positions (the SAME
+    * derivation d9's batch filter uses — LlmOps.bloomPositionCols), and
+    * per-shard boolean state accumulates set bits. Bits only turn ON, so
+    * the union of emissions equals the batch bit table exactly
+    * (StreamingSpec proves it) — the third sketch, after HLL registers
+    * and count-min cells, shipping as one artifact with two execution
+    * modes. State per shard is SHARD_BITS booleans; total state is the
+    * filter's 2^14 bits regardless of stream length.
+    */
   def streamingBloomBits(
       spark: org.apache.spark.sql.SparkSession,
       hashed: DataFrame): org.apache.spark.sql.Dataset[BloomBit] = {
