@@ -185,6 +185,30 @@ object LlmOps {
       .drop("bsz")
   }
 
+  /** [[capBuckets]] as a groupBy + anti-join of the OVER-cap bucket
+    * keys instead of a window count. Two scans of `rows`, but no
+    * per-bucket-key sort. Right when `rows` is already a persisted
+    * relation (d2: bands derive from the pinned signature table, so the
+    * second scan is an in-memory re-read); wrong when `rows` is the live
+    * end of an expensive unmaterialized chain (d5/d7: the r8 plan audit
+    * measured the double evaluation at 1.7× the pin). The r9 same-session
+    * A/B on d2 isolated at sf0.1 read the two forms within noise of each
+    * other (window 4.28 s vs join 4.39 s median-of-3, local[32]) — the
+    * join form is kept for its scale shape, not a local win: the window
+    * sorts EVERY bucket's rows per key, so a degenerate hot bucket (the
+    * exact case the cap exists for) costs n·log n in the window form and
+    * O(n) map-side-combinable counting here. The over-cap key set is
+    * ≤ |buckets| and usually tiny, so AQE broadcasts the anti-join. */
+  private[graft] def capBucketsJoin(
+      rows: DataFrame, keys: Seq[String],
+      cap: Int = BUCKET_CAP): DataFrame =
+    rows.join(
+      rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > cap)
+        .select(keys.map(col): _*),
+      keys, "left_anti")
+
   /** Diagnostic companion to [[capBuckets]]: the over-cap buckets and
     * their sizes — what the guard dropped and why. */
   private[graft] def droppedBuckets(
@@ -256,8 +280,12 @@ object LlmOps {
         .select(col("doc_id"), col("bb.band").as("band"),
           col("bb.bkey").as("bkey"))
       // hot-bucket guard BEFORE the self-join: a degenerate band key
-      // (boilerplate corpus) would emit |bucket|²/2 pairs
-      val kept = capBuckets(bands, Seq("band", "bkey"))
+      // (boilerplate corpus) would emit |bucket|²/2 pairs. Join form,
+      // not window: bands read from the persisted mh, so the double
+      // scan is an in-memory re-read and no per-bucket sort is paid
+      // (r9 A/B measured the forms at parity at sf0.1 — see
+      // capBucketsJoin's doc and BASELINE_BENCH note 21).
+      val kept = capBucketsJoin(bands, Seq("band", "bkey"))
       // cand also feeds two consumers (the intersection aggregation and
       // the final left join) — materialize it too, or the band self-join
       // and its distinct run twice
@@ -735,9 +763,15 @@ object LlmOps {
         SELECT s.n AS v, r.lbl FROM reach r JOIN sym s ON s.v = r.v),
       labels AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v)"""
 
-  val d7DedupCc = Q(
-    "d7_dedup_cc",
-    (s, d) => {
+  /** d7's min-label fixpoint over the near-dup pair graph — the ONE
+    * label computation, returning the persisted (v, lbl) frame pinned
+    * under `d7|app|dataset`. Shared by d7's per-doc report, d7b's size
+    * distribution, and the c1b/e4 cluster elections: every consumer
+    * reads the label table itself instead of d7's per-doc report and
+    * immediately re-aggregating/projecting away the cluster_size it
+    * paid a broadcast join for (r9 — VERDICT r8 next-round #4). */
+  private[graft] def ccLabelFixpoint(
+      s: SparkSession, d: String): DataFrame = {
       val pinKey = s"d7|${s.sparkContext.applicationId}|$d"
       pinned.remove(pinKey)
         .foreach(_.foreach(_.unpersist(blocking = false)))
@@ -791,6 +825,13 @@ object LlmOps {
         System.err.println(s"[cc-debug] d7 rounds=$rounds")
       require(converged,
         s"d7: label propagation not at fixpoint after $CC_MAX_ROUNDS rounds")
+      lbl
+  }
+
+  val d7DedupCc = Q(
+    "d7_dedup_cc",
+    (s, d) => {
+      val lbl = ccLabelFixpoint(s, d)
       val cs = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       // cluster count ≤ vertex count and shrinks with merging — the size
       // lookup is a textbook broadcast dimension
@@ -953,9 +994,12 @@ object LlmOps {
   val d7bClusterStats = Q(
     "d7b_cluster_stats",
     (s, d) =>
-      d7DedupCc.fn(s, d)
-        .select(col("cluster_id"), col("cluster_size"))
-        .distinct()
+      // straight off the pinned label table: one hash-agg to sizes, one
+      // to the distribution — no per-doc broadcast join + distinct of
+      // d7's report just to throw the doc ids away (r9)
+      ccLabelFixpoint(s, d)
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),
@@ -2330,9 +2374,11 @@ object LlmOps {
   val c1bCurateNeardup = Q(
     "c1b_curate_neardup",
     (s, d) => curateReport(s, d,
-      losers = Some(d7DedupCc.fn(s, d)
-        .filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id"))),
+      // non-canonical = label differs from self; read off the pinned
+      // label table, not d7's per-doc report (r9)
+      losers = Some(ccLabelFixpoint(s, d)
+        .filter(col("v") =!= col("lbl"))
+        .select(col("v").as("doc_id"))),
       fixture = "c1b_curated"),
     Some(s"""WITH RECURSIVE $ngramPairStatsSql,
       $ccLabelsSql,
@@ -2429,8 +2475,8 @@ object LlmOps {
       val langOf = documents(s, d).select(col("doc_id"), col("lang"))
       val cw = Window.partitionBy(col("lang"))
       // losers: near-dup cluster non-canonicals + c1c's two elections
-      val ccLosers = d7DedupCc.fn(s, d)
-        .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      val ccLosers = ccLabelFixpoint(s, d)
+        .filter(col("v") =!= col("lbl")).select(col("v").as("doc_id"))
       val lmLosers = lmScores(s, d, heldOutOnly = false)
         .join(langOf, Seq("doc_id"))
         .withColumn("rn", row_number().over(
@@ -2477,7 +2523,18 @@ object LlmOps {
     "e4_llm_pipeline",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val routed = e4Routed(s, d)
+      // routed feeds TWO consumers (the packing pass and the manifest
+      // aggregation); unpersisted, each would evaluate the whole
+      // election/dedup/decontamination chain — d6/t13/t15 END TO END —
+      // a second time (r8 read e4 at 1.48× pin from exactly this).
+      // Persist the narrow (doc_id, source, n_tokens, split) frame
+      // once: the local-mode analogue of the checkpointed routing table
+      // a 100 TB pipeline writes between curation and packing anyway.
+      val pinKey = s"e4|${s.sparkContext.applicationId}|$d"
+      pinned.remove(pinKey)
+        .foreach(_.foreach(_.unpersist(blocking = false)))
+      val routed = e4Routed(s, d).persist()
+      pinned(pinKey) = Seq(routed)
       // t9's per-shard packing over the train split only
       val pw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       val packs = routed.filter(col("split") === "train")
