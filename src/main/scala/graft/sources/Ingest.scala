@@ -819,6 +819,117 @@ object Ingest {
       FROM rows_"""))
 
   // ---------------------------------------------------------------------
+  // F6 driver-visible: the 404 path as a relational result. Days listed
+  // in `missingDates` plan ZERO-date fetch units (the reference treats a
+  // 404 day as absent and moves on, utils.py:349-351): the per-date
+  // rowcounts must show every present day at its full grain and the
+  // missing days entirely absent — no nulls, no error rows. Previously
+  // proven only in RestSourceSpec; this query puts the same mechanism
+  // through the DuckDB hash gate.
+  // ---------------------------------------------------------------------
+  val f6MissingDates = Q(
+    "f6_missing_dates",
+    (s, _) =>
+      s.read.format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "steps")
+        .option("start", "2024-02-01").option("end", "2024-02-10")
+        .option("missingDates", "2024-02-03,2024-02-07")
+        .load()
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value")),
+    Some("""WITH days AS (
+        SELECT strftime(CAST(g AS DATE), '%Y-%m-%d') AS date
+        FROM generate_series(DATE '2024-02-01', DATE '2024-02-10',
+                             INTERVAL 1 DAY) t(g)
+        WHERE strftime(CAST(g AS DATE), '%Y-%m-%d')
+          NOT IN ('2024-02-03', '2024-02-07')),
+      mins AS (
+        SELECT lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS time
+        FROM generate_series(0, 1439) t2(m))
+      SELECT date, count(*) AS n_rows,
+        CAST(sum(CAST(concat('0x', substring(md5(
+          concat('iv|steps|', date, '|', time)), 1, 15))
+          AS BIGINT) % 1000) AS BIGINT) AS sum_value
+      FROM days CROSS JOIN mins
+      GROUP BY date"""))
+
+  // ---------------------------------------------------------------------
+  // F8 driver-visible: resource validation as a relational result. The
+  // connector rejects an unsupported resource at ANALYSIS time — the
+  // reference's ValueError (fitbit_utils.py:415-417) — so the probe
+  // drives `load()` itself and records whether table resolution
+  // succeeded. The `accepted=false` row can ONLY appear if getTable's
+  // require actually threw; nothing is fabricated.
+  // ---------------------------------------------------------------------
+  val f8ResourceValidation = Q(
+    "f8_resource_validation",
+    (s, _) => {
+      import s.implicits._
+      def probe(res: String): (String, Boolean, String) =
+        try {
+          s.read.format("graft.sources.rest.RestIntradaySource")
+            .option("resources", res)
+            .option("start", "2024-01-01").option("end", "2024-01-01")
+            .load()
+          (res, true, "")
+        } catch {
+          case e: IllegalArgumentException =>
+            (res, false,
+              if (e.getMessage.contains("Unsupported resource"))
+                "unsupported_resource"
+              else "other")
+        }
+      Seq(probe("steps"), probe("heart"), probe("stairs"))
+        .toDF("resource", "accepted", "reject_reason")
+    },
+    Some("""SELECT * FROM (VALUES
+        ('steps', true, ''),
+        ('heart', true, ''),
+        ('stairs', false, 'unsupported_resource'))
+      t(resource, accepted, reject_reason)"""))
+
+  // ---------------------------------------------------------------------
+  // S2d driver-visible: retry/backoff + pacing under injected 429s. Two
+  // of five days fail their first TWO fetch attempts with a simulated
+  // 429 (simulate429Count=2 < maxRetries=3), and every fetch passes
+  // through the per-JVM token bucket — so a hash-identical result to
+  // the fault-free oracle is possible ONLY if the retry loop recovered
+  // each failing unit. The reference's sleep-and-retry discipline
+  // (fitbit_utils.py:38-43,309-329; utils.py:337-347) proven through
+  // the correctness gate instead of only RestSourceSpec.
+  // ---------------------------------------------------------------------
+  val s2dRetry429 = Q(
+    "s2d_retry_429",
+    (s, _) =>
+      s.read.format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "steps,calories")
+        .option("start", "2024-03-01").option("end", "2024-03-05")
+        .option("simulate429Dates", "2024-03-02,2024-03-04")
+        .option("simulate429Count", "2")
+        .option("maxRetries", "3")
+        .option("retryBackoffMs", "1")
+        .option("maxRequestsPerSecond", "1000")
+        .load()
+        .groupBy(col("resource"), col("date"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value")),
+    Some("""WITH days AS (
+        SELECT strftime(CAST(g AS DATE), '%Y-%m-%d') AS date
+        FROM generate_series(DATE '2024-03-01', DATE '2024-03-05',
+                             INTERVAL 1 DAY) t(g)),
+      res AS (SELECT unnest(['steps', 'calories']) AS resource),
+      mins AS (
+        SELECT lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS time
+        FROM generate_series(0, 1439) t2(m))
+      SELECT resource, date, count(*) AS n_rows,
+        CAST(sum(CAST(concat('0x', substring(md5(
+          concat('iv|', resource, '|', date, '|', time)), 1, 15))
+          AS BIGINT) % 1000) AS BIGINT) AS sum_value
+      FROM res CROSS JOIN days CROSS JOIN mins
+      GROUP BY resource, date"""))
+
+  // ---------------------------------------------------------------------
   // S10: snapshot diff — the CDC primitive over K2's date-stamped
   // snapshots: given the same keyed aggregate taken at two cuts, emit
   // added / removed / changed keys (the upsert-and-tombstone stream a
@@ -888,6 +999,6 @@ object Ingest {
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
-    s2RestSource, s2bHeart1sec, s2cThirtyDay, s9JsonlSource,
-    s10SnapshotDiff)
+    s2RestSource, s2bHeart1sec, s2cThirtyDay, f6MissingDates,
+    f8ResourceValidation, s2dRetry429, s9JsonlSource, s10SnapshotDiff)
 }
