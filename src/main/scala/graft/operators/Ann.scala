@@ -973,8 +973,74 @@ object Ann {
           (SELECT count(*) FROM exact), 4) AS recall""".replace(
       "__D4_SQL__", d4EmbedNeardup.oracle.get)))
 
+  // ---------------------------------------------------------------------
+  // D12: SemDeDup-style semantic dedup (Abbas et al. 2023,
+  // arXiv:2303.09540) — the established LLM-pipeline dedup family d2/d3
+  // (lexical) and d4 (embedding-LSH) don't cover: cluster the corpus
+  // with trained k-means, then WITHIN each cluster drop every member of
+  // a high-cosine pair except one canonical survivor. Composes a8's
+  // trained assignment with d7's election pattern. Per the paper's
+  // diversity rationale, the survivor of a semantic-duplicate pair is
+  // the member FARTHEST from its centroid (lowest csim; ties → lowest
+  // vec_id) — keeping the boundary example and shedding the redundant
+  // cluster-core ones.
+  //
+  // Scale: the pairwise stage shuffles on `cell` and costs Σ|cell|² —
+  // SemDeDup's own cost model. At 100 TB, K grows with N to hold
+  // |cell| ≈ N/K at a bounded target (the paper runs K=50k on LAION),
+  // so per-cell work is bounded and the cell shuffle has K keys of
+  // even size; no all-pairs stage ever materializes across cells.
+  // Locally K=4 (a8's contract with its oracle).
+  // ---------------------------------------------------------------------
+  private val D12_TAU = 0.4
+
+  /** The per-cluster election over any (vec_id, cell, csim, emb, nrm-free)
+    * frame: a vector is dropped iff some same-cell vector at cosine ≥
+    * [[D12_TAU]] is more canonical (lower csim, ties lower vec_id).
+    * Split from the Q so DedupSpec can drive it with planted
+    * paraphrases. */
+  private[graft] def semanticElect(s: SparkSession, cells: DataFrame)
+      : DataFrame = {
+    val v = cells.select(col("cell"), col("vec_id"), col("csim"),
+      col("emb"))
+    val u = cells.select(col("cell"), col("vec_id").as("u_id"),
+      col("csim").as("u_csim"), col("emb").as("u_emb"))
+    val dropped = v.join(u, Seq("cell"))
+      .filter(col("u_csim") < col("csim") ||
+        (col("u_csim") === col("csim") && col("u_id") < col("vec_id")))
+      .filter(round(cosine(s, "emb", "u_emb"), 6) >= D12_TAU)
+      .select(col("vec_id")).distinct()
+    cells
+      .join(dropped.withColumn("is_dropped", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("csim"),
+        not(coalesce(col("is_dropped"), lit(false))).as("kept"))
+  }
+
+  val d12SemanticDedup = Q(
+    "d12_semantic_dedup",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      semanticElect(s, kmeansAssign(s, d).join(e, Seq("vec_id")))
+    },
+    Some(s"""$KMEANS_CTES,
+      cells AS (
+        SELECT e.vec_id, a2.cell, a2.csim, e.emb, e.nrm
+        FROM e JOIN a2 ON e.vec_id = a2.vec_id),
+      dropped AS (
+        SELECT DISTINCT v.vec_id
+        FROM cells v JOIN cells u ON v.cell = u.cell
+        WHERE (u.csim < v.csim
+               OR (u.csim = v.csim AND u.vec_id < v.vec_id))
+          AND round(list_inner_product(v.emb, u.emb) /
+                    (v.nrm * u.nrm), 6) >= $D12_TAU)
+      SELECT c.vec_id, c.cell, c.csim,
+        (d.vec_id IS NULL) AS kept
+      FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
-      d4EmbedNeardup, d4bNeardupRecall)
+      d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup)
 }

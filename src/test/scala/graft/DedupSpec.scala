@@ -574,4 +574,23 @@ class DedupSpec extends SparkSuite {
       5L -> ((1L, 16L)), 6L -> ((1L, 8L)), 7L -> ((1L, 8L)),
       8L -> ((2L, 16L)), 9L -> ((1L, 8L))))
   }
+
+  test("D12: planted paraphrase pair loses its cluster-core member only") {
+    // cell 0: vecs 1/2 are a paraphrase pair (cosine ≈ 1), vec 3 is
+    // orthogonal to both; cell 1: vec 4 alone. SemDeDup's survivor rule
+    // (keep the member FARTHEST from its centroid) must drop exactly
+    // vec 1 — the pair member with the HIGHER csim — and never touch
+    // the orthogonal or singleton vectors. Cross-cell near-dups (vec 4
+    // duplicates vec 2's direction) must NOT pair: SemDeDup only ever
+    // compares within a cluster.
+    val cells = Seq(
+      (1L, 0, 0.90, Array(1.0f, 0.01f, 0.0f)),
+      (2L, 0, 0.80, Array(1.0f, 0.02f, 0.0f)),
+      (3L, 0, 0.70, Array(0.0f, 0.0f, 1.0f)),
+      (4L, 1, 0.60, Array(1.0f, 0.015f, 0.0f))
+    ).toDF("vec_id", "cell", "csim", "emb")
+    val out = operators.Ann.semanticElect(spark, cells)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
 }
