@@ -52,7 +52,9 @@ object Multimodal {
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       length(col("text").cast("binary")).cast("long").as("n_bytes"),
-      when(col("doc_id") % 3 === 0, "image/png")
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, "image/png")
+          .otherwise("image/jpeg"))
         .when(col("doc_id") % 3 === 1, "audio/wav")
         .otherwise("video/mp4").as("mime"),
       // true first-4-BYTES prefix (not characters): Spark's substring
@@ -71,7 +73,9 @@ object Multimodal {
         hex(col("magic")).as("magic_hex")),
     Some("""SELECT doc_id, hex(encode(text)) AS payload_hex,
       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      CASE WHEN doc_id % 3 = 0 THEN
+             (CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                   ELSE 'image/jpeg' END)
            WHEN doc_id % 3 = 1 THEN 'audio/wav'
            ELSE 'video/mp4' END AS mime,
       substring(hex(encode(text)), 1, 8) AS magic_hex
