@@ -130,6 +130,9 @@ object Multimodal {
   private def readLe16(b: Array[Byte], off: Int): Int =
     ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
 
+  private def readBe16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
   private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
     val body = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
     be32(data.length.toLong) ++ body ++ be32(crc32(body))
