@@ -14,27 +14,47 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true.
-    * Graft sessions pin it at build time; for foreign sessions this sets
-    * it as a fallback. NOTE: unset and explicitly-false sessions are
-    * indistinguishable (conf.getOption returns the registered default
-    * "false" either way), so an explicit false is overridden too — the
-    * loaders simply cannot work without it, and that trade is
-    * documented here. Shared by the batch loader and the streaming
-    * reader so the two can't drift. */
+  /** events.parquet has shipped `ts` as parquet TIMESTAMP(NANOS) in some
+    * testdata generations, which Spark's vectorized reader rejects
+    * without the nanosAsLong conf. Graft sessions pin it at build time;
+    * for foreign sessions this sets it as a fallback. NOTE: unset and
+    * explicitly-false sessions are indistinguishable (conf.getOption
+    * returns the registered default "false" either way), so an explicit
+    * false is overridden too — the loaders simply cannot work without
+    * it, and that trade is documented here. Shared by the batch loader
+    * and the streaming reader so the two can't drift. Harmless for
+    * micros-typed data (the conf only affects NANOS columns). */
   private[graft] def ensureNanosAsLong(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.get(key, "false") != "true") spark.conf.set(key, "true")
   }
 
-  /** events.parquet carries `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects without the nanosAsLong conf (see
-    * ensureNanosAsLong). The long nanos are floor-divided to micros
-    * (floor, not truncate-toward-zero, so pre-1970 timestamps would also
-    * match DuckDB's ns→µs cast; `(ts - pmod(ts,1000)) div 1000` is exact
-    * integer floor division, immune to double precision loss on
-    * 10^18-ns values).
-    */
+  /** Normalize an events-shaped frame's `ts` to session-zoned
+    * TimestampType (micros), whatever physical type the parquet
+    * generation shipped — the testdata generator has produced BOTH
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong) and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ):
+    *  - long nanos → floor-divide to micros (floor, not
+    *    truncate-toward-zero, so pre-1970 values match DuckDB's ns→µs
+    *    cast; `(ts - pmod(ts,1000)) div 1000` is exact integer floor
+    *    division, immune to double precision loss on 10^18-ns values);
+    *  - TIMESTAMP_NTZ → reinterpret the wall clock in the session zone
+    *    (graft sessions pin UTC, so this is the identity instant and
+    *    matches what DuckDB reads from the same file);
+    *  - TIMESTAMP → already the canonical shape. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosAsLong(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
@@ -48,9 +68,8 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    eventsRaw(s, d)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
+    import org.apache.spark.sql.functions.col
+    normalizeEventTs(eventsRaw(s, d))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }

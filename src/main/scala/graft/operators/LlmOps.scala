@@ -641,7 +641,12 @@ object LlmOps {
   // integer arithmetic ((2·dup·10⁶ + n) div 2n) — r8 shipped it as a
   // round(double/double, 6) and the driver hash caught the one
   // engine-dependent ulp (CORRECTNESS_r08's single red row); integers
-  // cannot disagree.
+  // cannot disagree — PROVIDED the oracle's integer stays an integer
+  // through the comparator: DuckDB sum(BIGINT) returns HUGEINT, which
+  // pandas widens to float64, and the driver's value hash renders 47
+  // vs 47.0 differently (r9/r10's persistent red row with cell-wise
+  // identical values). Every oracle integer aggregate is therefore
+  // CAST(... AS BIGINT) at the output edge.
   // ---------------------------------------------------------------------
   private val SUB_K = 8 // window length in tokens
 
@@ -715,9 +720,9 @@ object LlmOps {
         SELECT doc_id, n_tokens, min(pos) AS p0, max(pos) AS p1
         FROM grp GROUP BY doc_id, n_tokens, g)
       SELECT doc_id, n_tokens, count(*) AS n_spans,
-        sum(p1 - p0 + $SUB_K) AS n_dup_tokens,
-        (sum(p1 - p0 + $SUB_K) * 2000000 + n_tokens) // (n_tokens * 2)
-          AS dup_frac_ppm
+        CAST(sum(p1 - p0 + $SUB_K) AS BIGINT) AS n_dup_tokens,
+        CAST((sum(p1 - p0 + $SUB_K) * 2000000 + n_tokens) // (n_tokens * 2)
+          AS BIGINT) AS dup_frac_ppm
       FROM spans GROUP BY doc_id, n_tokens"""))
 
   // ---------------------------------------------------------------------

@@ -151,6 +151,91 @@ object Multimodal {
       pngChunk("IEND", Array.emptyByteArray)
   }
 
+  // --- JPEG/JFIF --------------------------------------------------------
+  // Minimal but genuine JPEG marker stream: SOI, an APP0/JFIF header,
+  // a baseline SOF0 frame header carrying height/width as big-endian
+  // 16-bit fields (ISO/IEC 10918-1 B.2.2), the media bytes as COM
+  // (comment) segments, EOI. A real encoder would add DQT/DHT/SOS
+  // entropy-coded scans; carrying the bytes in COM segments keeps the
+  // container byte-deterministic without an entropy coder in the loop
+  // (the raw-IDAT PNG precedent above). COM payloads cap at 65533
+  // bytes (the 2-byte segment length counts itself), so large payloads
+  // split across consecutive COM segments and the decoder re-joins
+  // them in stream order.
+
+  private val JPEG_COM_MAX = 65533
+
+  private def jpegSegment(marker: Int, body: Array[Byte]): Array[Byte] = {
+    require(body.length + 2 <= 0xffff, "JPEG segment too long")
+    Array(0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+  }
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A JFIF container: SOI, APP0 (JFIF 1.02, no thumbnail), SOF0
+    * (8-bit precision, 3 components, 4:2:0 sampling), the media bytes
+    * as COM segments, EOI. */
+  def jpegContainer(data: Array[Byte], width: Int, height: Int)
+      : Array[Byte] = {
+    val app0 = "JFIF".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 1, 2, 0) ++ // \0, version 1.02, units 0
+      be16(1) ++ be16(1) ++ // x/y pixel aspect
+      Array[Byte](0, 0) // no thumbnail
+    val sof0 = Array[Byte](8) ++ // sample precision
+      be16(height) ++ be16(width) ++
+      Array[Byte](3, // components: Y 4:2:0 qtable 0, Cb/Cr 1:1 qtable 1
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val com = data.grouped(JPEG_COM_MAX)
+      .map(jpegSegment(0xfe, _)).toArray.flatten
+    Array(0xff.toByte, 0xd8.toByte) ++ // SOI
+      jpegSegment(0xe0, app0) ++ jpegSegment(0xc0, sof0) ++ com ++
+      Array(0xff.toByte, 0xd9.toByte) // EOI
+  }
+
+  /** Decoded JPEG header + media bytes. */
+  final case class JpegDecoded(width: Int, height: Int, data: Array[Byte])
+
+  /** A genuine JPEG marker-stream parse: verifies SOI, walks the
+    * marker segments through their big-endian lengths, reads SOF0's
+    * 16-bit height/width, concatenates COM payloads in stream order,
+    * stops at EOI. Throws on any malformed byte.
+    */
+  def decodeJpeg(bytes: Array[Byte]): JpegDecoded = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "not a JPEG: bad SOI")
+    var off = 2
+    var width = -1
+    var height = -1
+    val data = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 2 <= bytes.length, "truncated JPEG: no marker")
+      require((bytes(off) & 0xff) == 0xff, "JPEG marker must begin 0xFF")
+      val marker = bytes(off + 1) & 0xff
+      if (marker == 0xd9) done = true // EOI
+      else {
+        require(off + 4 <= bytes.length, "truncated JPEG segment header")
+        val len = readBe16(bytes, off + 2) // counts itself, not marker
+        require(len >= 2 && off + 2 + len <= bytes.length,
+          "truncated JPEG segment")
+        marker match {
+          case 0xc0 => // SOF0: precision, height, width, n components
+            require(len >= 8 && bytes(off + 4) == 8,
+              "JPEG SOF0: expected 8-bit precision")
+            height = readBe16(bytes, off + 5)
+            width = readBe16(bytes, off + 7)
+          case 0xfe => data.write(bytes, off + 4, len - 2) // COM
+          case _ => () // APP0 etc.: skip
+        }
+        off += 2 + len
+      }
+    }
+    require(width > 0 && height > 0, "JPEG missing SOF0")
+    JpegDecoded(width, height, data.toByteArray)
+  }
+
   /** A spec-conformant RIFF/WAVE container: 16 kHz stereo 16-bit PCM
     * (block align 4), the media bytes as the data chunk.
     */
@@ -248,6 +333,10 @@ object Multimodal {
       val n = r.payload.length
       MediaRow(r.doc_id,
         pngContainer(r.payload, 64 + n % 576, 64 + n % 416), r.mime)
+    case "image/jpeg" =>
+      val n = r.payload.length
+      MediaRow(r.doc_id,
+        jpegContainer(r.payload, 96 + n % 544, 96 + n % 384), r.mime)
     case "audio/wav" => MediaRow(r.doc_id, wavContainer(r.payload), r.mime)
     case _ =>
       val n = r.payload.length
@@ -402,7 +491,8 @@ object Multimodal {
   }
 
   /** The batched decode stage: a real parser over real containers for
-    * PNG (magic + CRC-checked IHDR/IDAT walk), WAV (RIFF chunk walk),
+    * PNG (magic + CRC-checked IHDR/IDAT walk), JPEG (marker-segment
+    * walk to SOF0/COM), WAV (RIFF chunk walk),
     * and MP4 (ISO-BMFF box walk); features and checksum come from the
     * PARSED headers and media bytes — no branch fabricates features.
     * Dataflow: typed rows in, one iterator per partition (decoder state
@@ -415,6 +505,10 @@ object Multimodal {
           val p = decodePng(r.payload)
           DecodedMedia(r.doc_id, r.mime, p.width, p.height, 1,
             payloadChecksum(p.idat))
+        case "image/jpeg" =>
+          val j = decodeJpeg(r.payload)
+          DecodedMedia(r.doc_id, r.mime, j.width, j.height, 1,
+            payloadChecksum(j.data))
         case "audio/wav" =>
           val w = decodeWav(r.payload)
           DecodedMedia(r.doc_id, r.mime, 0, 0,
@@ -451,7 +545,9 @@ object Multimodal {
     (s, d) => decoded(s, d).toDF(),
     Some("""WITH m AS (
         SELECT doc_id,
-          CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+          CASE WHEN doc_id % 3 = 0 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                       ELSE 'image/jpeg' END)
                WHEN doc_id % 3 = 1 THEN 'audio/wav'
                ELSE 'video/mp4' END AS mime,
           octet_length(encode(text)) AS n,
@@ -460,12 +556,14 @@ object Multimodal {
         FROM documents)
       SELECT doc_id, mime,
         CAST(CASE WHEN mime = 'image/png' THEN 64 + n % 576
+                  WHEN mime = 'image/jpeg' THEN 96 + n % 544
                   WHEN mime = 'audio/wav' THEN 0
                   ELSE 320 + n % 1280 END AS INTEGER) AS width,
         CAST(CASE WHEN mime = 'image/png' THEN 64 + n % 416
+                  WHEN mime = 'image/jpeg' THEN 96 + n % 384
                   WHEN mime = 'audio/wav' THEN 0
                   ELSE 240 + n % 840 END AS INTEGER) AS height,
-        CAST(CASE WHEN mime = 'image/png' THEN 1
+        CAST(CASE WHEN mime LIKE 'image/%' THEN 1
                   WHEN mime = 'audio/wav' THEN n // 4
                   ELSE n // 16 END AS INTEGER) AS n_frames,
         checksum

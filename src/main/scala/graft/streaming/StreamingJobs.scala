@@ -25,15 +25,17 @@ object StreamingJobs {
     * skip-if-exists incremental load. */
   def eventsFileStream(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // the declared BIGINT ts over a TIMESTAMP(NANOS) parquet column
+    // a declared BIGINT ts over a TIMESTAMP(NANOS) parquet column
     // needs the same conf fallback as the batch loader
     graft.Tables.ensureNanosAsLong(spark)
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts",
-        expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
+    // Streaming sources need an explicit schema (no inference pass per
+    // micro-batch); take it from one batch footer read so the stream
+    // tracks whichever physical ts type this events generation shipped
+    // (long nanos vs TIMESTAMP_NTZ micros), then normalize identically
+    // to the batch loader.
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(dir))
   }
 
   /** Tumbling 5-minute per-type counts with a 30-minute watermark: state

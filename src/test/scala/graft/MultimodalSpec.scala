@@ -60,11 +60,15 @@ class MultimodalSpec extends SparkSuite {
     def run(mime: String) = Multimodal.decodeBatch(
       Iterator(Multimodal.containerize(MediaRow(1L, bytes, mime)))).toSeq.head
     val img = run("image/png")
+    val jpg = run("image/jpeg")
     val aud = run("audio/wav")
     val vid = run("video/mp4")
     // PNG: containerize synthesizes a (64+n%576)×(64+n%416) header and
     // the decoder reads it back from the parsed IHDR; IDAT == payload
     assert(img === DecodedMedia(1L, "image/png", 64 + 11, 64 + 11, 1,
+      Multimodal.payloadChecksum(bytes)))
+    // JPEG: (96+n%544)×(96+n%384) read back from the parsed SOF0
+    assert(jpg === DecodedMedia(1L, "image/jpeg", 96 + 11, 96 + 11, 1,
       Multimodal.payloadChecksum(bytes)))
     // WAV: block align 4 from the parsed fmt chunk; data == payload
     assert(aud.n_frames === 11 / 4 && aud.width === 0 && aud.height === 0)
@@ -74,8 +78,31 @@ class MultimodalSpec extends SparkSuite {
     assert(vid.n_frames === 11 / 16)
     // the parsed-out media bytes equal the original payload in every
     // branch, so the checksum is mime-independent; decode is pure
-    assert(Set(img.checksum, aud.checksum, vid.checksum).size === 1)
+    assert(Set(img.checksum, jpg.checksum, aud.checksum, vid.checksum)
+      .size === 1)
     assert(run("image/png") === img)
+  }
+
+  test("M2: JPEG marker walk splits/rejoins COM segments and rejects damage") {
+    // a payload past the 65533-byte COM cap must split across segments
+    // and re-join byte-exactly in stream order
+    val big = Array.tabulate(70000)(i => (i * 31).toByte)
+    val jpeg = Multimodal.jpegContainer(big, 1024, 768)
+    val j = Multimodal.decodeJpeg(jpeg)
+    assert(j.width === 1024 && j.height === 768, "SOF0 be16 round-trip")
+    assert(j.data.toSeq === big.toSeq, "COM segments re-join the payload")
+    // raw bytes are not a JPEG
+    intercept[IllegalArgumentException](
+      Multimodal.decodeJpeg("hello world".getBytes("UTF-8")))
+    // a clobbered marker prefix is a parse error, not a misread
+    val corrupt = jpeg.clone()
+    corrupt(2) = 0x00 // APP0's 0xFF marker prefix
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeJpeg(corrupt))
+    assert(e.getMessage.contains("marker"))
+    // a truncated stream (EOI sliced off) is a clear error
+    intercept[IllegalArgumentException](
+      Multimodal.decodeJpeg(jpeg.dropRight(2)))
   }
 
   test("M2: container parsers reject malformed input with clear errors") {
