@@ -36,6 +36,7 @@ object Bench {
       sources.Ingest.p4DocsFixture(spark, sfDir)
       sources.Ingest.p4bAzmFixture(spark, sfDir)
       sources.Ingest.s9JsonlFixture(spark, sfDir)
+      sources.Ingest.s11GenFixtures(spark, sfDir)
     } catch { case _: Throwable => () }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {

@@ -994,11 +994,75 @@ object Ingest {
         round(old_v, 6) AS old_v, round(new_v, 6) AS new_v
       FROM j WHERE change_type <> 'unchanged'"""))
 
+  // ---------------------------------------------------------------------
+  // S11: heterogeneous-generation scan — one logical events table whose
+  // files were written by different producers over the lake's lifetime
+  // with different PHYSICAL timestamp types (epoch-nanos INT64 vs
+  // TIMESTAMP micros). This is the normal state of a 100 TB lake (and
+  // exactly the drift that broke 13 queries when the driver's round-10
+  // testdata regeneration flipped the type): the LOADER owns
+  // normalization, queries see one canonical schema. The query reads
+  // both generation fixtures through Tables.events' adaptive
+  // normalization and reports per-(generation, type) counts and
+  // micro-formatted time bounds; the oracle restates the aggregate over
+  // the BASE events table crossed with the generation labels — every
+  // cell matches iff both physical forms decode to the exact base
+  // instants (a mis-zoned NTZ reinterpretation or an off-by-10³ nanos
+  // divide would shift first_ts/last_ts and fail the hash).
+  // ---------------------------------------------------------------------
+  /** Two events-shaped generation dirs derived from the base table:
+    * (epoch-nanos INT64, TIMESTAMP_NTZ micros). Exposed so Bench's
+    * warmup pre-materializes them (fixture writes are scaffolding, not
+    * part of the measured scan). */
+  private[graft] def s11GenFixtures(
+      s: SparkSession, d: String): (String, String) = {
+    val nanos = memoFixture("s11_gen_nanos", d) { out =>
+      events(s, d)
+        .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    val ntz = memoFixture("s11_gen_ntz", d) { out =>
+      events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    (nanos, ntz)
+  }
+
+  val s11GenerationUnion = Q(
+    "s11_generation_union",
+    (s, d) => {
+      val (nanosDir, ntzDir) = s11GenFixtures(s, d)
+      def gen(dir: String, label: String) =
+        graft.Tables.events(s, dir).withColumn("generation", lit(label))
+      gen(nanosDir, "nanos_int64")
+        .unionByName(gen(ntzDir, "micros_ntz"))
+        .groupBy(col("generation"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("last_ts"))
+    },
+    Some("""WITH gens AS (
+        SELECT 'nanos_int64' AS generation
+        UNION ALL SELECT 'micros_ntz'),
+      agg AS (
+        SELECT event_type, count(*) AS n,
+          strftime(min(CAST(ts AS TIMESTAMP)),
+            '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+          strftime(max(CAST(ts AS TIMESTAMP)),
+            '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        FROM events GROUP BY 1)
+      SELECT g.generation, a.event_type, a.n, a.first_ts, a.last_ts
+      FROM gens g CROSS JOIN agg a"""))
+
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
     s2RestSource, s2bHeart1sec, s2cThirtyDay, f6MissingDates,
-    f8ResourceValidation, s2dRetry429, s9JsonlSource, s10SnapshotDiff)
+    f8ResourceValidation, s2dRetry429, s9JsonlSource, s10SnapshotDiff,
+    s11GenerationUnion)
 }
