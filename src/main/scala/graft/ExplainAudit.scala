@@ -60,7 +60,8 @@ object ExplainAudit {
       "c1c_curate_quality", "d4_embed_neardup", "x8_pivot", "x9_scd2",
       "d9_bloom_prefilter", "d4b_neardup_recall", "d10_incremental_dedup",
       "x10_cube", "d3b_simhash_neardup", "d7b_cluster_stats",
-      "d11_substring_dedup", "c5_temperature_mix", "t12b_countmin_native")
+      "d11_substring_dedup", "c5_temperature_mix", "t12b_countmin_native",
+      "d12_semantic_dedup", "s11_generation_union")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
