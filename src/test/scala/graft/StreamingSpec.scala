@@ -441,4 +441,46 @@ class StreamingSpec extends SparkSuite {
         "stream routing must equal d10's batch routing doc for doc")
     } finally q.stop()
   }
+
+  test("file streams over drifted ts generations union into one canonical stream") {
+    // the s11 scenario, streaming form: two landing directories written
+    // by producers of different eras — one carries ts as epoch-nanos
+    // INT64, the other as TIMESTAMP_NTZ micros. Each generation streams
+    // through eventsFileStream (schema from its own footers, ts
+    // normalized by the shared batch path), and the union must window
+    // identically to the batch aggregate over the doubled base table.
+    def stage(transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-gen-stream").toString
+      transform(Tables.events(spark, sf)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val nanosDir = stage(_.withColumn("ts", expr("unix_micros(ts) * 1000L")))
+    val ntzDir = stage(_.withColumn("ts", col("ts").cast("timestamp_ntz")))
+    val unioned = StreamingJobs
+      .eventsFileStream(spark, s"$nanosDir/events.parquet")
+      .unionByName(
+        StreamingJobs.eventsFileStream(spark, s"$ntzDir/events.parquet"))
+    val q = StreamingJobs.tumblingCounts(unioned)
+      .writeStream.format("memory").queryName("gen_union_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gen_union_test")
+        .select(col("w_start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2))).toSet
+      // tumblingCounts is shape-agnostic: on a batch frame the
+      // watermark is a no-op and the same window agg runs
+      val batch = StreamingJobs
+        .tumblingCounts(Tables.events(spark, sf))
+        .select(col("w_start"), col("event_type"), (col("n") * 2).as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2))).toSet
+      assert(streamed === batch,
+        "cross-generation union must window as 2x the base table")
+    } finally q.stop()
+  }
 }
