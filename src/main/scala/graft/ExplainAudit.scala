@@ -61,7 +61,8 @@ object ExplainAudit {
       "d9_bloom_prefilter", "d4b_neardup_recall", "d10_incremental_dedup",
       "x10_cube", "d3b_simhash_neardup", "d7b_cluster_stats",
       "d11_substring_dedup", "c5_temperature_mix", "t12b_countmin_native",
-      "d12_semantic_dedup", "s11_generation_union")
+      "d12_semantic_dedup", "s11_generation_union",
+      "a15_incremental_index")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -205,24 +205,20 @@ object Ann {
         .filter(col("sim") >= 0.3)
   }
 
-  val d4EmbedNeardup = Q(
-    "d4_embed_neardup",
-    (s, d) => bandedNearDups(s,
-      embeddings(s, d).select(col("vec_id"), col("embedding").as("emb"))),
-    Some {
-      val bandSelects = (0 until D4_TABLES).map { t =>
-        val bits = (0 until D4_BITS).map { i =>
-          s"(CASE WHEN emb[${t * 16 + i * 2 + 2}] > 0 " +
-            s"THEN ${1 << (D4_BITS - 1 - i)} ELSE 0 END)"
-        }.mkString(" + ")
-        s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
-      }.mkString(" UNION ALL ")
-      s"""WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings),
-      bands AS ($bandSelects),
+  /** The banded-LSH candidate/exact-rescore derivation as DuckDB CTEs
+    * (no leading WITH, no trailing SELECT; requires an `e` CTE with
+    * (vec_id, emb DOUBLE[], nrm) in scope) — the ONE oracle definition
+    * of [[bandedNearDups]]'s pair list, shared by d4's report and d12's
+    * election. */
+  private def bandedPairsCtesSql: String = {
+    val bandSelects = (0 until D4_TABLES).map { t =>
+      val bits = (0 until D4_BITS).map { i =>
+        s"(CASE WHEN emb[${t * 16 + i * 2 + 2}] > 0 " +
+          s"THEN ${1 << (D4_BITS - 1 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
+    }.mkString(" UNION ALL ")
+    s"""bands AS ($bandSelects),
       bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
       kept AS (
         SELECT b.vec_id, b.tbl, b.bkey FROM bands b
@@ -231,15 +227,29 @@ object Ann {
       cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM kept a JOIN kept b
-          ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
-      SELECT c.id_a, c.id_b,
-        round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
-      FROM cand c
-      JOIN e a ON a.vec_id = c.id_a
-      JOIN e b ON b.vec_id = c.id_b
-      WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
-            >= 0.3"""
-    })
+          ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b,
+          round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+            AS sim
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b
+        WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+              >= 0.3)"""
+  }
+
+  val d4EmbedNeardup = Q(
+    "d4_embed_neardup",
+    (s, d) => bandedNearDups(s,
+      embeddings(s, d).select(col("vec_id"), col("embedding").as("emb"))),
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      $bandedPairsCtesSql
+      SELECT id_a, id_b, sim FROM pairs"""))
 
   // ---------------------------------------------------------------------
   // A7: IVF-style ANN — a coarse quantizer partitions the corpus into
@@ -341,26 +351,27 @@ object Ann {
   // ---------------------------------------------------------------------
   private val KMEANS_K = 4
 
-  /** Two Lloyd iterations over the embeddings table; returns the
-    * iteration-2 assignment (vec_id, cell, csim). Shared by a8 (reports
-    * it) and a7b (searches with it). */
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").as("emb"))
+  /** Packed-long argmax assignment of an (vec_id, emb) frame against a
+    * (cid, c_emb) centroid frame — the centroid side broadcasts. */
+  private def assignTo(
+      s: SparkSession, e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        round(cosine(s, "emb", "c_emb"), 6).as("csim"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max(expr(
+        "CAST(round(csim * 1000000) AS BIGINT) * 16 + (15 - cid)"))
+        .as("pk"))
+      .select(col("vec_id"),
+        (lit(15) - pmod(col("pk"), lit(16))).as("cell"),
+        (floor(col("pk") / 16) / 1e6).as("csim"))
 
-    // packed-long argmax assignment against a (cid, c_emb) frame
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          round(cosine(s, "emb", "c_emb"), 6).as("csim"), col("cid"))
-        .groupBy(col("vec_id"))
-        .agg(max(expr(
-          "CAST(round(csim * 1000000) AS BIGINT) * 16 + (15 - cid)"))
-          .as("pk"))
-        .select(col("vec_id"),
-          (lit(15) - pmod(col("pk"), lit(16))).as("cell"),
-          (floor(col("pk") / 16) / 1e6).as("csim"))
-
+  /** Two Lloyd iterations over an (vec_id, emb) frame; returns the
+    * trained (cid, c_emb) centroid table (seeds: vec_id < KMEANS_K of
+    * THIS frame, one recompute pass — identical derivation to
+    * KMEANS_CTES' c1). */
+  private def kmeansTrainedCentroids(
+      s: SparkSession, e: DataFrame): DataFrame = {
     // per-cell, per-dim mean → centroid arrays, deterministically
     def recompute(assigned: DataFrame): DataFrame =
       assigned.join(e, Seq("vec_id"))
@@ -378,10 +389,18 @@ object Ann {
 
     val c0 = e.filter(col("vec_id") < KMEANS_K)
       .select(col("vec_id").cast("int").as("cid"), col("emb").as("c_emb"))
-    val a1 = assign(c0).select("vec_id", "cell")
-    val c1 = recompute(a1)
-    assign(c1).select(col("vec_id"), col("cell"),
-      round(col("csim"), 6).as("csim"))
+    recompute(assignTo(s, e, c0).select("vec_id", "cell"))
+  }
+
+  /** Two Lloyd iterations over the embeddings table; returns the
+    * iteration-2 assignment (vec_id, cell, csim). Shared by a8 (reports
+    * it) and a7b (searches with it). */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    assignTo(s, e, kmeansTrainedCentroids(s, e))
+      .select(col("vec_id"), col("cell"),
+        round(col("csim"), 6).as("csim"))
   }
 
   /** The k-means derivation as DuckDB CTEs (no trailing SELECT), shared
@@ -994,22 +1013,37 @@ object Ann {
   // ---------------------------------------------------------------------
   private val D12_TAU = 0.4
 
-  /** The per-cluster election over any (vec_id, cell, csim, emb, nrm-free)
-    * frame: a vector is dropped iff some same-cell vector at cosine ≥
-    * [[D12_TAU]] is more canonical (lower csim, ties lower vec_id).
-    * Split from the Q so DedupSpec can drive it with planted
-    * paraphrases. */
-  private[graft] def semanticElect(s: SparkSession, cells: DataFrame)
-      : DataFrame = {
-    val v = cells.select(col("cell"), col("vec_id"), col("csim"),
-      col("emb"))
-    val u = cells.select(col("cell"), col("vec_id").as("u_id"),
-      col("csim").as("u_csim"), col("emb").as("u_emb"))
-    val dropped = v.join(u, Seq("cell"))
-      .filter(col("u_csim") < col("csim") ||
-        (col("u_csim") === col("csim") && col("u_id") < col("vec_id")))
-      .filter(round(cosine(s, "emb", "u_emb"), 6) >= D12_TAU)
-      .select(col("vec_id")).distinct()
+  /** The per-cluster election over a (vec_id, cell, csim) cell frame and
+    * an explicit (id_a, id_b, sim) candidate pair list (id_a < id_b):
+    * each same-cell candidate pair at sim ≥ [[D12_TAU]] drops its
+    * LESS-canonical member (more canonical = lower csim, ties lower
+    * vec_id). Split from the Q so DedupSpec can drive it with planted
+    * paraphrases and its own pair list.
+    *
+    * r9 shipped this as an all-pairs self-join within each cell, and
+    * the r11 30× scale probe read it at 7.9× for 3× data — with the
+    * cell count FIXED (KMEANS_K), cells grow linearly with the corpus
+    * and any within-cell all-pairs is structurally quadratic (the d4
+    * redesign's lesson, one level up). Candidates now come from the
+    * banded multi-table LSH ([[bandedNearDups]]) — near-identical
+    * vectors collide in some band with high probability, pair growth
+    * is band-bucket-bounded (BUCKET_CAP), and the election only ranks
+    * the pairs the blocker emits. */
+  private[graft] def semanticElectOver(
+      cells: DataFrame, pairs: DataFrame): DataFrame = {
+    val ca = cells.select(col("vec_id").as("id_a"),
+      col("cell").as("cell_a"), col("csim").as("csim_a"))
+    val cb = cells.select(col("vec_id").as("id_b"),
+      col("cell").as("cell_b"), col("csim").as("csim_b"))
+    val dropped = pairs.filter(col("sim") >= D12_TAU)
+      .join(ca, Seq("id_a"))
+      .join(cb, Seq("id_b"))
+      .filter(col("cell_a") === col("cell_b"))
+      .select(
+        when(col("csim_a") < col("csim_b") ||
+          (col("csim_a") === col("csim_b") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("vec_id"))
+      .distinct()
     cells
       .join(dropped.withColumn("is_dropped", lit(true)),
         Seq("vec_id"), "left")
@@ -1022,25 +1056,120 @@ object Ann {
     (s, d) => {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-      semanticElect(s, kmeansAssign(s, d).join(e, Seq("vec_id")))
+      semanticElectOver(kmeansAssign(s, d), bandedNearDups(s, e))
     },
     Some(s"""$KMEANS_CTES,
-      cells AS (
-        SELECT e.vec_id, a2.cell, a2.csim, e.emb, e.nrm
-        FROM e JOIN a2 ON e.vec_id = a2.vec_id),
+      $bandedPairsCtesSql,
       dropped AS (
-        SELECT DISTINCT v.vec_id
-        FROM cells v JOIN cells u ON v.cell = u.cell
-        WHERE (u.csim < v.csim
-               OR (u.csim = v.csim AND u.vec_id < v.vec_id))
-          AND round(list_inner_product(v.emb, u.emb) /
-                    (v.nrm * u.nrm), 6) >= $D12_TAU)
-      SELECT c.vec_id, c.cell, c.csim,
+        SELECT DISTINCT
+          CASE WHEN va.csim < vb.csim
+                 OR (va.csim = vb.csim AND p.id_a < p.id_b)
+               THEN p.id_b ELSE p.id_a END AS vec_id
+        FROM pairs p
+        JOIN a2 va ON va.vec_id = p.id_a
+        JOIN a2 vb ON vb.vec_id = p.id_b
+        WHERE va.cell = vb.cell AND p.sim >= $D12_TAU)
+      SELECT a2.vec_id, a2.cell, a2.csim,
         (d.vec_id IS NULL) AS kept
-      FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id"""))
+      FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id"""))
+
+  // ---------------------------------------------------------------------
+  // A15: incremental index maintenance — the d10 analog for the ANN
+  // family. A production vector index is never retrained per batch: new
+  // embeddings route into the STANDING index's cells through its frozen
+  // centroid summary. Here the standing corpus (vec_id % 10 != 0) trains
+  // the centroids; the arriving batch (vec_id % 10 == 0) is assigned
+  // against those frozen centroids — at 100 TB the additions touch the
+  // history only through K fixed-size centroid rows (broadcast), never
+  // the standing vectors. Output: the per-cell growth report every
+  // index-maintenance run logs (standing size, additions, mean arrival
+  // similarity — a routing-drift signal: falling arrival csim means the
+  // frozen centroids no longer describe the incoming distribution and a
+  // retrain is due). The standing per-cell counts come from the index
+  // catalog in production; they are recomputed here so the oracle can
+  // check them.
+  // ---------------------------------------------------------------------
+  val a15IncrementalIndex = Q(
+    "a15_incremental_index",
+    (s, d) => {
+      val all = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val standing = all.filter(col("vec_id") % 10 =!= 0)
+      val batch = all.filter(col("vec_id") % 10 === 0)
+      val cents = kmeansTrainedCentroids(s, standing)
+      val sc = assignTo(s, standing, cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_standing"))
+      val bc = assignTo(s, batch, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_added"),
+          round(sum(round(col("csim"), 6).cast("decimal(20,6)"))
+            .cast("double") / count(lit(1)), 6).as("avg_new_sim"))
+      sc.join(bc, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          col("avg_new_sim"))
+    },
+    Some(s"""WITH ea AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      es AS (SELECT * FROM ea WHERE vec_id % 10 <> 0),
+      eb AS (SELECT * FROM ea WHERE vec_id % 10 = 0),
+      c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, emb AS c_emb,
+               nrm AS c_nrm
+             FROM es WHERE vec_id < $KMEANS_K),
+      a1 AS (
+        SELECT vec_id, cell FROM (
+          SELECT es.vec_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY es.vec_id
+              ORDER BY round(list_inner_product(es.emb, c.c_emb) /
+                             (es.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM es CROSS JOIN c0 c) t WHERE rn = 1),
+      m1 AS (
+        SELECT a1.cell, p.pos,
+          round(CAST(sum(CAST(round(es.emb[p.pos + 1], 6)
+                   AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS v
+        FROM a1 JOIN es USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        GROUP BY a1.cell, p.pos),
+      c1 AS (
+        SELECT cell AS cid, list(v ORDER BY pos) AS c_emb,
+               sqrt(list_inner_product(list(v ORDER BY pos),
+                                       list(v ORDER BY pos))) AS c_nrm
+        FROM m1 GROUP BY cell),
+      sa AS (
+        SELECT vec_id, cell FROM (
+          SELECT es.vec_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY es.vec_id
+              ORDER BY round(list_inner_product(es.emb, c.c_emb) /
+                             (es.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM es CROSS JOIN c1 c) t WHERE rn = 1),
+      ba AS (
+        SELECT vec_id, cell, csim FROM (
+          SELECT eb.vec_id, c.cid AS cell,
+            round(list_inner_product(eb.emb, c.c_emb) /
+                  (eb.nrm * c.c_nrm), 6) AS csim,
+            row_number() OVER (PARTITION BY eb.vec_id
+              ORDER BY round(list_inner_product(eb.emb, c.c_emb) /
+                             (eb.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM eb CROSS JOIN c1 c) t WHERE rn = 1),
+      sc AS (SELECT cell, count(*) AS n_standing FROM sa GROUP BY 1),
+      bc AS (
+        SELECT cell, count(*) AS n_added,
+          round(CAST(sum(CAST(csim AS DECIMAL(20,6))) AS DOUBLE)
+            / count(*), 6) AS avg_new_sim
+        FROM ba GROUP BY 1)
+      SELECT coalesce(sc.cell, bc.cell) AS cell,
+        CAST(coalesce(sc.n_standing, 0) AS BIGINT) AS n_standing,
+        CAST(coalesce(bc.n_added, 0) AS BIGINT) AS n_added,
+        bc.avg_new_sim
+      FROM sc FULL OUTER JOIN bc ON sc.cell = bc.cell"""))
 
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
-      d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup)
+      d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
+      a15IncrementalIndex)
 }

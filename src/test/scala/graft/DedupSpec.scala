@@ -582,14 +582,30 @@ class DedupSpec extends SparkSuite {
     // vec 1 — the pair member with the HIGHER csim — and never touch
     // the orthogonal or singleton vectors. Cross-cell near-dups (vec 4
     // duplicates vec 2's direction) must NOT pair: SemDeDup only ever
-    // compares within a cluster.
+    // compares within a cluster. The election runs over an EXPLICIT
+    // candidate list (production feeds it bandedNearDups' pairs; the
+    // blocker's own recall is BandedLshRecallSpec's subject) — here the
+    // exhaustive pair list, so the election rule itself is what's
+    // proven.
     val cells = Seq(
       (1L, 0, 0.90, Array(1.0f, 0.01f, 0.0f)),
       (2L, 0, 0.80, Array(1.0f, 0.02f, 0.0f)),
       (3L, 0, 0.70, Array(0.0f, 0.0f, 1.0f)),
       (4L, 1, 0.60, Array(1.0f, 0.015f, 0.0f))
     ).toDF("vec_id", "cell", "csim", "emb")
-    val out = operators.Ann.semanticElect(spark, cells)
+    def side(n: String) = cells.select(
+      col("vec_id").as(s"id_$n"), col("emb").as(s"emb_$n"))
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "0D, (acc, x) -> acc + x)"
+    val pairs = side("a").crossJoin(side("b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr(s"${dot("emb_a", "emb_b")} / " +
+          s"(sqrt(${dot("emb_a", "emb_a")}) * " +
+          s"sqrt(${dot("emb_b", "emb_b")}))"), 6).as("sim"))
+    val out = operators.Ann
+      .semanticElectOver(cells.drop("emb"), pairs)
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
