@@ -369,8 +369,9 @@ object Ann {
   /** Two Lloyd iterations over an (vec_id, emb) frame; returns the
     * trained (cid, c_emb) centroid table (seeds: vec_id < KMEANS_K of
     * THIS frame, one recompute pass — identical derivation to
-    * KMEANS_CTES' c1). */
-  private def kmeansTrainedCentroids(
+    * KMEANS_CTES' c1). private[graft]: StreamingJobs routes arriving
+    * micro-batches against this frozen table (a15's streaming twin). */
+  private[graft] def kmeansTrainedCentroids(
       s: SparkSession, e: DataFrame): DataFrame = {
     // per-cell, per-dim mean → centroid arrays, deterministically
     def recompute(assigned: DataFrame): DataFrame =

@@ -281,4 +281,34 @@ object StreamingJobs {
           }
         })
   }
+
+  /** Streaming arrival routing against a FROZEN centroid table — the
+    * a15 incremental-index maintenance in streaming form. The centroid
+    * table collapses to ONE broadcast row carrying all (cid, c_emb)
+    * structs, and each arriving vector computes its packed argmax
+    * (round-6 cosine ×10⁶ in the high bits, 15−cid in the low 4 — the
+    * same encoding as the batch assignment, so highest-sim-then-
+    * lowest-cid wins identically) in a single stateless projection:
+    * no per-row aggregation state, no shuffle, append-mode safe. At
+    * 100 TB the stream shards freely — every row touches only the K
+    * broadcast centroid rows. */
+  def routeArrivals(arrivals: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cid"), col("c_emb"))).as("cents"))
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "0D, (acc, x) -> acc + x)"
+    val pk =
+      "aggregate(cents, CAST(-9223372036854775808 AS BIGINT), " +
+        "(acc, c) -> greatest(acc, " +
+        s"CAST(round(round(${dot("emb", "c.c_emb")} / " +
+        s"(sqrt(${dot("emb", "emb")}) * " +
+        s"sqrt(${dot("c.c_emb", "c.c_emb")})), 6) * 1000000) AS BIGINT) " +
+        "* 16 + (15 - c.cid)))"
+    arrivals.crossJoin(broadcast(packed))
+      .withColumn("pk", expr(pk))
+      .select(col("vec_id"),
+        (lit(15) - pmod(col("pk"), lit(16))).as("cell"),
+        round(floor(col("pk") / 16) / 1e6, 6).as("csim"))
+  }
 }

@@ -483,4 +483,42 @@ class StreamingSpec extends SparkSuite {
         "cross-generation union must window as 2x the base table")
     } finally q.stop()
   }
+
+  test("streaming arrival routing matches a15's batch per-cell additions") {
+    // a15's maintenance loop, streaming form: arriving vectors route
+    // against the FROZEN standing-corpus centroids in a stateless
+    // projection (no per-row agg state, no shuffle), and the per-cell
+    // growth report over the drained stream must equal the batch
+    // query's addition side cell for cell.
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val cents = operators.Ann.kmeansTrainedCentroids(
+      spark, all.filter(col("vec_id") % 10 =!= 0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-arrivals").toString
+    all.filter(col("vec_id") % 10 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/arrivals.parquet")
+    val schema = spark.read.parquet(s"$dir/arrivals.parquet").schema
+    val arrivals = spark.readStream.schema(schema)
+      .parquet(s"$dir/arrivals.parquet")
+    val q = StreamingJobs.routeArrivals(arrivals, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_added"),
+        round(sum(round(col("csim"), 6).cast("decimal(20,6)"))
+          .cast("double") / count(lit(1)), 6).as("avg_new_sim"))
+      .writeStream.format("memory").queryName("arrival_routing_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("arrival_routing_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = SparkEntry.queries("a15_incremental_index")(spark, sf)
+        .filter(col("n_added") > 0)
+        .select(col("cell"), col("n_added"), col("avg_new_sim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch,
+        "streamed routing must equal the batch addition report")
+    } finally q.stop()
+  }
 }
