@@ -38,19 +38,29 @@ object Tables {
     *    truncate-toward-zero, so pre-1970 values match DuckDB's ns→µs
     *    cast; `(ts - pmod(ts,1000)) div 1000` is exact integer floor
     *    division, immune to double precision loss on 10^18-ns values);
-    *  - TIMESTAMP_NTZ → reinterpret the wall clock in the session zone
-    *    (graft sessions pin UTC, so this is the identity instant and
-    *    matches what DuckDB reads from the same file);
+    *  - TIMESTAMP_NTZ → interpret the wall clock AS UTC (the data
+    *    contract), zone-independently: a bare cast would reinterpret in
+    *    the SESSION zone, which is only correct because graft sessions
+    *    pin UTC — a foreign session in another zone would silently
+    *    shift every instant (the same foreign-session hazard
+    *    ensureNanosAsLong closes for the nanos path).
+    *    convert_timezone('UTC', current_timezone(), ts) rewrites the
+    *    UTC wall clock to the session zone's wall clock for the SAME
+    *    instant, so the subsequent session-zone cast lands on the
+    *    UTC-interpreted instant whatever the session zone is (identity
+    *    under UTC);
     *  - TIMESTAMP → already the canonical shape. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts",
           expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
       case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
+        df.withColumn("ts",
+          expr("CAST(convert_timezone('UTC', current_timezone(), ts) " +
+            "AS TIMESTAMP)"))
       case _ => df
     }
   }

@@ -33,7 +33,16 @@ object Ann {
     * falls back to the equivalent HOF expression instead of failing
     * analysis. */
   private def cosine(s: SparkSession, a: String, b: String): Column =
-    if (s.catalog.functionExists("cosine_sim")) expr(s"cosine_sim($a, $b)")
+    expr(cosineSql(s, a, b))
+
+  /** The same kernel as SQL text over two expression strings — the ONE
+    * dispatch point for every cosine in the engine, private[graft] so
+    * StreamingJobs' arrival routing composes it INSIDE a higher-order
+    * lambda (where Column composition can't reach) and stays on the
+    * identical kernel/rounding as the batch assignment. */
+  private[graft] def cosineSql(s: SparkSession, a: String, b: String)
+      : String =
+    if (s.catalog.functionExists("cosine_sim")) s"cosine_sim($a, $b)"
     else {
       def dot(x: String, y: String) =
         s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
@@ -42,7 +51,7 @@ object Ann {
       // ABOVE every real similarity under desc top-k) — same NULL
       // semantics as the native expression; length mismatches already
       // null-propagate through zip_with's padding
-      expr(s"${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0.0)")
+      s"${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0.0)"
     }
 
   // ---------------------------------------------------------------------
@@ -406,25 +415,27 @@ object Ann {
 
   /** The k-means derivation as DuckDB CTEs (no trailing SELECT), shared
     * by a8's report and a7b's trained-index search. */
-  private val KMEANS_CTES: String = s"""WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings),
-      c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, emb AS c_emb, nrm AS c_nrm
-             FROM e WHERE vec_id < $KMEANS_K),
+  /** The two-Lloyd-iteration derivation (seed c0 → assignment a1 →
+    * recompute m1/c1 → final assignment a2) as DuckDB CTEs over a
+    * source CTE named `src` — no leading WITH, no trailing SELECT. The
+    * ONE oracle definition of [[kmeansTrainedCentroids]]+[[assignTo]],
+    * parameterized so a8/a7b/d12 (full corpus) and a15 (standing slice)
+    * can't drift. */
+  private def kmeansCtesSqlFrom(src: String): String = s"""c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cid, emb AS c_emb, nrm AS c_nrm
+        FROM $src WHERE vec_id < $KMEANS_K),
       a1 AS (
         SELECT vec_id, cell FROM (
-          SELECT e.vec_id, c.cid AS cell,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY round(list_inner_product(e.emb, c.c_emb) /
-                             (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
-          FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+          SELECT s.vec_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY s.vec_id
+              ORDER BY round(list_inner_product(s.emb, c.c_emb) /
+                             (s.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM $src s CROSS JOIN c0 c) t WHERE rn = 1),
       m1 AS (
         SELECT a1.cell, p.pos,
-          round(CAST(sum(CAST(round(e.emb[p.pos + 1], 6)
+          round(CAST(sum(CAST(round(s.emb[p.pos + 1], 6)
                    AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS v
-        FROM a1 JOIN e USING (vec_id)
+        FROM a1 JOIN $src s USING (vec_id)
         CROSS JOIN (SELECT unnest(range(64)) AS pos) p
         GROUP BY a1.cell, p.pos),
       c1 AS (
@@ -434,13 +445,20 @@ object Ann {
         FROM m1 GROUP BY cell),
       a2 AS (
         SELECT vec_id, cell, csim FROM (
-          SELECT e.vec_id, c.cid AS cell,
-            round(list_inner_product(e.emb, c.c_emb) /
-                  (e.nrm * c.c_nrm), 6) AS csim,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY round(list_inner_product(e.emb, c.c_emb) /
-                             (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
-          FROM e CROSS JOIN c1 c) t WHERE rn = 1)"""
+          SELECT s.vec_id, c.cid AS cell,
+            round(list_inner_product(s.emb, c.c_emb) /
+                  (s.nrm * c.c_nrm), 6) AS csim,
+            row_number() OVER (PARTITION BY s.vec_id
+              ORDER BY round(list_inner_product(s.emb, c.c_emb) /
+                             (s.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM $src s CROSS JOIN c1 c) t WHERE rn = 1)"""
+
+  private val KMEANS_CTES: String = s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      ${kmeansCtesSqlFrom("e")}"""
 
   val a8KmeansRefine = Q(
     "a8_kmeans_refine",
@@ -1118,35 +1136,7 @@ object Ann {
         FROM embeddings),
       es AS (SELECT * FROM ea WHERE vec_id % 10 <> 0),
       eb AS (SELECT * FROM ea WHERE vec_id % 10 = 0),
-      c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, emb AS c_emb,
-               nrm AS c_nrm
-             FROM es WHERE vec_id < $KMEANS_K),
-      a1 AS (
-        SELECT vec_id, cell FROM (
-          SELECT es.vec_id, c.cid AS cell,
-            row_number() OVER (PARTITION BY es.vec_id
-              ORDER BY round(list_inner_product(es.emb, c.c_emb) /
-                             (es.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
-          FROM es CROSS JOIN c0 c) t WHERE rn = 1),
-      m1 AS (
-        SELECT a1.cell, p.pos,
-          round(CAST(sum(CAST(round(es.emb[p.pos + 1], 6)
-                   AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS v
-        FROM a1 JOIN es USING (vec_id)
-        CROSS JOIN (SELECT unnest(range(64)) AS pos) p
-        GROUP BY a1.cell, p.pos),
-      c1 AS (
-        SELECT cell AS cid, list(v ORDER BY pos) AS c_emb,
-               sqrt(list_inner_product(list(v ORDER BY pos),
-                                       list(v ORDER BY pos))) AS c_nrm
-        FROM m1 GROUP BY cell),
-      sa AS (
-        SELECT vec_id, cell FROM (
-          SELECT es.vec_id, c.cid AS cell,
-            row_number() OVER (PARTITION BY es.vec_id
-              ORDER BY round(list_inner_product(es.emb, c.c_emb) /
-                             (es.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
-          FROM es CROSS JOIN c1 c) t WHERE rn = 1),
+      ${kmeansCtesSqlFrom("es")},
       ba AS (
         SELECT vec_id, cell, csim FROM (
           SELECT eb.vec_id, c.cid AS cell,
@@ -1156,7 +1146,7 @@ object Ann {
               ORDER BY round(list_inner_product(eb.emb, c.c_emb) /
                              (eb.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
           FROM eb CROSS JOIN c1 c) t WHERE rn = 1),
-      sc AS (SELECT cell, count(*) AS n_standing FROM sa GROUP BY 1),
+      sc AS (SELECT cell, count(*) AS n_standing FROM a2 GROUP BY 1),
       bc AS (
         SELECT cell, count(*) AS n_added,
           round(CAST(sum(CAST(csim AS DECIMAL(20,6))) AS DOUBLE)

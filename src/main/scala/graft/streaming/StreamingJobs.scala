@@ -32,8 +32,22 @@ object StreamingJobs {
     // micro-batch); take it from one batch footer read so the stream
     // tracks whichever physical ts type this events generation shipped
     // (long nanos vs TIMESTAMP_NTZ micros), then normalize identically
-    // to the batch loader.
-    val fileSchema = spark.read.parquet(dir).schema
+    // to the batch loader. CONTRACT: one landing dir = one generation —
+    // the schema freezes at stream definition, so producers that drift
+    // the physical type must land in a NEW dir, streamed separately and
+    // unioned (the cross-generation StreamingSpec shape). An EMPTY dir
+    // (stream bootstrapped before the first producer file) can't be
+    // footer-read; it starts on the modern-generation schema
+    // (TIMESTAMP_NTZ micros) rather than failing the bootstrap.
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("infer schema") =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING")
+      }
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(fileSchema).parquet(dir))
   }
@@ -295,15 +309,17 @@ object StreamingJobs {
   def routeArrivals(arrivals: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents
       .agg(collect_list(struct(col("cid"), col("c_emb"))).as("cents"))
-    def dot(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * y), " +
-        "0D, (acc, x) -> acc + x)"
+    // the batch assignment's kernel and rounding, verbatim: cosineSql
+    // dispatches to the same native cosine_sim (or its HOF fallback,
+    // whose nullif zero-norm guard NULLs a degenerate cosine); a NULL
+    // seed + greatest's null-skipping leave pk NULL when every cosine
+    // is NULL — a zero arrival vector routes to a NULL cell exactly as
+    // the batch path does, never to a garbage sentinel cell.
+    val cos = graft.operators.Ann
+      .cosineSql(arrivals.sparkSession, "emb", "c.c_emb")
     val pk =
-      "aggregate(cents, CAST(-9223372036854775808 AS BIGINT), " +
-        "(acc, c) -> greatest(acc, " +
-        s"CAST(round(round(${dot("emb", "c.c_emb")} / " +
-        s"(sqrt(${dot("emb", "emb")}) * " +
-        s"sqrt(${dot("c.c_emb", "c.c_emb")})), 6) * 1000000) AS BIGINT) " +
+      "aggregate(cents, CAST(NULL AS BIGINT), (acc, c) -> " +
+        s"greatest(acc, CAST(round(round($cos, 6) * 1000000) AS BIGINT) " +
         "* 16 + (15 - c.cid)))"
     arrivals.crossJoin(broadcast(packed))
       .withColumn("pk", expr(pk))

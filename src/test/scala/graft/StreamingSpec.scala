@@ -484,6 +484,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("eventsFileStream bootstraps on an EMPTY landing dir (files land later)") {
+    // the normal streaming bootstrap: the query starts before the first
+    // producer file arrives; the schema falls back to the modern
+    // (TIMESTAMP_NTZ micros) generation instead of failing the footer
+    // read, and rows landing later flow through the same normalization
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-empty-boot").toString
+    val q = StreamingJobs
+      .tumblingCounts(StreamingJobs.eventsFileStream(spark, srcDir))
+      .writeStream.format("memory").queryName("empty_boot_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable() // zero batches on the empty dir: no crash
+      assert(spark.table("empty_boot_test").count() === 0)
+      // first producer file lands AFTER the stream is live (a bare
+      // file, not a write.parquet SUBDIRECTORY — the file source lists
+      // the landing dir non-recursively)
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-empty-boot-stage").toString
+      Tables.events(spark, sf)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/batch1.parquet"))
+      q.processAllAvailable()
+      val streamed = spark.table("empty_boot_test")
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      assert(streamed === Tables.events(spark, sf).count(),
+        "late-landing files must flow through the bootstrap schema")
+    } finally q.stop()
+  }
+
   test("streaming arrival routing matches a15's batch per-cell additions") {
     // a15's maintenance loop, streaming form: arriving vectors route
     // against the FROZEN standing-corpus centroids in a stateless

@@ -50,6 +50,24 @@ class TablesSpec extends SparkSuite {
     assert(out.select(unix_micros(col("ts"))).head().getLong(0) === MICROS)
   }
 
+  test("normalizeEventTs: NTZ instant survives a non-UTC session zone") {
+    // the foreign-session hazard: a bare cast would reinterpret the UTC
+    // wall clock in the session zone and shift every instant
+    import spark.implicits._
+    val df = Seq((1L, MICROS, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val got = Tables.normalizeEventTs(df)
+        .select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got === MICROS,
+        "NTZ wall clock must be read as UTC in ANY session zone")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("normalizeEventTs: TimestampType passes through untouched") {
     import spark.implicits._
     val df = Seq((1L, MICROS, 7L, "view", 1.0, "{}"))
