@@ -29,26 +29,38 @@ object Tables {
     if (spark.conf.get(key, "false") != "true") spark.conf.set(key, "true")
   }
 
+  /** Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+    * TIMESTAMP_NTZ by default (Spark ≥3.4). With inference disabled,
+    * Spark maps the column to plain TimestampType and loads the
+    * physical int64 micros VERBATIM as micros-since-epoch — i.e. it
+    * interprets the NTZ wall clock as UTC, which is exactly this lake's
+    * data contract. That read is zone-independent (no session-zone cast
+    * anywhere, so no DST-fall-back ambiguity in foreign zones — r11
+    * advice), costs zero per-row work, and leaves `ts` a bare scan
+    * column so predicates on it still push into the parquet footer.
+    * Same unset-vs-explicit-false caveat as [[ensureNanosAsLong]]. */
+  private[graft] def ensureNtzReadAsUtc(spark: SparkSession): Unit = {
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if (spark.conf.get(key, "true") != "false") spark.conf.set(key, "false")
+  }
+
   /** Normalize an events-shaped frame's `ts` to session-zoned
     * TimestampType (micros), whatever physical type the parquet
     * generation shipped — the testdata generator has produced BOTH
     * TIMESTAMP(NANOS) (read as long under nanosAsLong) and plain
-    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ):
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false):
     *  - long nanos → floor-divide to micros (floor, not
     *    truncate-toward-zero, so pre-1970 values match DuckDB's ns→µs
     *    cast; `(ts - pmod(ts,1000)) div 1000` is exact integer floor
     *    division, immune to double precision loss on 10^18-ns values);
     *  - TIMESTAMP_NTZ → interpret the wall clock AS UTC (the data
-    *    contract), zone-independently: a bare cast would reinterpret in
-    *    the SESSION zone, which is only correct because graft sessions
-    *    pin UTC — a foreign session in another zone would silently
-    *    shift every instant (the same foreign-session hazard
-    *    ensureNanosAsLong closes for the nanos path).
-    *    convert_timezone('UTC', current_timezone(), ts) rewrites the
-    *    UTC wall clock to the session zone's wall clock for the SAME
-    *    instant, so the subsequent session-zone cast lands on the
-    *    UTC-interpreted instant whatever the session zone is (identity
-    *    under UTC);
+    *    contract), zone-independently. Parquet NTZ no longer reaches
+    *    this branch (the loaders read it as UTC micros directly via
+    *    [[ensureNtzReadAsUtc]]); it remains for NTZ frames built in
+    *    memory or declared by a streaming schema. The epoch offset is
+    *    computed by pure wall-clock arithmetic (`timestampdiff` between
+    *    NTZ values) — no session-zone cast, so no DST-repeated-hour
+    *    ambiguity in non-UTC sessions (r11 advice closed);
     *  - TIMESTAMP → already the canonical shape. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
@@ -59,14 +71,15 @@ object Tables {
           expr("timestamp_micros((ts - pmod(ts, 1000L)) div 1000L)"))
       case TimestampNTZType =>
         df.withColumn("ts",
-          expr("CAST(convert_timezone('UTC', current_timezone(), ts) " +
-            "AS TIMESTAMP)"))
+          expr("timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
       case _ => df
     }
   }
 
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosAsLong(spark)
+    ensureNtzReadAsUtc(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

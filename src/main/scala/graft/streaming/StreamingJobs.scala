@@ -26,8 +26,10 @@ object StreamingJobs {
   def eventsFileStream(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // a declared BIGINT ts over a TIMESTAMP(NANOS) parquet column
-    // needs the same conf fallback as the batch loader
+    // needs the same conf fallbacks as the batch loader; NTZ micros
+    // files likewise read verbatim as UTC-instant TimestampType
     graft.Tables.ensureNanosAsLong(spark)
+    graft.Tables.ensureNtzReadAsUtc(spark)
     // Streaming sources need an explicit schema (no inference pass per
     // micro-batch); take it from one batch footer read so the stream
     // tracks whichever physical ts type this events generation shipped
@@ -39,11 +41,19 @@ object StreamingJobs {
     // (stream bootstrapped before the first producer file) can't be
     // footer-read; it starts on the modern-generation schema
     // (TIMESTAMP_NTZ micros) rather than failing the bootstrap.
+    // Empty-dir detection keys on the stable error CLASS, not message
+    // wording (which drifts across Spark versions/locales — r11
+    // advice), with the message substring kept as a belt-and-braces
+    // fallback for builds predating error classes. A NONEXISTENT dir
+    // throws PATH_NOT_FOUND, which deliberately escapes this catch:
+    // a landing dir is part of the pipeline contract and a typo'd path
+    // should fail the bootstrap loudly, not start an empty stream.
     val fileSchema =
       try spark.read.parquet(dir).schema
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if String.valueOf(e.getMessage).contains("infer schema") =>
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              String.valueOf(e.getMessage).contains("infer schema") =>
           org.apache.spark.sql.types.StructType.fromDDL(
             "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
               "event_type STRING, value DOUBLE, props STRING")
