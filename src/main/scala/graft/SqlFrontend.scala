@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The pure-SQL entry point for the engine (VERDICT r11 top-next #1).
+  *
+  * The reference exposes a string expression language over its frames
+  * (`activities.query("start_date_local >= @start_date")`,
+  * services/strava/get_stream_data.py:68-75); the Spark-native analog is
+  * the full `spark.sql` surface over a documented session catalog:
+  * [[registerViews]] publishes the canonical testdata tables as temp
+  * views (through the SAME loaders the Scala DSL uses — events arrives
+  * ts-normalized, so SQL users never see a physical-generation type),
+  * and GraftExtensions injects `cosine_sim` / `hll_estimate` /
+  * `cm_sketch` as SQL-callable functions. A user of the reference can
+  * therefore phrase every query in SQL text without touching the Scala
+  * DSL; the DSv2 REST source is likewise SQL-reachable via
+  * `CREATE TABLE ... USING graft.sources.rest.RestIntradaySource`
+  * (SqlSurfaceSpec).
+  *
+  * The `sql_*` queries below are registered like any operator, but their
+  * Spark side is NOTHING BUT SQL TEXT — each shares the oracle of the
+  * DSL query it mirrors, so a green CORRECTNESS row proves
+  * SQL text == DataFrame DSL == DuckDB on the same data. sql_f1f2 goes
+  * further: its Spark text IS its oracle text verbatim (one ANSI string
+  * both engines run unchanged).
+  */
+object SqlFrontend {
+
+  /** Tables whose raw parquet schema is already canonical. */
+  private val rawTables = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "documents", "embeddings")
+
+  /** Publish the session catalog: one temp view per testdata table,
+    * named exactly like the table (same names the DuckDB oracle uses,
+    * so SQL text can be shared verbatim). Events goes through
+    * Tables.events — the adaptive ts normalization is a LOADER concern
+    * and SQL users get the one canonical schema whatever physical
+    * timestamp generation is on disk. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    rawTables.foreach(n => Tables.table(s, d, n).createOrReplaceTempView(n))
+    Tables.events(s, d).createOrReplaceTempView("events")
+  }
+
+  private def sqlQ(
+      name: String, text: String, oracle: Option[String]): Queries.Q =
+    Queries.Q(name, (s, d) => { registerViews(s, d); s.sql(text) }, oracle)
+
+  // Flagship join+agg as SQL text (the form SqlSurfaceSpec proves equal
+  // to the DataFrame plan); shares q1's oracle, so the hash check pins
+  // SQL == DSL == DuckDB. Decimal accumulation exactly as q1: ulp-stable
+  // under partition order.
+  val sqlQ1Flagship: Queries.Q = sqlQ(
+    "sql_q1_flagship",
+    """SELECT o_custkey, count(*) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) -
+                CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      sum(l_quantity) AS sum_qty, max(l_shipdate) AS last_ship
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate <= TIMESTAMP '2000-12-31'
+      GROUP BY o_custkey""",
+    Queries.q1Flagship.oracle)
+
+  // Date-bound filter where ONE ANSI string is both the Spark query and
+  // the DuckDB oracle, character for character.
+  private val f1f2Ansi =
+    """SELECT * FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+        AND CAST(o_orderdate AS DATE) <= DATE '1999-12-31'"""
+  val sqlF1f2: Queries.Q = sqlQ(
+    "sql_f1f2_date_filter", f1f2Ansi, Some(f1f2Ansi))
+
+  // Brute-force cosine top-k phrased in SQL through the injected
+  // `cosine_sim` Catalyst expression — same kernel the DSL dispatches to
+  // (Ann.cosineSql), so it shares a5's oracle. The 8-probe side is tiny;
+  // AQE broadcasts it exactly as the DSL's explicit broadcast() does.
+  val sqlA5CosineTopk: Queries.Q = sqlQ(
+    "sql_a5_cosine_topk",
+    """WITH p AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb
+        FROM embeddings WHERE vec_id < 8),
+      sims AS (
+        SELECT probe_id, vec_id,
+          round(cosine_sim(embedding, p_emb), 6) AS sim
+        FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id)
+      SELECT probe_id, vec_id, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sims) t
+      WHERE rn <= 10""",
+    operators.Ann.a5AnnBruteforce.oracle)
+
+  // Per-language 3-gram cardinality through the injected `hll_estimate`
+  // TypedImperativeAggregate, fully in SQL (h60 inlined as its Spark SQL
+  // fragment — functions/Portable.scala); shares the HLL family's one
+  // oracle, so SQL == native aggregate == relational == DuckDB.
+  val sqlA9bHll: Queries.Q = sqlQ(
+    "sql_a9b_hll",
+    """WITH toks AS (
+        SELECT lang, split(lower(text), ' ') AS t FROM documents),
+      g AS (
+        SELECT lang, explode(transform(sequence(0, size(t)-3),
+          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+        FROM toks WHERE size(t) >= 3)
+      SELECT lang, hll_estimate(CAST(conv(substring(md5(concat('hll|',
+          gram)), 1, 15), 16, 10) AS BIGINT)) AS n_hll
+      FROM g GROUP BY lang""",
+    operators.LlmOps.a9bHllNative.oracle)
+
+  def all: Seq[Queries.Q] =
+    Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll)
+}
