@@ -421,29 +421,30 @@ object Ann {
     * ONE oracle definition of [[kmeansTrainedCentroids]]+[[assignTo]],
     * parameterized so a8/a7b/d12 (full corpus) and a15 (standing slice)
     * can't drift. */
-  private def kmeansCtesSqlFrom(src: String): String = s"""c0 AS (
+  private def kmeansCtesSqlFrom(src: String, p: String = ""): String =
+    s"""${p}c0 AS (
         SELECT CAST(vec_id AS INTEGER) AS cid, emb AS c_emb, nrm AS c_nrm
         FROM $src WHERE vec_id < $KMEANS_K),
-      a1 AS (
+      ${p}a1 AS (
         SELECT vec_id, cell FROM (
           SELECT s.vec_id, c.cid AS cell,
             row_number() OVER (PARTITION BY s.vec_id
               ORDER BY round(list_inner_product(s.emb, c.c_emb) /
                              (s.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
-          FROM $src s CROSS JOIN c0 c) t WHERE rn = 1),
-      m1 AS (
-        SELECT a1.cell, p.pos,
+          FROM $src s CROSS JOIN ${p}c0 c) t WHERE rn = 1),
+      ${p}m1 AS (
+        SELECT ${p}a1.cell, p.pos,
           round(CAST(sum(CAST(round(s.emb[p.pos + 1], 6)
                    AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS v
-        FROM a1 JOIN $src s USING (vec_id)
+        FROM ${p}a1 JOIN $src s USING (vec_id)
         CROSS JOIN (SELECT unnest(range(64)) AS pos) p
-        GROUP BY a1.cell, p.pos),
-      c1 AS (
+        GROUP BY ${p}a1.cell, p.pos),
+      ${p}c1 AS (
         SELECT cell AS cid, list(v ORDER BY pos) AS c_emb,
                sqrt(list_inner_product(list(v ORDER BY pos),
                                        list(v ORDER BY pos))) AS c_nrm
-        FROM m1 GROUP BY cell),
-      a2 AS (
+        FROM ${p}m1 GROUP BY cell),
+      ${p}a2 AS (
         SELECT vec_id, cell, csim FROM (
           SELECT s.vec_id, c.cid AS cell,
             round(list_inner_product(s.emb, c.c_emb) /
@@ -451,7 +452,7 @@ object Ann {
             row_number() OVER (PARTITION BY s.vec_id
               ORDER BY round(list_inner_product(s.emb, c.c_emb) /
                              (s.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
-          FROM $src s CROSS JOIN c1 c) t WHERE rn = 1)"""
+          FROM $src s CROSS JOIN ${p}c1 c) t WHERE rn = 1)"""
 
   private val KMEANS_CTES: String = s"""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -1158,9 +1159,118 @@ object Ann {
         bc.avg_new_sim
       FROM sc FULL OUTER JOIN bc ON sc.cell = bc.cell"""))
 
+  // ---------------------------------------------------------------------
+  // A16: the retrain DECISION — closes the index lifecycle loop
+  // (train → serve → monitor → retrain) that a15's avg_new_sim signal
+  // feeds (VERDICT r11 top-next #3). Rule: if the arriving batch's
+  // overall mean routing similarity against the FROZEN standing
+  // centroids falls below RETRAIN_TAU, the frozen summary no longer
+  // describes the incoming distribution — emit retrain=true plus the
+  // REFRESHED centroid table (retrained over standing ∪ batch, the
+  // kmeansTrainedCentroids derivation a8 pins). Output: one row per
+  // cell with the monitoring report (standing size, additions, per-cell
+  // and overall arrival sim), the global decision, and the refreshed
+  // centroid's norm — NULL when no retrain fires; a refreshed-only cell
+  // (one the standing index never used that the retrain activates)
+  // appears with zero counts. At 100 TB the monitor itself is a
+  // broadcast projection + one scalar aggregate over the BATCH only
+  // (the standing corpus is touched only by the retrain branch, which
+  // production orchestration gates behind the decision; here the plan
+  // always emits it because the testdata batch IS drifted — random
+  // embeddings route at ~0.1 mean sim, far under TAU). The streaming
+  // twin (StreamingSpec) drains micro-batches through routeArrivals and
+  // must flip the same decision when the arrival distribution drifts.
+  // ---------------------------------------------------------------------
+  private[graft] val RETRAIN_TAU = 0.5
+
+  val a16RetrainDecision = Q(
+    "a16_retrain_decision",
+    (s, d) => {
+      val all = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val standing = all.filter(col("vec_id") % 10 =!= 0)
+      val batch = all.filter(col("vec_id") % 10 === 0)
+      val cents = kmeansTrainedCentroids(s, standing)
+      val ba = assignTo(s, batch, cents)
+      def meanSim = round(
+        sum(round(col("csim"), 6).cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 6)
+      val decision = broadcast(
+        ba.agg(meanSim.as("overall_new_sim"))
+          .withColumn("retrain", col("overall_new_sim") < lit(RETRAIN_TAU)))
+      val report = assignTo(s, standing, cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_standing"))
+        .join(
+          ba.groupBy(col("cell"))
+            .agg(count(lit(1)).as("n_added"), meanSim.as("avg_new_sim")),
+          Seq("cell"), "full_outer")
+      // the refreshed index: same seeds-and-one-recompute derivation as
+      // a8, over the union corpus; the norm is a compact oracle-checkable
+      // witness of the retrained centroid values (sequential left-fold
+      // over the 64 rounded dims — both engines sum in index order, so
+      // the double accumulation is bit-identical)
+      val refreshed = kmeansTrainedCentroids(s, all)
+        .select(col("cid").as("cell"),
+          round(expr("sqrt(aggregate(c_emb, CAST(0.0 AS DOUBLE), " +
+            "(acc, v) -> acc + v * v))"), 6).as("norm_refreshed"))
+      report.join(refreshed, Seq("cell"), "full_outer")
+        .crossJoin(decision)
+        .filter(col("n_standing").isNotNull || col("n_added").isNotNull ||
+          col("retrain"))
+        .select(col("cell"),
+          coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          col("avg_new_sim"), col("overall_new_sim"), col("retrain"),
+          when(col("retrain"), col("norm_refreshed")).as("new_c_norm"))
+    },
+    Some(s"""WITH ea AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      es AS (SELECT * FROM ea WHERE vec_id % 10 <> 0),
+      eb AS (SELECT * FROM ea WHERE vec_id % 10 = 0),
+      ${kmeansCtesSqlFrom("es")},
+      ba AS (
+        SELECT vec_id, cell, csim FROM (
+          SELECT eb.vec_id, c.cid AS cell,
+            round(list_inner_product(eb.emb, c.c_emb) /
+                  (eb.nrm * c.c_nrm), 6) AS csim,
+            row_number() OVER (PARTITION BY eb.vec_id
+              ORDER BY round(list_inner_product(eb.emb, c.c_emb) /
+                             (eb.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+          FROM eb CROSS JOIN c1 c) t WHERE rn = 1),
+      sc AS (SELECT cell, count(*) AS n_standing FROM a2 GROUP BY 1),
+      bc AS (
+        SELECT cell, count(*) AS n_added,
+          round(CAST(sum(CAST(csim AS DECIMAL(20,6))) AS DOUBLE)
+            / count(*), 6) AS avg_new_sim
+        FROM ba GROUP BY 1),
+      ov AS (
+        SELECT round(CAST(sum(CAST(csim AS DECIMAL(20,6))) AS DOUBLE)
+            / count(*), 6) AS overall_new_sim
+        FROM ba),
+      ${kmeansCtesSqlFrom("ea", "r_")},
+      rn AS (SELECT cid AS cell, round(c_nrm, 6) AS norm_refreshed
+             FROM r_c1),
+      rep AS (
+        SELECT coalesce(sc.cell, bc.cell) AS cell,
+          sc.n_standing, bc.n_added, bc.avg_new_sim
+        FROM sc FULL OUTER JOIN bc ON sc.cell = bc.cell)
+      SELECT coalesce(rep.cell, rn.cell) AS cell,
+        CAST(coalesce(rep.n_standing, 0) AS BIGINT) AS n_standing,
+        CAST(coalesce(rep.n_added, 0) AS BIGINT) AS n_added,
+        rep.avg_new_sim, ov.overall_new_sim,
+        (ov.overall_new_sim < $RETRAIN_TAU) AS retrain,
+        CASE WHEN ov.overall_new_sim < $RETRAIN_TAU
+             THEN rn.norm_refreshed END AS new_c_norm
+      FROM rep FULL OUTER JOIN rn ON rep.cell = rn.cell CROSS JOIN ov
+      WHERE rep.cell IS NOT NULL
+         OR (ov.overall_new_sim < $RETRAIN_TAU)"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
-      a15IncrementalIndex)
+      a15IncrementalIndex, a16RetrainDecision)
 }

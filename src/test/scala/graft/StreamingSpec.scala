@@ -555,4 +555,60 @@ class StreamingSpec extends SparkSuite {
         "streamed routing must equal the batch addition report")
     } finally q.stop()
   }
+
+  test("retrain signal: a matched arrival batch holds, a drifted one flips") {
+    // a16's monitoring rule, streaming form: micro-batches drain through
+    // routeArrivals against FROZEN centroids; the overall mean arrival
+    // similarity is the drift signal and crossing RETRAIN_TAU flips the
+    // retrain decision. Standing corpus: four tight clusters on basis
+    // dims 0..3 (vec_ids 0..3 are the pure anchors, so they are the
+    // k-means seeds and each seeds its own cluster). A matched batch
+    // (drawn from the same distribution) routes at ~1.0 sim → hold; a
+    // drifted batch (orthogonal dims 32..35) routes at ~0.0 → retrain.
+    val dim = 64
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(axis) = 1.0f
+      if (eps != 0.0f) a((axis + 8) % dim) = eps
+      a
+    }
+    val standing = (0 until 4).map(c => (c.toLong, vec(c, 0.0f))) ++
+      (4 until 44).map(i => (i.toLong, vec(i % 4, 0.05f + 0.01f * (i % 3))))
+    val standingDf = standing.toDF("vec_id", "emb")
+    val cents = operators.Ann.kmeansTrainedCentroids(spark, standingDf)
+
+    def streamedDecision(batch: Seq[(Long, Array[Float])]): (Double, Boolean) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-retrain").toString
+      batch.toDF("vec_id", "emb").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/arrivals.parquet")
+      val schema = spark.read.parquet(s"$dir/arrivals.parquet").schema
+      val arrivals = spark.readStream.schema(schema)
+        .parquet(s"$dir/arrivals.parquet")
+      val name = s"retrain_signal_${System.nanoTime()}"
+      val q = StreamingJobs.routeArrivals(arrivals, cents)
+        .agg(round(sum(round(col("csim"), 6).cast("decimal(20,6)"))
+          .cast("double") / count(lit(1)), 6).as("overall_new_sim"))
+        .withColumn("retrain",
+          col("overall_new_sim") < lit(operators.Ann.RETRAIN_TAU))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val r = spark.table(name).collect().head
+        (r.getDouble(0), r.getBoolean(1))
+      } finally q.stop()
+    }
+
+    val (matchedSim, matchedRetrain) =
+      streamedDecision((100 until 120).map(i =>
+        (i.toLong, vec(i % 4, 0.05f + 0.01f * (i % 3)))))
+    val (driftedSim, driftedRetrain) =
+      streamedDecision((200 until 220).map(i =>
+        (i.toLong, vec(32 + i % 4, 0.05f))))
+
+    assert(!matchedRetrain && matchedSim > 0.9,
+      s"matched batch must hold (sim=$matchedSim)")
+    assert(driftedRetrain && driftedSim < 0.2,
+      s"drifted batch must flip the retrain signal (sim=$driftedSim)")
+  }
 }
