@@ -676,6 +676,89 @@ object Ingest {
       CAST(l_orderkey % 10 AS INTEGER) AS shard FROM lineitem"""))
 
   // ---------------------------------------------------------------------
+  // K6: small-files compaction — the lake maintenance operator the
+  // reference's layout begs for: one file per (resource, day)
+  // (services/fitbit/fitbit_utils.py:285-287, README's
+  // intraday/{resource}/{resource}_{date}.parquet) is ~3k files/year per
+  // athlete, and at 100 TB file-count explosion is the classic scan
+  // killer (a footer open/seek per file, a linearly-growing file index
+  // on the driver, undersized row groups defeating the vectorized
+  // reader). The operator: list a fragmented dir, size the rewrite from
+  // the observed row count (ceil(rows / ROWS_PER_FILE) — production
+  // compactors plan from the listing exactly like this; the one
+  // driver-side value is a scalar count, not a row materialization),
+  // rewrite via repartitionByRange on the sort key so each output file
+  // covers a contiguous key range (min/max footer stats stay selective
+  // → range predicates still prune files after compaction), and report
+  // the per-type content aggregate read back from the COMPACTED lake
+  // plus before/after file counts. The oracle restates the aggregate
+  // over the base table and both counts arithmetically — the row is
+  // green iff compaction changed the file layout exactly as planned and
+  // the content not at all. CompactionSpec additionally proves
+  // row-identical content at two different file-count targets.
+  // ---------------------------------------------------------------------
+  private[graft] val K6_FRAG_FILES = 64
+  private[graft] val K6_ROWS_PER_FILE = 4000L
+
+  /** (file count, total bytes) of the part-files under a lake dir. */
+  private[graft] def parquetFileStats(dir: String): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(Paths.get(dir))
+    try {
+      val parts = stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.toVector
+      (parts.size.toLong, parts.map(Files.size).sum)
+    } finally stream.close()
+  }
+
+  /** Fragmented-lake fixture: the events table shattered into
+    * K6_FRAG_FILES round-robin files (memoized — building the mess is
+    * scaffolding; the OPERATOR under measurement is the compaction). */
+  private[graft] def k6FragFixture(s: SparkSession, d: String): String =
+    memoFixture("k6_frag", d) { out =>
+      events(s, d).repartition(K6_FRAG_FILES)
+        .write.mode("overwrite").parquet(out)
+    }
+
+  /** Compact a fragmented events-shaped dir into ceil(rows/rowsPerFile)
+    * range-partitioned files; returns the output dir. */
+  private[graft] def compactEvents(
+      s: SparkSession, fragDir: String, outDir: String,
+      rowsPerFile: Long): String = {
+    val frag = s.read.parquet(fragDir)
+    val rows = frag.count()
+    val nOut = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    frag.repartitionByRange(nOut, col("event_id"))
+      .write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
+  val k6Compaction = Q(
+    "k6_compaction",
+    (s, d) => {
+      val frag = k6FragFixture(s, d)
+      val (nBefore, _) = parquetFileStats(frag)
+      val out = compactEvents(s, frag, freshDir("k6_compact"),
+        K6_ROWS_PER_FILE)
+      val (nAfter, _) = parquetFileStats(out)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("n_files_before", lit(nBefore))
+        .withColumn("n_files_after", lit(nAfter))
+    },
+    Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      CAST($K6_FRAG_FILES AS BIGINT) AS n_files_before,
+      CAST(ceil(CAST((SELECT count(*) FROM events) AS DOUBLE)
+        / $K6_ROWS_PER_FILE) AS BIGINT) AS n_files_after
+      FROM events GROUP BY event_type"""))
+
+  // ---------------------------------------------------------------------
   // E3: the Strava streams pipeline restated end to end (SURVEY §3 E3):
   //   snapshot (orders) → date-range filter (F1/F2) → distinct ids (A3)
   //   → per-key stream rows (semi-join = the per-activity fetch, J3)
@@ -1059,7 +1142,8 @@ object Ingest {
 
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
-    k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, e1IngestIncremental,
+    k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction,
+    e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
     s2RestSource, s2bHeart1sec, s2cThirtyDay, f6MissingDates,

@@ -74,4 +74,43 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(missing.count() === 0, "complete lake ⇒ empty work-list")
     assert(spark.read.parquet(lake).count() === firstCount)
   }
+
+  test("K6 compaction: row-identical content at different file counts") {
+    val frag = sources.Ingest.k6FragFixture(spark, sf)
+    val (nFrag, _) = sources.Ingest.parquetFileStats(frag)
+    assert(nFrag === sources.Ingest.K6_FRAG_FILES.toLong)
+    def tmp(n: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-k6-$n").toString + "/out"
+    // two different size targets → different layouts, same rows
+    val coarse = sources.Ingest
+      .compactEvents(spark, frag, tmp("coarse"), 400L)
+    val fine = sources.Ingest
+      .compactEvents(spark, frag, tmp("fine"), 100L)
+    val (nCoarse, _) = sources.Ingest.parquetFileStats(coarse)
+    val (nFine, _) = sources.Ingest.parquetFileStats(fine)
+    val rows = Tables.events(spark, sf).count()
+    assert(nCoarse === (rows + 399) / 400)
+    assert(nFine === (rows + 99) / 100)
+    assert(nCoarse < nFine && nFine < nFrag)
+    val base = Tables.events(spark, sf)
+    for (dir <- Seq(coarse, fine)) {
+      val got = spark.read.parquet(dir)
+      assert(got.count() === rows)
+      assert(got.exceptAll(base).count() === 0)
+      assert(base.exceptAll(got).count() === 0)
+    }
+    // range layout: per-file event_id spans must not overlap — the
+    // footer min/max stats stay selective, so key-range predicates
+    // still prune files after the rewrite
+    val spans = spark.read.parquet(coarse)
+      .select(input_file_name().as("f"), col("event_id"))
+      .groupBy("f")
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .orderBy("lo").collect()
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1),
+        "compacted files must cover disjoint key ranges")
+      case _ => ()
+    }
+  }
 }
