@@ -65,17 +65,18 @@ class MultimodalSpec extends SparkSuite {
     val vid = run("video/mp4")
     // PNG: containerize synthesizes a (64+n%576)×(64+n%416) header and
     // the decoder reads it back from the parsed IHDR; IDAT == payload
-    assert(img === DecodedMedia(1L, "image/png", 64 + 11, 64 + 11, 1,
+    assert(img === DecodedMedia.ok(1L, "image/png", 64 + 11, 64 + 11, 1,
       Multimodal.payloadChecksum(bytes)))
     // JPEG: (96+n%544)×(96+n%384) read back from the parsed SOF0
-    assert(jpg === DecodedMedia(1L, "image/jpeg", 96 + 11, 96 + 11, 1,
+    assert(jpg === DecodedMedia.ok(1L, "image/jpeg", 96 + 11, 96 + 11, 1,
       Multimodal.payloadChecksum(bytes)))
     // WAV: block align 4 from the parsed fmt chunk; data == payload
-    assert(aud.n_frames === 11 / 4 && aud.width === 0 && aud.height === 0)
+    assert(aud.n_frames.contains(11 / 4) && aud.width.contains(0) &&
+      aud.height.contains(0))
     // MP4: tkhd 16.16 width/height and mvhd duration read back from the
     // parsed boxes; mdat == payload
-    assert(vid === vid.copy(width = 320 + 11, height = 240 + 11))
-    assert(vid.n_frames === 11 / 16)
+    assert(vid === vid.copy(width = Some(320 + 11), height = Some(240 + 11)))
+    assert(vid.n_frames.contains(11 / 16))
     // the parsed-out media bytes equal the original payload in every
     // branch, so the checksum is mime-independent; decode is pure
     assert(Set(img.checksum, jpg.checksum, aud.checksum, vid.checksum)
@@ -180,5 +181,64 @@ class MultimodalSpec extends SparkSuite {
     val out = Multimodal.decoded(spark, sf)
     assert(out.count() === docs)
     assert(out.select("doc_id").distinct().count() === docs)
+    // the synthetic lake is well-formed: zero error rows
+    assert(out.filter(col("err").isNotNull).count() === 0)
+  }
+
+  test("M2: malformed payloads route to err rows; good rows survive") {
+    // the task-survival contract: parsers throw, decodeBatch converts
+    // each throw to a null-featured row with the message in err — one
+    // corrupt object must not kill the partition's task
+    val bytes = "hello world".getBytes("UTF-8")
+    val goodPng = Multimodal.pngContainer(bytes, 75, 75)
+    val truncated = goodPng.take(goodPng.length / 2)
+    val crcBad = goodPng.clone()
+    crcBad(8 + 25 + 8 + 2) = (crcBad(8 + 25 + 8 + 2) ^ 0x1).toByte
+    val overlen = Multimodal.jpegContainer(bytes, 200, 100).clone()
+    // APP0's length field (bytes 4..5) rewritten to point past the
+    // buffer — the overlength-segment case
+    overlen(4) = 0x7f; overlen(5) = 0xff.toByte
+    val out = Multimodal.decodeBatch(Iterator(
+      MediaRow(1L, goodPng, "image/png"),
+      MediaRow(2L, truncated, "image/png"),
+      MediaRow(3L, crcBad, "image/png"),
+      MediaRow(4L, overlen, "image/jpeg"))).toSeq
+    val byId = out.map(r => r.doc_id -> r).toMap
+    assert(byId(1L) === DecodedMedia.ok(1L, "image/png", 75, 75, 1,
+      Multimodal.payloadChecksum(bytes)),
+      "a good row in the same batch must decode normally")
+    assert(byId(2L).err.exists(_.contains("truncated PNG")) &&
+      byId(2L).width.isEmpty && byId(2L).checksum.isEmpty)
+    assert(byId(3L).err.exists(_.contains("CRC")) &&
+      byId(3L).n_frames.isEmpty)
+    assert(byId(4L).err.exists(_.contains("truncated JPEG segment")))
+    assert(out.forall(r => r.err.isDefined ^ r.checksum.isDefined),
+      "every row is exactly one of: decoded, quarantined")
+  }
+
+  test("M2: baseline JPEG profile — fill bytes, TEM/RSTn, SOS entropy") {
+    // a real baseline JFIF stream: fill bytes before markers, a
+    // standalone TEM marker, and an SOS whose entropy-coded data
+    // contains 0xFF00 byte stuffing and an in-stream restart marker —
+    // the walk must reach SOF0's dims and the EOI (r11 advice: the
+    // parser now covers the profile its doc claims, not only this
+    // repo's COM-carrying containers)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(m: Int, body: Array[Byte]) =
+      Array(0xff.toByte, m.toByte) ++ be16(body.length + 2) ++ body
+    val sof = seg(0xc0, Array[Byte](8, 0, 120, 0, 80, 1)) // h=120 w=80
+    val sos = seg(0xda, Array[Byte](1, 1, 0))
+    val entropy = Array[Byte](0x12, 0xff.toByte, 0x00, 0x34,
+      0xff.toByte, 0xd3.toByte, 0x56)
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++
+      Array(0xff.toByte) ++ sof ++ // extra 0xFF = fill byte before SOF0
+      Array(0xff.toByte, 0x01.toByte) ++ // standalone TEM
+      sos ++ entropy ++ Array(0xff.toByte, 0xd9.toByte)
+    val d = Multimodal.decodeJpeg(jpeg)
+    assert(d.width === 80 && d.height === 120)
+    // an unterminated entropy stream is still a clear error
+    val cut = jpeg.dropRight(2)
+    val e = intercept[IllegalArgumentException](Multimodal.decodeJpeg(cut))
+    assert(e.getMessage.contains("entropy"))
   }
 }
