@@ -90,12 +90,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    normalizeEventTs(eventsRaw(s, d))
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
+  /** The canonical events schema — the contract every lake generation
+    * converges to at the loader. */
+  private[graft] val EVENTS_FIELDS: Seq[(String, String)] = Seq(
+    "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+    "event_type" -> "string", "value" -> "double", "props" -> "string")
+
+  /** Schema-align an events-shaped generation to the canonical contract:
+    * ts-normalize (physical timestamp drift, [[normalizeEventTs]]), then
+    * null-fill canonical columns the generation dropped and prune
+    * columns it added — the column-delta half of normal lake drift
+    * (VERDICT r11 #7). The explicit select keeps every surviving column
+    * a bare scan column, so pruning/pushdown reach the parquet footer
+    * exactly as on a non-drifted generation. */
+  private[graft] def alignEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    val tsNormed = if (have("ts")) normalizeEventTs(df) else df
+    tsNormed.select(EVENTS_FIELDS.map { case (n, t) =>
+      if (have(n)) col(n) else lit(null).cast(t).as(n) }: _*)
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    alignEvents(eventsRaw(s, d))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

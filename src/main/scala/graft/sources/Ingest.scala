@@ -1093,12 +1093,14 @@ object Ingest {
   // instants (a mis-zoned NTZ reinterpretation or an off-by-10³ nanos
   // divide would shift first_ts/last_ts and fail the hash).
   // ---------------------------------------------------------------------
-  /** Two events-shaped generation dirs derived from the base table:
-    * (epoch-nanos INT64, TIMESTAMP_NTZ micros). Exposed so Bench's
-    * warmup pre-materializes them (fixture writes are scaffolding, not
-    * part of the measured scan). */
+  /** Three events-shaped generation dirs derived from the base table:
+    * epoch-nanos INT64, TIMESTAMP_NTZ micros, and an "evolved" v2 that
+    * additionally DROPS props and ADDS a schema_ver column — the
+    * column-delta half of lake drift alongside the physical-ts half.
+    * Exposed so Bench's warmup pre-materializes them (fixture writes
+    * are scaffolding, not part of the measured scan). */
   private[graft] def s11GenFixtures(
-      s: SparkSession, d: String): (String, String) = {
+      s: SparkSession, d: String): (String, String, String) = {
     val nanos = memoFixture("s11_gen_nanos", d) { out =>
       events(s, d)
         .withColumn("ts", expr("unix_micros(ts) * 1000L"))
@@ -1109,35 +1111,52 @@ object Ingest {
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
-    (nanos, ntz)
+    val evolved = memoFixture("s11_gen_evolved", d) { out =>
+      events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .drop("props")
+        .withColumn("schema_ver", lit(2))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    (nanos, ntz, evolved)
   }
 
   val s11GenerationUnion = Q(
     "s11_generation_union",
     (s, d) => {
-      val (nanosDir, ntzDir) = s11GenFixtures(s, d)
+      val (nanosDir, ntzDir, evolvedDir) = s11GenFixtures(s, d)
       def gen(dir: String, label: String) =
         graft.Tables.events(s, dir).withColumn("generation", lit(label))
+      // n_props counts surviving props values: the evolved generation
+      // dropped the column, the loader null-fills it, and the count
+      // reading 0 (vs n on the other generations) proves the fill is
+      // the loader's, not a silent column-position misread
       gen(nanosDir, "nanos_int64")
         .unionByName(gen(ntzDir, "micros_ntz"))
+        .unionByName(gen(evolvedDir, "evolved_v2"))
         .groupBy(col("generation"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("first_ts"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .as("last_ts"))
+            .as("last_ts"),
+          count(col("props")).as("n_props"))
     },
     Some("""WITH gens AS (
         SELECT 'nanos_int64' AS generation
-        UNION ALL SELECT 'micros_ntz'),
+        UNION ALL SELECT 'micros_ntz'
+        UNION ALL SELECT 'evolved_v2'),
       agg AS (
         SELECT event_type, count(*) AS n,
           strftime(min(CAST(ts AS TIMESTAMP)),
             '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
           strftime(max(CAST(ts AS TIMESTAMP)),
-            '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+            '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+          count(props) AS n_props_base
         FROM events GROUP BY 1)
-      SELECT g.generation, a.event_type, a.n, a.first_ts, a.last_ts
+      SELECT g.generation, a.event_type, a.n, a.first_ts, a.last_ts,
+        CAST(CASE WHEN g.generation = 'evolved_v2' THEN 0
+             ELSE a.n_props_base END AS BIGINT) AS n_props
       FROM gens g CROSS JOIN agg a"""))
 
   /** All sink/ingest/catalog queries, registration order. */

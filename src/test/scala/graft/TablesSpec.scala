@@ -98,4 +98,24 @@ class TablesSpec extends SparkSuite {
     assert(a.select(unix_micros(col("ts"))).head().getLong(0) ===
       b.select(unix_micros(col("ts"))).head().getLong(0))
   }
+
+  test("events loader aligns column add/drop drift to the canonical schema") {
+    import spark.implicits._
+    // an "evolved" generation: props dropped, schema_ver added — the
+    // column-delta half of lake drift; the loader must null-fill the
+    // dropped canonical column and prune the addition
+    val dir = tmp("gen-evolved")
+    Seq((1L, MICROS, 7L, "view", 1.0, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "schema_ver")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Tables.events(spark, dir)
+    assert(out.columns.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val row = out.head()
+    assert(row.isNullAt(row.fieldIndex("props")),
+      "dropped canonical column must be null-filled, not misread")
+    assert(out.select(unix_micros(col("ts"))).head().getLong(0) === MICROS)
+  }
 }
