@@ -1024,21 +1024,41 @@ object Ann {
   // vec_id) — keeping the boundary example and shedding the redundant
   // cluster-core ones.
   //
-  // Scale: the pairwise stage shuffles on `cell` and costs Σ|cell|² —
-  // SemDeDup's own cost model. At 100 TB, K grows with N to hold
-  // |cell| ≈ N/K at a bounded target (the paper runs K=50k on LAION),
-  // so per-cell work is bounded and the cell shuffle has K keys of
-  // even size; no all-pairs stage ever materializes across cells.
-  // Locally K=4 (a8's contract with its oracle).
+  // Scale: SemDeDup's own cost model is Σ|cell|² with K grown to hold
+  // |cell| ≈ N/K bounded (the paper runs K=50k on LAION) — per-cell
+  // work bounded, K even shuffle keys, no cross-cell all-pairs.
+  // Locally K is PINNED at 4 (a8's contract with its oracle), which
+  // made the r9 within-cell all-pairs structurally quadratic (7.9×
+  // time for 3× data at the r11 probe), so the candidate stage is the
+  // banded near-dup blocker instead.
+  //
+  // SEMANTICS OF THAT TRADE (r12, per r11 advice): the election ranks
+  // only the pairs the 8-bit × 4-table blocker emits, and the blocker
+  // is sized for near-duplicates — per-bit collision p = 1 - acos(c)/π
+  // gives pair recall 1-(1-p^8)^4 ≈ 0.15 at cosine 0.5, ≳0.9 only
+  // above ~0.95. So d12 drops near-duplicate same-cell pairs, NOT all
+  // pairs ≥ τ: mid-band semantic duplicates (0.4–0.9) are mostly
+  // retained. This is a deliberate, quantified restriction
+  // (BandedLshRecallSpec pins the 0.15 mid-sim recall analytically);
+  // the engine and the oracle share the blocker, so correctness rows
+  // check the IMPLEMENTED semantics. At 100 TB the paper-faithful path
+  // is the Σ|cell|² form above (K grown with N), for which
+  // semanticElectOver accepts any candidate pair list — swap the
+  // blocker for the within-cell generator and the election, oracle
+  // pattern, and tie-breaks are unchanged.
   // ---------------------------------------------------------------------
   private val D12_TAU = 0.4
 
   /** The per-cluster election over a (vec_id, cell, csim) cell frame and
     * an explicit (id_a, id_b, sim) candidate pair list (id_a < id_b):
-    * each same-cell candidate pair at sim ≥ [[D12_TAU]] drops its
+    * each same-cell CANDIDATE pair at sim ≥ [[D12_TAU]] drops its
     * LESS-canonical member (more canonical = lower csim, ties lower
-    * vec_id). Split from the Q so DedupSpec can drive it with planted
-    * paraphrases and its own pair list.
+    * vec_id). The election's reach is exactly the candidate list it is
+    * given — d12 feeds it the near-duplicate blocker's pairs (see the
+    * trade documented at the D12 header), a within-cell generator
+    * would make it the paper's full ≥ τ election. Split from the Q so
+    * DedupSpec can drive it with planted paraphrases and its own pair
+    * list.
     *
     * r9 shipped this as an all-pairs self-join within each cell, and
     * the r11 30× scale probe read it at 7.9× for 3× data — with the

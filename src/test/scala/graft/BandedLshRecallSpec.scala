@@ -37,4 +37,43 @@ class BandedLshRecallSpec extends SparkSuite {
     val sims = operators.Ann.bandedNearDups(spark, e).collect()
     sims.foreach(r => assert(r.getDouble(2) >= 0.3))
   }
+
+  test("blocker recall at mid similarity matches the analytic trade (r11 advice)") {
+    // d12's election sees ONLY the blocker's candidates, and the blocker
+    // is sized for near-duplicates: per-bit collision probability for a
+    // pair at cosine c is p = 1 - acos(c)/π, so an 8-bit band collides
+    // at p^8 and 4 tables give 1-(1-p^8)^4 — at c = 0.5 that is ~0.147.
+    // This probe PLANTS pairs at exact cosine 0.5 and pins the measured
+    // recall to that analytic value, so the documented restriction
+    // ("the election is over near-duplicate candidates, not all pairs
+    // ≥ τ") is a quantified engineering trade, not a silent gap.
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val c = 0.5
+    val pairs = (0 until 300).map { i =>
+      val a = unit(Array.fill(64)(rnd.nextGaussian()))
+      val w0 = Array.fill(64)(rnd.nextGaussian())
+      // Gram-Schmidt: w ⟂ a, then b = c·a + sqrt(1-c²)·w has ⟨a,b⟩ = c
+      val proj = a.zip(w0).map { case (x, y) => x * y }.sum
+      val w = unit(w0.zip(a).map { case (y, x) => y - proj * x })
+      val b = a.zip(w).map { case (x, y) =>
+        c * x + math.sqrt(1 - c * c) * y }
+      (i.toLong, a.map(_.toFloat), (i + 10000L), b.map(_.toFloat))
+    }
+    val e = pairs.flatMap { case (ia, va, ib, vb) =>
+      Seq((ia, va), (ib, vb)) }.toDF("vec_id", "emb")
+    val found = operators.Ann.bandedNearDups(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = pairs.count { case (ia, _, ib, _) =>
+      found.contains((ia, ib)) }
+    val recall = recalled / 300.0
+    // analytic 0.147; 300 trials → sd ≈ 0.02. The BOUNDS are the spec:
+    // a blocker resized for τ would have to move the upper bound up.
+    assert(recall >= 0.05 && recall <= 0.30,
+      f"mid-sim recall $recall%.3f departs from the documented " +
+        "~0.15 analytic trade of the 8-bit x 4-table blocker")
+  }
 }
