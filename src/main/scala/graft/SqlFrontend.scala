@@ -32,15 +32,28 @@ object SqlFrontend {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "documents", "embeddings")
 
+  /** Last directory registered per session — registering the catalog is
+    * a once-per-session act (10 parquet footer reads); re-running it on
+    * every sql_* invocation would charge each SQL query ~0.5 s of
+    * catalog setup the DSL queries don't pay. Keyed by session identity
+    * so a fresh session (or a dir switch) re-registers. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
   /** Publish the session catalog: one temp view per testdata table,
     * named exactly like the table (same names the DuckDB oracle uses,
     * so SQL text can be shared verbatim). Events goes through
     * Tables.events — the adaptive ts normalization is a LOADER concern
     * and SQL users get the one canonical schema whatever physical
-    * timestamp generation is on disk. */
+    * timestamp generation is on disk. Idempotent and memoized per
+    * (session, dir). */
   def registerViews(s: SparkSession, d: String): Unit = {
-    rawTables.foreach(n => Tables.table(s, d, n).createOrReplaceTempView(n))
-    Tables.events(s, d).createOrReplaceTempView("events")
+    val key = System.identityHashCode(s)
+    if (registeredDir.put(key, d) != d) {
+      rawTables.foreach(n =>
+        Tables.table(s, d, n).createOrReplaceTempView(n))
+      Tables.events(s, d).createOrReplaceTempView("events")
+    }
   }
 
   private def sqlQ(
