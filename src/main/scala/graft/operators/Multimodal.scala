@@ -626,6 +626,52 @@ object Multimodal {
       FROM m"""))
 
   // ---------------------------------------------------------------------
+  // M2b: the quarantine path, driver-visible — a deterministic subset
+  // of containers (doc_id % 7 == 0) is TRUNCATED to half before the
+  // decode, which every parser provably rejects (the cut always lands
+  // inside a chunk/segment/box or removes the terminator, since the
+  // media bytes ride in the final chunk), and the stage must convert
+  // each rejection into an err row while its healthy neighbors decode
+  // normally. Output: per-mime ok/quarantined counts — the operational
+  // report a crawl's decode stage ships to its dead-letter monitor. The
+  // oracle restates both counts arithmetically from the id rule, so a
+  // green row proves the task survived ~14% malformed input AND
+  // quarantined exactly the planted set, nothing else.
+  // ---------------------------------------------------------------------
+  val m2bDecodeQuarantine = Q(
+    "m2b_decode_quarantine",
+    (s, d) => {
+      import s.implicits._
+      val out = mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions(it => decodeBatch(it.map { r =>
+          val c = containerize(r)
+          if (r.doc_id % 7 == 0)
+            MediaRow(c.doc_id, c.payload.take(c.payload.length / 2), c.mime)
+          else c
+        }))
+      out.toDF()
+        .groupBy(col("mime"))
+        .agg(count(when(col("err").isNull, 1)).as("n_ok"),
+          count(when(col("err").isNotNull, 1)).as("n_quarantined"))
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                       ELSE 'image/jpeg' END)
+               WHEN doc_id % 3 = 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS mime
+        FROM documents)
+      SELECT mime,
+        CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_ok,
+        CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_quarantined
+      FROM m GROUP BY mime"""))
+
+  // ---------------------------------------------------------------------
   // M3: frame sampling as a relational op — every 4th frame index of
   // each video payload becomes a row (the shape a frame-extraction
   // stage feeds to a vision encoder). The frame count is the same
@@ -652,5 +698,6 @@ object Multimodal {
       WHERE n_frames > 0"""))
 
   /** All multimodal queries, registration order. */
-  def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode, m3FrameSample)
+  def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
+    m2bDecodeQuarantine, m3FrameSample)
 }
