@@ -63,8 +63,8 @@ object ExplainAudit {
       "d11_substring_dedup", "c5_temperature_mix", "t12b_countmin_native",
       "d12_semantic_dedup", "s11_generation_union",
       "a15_incremental_index", "a16_retrain_decision", "k6_compaction",
-      "sql_q1_flagship", "sql_f1f2_date_filter", "sql_a5_cosine_topk",
-      "sql_a9b_hll")
+      "m2b_decode_quarantine", "sql_q1_flagship", "sql_f1f2_date_filter",
+      "sql_a5_cosine_topk", "sql_a9b_hll")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
