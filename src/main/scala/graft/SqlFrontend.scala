@@ -122,6 +122,63 @@ object SqlFrontend {
       FROM g GROUP BY lang""",
     operators.LlmOps.a9bHllNative.oracle)
 
+  // Event-time windows in SQL: GROUP BY window(ts, ...) — shares w1's
+  // oracle, so the SQL text, the DSL window() aggregation, and DuckDB's
+  // time_bucket all land on identical buckets.
+  val sqlW1Tumbling: Queries.Q = sqlQ(
+    "sql_w1_tumbling",
+    """SELECT window.start AS w_start, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY window(ts, '5 minutes')""",
+    operators.Windows.w1Tumbling.oracle)
+
+  // Grouping sets in SQL — the second verbatim-ANSI query: Spark and
+  // DuckDB run this exact string (GROUP BY ROLLUP is common syntax).
+  private val x2Ansi =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+  val sqlX2Rollup: Queries.Q = sqlQ(
+    "sql_x2_rollup", x2Ansi, Some(x2Ansi))
+
+  // The count-min sketch through SQL — completes SQL reachability of
+  // all three injected native functions (cosine_sim, hll_estimate,
+  // cm_sketch). Same pipeline as t12b: exact token counts → one
+  // cm_sketch aggregate → per-top-token probes of the flattened
+  // sketch; shares the t12/t12b family oracle, so SQL == native
+  // aggregate == relational == DuckDB. (Unlike the DSL twin, there is
+  // no relational fallback: the SQL text requires the extension, which
+  // Verify/Bench/test sessions all inject.)
+  val sqlT12bCountmin: Queries.Q = sqlQ(
+    "sql_t12b_countmin", {
+      import operators.LlmOps.{CM_D, CM_W}
+      val bucketStructs = (0 until CM_D).map { i =>
+        s"named_struct('depth', $i, 'bucket', " +
+          s"${functions.Portable.h60Sql("tok", s"cm$i|")} % $CM_W)"
+      }.mkString(", ")
+      s"""WITH cnts AS (
+        SELECT tok, count(*) AS n_exact
+        FROM (SELECT explode(split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok),
+      sk AS (
+        SELECT idx div $CM_W AS depth, idx % $CM_W AS bucket, cnt
+        FROM (SELECT posexplode(sk) AS (idx, cnt)
+              FROM (SELECT cm_sketch(tok, n_exact) AS sk FROM cnts))),
+      top AS (
+        SELECT tok, n_exact FROM cnts
+        ORDER BY n_exact DESC, tok ASC LIMIT 10),
+      probes AS (
+        SELECT tok, n_exact, db.depth AS depth, db.bucket AS bucket
+        FROM top LATERAL VIEW explode(array($bucketStructs)) t AS db)
+      SELECT p.tok, p.n_exact, min(s.cnt) AS n_cm,
+        min(s.cnt) - p.n_exact AS overcount
+      FROM probes p JOIN sk s ON s.depth = p.depth AND s.bucket = p.bucket
+      GROUP BY p.tok, p.n_exact"""
+    },
+    operators.LlmOps.t12bCountminNative.oracle)
+
   def all: Seq[Queries.Q] =
-    Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll)
+    Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
+      sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin)
 }
