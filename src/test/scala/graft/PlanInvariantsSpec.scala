@@ -38,6 +38,20 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(!p.contains("Exchange"), "s1 is scan+filter+project only")
   }
 
+  test("events ts range predicates push into the parquet scan") {
+    // the r12 NTZ read path's point: ts loads verbatim as UTC micros
+    // (no cast layer wrapping the column), so a range predicate on ts
+    // must reach the footer as a PushedFilter — on a 100 TB lake that
+    // is the difference between pruning row groups and decoding them
+    import org.apache.spark.sql.functions._
+    val p = graft.Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-02").cast("timestamp"))
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"ts range filter must push to the scan:\n$p")
+  }
+
   test("rest source: pushed predicates prune partitions before the scan") {
     import org.apache.spark.sql.functions._
     val df = spark.read
