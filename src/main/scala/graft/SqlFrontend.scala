@@ -35,10 +35,15 @@ object SqlFrontend {
   /** Last directory registered per session — registering the catalog is
     * a once-per-session act (10 parquet footer reads); re-running it on
     * every sql_* invocation would charge each SQL query ~0.5 s of
-    * catalog setup the DSL queries don't pay. Keyed by session identity
-    * so a fresh session (or a dir switch) re-registers. */
+    * catalog setup the DSL queries don't pay. Keyed on the SparkSession
+    * OBJECT in a WeakHashMap (identity semantics without the
+    * identityHashCode-collision hazard across newSession()/GC reuse —
+    * r12 advice), synchronized because sql_* queries may register from
+    * concurrent threads, and weak so a retired session's entry is
+    * collectable rather than pinned forever. */
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Publish the session catalog: one temp view per testdata table,
     * named exactly like the table (same names the DuckDB oracle uses,
@@ -46,13 +51,23 @@ object SqlFrontend {
     * Tables.events — the adaptive ts normalization is a LOADER concern
     * and SQL users get the one canonical schema whatever physical
     * timestamp generation is on disk. Idempotent and memoized per
-    * (session, dir). */
+    * (session, dir); the memo records the dir only AFTER every view
+    * registered, so a mid-registration failure retries next call
+    * instead of caching a half-built catalog (r12 advice). On a memo
+    * hit the views' cached parquet file indexes are refreshed — the
+    * testdata dir is regenerated in place between driver rounds, and a
+    * session spanning a regeneration must re-list files like the DSL
+    * loaders do, not serve the stale index. refreshTable only
+    * invalidates (re-listing happens lazily at next use), so the hit
+    * path stays ~free vs the ~0.5 s footer-read registration. */
   def registerViews(s: SparkSession, d: String): Unit = {
-    val key = System.identityHashCode(s)
-    if (registeredDir.put(key, d) != d) {
+    if (registeredDir.get(s) != d) {
       rawTables.foreach(n =>
         Tables.table(s, d, n).createOrReplaceTempView(n))
       Tables.events(s, d).createOrReplaceTempView("events")
+      registeredDir.put(s, d)
+    } else {
+      (rawTables :+ "events").foreach(n => s.catalog.refreshTable(n))
     }
   }
 

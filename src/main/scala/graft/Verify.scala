@@ -19,6 +19,11 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read nanos as long once,
       // session-wide, instead of mutating conf inside table loaders.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NTZ micros read verbatim as UTC TimestampType, set at session
+      // construction so read semantics never depend on which loader ran
+      // first (r12 advice; Tables.ensureNtzReadAsUtc stays as the
+      // fallback for driver-built sessions).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

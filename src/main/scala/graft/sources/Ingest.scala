@@ -751,9 +751,16 @@ object Ingest {
         .withColumn("n_files_before", lit(nBefore))
         .withColumn("n_files_after", lit(nAfter))
     },
+    // n_files_before: round-robin repartition(64) writes one file per
+    // NON-EMPTY partition, so a fixture smaller than 64 rows yields
+    // `rows` files, not 64 — least() keeps the oracle honest at tiny
+    // scale factors (r12 advice). n_files_after keeps the arithmetic
+    // ceil(rows/4000): at any sf where rows<4000, nOut=1 (no empty-range
+    // risk), and at the pinned sf each 4000-row range is dense.
     Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-      CAST($K6_FRAG_FILES AS BIGINT) AS n_files_before,
+      CAST(least((SELECT count(*) FROM events), $K6_FRAG_FILES)
+        AS BIGINT) AS n_files_before,
       CAST(ceil(CAST((SELECT count(*) FROM events) AS DOUBLE)
         / $K6_ROWS_PER_FILE) AS BIGINT) AS n_files_after
       FROM events GROUP BY event_type"""))

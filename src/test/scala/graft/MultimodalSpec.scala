@@ -241,4 +241,28 @@ class MultimodalSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Multimodal.decodeJpeg(cut))
     assert(e.getMessage.contains("entropy"))
   }
+
+  test("M2b: each planted fixture truncation individually fails to parse") {
+    // m2b's oracle restates ok/quarantined counts purely arithmetically
+    // from doc_id % 7, which silently assumes EVERY half-truncated
+    // container is rejected by its parser. Assert that invariant doc by
+    // doc over the real fixture, so a future containerize tweak that
+    // leaves some half-prefix parseable surfaces as a named test
+    // failure here, not an oracle-hash red (r12 advice).
+    import spark.implicits._
+    val planted = Multimodal.mediaFrame(spark, sf)
+      .select(col("doc_id"), col("payload"), col("mime"))
+      .as[MediaRow]
+      .collect()
+      .filter(_.doc_id % 7 == 0)
+    assert(planted.nonEmpty, "fixture must contain doc_id % 7 == 0 rows")
+    planted.foreach { r =>
+      val c = Multimodal.containerize(r)
+      val cut = MediaRow(c.doc_id, c.payload.take(c.payload.length / 2), c.mime)
+      val dec = Multimodal.decodeBatch(Iterator(cut)).next()
+      assert(dec.err.isDefined,
+        s"doc ${r.doc_id} (${r.mime}, ${c.payload.length} B) " +
+          "still parsed after half-truncation")
+    }
+  }
 }

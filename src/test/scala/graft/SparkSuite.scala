@@ -19,6 +19,11 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NTZ micros read verbatim as UTC TimestampType, set at session
+      // construction so read semantics never depend on which loader ran
+      // first (r12 advice; Tables.ensureNtzReadAsUtc stays as the
+      // fallback for driver-built sessions).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
