@@ -1114,6 +1114,140 @@ object Ann {
       FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id"""))
 
   // ---------------------------------------------------------------------
+  // D12b: the OTHER branch of the r11/r12 advice — the same SemDeDup
+  // election as d12, but fed by a band set SIZED FOR τ = 0.4 instead of
+  // the near-duplicate blocker. Fewer bits per band and more tables
+  // move the sign-LSH S-curve left: per-bit collision p = 1 - acos(c)/π
+  // gives pair recall 1-(1-p^b)^L, so at b = 4, L = 8 a pair at cosine
+  // 0.4 (p = 0.631) is recalled at ≈ 0.75, at 0.5 ≈ 0.83, at 0.6 ≈ 0.90
+  // — against d12's 8-bit × 4-table ≈ 0.15 at cosine 0.5
+  // (BandedLshRecallSpec pins both analytic curves on planted
+  // fixed-cosine pairs). The τ=0.4 election therefore sees the mid-band
+  // semantic duplicates d12's blocker drops.
+  //
+  // THE COST, stated plainly: selectivity per table is (p(c)/p(0))^b =
+  // 1.26^4 ≈ 2.5× over random pairs, so 4-bit bands admit ~L/2^b ≈ 50%
+  // of an uncorrelated corpus — sign-LSH cannot be simultaneously
+  // high-recall at τ = 0.4 and sublinear on candidates (the analytic
+  // wall: admit ≥ 75% at 0.4 while rejecting 99% random needs ~19 bits
+  // and ~4000 tables). This form is therefore the WITHIN-SHARD /
+  // mid-size-corpus tool; at 100 TB the paper-faithful path remains
+  // Σ|cell|² with K grown ∝ N (the D12 header's swap point —
+  // semanticElectOver takes any pair list). D12B_CAP bounds the
+  // worst-case per-bucket pair work exactly as BUCKET_CAP does for d4,
+  // sized to the 2^4-bucket geometry (a 4-bit bucket legitimately
+  // holds N/16 of the corpus, so d4's 64-cap would drop every bucket).
+  // ---------------------------------------------------------------------
+  private val D12B_TABLES = 8
+  private val D12B_BITS = 4
+  private val D12B_CAP = 1024
+
+  /** Highest 1-based dimension the τ band set reads: table 7, bit 3. */
+  private val D12B_MAX_DIM =
+    (D12B_TABLES - 1) * 8 + (D12B_BITS - 1) * 2 + 2
+
+  /** Table `t`'s τ-sized band key: 4 sign bits over dims
+    * {t*8 + 2i + 2} (1-based; 8-stride keeps the 8 tables on disjoint
+    * dimensions of a 64-dim embedding). Same per-row dimension guard as
+    * [[d4BandKey]]. */
+  private def d12bBandKey(t: Int, embCol: String): Column = {
+    val key = (0 until D12B_BITS).map { i =>
+      when(expr(s"element_at($embCol, ${t * 8 + i * 2 + 2})") > 0,
+        lit(1 << (D12B_BITS - 1 - i))).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+    when(size(col(embCol)) >= D12B_MAX_DIM, key)
+      .otherwise(raise_error(concat(
+        lit(s"d12bBandKey: embedding dimension "), size(col(embCol)),
+        lit(s" < required $D12B_MAX_DIM"))))
+  }
+
+  /** The τ-sized candidate generation + exact cosine rescore over any
+    * (vec_id, emb) frame — [[bandedNearDups]] with the b=4, L=8 band
+    * geometry and its own cap; pairs are emitted at sim ≥ [[D12_TAU]]
+    * (the election threshold IS the blocker's floor here — this band
+    * set exists to reach τ, not 0.3-band reporting). Split from the Q
+    * so BandedLshRecallSpec can drive it with planted fixed-cosine
+    * pairs. */
+  private[graft] def bandedNearDupsTau(s: SparkSession, e: DataFrame)
+      : DataFrame = {
+    val bands = e.select(col("vec_id"),
+      explode(array((0 until D12B_TABLES).map(t =>
+        struct(lit(t).as("tbl"), d12bBandKey(t, "emb").as("bkey"))): _*))
+        .as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"),
+        col("b.bkey").as("bkey"))
+    val kept = LlmOps.capBuckets(bands, Seq("tbl", "bkey"), D12B_CAP)
+    val cand = kept.select(col("vec_id").as("id_a"), col("tbl"),
+      col("bkey"))
+      .join(kept.select(col("vec_id").as("id_b"), col("tbl"),
+        col("bkey")), Seq("tbl", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("emb").as("emb_a")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(s, "emb_a", "emb_b"), 6).as("sim"))
+      .filter(col("sim") >= D12_TAU)
+  }
+
+  /** [[bandedNearDupsTau]]'s pair list as DuckDB CTEs — same contract
+    * as [[bandedPairsCtesSql]] (needs an `e` CTE with
+    * (vec_id, emb DOUBLE[], nrm) in scope). */
+  private def bandedPairsTauCtesSql: String = {
+    val bandSelects = (0 until D12B_TABLES).map { t =>
+      val bits = (0 until D12B_BITS).map { i =>
+        s"(CASE WHEN emb[${t * 8 + i * 2 + 2}] > 0 " +
+          s"THEN ${1 << (D12B_BITS - 1 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
+    }.mkString(" UNION ALL ")
+    s"""bands AS ($bandSelects),
+      bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+      kept AS (
+        SELECT b.vec_id, b.tbl, b.bkey FROM bands b
+        JOIN bsz z ON z.tbl = b.tbl AND z.bkey = b.bkey
+          AND z.c <= $D12B_CAP),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b,
+          round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+            AS sim
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b
+        WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+              >= $D12_TAU)"""
+  }
+
+  val d12bSemanticRecall = Q(
+    "d12b_semantic_recall",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      semanticElectOver(kmeansAssign(s, d), bandedNearDupsTau(s, e))
+    },
+    Some(s"""$KMEANS_CTES,
+      $bandedPairsTauCtesSql,
+      dropped AS (
+        SELECT DISTINCT
+          CASE WHEN va.csim < vb.csim
+                 OR (va.csim = vb.csim AND p.id_a < p.id_b)
+               THEN p.id_b ELSE p.id_a END AS vec_id
+        FROM pairs p
+        JOIN a2 va ON va.vec_id = p.id_a
+        JOIN a2 vb ON vb.vec_id = p.id_b
+        WHERE va.cell = vb.cell AND p.sim >= $D12_TAU)
+      SELECT a2.vec_id, a2.cell, a2.csim,
+        (d.vec_id IS NULL) AS kept
+      FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id"""))
+
+  // ---------------------------------------------------------------------
   // A15: incremental index maintenance — the d10 analog for the ANN
   // family. A production vector index is never retrained per batch: new
   // embeddings route into the STANDING index's cells through its frozen
@@ -1292,5 +1426,5 @@ object Ann {
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
-      a15IncrementalIndex, a16RetrainDecision)
+      d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision)
 }

@@ -76,4 +76,42 @@ class BandedLshRecallSpec extends SparkSuite {
       f"mid-sim recall $recall%.3f departs from the documented " +
         "~0.15 analytic trade of the 8-bit x 4-table blocker")
   }
+
+  test("tau-sized band set (4-bit x 8-table) hits the analytic recall curve at cosine 0.4-0.6") {
+    // d12b's blocker exists to reach τ = 0.4: with b = 4 bits and L = 8
+    // tables, 1-(1-p^b)^L reads ≈ 0.79 / 0.83 / 0.90 at cosine
+    // 0.45 / 0.5 / 0.6 — the mid-band recall d12's 8-bit × 4-table
+    // blocker gives up (~0.15 at 0.5, the test above). Plant 300 exact-
+    // cosine pairs per c and pin the measured recall to the analytic
+    // figure (±0.10 ≈ 4 binomial sd at n = 300). c = 0.45 not 0.40 at
+    // the low end: the blocker emits pairs at sim ≥ τ, and a pair
+    // planted AT the threshold rounds to either side of it in float32.
+    val rnd = new scala.util.Random(13)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    for (c <- Seq(0.45, 0.5, 0.6)) {
+      val pairs = (0 until 300).map { i =>
+        val a = unit(Array.fill(64)(rnd.nextGaussian()))
+        val w0 = Array.fill(64)(rnd.nextGaussian())
+        val proj = a.zip(w0).map { case (x, y) => x * y }.sum
+        val w = unit(w0.zip(a).map { case (y, x) => y - proj * x })
+        val b = a.zip(w).map { case (x, y) =>
+          c * x + math.sqrt(1 - c * c) * y }
+        (i.toLong, a.map(_.toFloat), (i + 10000L), b.map(_.toFloat))
+      }
+      val e = pairs.flatMap { case (ia, va, ib, vb) =>
+        Seq((ia, va), (ib, vb)) }.toDF("vec_id", "emb")
+      val found = operators.Ann.bandedNearDupsTau(spark, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = pairs.count { case (ia, _, ib, _) =>
+        found.contains((ia, ib)) } / 300.0
+      val p = 1 - math.acos(c) / math.Pi
+      val analytic = 1 - math.pow(1 - math.pow(p, 4), 8)
+      assert(math.abs(recall - analytic) <= 0.10,
+        f"c=$c%.2f: measured recall $recall%.3f vs analytic " +
+          f"$analytic%.3f for the 4-bit x 8-table band set")
+    }
+  }
 }
