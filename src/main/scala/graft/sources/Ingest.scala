@@ -1020,6 +1020,47 @@ object Ingest {
       GROUP BY resource, date"""))
 
   // ---------------------------------------------------------------------
+  // S2e driver-visible: the credential lifecycle through the same
+  // connector (fitbit_utils.py:116-154 acquire, 157-185 refresh, minus
+  // the browser). The sim server rejects any token below generation 2
+  // (simulate401MinGen=2); the GenTokenProvider starts at gen 0, so the
+  // FIRST fetch unit must walk 401 → refresh → 401 → refresh → 200
+  // before any row flows, and every later unit rides the refreshed
+  // JVM-wide credential. A hash-identical result to the fault-free
+  // oracle is possible ONLY if refresh-on-401 actually recovered the
+  // scan — an unrecovered 401 fails the query loudly, never silently
+  // yields fewer rows. Refresh single-flight + failure-path contracts
+  // are spec'd in RestSourceSpec.
+  // ---------------------------------------------------------------------
+  val s2eTokenRefresh = Q(
+    "s2e_token_refresh",
+    (s, _) =>
+      s.read.format("graft.sources.rest.RestIntradaySource")
+        .option("resources", "steps,calories")
+        .option("start", "2024-04-01").option("end", "2024-04-05")
+        .option("tokenProvider", "graft.sources.rest.GenTokenProvider")
+        .option("simulate401MinGen", "2")
+        .option("maxRetries", "3")
+        .load()
+        .groupBy(col("resource"), col("date"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value")),
+    Some("""WITH days AS (
+        SELECT strftime(CAST(g AS DATE), '%Y-%m-%d') AS date
+        FROM generate_series(DATE '2024-04-01', DATE '2024-04-05',
+                             INTERVAL 1 DAY) t(g)),
+      res AS (SELECT unnest(['steps', 'calories']) AS resource),
+      mins AS (
+        SELECT lpad(CAST(m // 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(m % 60 AS VARCHAR), 2, '0') AS time
+        FROM generate_series(0, 1439) t2(m))
+      SELECT resource, date, count(*) AS n_rows,
+        CAST(sum(CAST(concat('0x', substring(md5(
+          concat('iv|', resource, '|', date, '|', time)), 1, 15))
+          AS BIGINT) % 1000) AS BIGINT) AS sum_value
+      FROM res CROSS JOIN days CROSS JOIN mins
+      GROUP BY resource, date"""))
+
+  // ---------------------------------------------------------------------
   // S10: snapshot diff — the CDC primitive over K2's date-stamped
   // snapshots: given the same keyed aggregate taken at two cuts, emit
   // added / removed / changed keys (the upsert-and-tombstone stream a
@@ -1173,6 +1214,6 @@ object Ingest {
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
     s2RestSource, s2bHeart1sec, s2cThirtyDay, f6MissingDates,
-    f8ResourceValidation, s2dRetry429, s9JsonlSource, s10SnapshotDiff,
-    s11GenerationUnion)
+    f8ResourceValidation, s2dRetry429, s2eTokenRefresh, s9JsonlSource,
+    s10SnapshotDiff, s11GenerationUnion)
 }

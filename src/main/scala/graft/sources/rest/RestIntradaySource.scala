@@ -84,7 +84,10 @@ class RestIntradaySource extends TableProvider {
       fail429Dates = opt("simulate429Dates")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty),
-      fail429Count = opt("simulate429Count").map(_.toInt).getOrElse(0))
+      fail429Count = opt("simulate429Count").map(_.toInt).getOrElse(0),
+      token = opt("token"),
+      tokenProviderClass = opt("tokenProvider"),
+      fail401MinGen = opt("simulate401MinGen").map(_.toInt).getOrElse(0))
     new RestIntradayTable(resources, req("start"), req("end"),
       Option(properties.get("missingDates")).getOrElse(""), fetch,
       opt("daysPerBatch").map(_.toInt).getOrElse(1))
@@ -112,17 +115,103 @@ class RestIntradaySource extends TableProvider {
   *    these dates throws a simulated 429 on its first `count` attempts.
   *    Production code would replace the injected throw with the real
   *    HTTP status check; the retry/pacing machinery is identical.
+  *  - `token` / `tokenProvider`: the credential lifecycle
+  *    (fitbit_utils.py:116-154 acquire, 157-185 refresh — minus the
+  *    interactive browser step, which has no headless analogue).
+  *    `token` is a static bearer credential; `tokenProvider` names a
+  *    [[RestTokenProvider]] implementation (no-arg constructor,
+  *    instantiated reflectively PER EXECUTOR JVM — credentials are
+  *    JVM-local state, never serialized through the plan). On an HTTP
+  *    401 the reader refreshes through the provider and retries;
+  *    refresh with only a static token, or a provider whose refresh
+  *    throws, fails LOUDLY — an expired credential must never
+  *    silently yield empty data.
+  *  - `simulate401MinGen`: fault injection for the 401 path — the
+  *    stand-in "server" rejects any request presenting a token of
+  *    generation below N (generation = trailing integer of the token
+  *    string, the sim contract [[RestFetchRuntime.tokenGen]]), so a
+  *    provider starting at gen 0 must refresh N times before data
+  *    flows. Production code replaces the check with the real status.
   */
 final case class RestFetchOptions(
     maxRequestsPerSecond: Option[Double],
     maxRetries: Int,
     retryBackoffMs: Long,
     fail429Dates: Set[String],
-    fail429Count: Int)
+    fail429Count: Int,
+    token: Option[String] = None,
+    tokenProviderClass: Option[String] = None,
+    fail401MinGen: Int = 0) {
+  def hasTokenConfig: Boolean = token.nonEmpty || tokenProviderClass.nonEmpty
+}
 
 object RestFetchOptions {
   val default: RestFetchOptions =
     RestFetchOptions(None, 3, 100L, Set.empty, 0)
+}
+
+/** Credential source for the REST connector — the engine analogue of the
+  * reference's OAuth2Session acquire/refresh pair
+  * (fitbit_utils.py:116-154, 157-185). Implementations need a no-arg
+  * constructor (named by the `tokenProvider` option, instantiated per
+  * executor JVM); a production implementation would read a client
+  * secret from the environment and POST the refresh grant. */
+trait RestTokenProvider {
+  /** The initial access token (the stored grant a production provider
+    * would load — the reference's `load_token`, fitbit_utils.py:92-113). */
+  def initialToken(): String
+  /** Exchange a rejected token for a fresh one (the refresh grant,
+    * fitbit_utils.py:157-185). Throwing here is a TERMINAL auth failure
+    * and surfaces loudly. */
+  def refresh(expired: String): String
+}
+
+/** Deterministic provider for specs and the s2e query: tokens are
+  * "tok-<gen>", refresh increments the generation — the shape of a real
+  * refresh-token rotation with the HTTP exchange stubbed (no egress). */
+final class GenTokenProvider extends RestTokenProvider {
+  override def initialToken(): String = "tok-0"
+  override def refresh(expired: String): String =
+    s"tok-${RestFetchRuntime.tokenGen(expired) + 1}"
+}
+
+/** Provider whose refresh endpoint is down — drives the loud-failure
+  * contract in RestSourceSpec. */
+final class FailingTokenProvider extends RestTokenProvider {
+  override def initialToken(): String = "tok-0"
+  override def refresh(expired: String): String =
+    throw new java.io.IOException(
+      "refresh endpoint returned 400 (invalid_grant)")
+}
+
+/** Per-scan credential state, one per executor JVM (registry in
+  * [[RestFetchRuntime]]): all reader threads of a scan present the SAME
+  * current token, and a 401 refreshes it SINGLE-FLIGHT — the first
+  * rejected reader swaps the token, concurrent rejects of the same
+  * generation reuse the fresh one instead of burning refresh grants
+  * (refresh responses are not idempotent in real OAuth: each rotation
+  * can invalidate the previous refresh token). */
+final class RestTokenState(
+    provider: Option[RestTokenProvider], static: Option[String]) {
+  @volatile private var tok: String =
+    provider.map(_.initialToken()).orElse(static).getOrElse("")
+  def current: String = tok
+  /** Refresh iff the caller's rejected token is still current. */
+  def refreshFrom(seen: String): String = synchronized {
+    if (tok == seen) {
+      val p = provider.getOrElse(throw new IllegalStateException(
+        "HTTP 401: the static `token` was rejected and no `tokenProvider`" +
+          " is configured to refresh it — re-authenticate and restart"))
+      tok =
+        try p.refresh(seen)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"token refresh failed after HTTP 401: ${e.getMessage}", e)
+        }
+      RestFetchRuntime.refreshes.incrementAndGet()
+    }
+    tok
+  }
 }
 
 /** Minimum-interval pacing limiter: admits one request per 1/rate sec,
@@ -163,9 +252,40 @@ object RestFetchRuntime {
   /** Drop a limiter when its scan/stream is done (streams call this from
     * stop(); batch scans use deterministic option-derived keys, so they
     * reuse entries instead of leaking one per scan). */
-  def release(key: String): Unit = { limiters.remove(key); () }
+  def release(key: String): Unit = {
+    limiters.remove(key); tokens.remove(key); ()
+  }
+
+  // Per-scan credential registry, same keying/lifetime discipline as the
+  // limiters: batch scans of identical options share one standing OAuth
+  // state (a re-run presents the already-refreshed token, like a real
+  // long-lived client), streams hold one for their lifetime.
+  private val tokens =
+    scala.collection.concurrent.TrieMap.empty[String, RestTokenState]
+  def tokenState(key: String, fetch: RestFetchOptions)
+      : Option[RestTokenState] =
+    if (!fetch.hasTokenConfig) None
+    else {
+      if (tokens.size > 1024) tokens.clear()
+      Some(tokens.getOrElseUpdate(key, new RestTokenState(
+        fetch.tokenProviderClass.map(cn =>
+          Class.forName(cn).getDeclaredConstructor().newInstance()
+            .asInstanceOf[RestTokenProvider]),
+        fetch.token)))
+    }
+
+  /** Sim contract for `simulate401MinGen`: a token's generation is its
+    * trailing integer ("tok-3" → 3); tokens without one are gen 0. */
+  def tokenGen(tok: String): Int = {
+    val i = tok.lastIndexOf('-')
+    if (i < 0) 0
+    else tok.substring(i + 1).toIntOption.getOrElse(0)
+  }
+
   val requests = new java.util.concurrent.atomic.AtomicLong
   val simulated429s = new java.util.concurrent.atomic.AtomicLong
+  val simulated401s = new java.util.concurrent.atomic.AtomicLong
+  val refreshes = new java.util.concurrent.atomic.AtomicLong
 }
 
 object RestIntradaySource {
@@ -352,9 +472,13 @@ final class RestIntradayScanBuilder(
       // the same table REUSE the bucket (same API budget — and no
       // registry entry leaked per scan), and tables with different
       // options get separate buckets
+      // fetch.hashCode folds ALL fetch-discipline options (pacing,
+      // fault-sim, token config) into the key, so differently-
+      // configured scans of the same table range never share a pacing
+      // bucket or credential state
       new RestReaderFactory(required, fetch,
         s"batch|${allResources.mkString(",")}|$start|$end|" +
-          s"${fetch.maxRequestsPerSecond.getOrElse(0.0)}")
+          s"${fetch.hashCode}")
 
     // ---- streaming form: the daily incremental ingest AS a stream ----
     // (fitbit_utils.py:224-232's date loop, re-expressed as Structured
@@ -484,15 +608,19 @@ final class RestReaderFactory(
       private var fetched = false
 
       /** One "request" per fetch unit, with the connector's fetch
-        * discipline: pace via the shared per-JVM bucket, then retry a
-        * retriable failure (simulated 429 here; HTTP 429/5xx in
-        * production) up to maxRetries times with exponential backoff —
-        * the reference's sleep-and-retry loops, executor-side
-        * (fitbit_utils.py:38-43,309-329; utils.py:337-347). Lazy: a
-        * pruned-away partition never spends a request. */
+        * discipline: pace via the shared per-JVM bucket, present the
+        * scan's current credential, then handle the failure classes the
+        * reference handles — 401 refreshes the token (single-flight)
+        * and retries immediately (fresh credential, not rate pressure,
+        * so no backoff sleep; fitbit_utils.py:157-185), a retriable
+        * 429/5xx retries with exponential backoff
+        * (fitbit_utils.py:38-43,309-329; utils.py:337-347) — each up to
+        * maxRetries before failing LOUDLY. Lazy: a pruned-away
+        * partition never spends a request. */
       private def fetchOnce(): Unit = {
         val limiter = fetch.maxRequestsPerSecond
           .map(RestFetchRuntime.limiter(limiterKey, _))
+        val tokState = RestFetchRuntime.tokenState(limiterKey, fetch)
         val failing = fetch.fail429Count > 0 &&
           part.dates.exists(fetch.fail429Dates)
         var attempt = 0
@@ -500,7 +628,24 @@ final class RestReaderFactory(
         while (!ok) {
           limiter.foreach(_.acquire())
           RestFetchRuntime.requests.incrementAndGet()
-          if (failing && attempt < fetch.fail429Count) {
+          val tok = tokState.map(_.current)
+          if (fetch.fail401MinGen > 0 &&
+              RestFetchRuntime.tokenGen(tok.getOrElse("")) <
+                fetch.fail401MinGen) {
+            RestFetchRuntime.simulated401s.incrementAndGet()
+            if (attempt >= fetch.maxRetries)
+              throw new java.io.IOException(
+                s"HTTP 401 (simulated) for ${part.resource} " +
+                  s"${part.dates.headOption.getOrElse("-")}: token still " +
+                  s"rejected after ${attempt + 1} attempts " +
+                  s"(maxRetries=${fetch.maxRetries})")
+            val state = tokState.getOrElse(throw new IllegalStateException(
+              s"HTTP 401 (simulated) for ${part.resource} and no `token`/" +
+                "`tokenProvider` configured — the request cannot be " +
+                "authenticated"))
+            state.refreshFrom(tok.get)
+            attempt += 1
+          } else if (failing && attempt < fetch.fail429Count) {
             RestFetchRuntime.simulated429s.incrementAndGet()
             if (attempt >= fetch.maxRetries)
               throw new java.io.IOException(

@@ -298,4 +298,86 @@ class RestSourceSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("no_such_resource"))
   }
+
+  test("auth: a 401 refreshes through the tokenProvider and the scan " +
+    "recovers; refreshes are single-flight per generation") {
+    import graft.sources.rest.RestFetchRuntime
+    val r0 = RestFetchRuntime.refreshes.get()
+    val e0 = RestFetchRuntime.simulated401s.get()
+    // 3 days x 2 resources = 6 fetch units race on ONE JVM credential;
+    // the sim server rejects generations < 2, the provider starts at 0
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps,calories")
+      .option("start", "2024-05-01").option("end", "2024-05-03")
+      .option("tokenProvider", "graft.sources.rest.GenTokenProvider")
+      .option("simulate401MinGen", "2")
+      .option("maxRetries", "3")
+      .load()
+    // full data: every unit recovered through the refreshed credential
+    assert(df.count() ===
+      6L * RestIntradaySource.MINUTES_PER_DAY)
+    assert(RestFetchRuntime.simulated401s.get() - e0 >= 2,
+      "the gen-0 and gen-1 tokens must each have been rejected")
+    // single-flight: exactly one refresh per rejected GENERATION, no
+    // matter how many readers saw the 401 concurrently
+    assert(RestFetchRuntime.refreshes.get() - r0 === 2,
+      "concurrent 401s of one generation must share one refresh")
+  }
+
+  test("auth: a static token that gets a 401 fails loudly - no provider " +
+    "to refresh with") {
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps")
+      .option("start", "2024-05-10").option("end", "2024-05-10")
+      .option("token", "stale-static-credential")
+      .option("simulate401MinGen", "1")
+      .load()
+    val e = intercept[Exception] { df.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("401") && m.contains("tokenProvider")),
+      s"a static-token 401 must explain the missing provider: ${messages(e)}")
+  }
+
+  test("auth: a failing refresh endpoint is a terminal, loud error") {
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps")
+      .option("start", "2024-05-11").option("end", "2024-05-11")
+      .option("tokenProvider", "graft.sources.rest.FailingTokenProvider")
+      .option("simulate401MinGen", "1")
+      .load()
+    val e = intercept[Exception] { df.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("token refresh failed")),
+      s"refresh failure must surface, got: ${messages(e)}")
+    assert(messages(e).exists(_.contains("invalid_grant")),
+      "the provider's own failure reason must ride along")
+  }
+
+  test("auth: a 401 persisting past maxRetries surfaces as a task error") {
+    // provider refreshes fine, but the server wants generation 9 - the
+    // retry budget (2) runs out first and must fail LOUDLY
+    val df = spark.read
+      .format("graft.sources.rest.RestIntradaySource")
+      .option("resources", "steps")
+      .option("start", "2024-05-12").option("end", "2024-05-12")
+      .option("tokenProvider", "graft.sources.rest.GenTokenProvider")
+      .option("simulate401MinGen", "9")
+      .option("maxRetries", "2")
+      .load()
+    val e = intercept[Exception] { df.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("401") && m.contains("maxRetries")),
+      s"exhausted 401 retries must propagate, got: ${messages(e)}")
+  }
 }
