@@ -193,7 +193,110 @@ object SqlFrontend {
     },
     operators.LlmOps.t12bCountminNative.oracle)
 
+  // Exact dedup as SQL text — the first d-family query through the SQL
+  // surface; shares d1's oracle, so SQL text == DSL fingerprintsOf ==
+  // DuckDB on the one normalization definition. (Dialect note: Spark's
+  // parser unescapes string literals, so the regex is '\\s+' where the
+  // DuckDB text writes '\s+' with an explicit 'g' flag — Spark's
+  // regexp_replace is global by default.)
+  val sqlD1Dedup: Queries.Q = sqlQ(
+    "sql_d1_dedup",
+    """SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h,
+      min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY h""",
+    operators.LlmOps.d1DedupExact.oracle)
+
+  // Near-dup cluster assembly as SQL text, sharing d7's oracle. The
+  // oracle's WITH RECURSIVE reach/labels fixpoint cannot run on Spark
+  // 4.1: recursive CTEs accept only UNION ALL ([UNION_NOT_SUPPORTED_
+  // IN_RECURSIVE_CTE]), and UNION ALL min-propagation diverges on the
+  // cyclic near-dup graph (a label re-enters every cycle endlessly, so
+  // the recursion only stops at the level limit — as an error). The
+  // SQL form therefore UNROLLS the propagation: l0 is the closed-
+  // neighborhood min (the DSL's fused star init, which alone converges
+  // the clique-glued near-dup components — measured 1 confirmation
+  // round at sf0.01 AND sf0.1), plus 4 unrolled min-propagation rounds
+  // of safety margin. Convergence is still externally CHECKED, twice:
+  // the DuckDB oracle computes the TRUE fixpoint (an unconverged l4
+  // hash-mismatches loudly), and SqlSurfaceSpec pins sql == DSL
+  // label-for-label.
+  //
+  // SHAPE DISCIPLINE (the first form of this read 45 s at sf0.1, 16×
+  // the DSL twin): without persist() — which SQL text cannot express —
+  // every CTE reference re-expands its subtree into the plan, so the
+  // chain must be STRICTLY LINEAR. Three rules keep it so: (1) the
+  // self-loop rides inside `symz` via one explode-shaped UNION-free
+  // scan of `edges`, so a round is ONE join+agg over symz and the
+  // previous round — the naive `propagate UNION ALL carry-over` form
+  // references l(k-1) twice and expands the l0 subtree 2^rounds times;
+  // (2) cluster_size is a window count over the final labels, not a
+  // join against a separate GROUP BY (which would evaluate the whole
+  // chain twice); (3) the repeated symz references collapse to
+  // ReusedExchange/ReusedStage because the subtrees stay identical.
+  val sqlD7Clusters: Queries.Q = sqlQ(
+    "sql_d7_clusters", {
+      import operators.LlmOps.{ANCHORS, BUCKET_CAP}
+      val rounds = 4
+      val prop = (1 to rounds).map { k =>
+        s"""l$k AS (
+          SELECT s.v AS v, min(l.lbl) AS lbl
+          FROM symz s JOIN l${k - 1} l ON l.v = s.n
+          GROUP BY s.v)"""
+      }.mkString(",\n      ")
+      s"""WITH toks AS (
+        SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, ${functions.Portable.h60Sql("g", "ng|")} AS gh
+        FROM (SELECT doc_id, explode(transform(sequence(0, size(t)-3),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+              FROM toks WHERE size(t) >= 3)),
+      anchors AS (
+        SELECT doc_id, gh AS anchor FROM (
+          SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id
+            ORDER BY gh ASC) AS rn FROM grams) t
+        WHERE rn <= $ANCHORS),
+      asz AS (SELECT anchor, count(*) AS c FROM anchors GROUP BY anchor),
+      akept AS (
+        SELECT a.doc_id, a.anchor FROM anchors a
+        JOIN asz z ON z.anchor = a.anchor AND z.c <= $BUCKET_CAP),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM akept a JOIN akept b
+          ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.id_a
+        JOIN grams gb ON gb.doc_id = c.id_b AND gb.gh = ga.gh
+        GROUP BY c.id_a, c.id_b),
+      pstats AS (
+        SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
+          za.n AS na, zb.n AS nb
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b),
+      edges AS (SELECT id_a, id_b FROM pstats
+        WHERE ni * 5 >= na + nb - ni),
+      symz AS (
+        SELECT e.v, e.n FROM (
+          SELECT explode(array(
+            named_struct('v', id_a, 'n', id_b),
+            named_struct('v', id_b, 'n', id_a),
+            named_struct('v', id_a, 'n', id_a),
+            named_struct('v', id_b, 'n', id_b))) AS e
+          FROM edges)),
+      l0 AS (SELECT v, min(n) AS lbl FROM symz GROUP BY v),
+      $prop
+      SELECT v AS doc_id, lbl AS cluster_id,
+        count(*) OVER (PARTITION BY lbl) AS cluster_size
+      FROM l$rounds"""
+    },
+    operators.LlmOps.d7DedupCc.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
-      sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin)
+      sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
+      sqlD7Clusters)
 }

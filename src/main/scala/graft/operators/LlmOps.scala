@@ -491,7 +491,7 @@ object LlmOps {
   // AQE can rebalance a skewed partition but not shrink a bucket's
   // pair count.
   // ---------------------------------------------------------------------
-  private val ANCHORS = 2
+  private[graft] val ANCHORS = 2
 
   /** Distinct word n-grams per doc, identified by their seeded 60-bit
     * hash — the unit sets for d5's Jaccard (n=3) and d6's overlap probe

@@ -52,4 +52,26 @@ class SqlSurfaceSpec extends SparkSuite {
       assert(n === 1440L)
     } finally spark.sql("DROP TABLE IF EXISTS rest_sql")
   }
+
+  test("sql_d7_clusters' unrolled propagation lands on the DSL fixpoint " +
+    "label-for-label") {
+    // the SQL form replaces the oracle's WITH RECURSIVE fixpoint with a
+    // bounded unroll (Spark 4.1 recursive CTEs are UNION ALL-only and
+    // diverge on cyclic graphs) - this is the convergence guard: if the
+    // unroll depth ever stops covering the graph's diameter, the label
+    // sets separate here, loudly, before the oracle hash does
+    val sqlOut = SqlFrontend.sqlD7Clusters.fn(spark, sf)
+    val dfOut = operators.LlmOps.d7DedupCc.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
+
+  test("sql_d1_dedup shares the one fingerprint definition with the DSL") {
+    val sqlOut = SqlFrontend.sqlD1Dedup.fn(spark, sf)
+    val dfOut = operators.LlmOps.d1DedupExact.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
 }
