@@ -306,6 +306,59 @@ object StreamingJobs {
         })
   }
 
+  /** Streaming decode with quarantine — m2b's total decode stage run
+    * per micro-batch. The decode is STATELESS (containerize is
+    * deterministic in the payload bytes and each row decodes alone), so
+    * the streaming form is the batch `decodeBatch` applied to every
+    * arriving shard via mapPartitions: healthy containers emit feature
+    * rows, malformed ones emit null-featured rows carrying the parse
+    * error in `err` — the SAME err-column contract as batch m2b, so one
+    * dead-letter monitor (`WHERE err IS NOT NULL`) serves both modes.
+    * Statelessness is the parity argument: union-of-micro-batch outputs
+    * ≡ batch output row for row regardless of how arrivals shard
+    * (StreamingSpec proves it on a planted-truncation stream). */
+  def streamingDecodeRoute(
+      spark: org.apache.spark.sql.SparkSession,
+      media: DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.DecodedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("mime"))
+      .as[graft.operators.Multimodal.MediaRow]
+      .mapPartitions(graft.operators.Multimodal.decodeBatch)
+  }
+
+  /** Running per-mime ok/quarantined counts over the streaming decode —
+    * the operational report m2b aggregates in batch, carried as
+    * GroupState so the monitor sees the CUMULATIVE split after every
+    * micro-batch, not just per-batch deltas. State is two Longs per
+    * mime (4 mimes → 64 bytes total), independent of stream length;
+    * after the last arrival the state equals batch m2b's (mime, n_ok,
+    * n_quarantined) rows exactly (StreamingSpec proves state-for-state
+    * parity). */
+  final case class MimeCounts(mime: String, n_ok: Long, n_quarantined: Long)
+  def streamingQuarantineCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      decoded: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.DecodedMedia])
+      : org.apache.spark.sql.Dataset[MimeCounts] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    decoded
+      .groupByKey(_.mime)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (mime: String,
+            rows: Iterator[graft.operators.Multimodal.DecodedMedia],
+            state: GroupState[(Long, Long)]) => {
+          var (ok, quarantined) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r =>
+            if (r.err.isEmpty) ok += 1L else quarantined += 1L
+          }
+          state.update((ok, quarantined))
+          Iterator(MimeCounts(mime, ok, quarantined))
+        })
+  }
+
   /** Streaming arrival routing against a FROZEN centroid table — the
     * a15 incremental-index maintenance in streaming form. The centroid
     * table collapses to ONE broadcast row carrying all (cid, c_emb)

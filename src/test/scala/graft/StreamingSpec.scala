@@ -611,4 +611,84 @@ class StreamingSpec extends SparkSuite {
     assert(driftedRetrain && driftedSim < 0.2,
       s"drifted batch must flip the retrain signal (sim=$driftedSim)")
   }
+
+  test("streaming decode quarantine matches batch m2b row for row and state for state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // the same planted-truncation media set m2b decodes in batch:
+    // containerized payloads with every doc_id % 7 == 0 cut to half
+    val planted: Array[Multimodal.MediaRow] = Multimodal.mediaFrame(spark, sf)
+      .select(col("doc_id"), col("payload"), col("mime"))
+      .as[Multimodal.MediaRow]
+      .collect()
+      .map { r =>
+        val c = Multimodal.containerize(r)
+        if (r.doc_id % 7 == 0)
+          Multimodal.MediaRow(
+            c.doc_id, c.payload.take(c.payload.length / 2), c.mime)
+        else c
+      }
+    // batch-side truth: the total decode + m2b's per-mime report
+    val batchRows = Multimodal.decodeBatch(planted.iterator)
+      .map(m => m.doc_id ->
+        ((m.mime, m.width, m.height, m.n_frames, m.checksum, m.err)))
+      .toMap
+    val batchCounts = batchRows.values
+      .groupBy(_._1)
+      .map { case (m, rs) =>
+        m -> ((rs.count(_._6.isEmpty).toLong, rs.count(_._6.nonEmpty).toLong))
+      }
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val stream = input.toDF().toDF("doc_id", "payload", "mime")
+    val decoded = StreamingJobs.streamingDecodeRoute(spark, stream)
+    val rowsQ = decoded
+      .writeStream.format("memory").queryName("decode_route_test")
+      .outputMode("append").start()
+    val countsQ = StreamingJobs
+      .streamingQuarantineCounts(spark, StreamingJobs.streamingDecodeRoute(
+        spark, stream))
+      .writeStream.format("memory").queryName("quarantine_counts_test")
+      .outputMode("update").start()
+    try {
+      // three micro-batches so malformed and healthy payloads of the
+      // same mime arrive in DIFFERENT batches — the cumulative state
+      // must still converge to the batch report
+      planted.map(r => (r.doc_id, r.payload, r.mime))
+        .grouped(math.max(1, planted.length / 3 + 1))
+        .foreach { chunk =>
+          input.addData(chunk.toSeq)
+          rowsQ.processAllAvailable()
+          countsQ.processAllAvailable()
+        }
+      // row-for-row: the union of micro-batch decodes IS the batch decode
+      val streamRows = spark.table("decode_route_test").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1),
+            Option(r.get(2)).map(_.asInstanceOf[Int]),
+            Option(r.get(3)).map(_.asInstanceOf[Int]),
+            Option(r.get(4)).map(_.asInstanceOf[Int]),
+            Option(r.get(5)).map(_.asInstanceOf[Long]),
+            Option(r.get(6)).map(_.asInstanceOf[String])))).toMap
+      assert(streamRows === batchRows,
+        "streaming decode must equal the batch decode row for row")
+      // state-for-state: the per-mime GroupState after the final batch
+      // equals m2b's (n_ok, n_quarantined). Update-mode memory sink
+      // keeps every emission; both counters are monotone, so the
+      // cumulative state per mime is the per-mime max.
+      val streamCounts = spark.table("quarantine_counts_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (m, rs) => m -> ((rs.map(_._2).max, rs.map(_._3).max)) }
+      assert(streamCounts === batchCounts,
+        "cumulative quarantine state must equal batch m2b's per-mime report")
+      // the planted set itself: every truncated doc quarantined, no
+      // healthy neighbor swept up
+      val quarantined = streamRows.collect {
+        case (id, (_, _, _, _, _, Some(_))) => id
+      }.toSet
+      assert(quarantined === planted.map(_.doc_id).filter(_ % 7 == 0).toSet,
+        "quarantine must be exactly the planted truncations")
+    } finally { rowsQ.stop(); countsQ.stop() }
+  }
 }
