@@ -1826,6 +1826,101 @@ object LlmOps {
       SELECT doc_id, n_bigrams, avg_logp FROM lmscore"""))
 
   // ---------------------------------------------------------------------
+  // T16: the Gopher quality-rule battery (Rae et al. 2021, "Scaling
+  // Language Models: Methods, Analysis & Insights from Training
+  // Gopher", §A1.1) — the composite rule filter most production
+  // curation stacks run verbatim: word-count bounds, mean-word-length
+  // bounds, symbol-to-word ratio, alphabetic-word fraction, minimum
+  // stop-word evidence. Output is the per-doc rule REPORT (each rule's
+  // verdict + the stats it read), not just the surviving slice —
+  // downstream consumers route on `pass` while the per-rule flags feed
+  // the corpus-health dashboard (which rule kills how much of which
+  // source is the number a data team actually watches).
+  //
+  // Every rule COMPARES IN INTEGER ARITHMETIC (n_punct*10 <= n_words,
+  // chars-vs-3n/10n bounds, n_alpha*5 >= n_words*4): a rounded-double
+  // threshold would let Spark's HALF_UP and DuckDB's binary-double
+  // rounding disagree on boundary docs (the d5 lesson, ADVICE r3); the
+  // rounded ratio columns are display-only. Plan shape: one per-row
+  // projection, codegen'd, no shuffle — at 100 TB this runs at scan
+  // speed next to t1's stats pass.
+  // ---------------------------------------------------------------------
+  val t16GopherRules = Q(
+    "t16_gopher_rules",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          split(lower(col("text")), " ").as("t"))
+        .select(col("doc_id"), col("source"),
+          size(col("t")).cast("long").as("n_words"),
+          length(regexp_replace(col("text"), " ", ""))
+            .cast("long").as("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?#]", "")))
+            .cast("long").as("n_symbols"),
+          expr("size(filter(t, x -> x rlike '[a-z]'))")
+            .cast("long").as("n_alpha"),
+          expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))")
+            .cast("long").as("n_stop"))
+        .select(col("doc_id"), col("source"), col("n_words"),
+          round(col("n_chars").cast("double") / col("n_words"), 4)
+            .as("mean_word_len"),
+          round(col("n_symbols").cast("double") / col("n_words"), 6)
+            .as("symbol_ratio"),
+          round(col("n_alpha").cast("double") / col("n_words"), 6)
+            .as("alpha_frac"),
+          col("n_stop"),
+          (col("n_words") >= 50 && col("n_words") <= 100000)
+            .as("r_word_count"),
+          (col("n_chars") >= col("n_words") * 3 &&
+            col("n_chars") <= col("n_words") * 10).as("r_word_len"),
+          (col("n_symbols") * 10 <= col("n_words")).as("r_symbol"),
+          (col("n_alpha") * 5 >= col("n_words") * 4).as("r_alpha"),
+          (col("n_stop") >= 2).as("r_stop"))
+        .withColumn("n_failed",
+          (lit(5) -
+            (col("r_word_count").cast("int") + col("r_word_len").cast("int") +
+              col("r_symbol").cast("int") + col("r_alpha").cast("int") +
+              col("r_stop").cast("int"))).cast("long"))
+        .withColumn("pass", col("n_failed") === 0),
+    Some("""WITH b AS (
+        SELECT doc_id, source, text,
+          string_split(lower(text), ' ') AS t FROM documents),
+      st AS (
+        SELECT doc_id, source,
+          CAST(len(t) AS BIGINT) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+          CAST(length(text) -
+            length(regexp_replace(text, '[.,;:!?#]', '', 'g')) AS BIGINT)
+            AS n_symbols,
+          CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+            AS BIGINT) AS n_alpha,
+          CAST(len(list_filter(t,
+            x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+        FROM b)
+      SELECT doc_id, source, n_words,
+        round(CAST(n_chars AS DOUBLE) / n_words, 4) AS mean_word_len,
+        round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+        round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+        n_stop,
+        n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS r_word_len,
+        n_symbols * 10 <= n_words AS r_symbol,
+        n_alpha * 5 >= n_words * 4 AS r_alpha,
+        n_stop >= 2 AS r_stop,
+        CAST(5 - (CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+          + CAST(n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS INT)
+          + CAST(n_symbols * 10 <= n_words AS INT)
+          + CAST(n_alpha * 5 >= n_words * 4 AS INT)
+          + CAST(n_stop >= 2 AS INT)) AS BIGINT) AS n_failed,
+        (CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+          + CAST(n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS INT)
+          + CAST(n_symbols * 10 <= n_words AS INT)
+          + CAST(n_alpha * 5 >= n_words * 4 AS INT)
+          + CAST(n_stop >= 2 AS INT)) = 5 AS pass
+      FROM st"""))
+
+  // ---------------------------------------------------------------------
   // T14: KMV quantile sketch — the third sketch leg (a9 answers "how
   // many distinct", t12 "how often", t14 "how is it distributed"): a
   // bottom-K-by-hash sample per stratum is a uniform sample that is
@@ -2018,6 +2113,67 @@ object LlmOps {
       SELECT r.lang, r.n_docs, coalesce(s.n_sampled, 0) AS n_sampled,
         round(r.rate, 6) AS rate
       FROM rates r LEFT JOIN samp s ON s.lang = r.lang"""))
+
+  // ---------------------------------------------------------------------
+  // C7: CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+  // Extracting High Quality Monolingual Datasets from Web Crawl Data")
+  // — per language, rank every document by its LM score and cut the
+  // ranking into head/middle/tail terciles; the bucket label is the
+  // mixing handle (train on head+middle, hold tail for ablations) and
+  // the per-bucket report is what the curation dashboard shows. Reuses
+  // t15's trained-bigram LM scores over the FULL corpus, so one score
+  // definition serves the held-out eval (t15), the decile election
+  // (c1c), and the bucket mix (here).
+  //
+  // Tercile assignment is exact ntile(3) over (avg_logp DESC, doc_id)
+  // — deterministic under ties, identical in DuckDB. The window runs
+  // over the per-doc STATS table (16 B/doc), never the corpus text; at
+  // 100 TB that is a ~16 GB/1e9-doc per-lang sort, fine for a batch
+  // report — a latency-bound variant would broadcast two
+  // approx-percentile cutpoints instead and lose tie determinism.
+  // Docs under 2 tokens have no bigrams and fall out of scoring on
+  // both engines identically.
+  // ---------------------------------------------------------------------
+  val c7CcnetBuckets = Q(
+    "c7_ccnet_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = lmScores(s, d, heldOutOnly = false)
+        .join(documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_logp").desc, col("doc_id").asc)
+      scored
+        .withColumn("nt", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("nt") === 1, "head")
+            .when(col("nt") === 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("avg_logp").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_logp"),
+          max(col("avg_logp")).as("best_logp"),
+          min(col("avg_logp")).as("worst_logp"))
+    },
+    Some(s"""WITH ${lmScoreSql("TRUE")},
+      sl AS (
+        SELECT l.doc_id, l.avg_logp, d.lang
+        FROM lmscore l JOIN documents d ON d.doc_id = l.doc_id),
+      nt AS (
+        SELECT lang, avg_logp,
+          ntile(3) OVER (PARTITION BY lang
+            ORDER BY avg_logp DESC, doc_id ASC) AS b
+        FROM sl)
+      SELECT lang,
+        CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          ELSE 'tail' END AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        round(CAST(sum(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE)
+          / count(*), 6) AS mean_logp,
+        max(avg_logp) AS best_logp,
+        min(avg_logp) AS worst_logp
+      FROM nt GROUP BY 1, 2"""))
 
   // ---------------------------------------------------------------------
   // A9: HyperLogLog distinct-count sketch, fully relational and
@@ -2636,8 +2792,8 @@ object LlmOps {
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
-    t14KmvQuantile, t15LmScore, a9HllDistinct, a9bHllNative, c1CurateCorpus,
-    c1bCurateNeardup, c1cCurateQuality,
+    t14KmvQuantile, t15LmScore, t16GopherRules, a9HllDistinct, a9bHllNative,
+    c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
-    e4LlmPipeline)
+    c7CcnetBuckets, e4LlmPipeline)
 }

@@ -609,4 +609,56 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
+
+  test("T16: each Gopher rule fails exactly its planted violator") {
+    // one doc per rule, each violating ONLY that rule, plus one clean
+    // doc — proves the rules are independent and the verdicts land on
+    // the right stat (a composite filter that's accidentally keyed on
+    // the wrong column would still pass a pass/fail-only check)
+    val clean = (("word " * 30) + ("the " * 10) + ("of " * 10)).trim
+    val docs = Seq(
+      (1L, clean, "en", "s1"), // passes all five
+      (2L, (("word " * 20) + "the of").trim, "en", "s1"), // 22 words: r_word_count
+      (3L, (("a " * 48) + "the of").trim, "en", "s1"), // mean len < 3: r_word_len
+      (4L, (("w.o.r.d.s. " * 48) + "the of").trim, "en", "s1"), // r_symbol
+      (5L, (("1234 " * 48) + "the of").trim, "en", "s1"), // digits: r_alpha
+      (6L, ("word " * 50).trim, "en", "s1") // no stopwords: r_stop
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t16fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.t16GopherRules.fn(spark, dir)
+      .select("doc_id", "r_word_count", "r_word_len", "r_symbol",
+        "r_alpha", "r_stop", "n_failed", "pass")
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 7).map(r.get)).toMap
+    assert(out(1L) === Seq(true, true, true, true, true, 0L, true))
+    assert(out(2L) === Seq(false, true, true, true, true, 1L, false))
+    assert(out(3L) === Seq(true, false, true, true, true, 1L, false))
+    assert(out(4L) === Seq(true, true, false, true, true, 1L, false))
+    assert(out(5L) === Seq(true, true, true, false, true, 1L, false))
+    assert(out(6L) === Seq(true, true, true, true, false, 1L, false))
+  }
+
+  test("C7: terciles are contiguous in score, balanced, and complete") {
+    val rows = operators.LlmOps.c7CcnetBuckets.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5))) // lang, bucket, n, best, worst
+    val langs = rows.map(_._1).distinct
+    for (lang <- langs) {
+      val by = rows.filter(_._1 == lang).map(r => r._2 -> r).toMap
+      assert(by.keySet === Set("head", "middle", "tail"))
+      // ntile balance: sizes differ by at most 1
+      val sizes = by.values.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // contiguity: head's worst score >= middle's best, etc. (ordering
+      // is avg_logp DESC; ties may touch, hence >=)
+      assert(by("head")._5 >= by("middle")._4, s"$lang head/middle")
+      assert(by("middle")._5 >= by("tail")._4, s"$lang middle/tail")
+    }
+    // completeness: every scored doc (>= 2 tokens) is in exactly one bucket
+    val nScored = graft.Tables.documents(spark, sf)
+      .filter(size(split(lower(col("text")), " ")) >= 2).count()
+    assert(rows.map(_._3).sum === nScored)
+  }
 }
