@@ -306,6 +306,103 @@ object StreamingJobs {
         })
   }
 
+  /** MinHash band keys as ONE stateless projection — d2's signature
+    * derivation (8 seeded shingle-min hashes → 4 two-row bands → md5
+    * band key) collapsed into per-row array expressions, so the SAME
+    * definition runs over a static corpus (batch index build) and a
+    * readStream (arrival checking) with no shuffle and no state.
+    * Hash-for-hash parity with the batch pipeline is load-bearing
+    * (StreamingSpec pins it): shingle = h60('sh|' + 2-gram), permuted
+    * hash = h60('mh<i>|' + shingle-as-decimal-string), min over the
+    * multiset equals min over d2's distinct set, and the band key
+    * concatenates the two member minima exactly as the batch form does.
+    * Docs under 2 tokens have no shingles and emit no band rows —
+    * matching d2, where they never enter the signature table. */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    val P = 8
+    val sh =
+      "transform(sequence(0, size(t)-2), i -> " +
+        "CAST(conv(substring(md5(concat('sh|', concat_ws(' ', t[i], " +
+        "t[i+1]))), 1, 15), 16, 10) AS BIGINT))"
+    val mins = (0 until P).map(i =>
+      expr(s"array_min(transform($sh, x -> CAST(conv(substring(md5(" +
+        s"concat('mh$i|', CAST(x AS STRING))), 1, 15), 16, 10) " +
+        "AS BIGINT)))").as(s"m$i"))
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"), explode(array((0 until P / 2).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+            .as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+  }
+
+  final case class NearDupHit(
+      doc_id: Long, matched_id: Long, band: Int, kind: String)
+
+  /** Streaming near-dup surfacing — d2's band-collision candidate
+    * generation run continuously: each arriving document's band keys
+    * are checked against (a) the STANDING corpus's band table — a
+    * stream-static broadcast join, the static side is 4 rows × 16-ish
+    * bytes per indexed doc, never the text — and (b) the arrivals seen
+    * so far, held as per-bucket owner lists in GroupState. Emitted rows
+    * are candidate PAIRS (doc_id, matched_id, band, hist|stream), the
+    * input to a downstream exact-verify stage exactly as d2's `cand`
+    * feeds its intersection join.
+    *
+    * State per band bucket is min(members, BUCKET_CAP) longs. The cap
+    * is a PREFIX cap — once a bucket holds cap owners, later arrivals
+    * match against those cap docs but are not added — where batch d2
+    * drops an over-cap bucket RETROACTIVELY (it sees the final size).
+    * A streaming operator cannot unemit, so prefix semantics are the
+    * honest streaming analogue; under the cap the two surface exactly
+    * the same pairs (StreamingSpec proves batch parity pair-for-pair).
+    */
+  def streamingNearDupPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      standingDocs: DataFrame): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val cap = graft.operators.LlmOps.BUCKET_CAP
+    val arrivalBands = bandKeys(arrivals)
+    // (a) against the standing index: plain stream-static equi-join,
+    // stateless, append-safe; the standing band table broadcasts
+    val standing = standingDocs.transform(bandKeys)
+      .select(col("band").as("s_band"), col("bkey").as("s_bkey"),
+        col("doc_id").as("matched_id"))
+    val hist = arrivalBands
+      .join(broadcast(standing),
+        col("band") === col("s_band") && col("bkey") === col("s_bkey"))
+      .select(col("doc_id"), col("matched_id"), col("band"),
+        lit("hist").as("kind")).as[NearDupHit]
+    // (b) against earlier arrivals: per-bucket owner state
+    val stream = arrivalBands
+      .select(col("doc_id"), col("band"), col("bkey")).as[(Long, Int, String)]
+      .groupByKey { case (_, band, bkey) => s"$band|$bkey" }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(Long, Int, String)],
+            state: GroupState[List[Long]]) => {
+          val band = key.takeWhile(_ != '|').toInt
+          var owners = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          // doc_id order within the micro-batch group, so in-batch
+          // pairing elects min(doc_id) as the earlier side — d10's
+          // batch-election convention
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, _) =>
+            owners.foreach(o => out += NearDupHit(id, o, band, "stream"))
+            if (owners.size < cap) owners = id :: owners
+          }
+          state.update(owners)
+          out.iterator
+        })
+    hist.unionByName(stream)
+  }
+
   /** Streaming decode with quarantine — m2b's total decode stage run
     * per micro-batch. The decode is STATELESS (containerize is
     * deterministic in the payload bytes and each row decodes alone), so

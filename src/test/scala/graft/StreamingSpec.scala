@@ -691,4 +691,49 @@ class StreamingSpec extends SparkSuite {
         "quarantine must be exactly the planted truncations")
     } finally { rowsQ.stop(); countsQ.stop() }
   }
+
+  test("streaming near-dup surfaces exactly d2's arrival-involving candidate pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // precondition for exact parity: no band bucket over the cap (the
+    // stream's prefix cap and batch d2's retroactive drop only diverge
+    // past it) — fails loudly if a future testdata generation breaks it
+    val maxBucket = StreamingJobs.bandKeys(docs)
+      .groupBy("band", "bkey").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket <= graft.operators.LlmOps.BUCKET_CAP,
+      s"parity precondition: max band bucket $maxBucket exceeds the cap")
+    // batch truth: d2's candidate pairs (band collisions, canonical
+    // id_a < id_b), restricted to pairs touching >= 1 arrival
+    val isArrival = arrivals.map(_._1).toSet
+    val batchPairs = graft.operators.LlmOps
+      .minhashNearDups(docs, "neardup-parity-test")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => isArrival(a) || isArrival(b) }.toSet
+    graft.operators.LlmOps.releaseCaches()
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs
+      .streamingNearDupPairs(spark, stream, standing)
+      .writeStream.format("memory").queryName("neardup_stream_test")
+      .outputMode("append").start()
+    try {
+      // id-ordered delivery in three micro-batches: hist matches,
+      // in-batch pairing, and cross-batch state carry-over all fire
+      arrivals.grouped(math.max(1, arrivals.length / 3 + 1))
+        .foreach { chunk => input.addData(chunk.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("neardup_stream_test").collect()
+        .map(r => {
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          (math.min(a, b), math.max(a, b))
+        }).toSet
+      assert(streamed === batchPairs,
+        "streamed candidate pairs must equal batch d2's, pair for pair")
+    } finally q.stop()
+  }
 }
