@@ -66,7 +66,9 @@ object ExplainAudit {
       "m2b_decode_quarantine", "sql_q1_flagship", "sql_f1f2_date_filter",
       "sql_a5_cosine_topk", "sql_a9b_hll", "sql_w1_tumbling",
       "sql_x2_rollup", "sql_t12b_countmin", "sql_d1_dedup",
-      "sql_d7_clusters", "d12b_semantic_recall", "s2e_token_refresh")
+      "sql_d7_clusters", "d12b_semantic_recall", "s2e_token_refresh",
+      "t16_gopher_rules", "c7_ccnet_buckets", "sql_t16_gopher",
+      "c8_shard_shuffle")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -295,8 +295,51 @@ object SqlFrontend {
     },
     operators.LlmOps.d7DedupCc.oracle)
 
+  // The Gopher rule battery as SQL text, sharing t16's oracle — the
+  // quality-gate family's SQL reachability proof. The integer-compare
+  // discipline carries over verbatim (each rule is pure BIGINT
+  // arithmetic in the text); the rule flags and n_failed land in
+  // nested CTE levels because a same-level lateral alias reference
+  // would tie the query to spark.sql.lateralColumnAlias being on.
+  val sqlT16Gopher: Queries.Q = sqlQ(
+    "sql_t16_gopher",
+    """WITH b AS (
+        SELECT doc_id, source, text, split(lower(text), ' ') AS t
+        FROM documents),
+      st AS (
+        SELECT doc_id, source,
+          CAST(size(t) AS BIGINT) AS n_words,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+          CAST(length(text) -
+            length(regexp_replace(text, '[.,;:!?#]', '')) AS BIGINT)
+            AS n_symbols,
+          CAST(size(filter(t, x -> x rlike '[a-z]')) AS BIGINT) AS n_alpha,
+          CAST(size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+            AS BIGINT) AS n_stop
+        FROM b),
+      rules AS (
+        SELECT doc_id, source, n_words,
+          round(CAST(n_chars AS DOUBLE) / n_words, 4) AS mean_word_len,
+          round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+          round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_frac,
+          n_stop,
+          n_words >= 50 AND n_words <= 100000 AS r_word_count,
+          n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS r_word_len,
+          n_symbols * 10 <= n_words AS r_symbol,
+          n_alpha * 5 >= n_words * 4 AS r_alpha,
+          n_stop >= 2 AS r_stop
+        FROM st),
+      f AS (
+        SELECT *,
+          CAST(5 - (CAST(r_word_count AS INT) + CAST(r_word_len AS INT) +
+            CAST(r_symbol AS INT) + CAST(r_alpha AS INT) +
+            CAST(r_stop AS INT)) AS BIGINT) AS n_failed
+        FROM rules)
+      SELECT *, n_failed = 0 AS pass FROM f""",
+    operators.LlmOps.t16GopherRules.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
-      sqlD7Clusters)
+      sqlD7Clusters, sqlT16Gopher)
 }

@@ -1506,6 +1506,51 @@ object LlmOps {
       FROM documents"""))
 
   // ---------------------------------------------------------------------
+  // C8: seeded global shuffle + shard assignment — the WRITER step that
+  // turns a curated corpus into training shards: every doc gets a
+  // deterministic pseudo-random position (order by a seeded hash, ties
+  // broken on doc_id) and a shard (hash mod N_SHARDS), so the training
+  // order is REPRODUCIBLE from the seed alone — re-running the build on
+  // a grown corpus preserves the relative order of surviving docs, and
+  // two sites running the same seed shard identically (no RNG state to
+  // ship). This is why pipelines shuffle by hash-sort, not by
+  // `ORDER BY rand()`: rand() is neither reproducible nor restartable.
+  //
+  // Scale shape: ONE exchange on the shard key + a per-shard sort —
+  // exactly what `repartition(shard).sortWithinPartitions(ord)` +
+  // parquet write costs; the window is partitioned by shard, so no
+  // global sort ever happens, and shard sizes concentrate at
+  // corpus/N_SHARDS (seeded-hash balance, reported by c8b-style stats
+  // downstream consumers watch).
+  // ---------------------------------------------------------------------
+  private val N_SHARDS = 16
+  val c8ShardShuffle = Q(
+    "c8_shard_shuffle",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Portable.h60(col("doc_id").cast("string"), "ord|")
+      val shard = pmod(
+        Portable.h60(col("doc_id").cast("string"), "shard|"),
+        lit(N_SHARDS)).cast("int")
+      documents(s, d)
+        .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("ord").asc, col("doc_id").asc)) - 1)
+            .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some(s"""SELECT doc_id,
+      CAST(${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "shard|")}
+        % $N_SHARDS AS INTEGER) AS shard,
+      CAST(row_number() OVER (
+        PARTITION BY ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "shard|")}
+          % $N_SHARDS
+        ORDER BY ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "ord|")} ASC,
+          doc_id ASC) - 1 AS BIGINT) AS pos
+      FROM documents"""))
+
+  // ---------------------------------------------------------------------
   // C4: decontamination-aware split — c2's routing composed with d6's
   // leakage flags, which is the order a real pretraining build runs:
   // benchmark docs are fenced off as 'eval', any corpus doc sharing a
@@ -2795,5 +2840,5 @@ object LlmOps {
     t14KmvQuantile, t15LmScore, t16GopherRules, a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
-    c7CcnetBuckets, e4LlmPipeline)
+    c7CcnetBuckets, c8ShardShuffle, e4LlmPipeline)
 }

@@ -640,6 +640,29 @@ class DedupSpec extends SparkSuite {
     assert(out(6L) === Seq(true, true, true, true, false, 1L, false))
   }
 
+  test("C8: shard shuffle is deterministic, complete, and dense per shard") {
+    val run1 = operators.LlmOps.c8ShardShuffle.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val run2 = operators.LlmOps.c8ShardShuffle.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // reproducible from the seed alone: two evaluations identical
+    assert(run1.toSet === run2.toSet)
+    // every doc exactly once
+    assert(run1.length === graft.Tables.documents(spark, sf).count())
+    assert(run1.map(_._1).distinct.length === run1.length)
+    // positions are dense 0..n-1 within each shard (a writer can lay
+    // the shard out by pos with no gaps)
+    for ((shard, rows) <- run1.groupBy(_._2)) {
+      val ps = rows.map(_._3).sorted
+      assert(ps === (0L until rows.length).toArray.toSeq,
+        s"shard $shard positions not dense")
+    }
+    // seeded-hash balance: no shard more than 3x the smallest (loose
+    // bound; binomial concentration at ~n/16 per shard)
+    val sizes = run1.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 3 * math.max(1, sizes.min), s"imbalance: $sizes")
+  }
+
   test("C7: terciles are contiguous in score, balanced, and complete") {
     val rows = operators.LlmOps.c7CcnetBuckets.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

@@ -74,4 +74,13 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(dfOut.exceptAll(sqlOut).count() === 0)
     assert(dfOut.count() > 0)
   }
+
+  test("sql_t16_gopher renders the same rule verdicts as the DSL battery") {
+    val sqlOut = SqlFrontend.sqlT16Gopher.fn(spark, sf)
+    val dfOut = operators.LlmOps.t16GopherRules.fn(spark, sf)
+      .select(sqlOut.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
 }
