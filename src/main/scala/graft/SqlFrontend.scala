@@ -338,8 +338,70 @@ object SqlFrontend {
       SELECT *, n_failed = 0 AS pass FROM f""",
     operators.LlmOps.t16GopherRules.oracle)
 
+  // The CCNet perplexity-bucket chain as SQL text, sharing c7's oracle
+  // — trains the bigram LM, scores every doc, and cuts per-lang
+  // terciles in one WITH chain. SQL-dialect notes: the (bigram,
+  // history) pair derivation explodes POSITIONS and indexes the token
+  // array (arrays_zip's struct field names aren't stable SQL
+  // identifiers), and the chain is linear except `pairs` (read by the
+  // two count tables and the scored slice — the same three evaluations
+  // the DSL's unpersisted lmScores performs, so SQL adds no plan cost
+  // over its twin; SqlSurfaceSpec pins row equality).
+  val sqlC7Ccnet: Queries.Q = sqlQ(
+    "sql_c7_ccnet",
+    """WITH toks AS (
+        SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+      pairs AS (
+        SELECT doc_id,
+          CAST(conv(substring(md5(concat('lm2|',
+            concat_ws(' ', t[i], t[i+1]))), 1, 15), 16, 10) AS BIGINT)
+            AS gh,
+          CAST(conv(substring(md5(concat('lm1|', t[i])), 1, 15), 16, 10)
+            AS BIGINT) AS w1h
+        FROM (SELECT doc_id, t, explode(sequence(0, size(t)-2)) AS i
+              FROM toks WHERE size(t) >= 2)),
+      c2 AS (SELECT gh, count(*) AS c2 FROM pairs
+             WHERE doc_id % 10 < 8 GROUP BY gh),
+      c1 AS (SELECT w1h, count(*) AS c1 FROM pairs
+             WHERE doc_id % 10 < 8 GROUP BY w1h),
+      vocab AS (
+        SELECT count(DISTINCT CAST(conv(substring(md5(concat('lm1|',
+          tok)), 1, 15), 16, 10) AS BIGINT)) AS v
+        FROM (SELECT explode(t) AS tok FROM toks WHERE doc_id % 10 < 8)),
+      scored AS (
+        SELECT p.doc_id,
+          CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+                        CAST(coalesce(c1.c1, 0) + vocab.v AS DOUBLE)), 6)
+               AS DECIMAL(28,6)) AS logp
+        FROM pairs p
+        LEFT JOIN c2 ON c2.gh = p.gh
+        LEFT JOIN c1 ON c1.w1h = p.w1h
+        CROSS JOIN vocab),
+      lmscore AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+        FROM scored GROUP BY doc_id),
+      sl AS (
+        SELECT l.doc_id, l.avg_logp, d.lang
+        FROM lmscore l JOIN documents d ON d.doc_id = l.doc_id),
+      nt AS (
+        SELECT lang, avg_logp,
+          ntile(3) OVER (PARTITION BY lang
+            ORDER BY avg_logp DESC, doc_id ASC) AS b
+        FROM sl)
+      SELECT lang,
+        CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          ELSE 'tail' END AS bucket,
+        count(*) AS n_docs,
+        round(CAST(sum(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE)
+          / count(*), 6) AS mean_logp,
+        max(avg_logp) AS best_logp,
+        min(avg_logp) AS worst_logp
+      FROM nt GROUP BY lang, bucket""",
+    operators.LlmOps.c7CcnetBuckets.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
-      sqlD7Clusters, sqlT16Gopher)
+      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet)
 }

@@ -75,6 +75,15 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(dfOut.count() > 0)
   }
 
+  test("sql_c7_ccnet lands on the DSL's tercile report exactly") {
+    val sqlOut = SqlFrontend.sqlC7Ccnet.fn(spark, sf)
+    val dfOut = operators.LlmOps.c7CcnetBuckets.fn(spark, sf)
+      .select(sqlOut.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
+
   test("sql_t16_gopher renders the same rule verdicts as the DSL battery") {
     val sqlOut = SqlFrontend.sqlT16Gopher.fn(spark, sf)
     val dfOut = operators.LlmOps.t16GopherRules.fn(spark, sf)
