@@ -1422,9 +1422,215 @@ object Ann {
       WHERE rep.cell IS NOT NULL
          OR (ov.overall_new_sim < $RETRAIN_TAU)"""))
 
+  // ---------------------------------------------------------------------
+  // A17: graph-based ANN — the navigable-small-world family (Malkov &
+  // Yashunin's HNSW is the production standard) re-expressed as
+  // relational build + unrolled greedy beam search.
+  //
+  // BUILD: each vector keeps its top-NSW_M cosine neighbors within its
+  // sign-LSH bucket (a6's 16-bucket partition — short-range edges) PLUS
+  // its top-NSW_M2 within a SECOND bucketing over different hyperplane
+  // dims (cross-partition long-range edges — two independent partitions
+  // of the same corpus can't stay mutually disconnected, which is the
+  // small-world trick HNSW's layer hierarchy plays). At this corpus
+  // scale the within-bucket pairing is |bucket|² ≈ (N/16)²·16; at 100 TB
+  // the build swaps in d4's banded form (2^bits buckets + BUCKET_CAP),
+  // same downstream graph shape — the search never cares how edges were
+  // found.
+  //
+  // SEARCH: greedy beam, NSW_HOPS rounds unrolled into the plan (the
+  // oracle unrolls the same chain — the d7/sql_d7 fixpoint discipline):
+  // frontier₀ = the global-min-id entry vector; each round scores the
+  // frontier's out-neighbors against the probe and keeps the top-NSW_B
+  // of (frontier ∪ neighbors). Each round is one broadcast join against
+  // the edge list + one per-probe window top-k over ≤ B·(M+M2) rows per
+  // probe — frontier size is CONSTANT, so 100 TB changes only the edge
+  // build, not the search plan. Every similarity is round(·,6) BEFORE
+  // ranking with a vec_id tie-break, so both engines walk the identical
+  // path (the a6 determinism discipline).
+  //
+  // Output: the final beam's top-NSW_K per probe — judged, like a6/a7,
+  // against its own declared algorithm; recall vs exact brute force is
+  // a17's spec concern (AnnGraphSpec reports it against a5's truth).
+  // ---------------------------------------------------------------------
+  private val NSW_M = 8 // short-range out-degree
+  private val NSW_M2 = 4 // long-range out-degree
+  private val NSW_B = 16 // beam width
+  private val NSW_CAP = 256 // per-bucket membership cap in the build
+  private val NSW_HOPS = 5
+  private val NSW_K = 5
+
+  /** Second sign-bucketing over dims {9, 25, 41, 57} — disjoint from
+    * [[signBucket]]'s {1, 17, 33, 49}, so the two partitions cut the
+    * corpus along independent hyperplane sets. */
+  private def signBucket2(embCol: String): Column =
+    (0 until 4).map { i =>
+      when(expr(s"element_at($embCol, ${9 + 16 * i})") > 0,
+        lit(1 << (3 - i))).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  private def signBucket2Duck(embCol: String): String =
+    (0 until 4).map { i =>
+      s"(CASE WHEN $embCol[${9 + 16 * i}] > 0 THEN ${1 << (3 - i)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** The NSW edge list: per-node top-M within bucket family 1 ∪ top-M2
+    * within bucket family 2, distinct. Directed (v → n). */
+  private[graft] def nswEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    def family(bucket: Column, m: Int): DataFrame = {
+      // hot-bucket guard before the within-bucket pairing, the d2/d4
+      // discipline: a bucket of c members costs c² cosines, so a
+      // replicated/degenerate pile-up must be DROPPED (those nodes
+      // lose this family's edges — recall degrades, work stays
+      // bounded), never exploded. NSW_CAP > the sf0.1 bucket sizes, so
+      // the guard is inert on real data and bites only under pile-up.
+      val b = graft.operators.LlmOps.capBuckets(
+        e.withColumn("b", bucket), Seq("b"), NSW_CAP)
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("sim").desc, col("n").asc)
+      b.select(col("vec_id").as("v"), col("emb").as("v_emb"), col("b"))
+        .join(b.select(col("vec_id").as("n"), col("emb").as("n_emb"),
+          col("b")), Seq("b"))
+        .filter(col("v") =!= col("n"))
+        .select(col("v"), col("n"),
+          round(cosine(s, "v_emb", "n_emb"), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= m)
+        .select("v", "n")
+    }
+    family(signBucket("emb"), NSW_M)
+      .union(family(signBucket2("emb"), NSW_M2))
+      .distinct()
+  }
+
+  val a17NswSearch = Q(
+    "a17_nsw_search",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      // the edge list sits under every unrolled hop join, but needs NO
+      // persist: the repeated subtrees are identical, so AQE collapses
+      // them to ReusedExchange/ReusedStage at runtime — an explicit
+      // persist() was A/B-measured SLOWER (7.9 s vs 5.0 s at sf0.1,
+      // r13): forced materialization + per-hop InMemoryRelation scans
+      // cost more than the reused shuffle output. (A production
+      // deployment would still write the graph index once and serve
+      // many searches from it — that trade-off is about reuse ACROSS
+      // queries, which a single benched plan can't see.)
+      val edges = nswEdges(s, d)
+      val entry = e.select(min(col("vec_id")).as("vec_id"))
+        .join(e, Seq("vec_id"))
+      // frontier₀: every probe starts at the one entry vector
+      val f0 = probes.crossJoin(broadcast(entry))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val beam = (1 to NSW_HOPS).foldLeft(f0) { (frontier, _) =>
+        val neighbors = frontier.select(col("probe_id"), col("vec_id"))
+          .join(edges, col("vec_id") === col("v"))
+          .select(col("probe_id"), col("n").as("vec_id"))
+          .join(e, Seq("vec_id"))
+          .join(broadcast(probes), Seq("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        frontier.unionByName(neighbors)
+          .groupBy(col("probe_id"), col("vec_id"))
+          .agg(max(col("sim")).as("sim")) // dedup revisited nodes
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= NSW_B)
+          .select("probe_id", "vec_id", "sim")
+      }
+      beam.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NSW_K)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rn").cast("long").as("rank"))
+    },
+    Some {
+      val hops = (1 to NSW_HOPS).map { k =>
+        s"""n$k AS (
+          SELECT f.probe_id, g.n AS vec_id
+          FROM f${k - 1} f JOIN edges g ON g.v = f.vec_id),
+        c$k AS (
+          SELECT probe_id, vec_id, sim FROM f${k - 1}
+          UNION
+          SELECT n.probe_id, n.vec_id,
+            round(list_inner_product(e.emb, p.p_emb)
+              / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+          FROM n$k n JOIN e ON e.vec_id = n.vec_id
+          JOIN p ON p.probe_id = n.probe_id),
+        f$k AS (
+          SELECT probe_id, vec_id, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM c$k) t
+          WHERE rn <= $NSW_B)"""
+      }.mkString(",\n      ")
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      b1 AS (SELECT vec_id,
+          CAST(${signBucketDuck("embedding")} AS INTEGER) AS b
+        FROM embeddings),
+      b2 AS (SELECT vec_id,
+          CAST(${signBucket2Duck("embedding")} AS INTEGER) AS b
+        FROM embeddings),
+      k1 AS (SELECT b FROM b1 GROUP BY b HAVING count(*) <= $NSW_CAP),
+      k2 AS (SELECT b FROM b2 GROUP BY b HAVING count(*) <= $NSW_CAP),
+      ef1 AS (
+        SELECT v, n FROM (
+          SELECT va.vec_id AS v, vb.vec_id AS n,
+            row_number() OVER (PARTITION BY va.vec_id ORDER BY
+              round(list_inner_product(ea.emb, eb.emb)
+                / nullif(ea.nrm * eb.nrm, 0.0), 6) DESC,
+              vb.vec_id ASC) AS rn
+          FROM b1 va JOIN k1 ON k1.b = va.b
+          JOIN b1 vb ON va.b = vb.b
+            AND va.vec_id <> vb.vec_id
+          JOIN e ea ON ea.vec_id = va.vec_id
+          JOIN e eb ON eb.vec_id = vb.vec_id) t
+        WHERE rn <= $NSW_M),
+      ef2 AS (
+        SELECT v, n FROM (
+          SELECT va.vec_id AS v, vb.vec_id AS n,
+            row_number() OVER (PARTITION BY va.vec_id ORDER BY
+              round(list_inner_product(ea.emb, eb.emb)
+                / nullif(ea.nrm * eb.nrm, 0.0), 6) DESC,
+              vb.vec_id ASC) AS rn
+          FROM b2 va JOIN k2 ON k2.b = va.b
+          JOIN b2 vb ON va.b = vb.b
+            AND va.vec_id <> vb.vec_id
+          JOIN e ea ON ea.vec_id = va.vec_id
+          JOIN e eb ON eb.vec_id = vb.vec_id) t
+        WHERE rn <= $NSW_M2),
+      edges AS (SELECT v, n FROM ef1 UNION SELECT v, n FROM ef2),
+      p AS (
+        SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+        FROM e WHERE vec_id < 8),
+      f0 AS (
+        SELECT p.probe_id, e.vec_id,
+          round(list_inner_product(e.emb, p.p_emb)
+            / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+        FROM p CROSS JOIN e
+        WHERE e.vec_id = (SELECT min(vec_id) FROM embeddings)),
+      $hops
+      SELECT probe_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY sim DESC, vec_id ASC) AS rn FROM f$NSW_HOPS) t
+      WHERE rn <= $NSW_K"""
+    })
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
-      d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision)
+      d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
+      a17NswSearch)
 }
