@@ -206,44 +206,25 @@ object SqlFrontend {
       FROM documents GROUP BY h""",
     operators.LlmOps.d1DedupExact.oracle)
 
-  // Near-dup cluster assembly as SQL text, sharing d7's oracle. The
-  // oracle's WITH RECURSIVE reach/labels fixpoint cannot run on Spark
-  // 4.1: recursive CTEs accept only UNION ALL ([UNION_NOT_SUPPORTED_
-  // IN_RECURSIVE_CTE]), and UNION ALL min-propagation diverges on the
-  // cyclic near-dup graph (a label re-enters every cycle endlessly, so
-  // the recursion only stops at the level limit — as an error). The
-  // SQL form therefore UNROLLS the propagation: l0 is the closed-
-  // neighborhood min (the DSL's fused star init, which alone converges
-  // the clique-glued near-dup components — measured 1 confirmation
-  // round at sf0.01 AND sf0.1), plus 4 unrolled min-propagation rounds
-  // of safety margin. Convergence is still externally CHECKED, twice:
-  // the DuckDB oracle computes the TRUE fixpoint (an unconverged l4
-  // hash-mismatches loudly), and SqlSurfaceSpec pins sql == DSL
-  // label-for-label.
-  //
-  // SHAPE DISCIPLINE (the first form of this read 45 s at sf0.1, 16×
-  // the DSL twin): without persist() — which SQL text cannot express —
-  // every CTE reference re-expands its subtree into the plan, so the
-  // chain must be STRICTLY LINEAR. Three rules keep it so: (1) the
-  // self-loop rides inside `symz` via one explode-shaped UNION-free
-  // scan of `edges`, so a round is ONE join+agg over symz and the
-  // previous round — the naive `propagate UNION ALL carry-over` form
-  // references l(k-1) twice and expands the l0 subtree 2^rounds times;
-  // (2) cluster_size is a window count over the final labels, not a
-  // join against a separate GROUP BY (which would evaluate the whole
-  // chain twice); (3) the repeated symz references collapse to
-  // ReusedExchange/ReusedStage because the subtrees stay identical.
-  val sqlD7Clusters: Queries.Q = sqlQ(
-    "sql_d7_clusters", {
-      import operators.LlmOps.{ANCHORS, BUCKET_CAP}
-      val rounds = 4
-      val prop = (1 to rounds).map { k =>
-        s"""l$k AS (
-          SELECT s.v AS v, min(l.lbl) AS lbl
-          FROM symz s JOIN l${k - 1} l ON l.v = s.n
-          GROUP BY s.v)"""
-      }.mkString(",\n      ")
-      s"""WITH toks AS (
+  /** Unrolled min-propagation rounds in [[nearDupLabelCtes]]; labels
+    * land in `l<LABEL_ROUNDS>`. */
+  private val LABEL_ROUNDS = 4
+
+  /** The near-dup label derivation as Spark-dialect CTEs (`toks` →
+    * anchor-blocked pair stats → edge list → unrolled min-propagation,
+    * ending in `l<LABEL_ROUNDS>`) — the shared prefix of sql_d7 and
+    * sql_e4. The chain is STRICTLY LINEAR (see sql_d7's shape notes:
+    * the naive propagate-UNION-carry form expanded the candidate
+    * subtree 2^rounds times and read 45.9 s). */
+  private lazy val nearDupLabelCtes: String = {
+    import operators.LlmOps.{ANCHORS, BUCKET_CAP}
+    val prop = (1 to LABEL_ROUNDS).map { k =>
+      s"""l$k AS (
+        SELECT s.v AS v, min(l.lbl) AS lbl
+        FROM symz s JOIN l${k - 1} l ON l.v = s.n
+        GROUP BY s.v)"""
+    }.mkString(",\n      ")
+    s"""toks AS (
         SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
       grams AS (
         SELECT DISTINCT doc_id, ${functions.Portable.h60Sql("g", "ng|")} AS gh
@@ -288,12 +269,170 @@ object SqlFrontend {
             named_struct('v', id_b, 'n', id_b))) AS e
           FROM edges)),
       l0 AS (SELECT v, min(n) AS lbl FROM symz GROUP BY v),
-      $prop
+      $prop"""
+  }
+
+
+  // Near-dup cluster assembly as SQL text, sharing d7's oracle. The
+  // oracle's WITH RECURSIVE reach/labels fixpoint cannot run on Spark
+  // 4.1: recursive CTEs accept only UNION ALL ([UNION_NOT_SUPPORTED_
+  // IN_RECURSIVE_CTE]), and UNION ALL min-propagation diverges on the
+  // cyclic near-dup graph (a label re-enters every cycle endlessly, so
+  // the recursion only stops at the level limit — as an error). The
+  // SQL form therefore UNROLLS the propagation: l0 is the closed-
+  // neighborhood min (the DSL's fused star init, which alone converges
+  // the clique-glued near-dup components — measured 1 confirmation
+  // round at sf0.01 AND sf0.1), plus 4 unrolled min-propagation rounds
+  // of safety margin. Convergence is still externally CHECKED, twice:
+  // the DuckDB oracle computes the TRUE fixpoint (an unconverged l4
+  // hash-mismatches loudly), and SqlSurfaceSpec pins sql == DSL
+  // label-for-label.
+  //
+  // SHAPE DISCIPLINE (the first form of this read 45 s at sf0.1, 16×
+  // the DSL twin): without persist() — which SQL text cannot express —
+  // every CTE reference re-expands its subtree into the plan, so the
+  // chain must be STRICTLY LINEAR. Three rules keep it so: (1) the
+  // self-loop rides inside `symz` via one explode-shaped UNION-free
+  // scan of `edges`, so a round is ONE join+agg over symz and the
+  // previous round — the naive `propagate UNION ALL carry-over` form
+  // references l(k-1) twice and expands the l0 subtree 2^rounds times;
+  // (2) cluster_size is a window count over the final labels, not a
+  // join against a separate GROUP BY (which would evaluate the whole
+  // chain twice); (3) the repeated symz references collapse to
+  // ReusedExchange/ReusedStage because the subtrees stay identical.
+  val sqlD7Clusters: Queries.Q = sqlQ(
+    "sql_d7_clusters",
+    s"""WITH $nearDupLabelCtes
       SELECT v AS doc_id, lbl AS cluster_id,
         count(*) OVER (PARTITION BY lbl) AS cluster_size
-      FROM l$rounds"""
-    },
+      FROM l$LABEL_ROUNDS""",
     operators.LlmOps.d7DedupCc.oracle)
+
+  // The WHOLE training-data build (e4) as ONE SQL string, sharing e4's
+  // WITH RECURSIVE oracle — the flagship of the SQL surface: a user who
+  // writes only SQL gets the near-dup cluster election (the unrolled
+  // label chain above), the LM-decile and repetition elections, exact
+  // dedup, lexical gates, decontamination routing, the seeded split,
+  // per-shard packing, and the (split, source) manifest from one
+  // statement. Discipline carried over: the chain stays linear (each
+  // heavy CTE referenced once; `toks` feeds the gram/rep/LM derivations
+  // exactly as the DSL's one tokenization does), integer arithmetic at
+  // every rounding-sensitive edge (`div`, CAST AS BIGINT), and the
+  // seeded h60 everywhere a hash routes a document.
+  val sqlE4Pipeline: Queries.Q = sqlQ(
+    "sql_e4_pipeline", {
+      val h60split = functions.Portable.h60Sql(
+        "CAST(s.doc_id AS STRING)", "split|")
+      s"""WITH $nearDupLabelCtes,
+      ccl AS (SELECT v AS doc_id FROM l$LABEL_ROUNDS WHERE v <> lbl),
+      rg AS (
+        SELECT doc_id, ${functions.Portable.h60Sql("g", "rep|")} AS gh
+        FROM (SELECT doc_id, explode(transform(sequence(0, size(t)-3),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+              FROM toks WHERE size(t) >= 3)),
+      rpc AS (SELECT doc_id, gh, count(*) AS c FROM rg GROUP BY doc_id, gh),
+      rep AS (
+        SELECT doc_id,
+          round(CAST(CAST(sum(c) AS BIGINT) - count(*) AS DOUBLE) /
+                CAST(sum(c) AS BIGINT), 6) AS rep_ratio
+        FROM rpc GROUP BY doc_id),
+      lmp AS (
+        SELECT doc_id,
+          ${functions.Portable.h60Sql(
+            "concat_ws(' ', t[i], t[i+1])", "lm2|")} AS gh,
+          ${functions.Portable.h60Sql("t[i]", "lm1|")} AS w1h
+        FROM (SELECT doc_id, t, explode(sequence(0, size(t)-2)) AS i
+              FROM toks WHERE size(t) >= 2)),
+      c2 AS (SELECT gh, count(*) AS c2 FROM lmp
+             WHERE doc_id % 10 < 8 GROUP BY gh),
+      c1 AS (SELECT w1h, count(*) AS c1 FROM lmp
+             WHERE doc_id % 10 < 8 GROUP BY w1h),
+      vocab AS (
+        SELECT count(DISTINCT ${functions.Portable.h60Sql("tok", "lm1|")})
+          AS v
+        FROM (SELECT explode(t) AS tok FROM toks WHERE doc_id % 10 < 8)),
+      scored AS (
+        SELECT p.doc_id,
+          CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+                        CAST(coalesce(c1.c1, 0) + vocab.v AS DOUBLE)), 6)
+               AS DECIMAL(28,6)) AS logp
+        FROM lmp p
+        LEFT JOIN c2 ON c2.gh = p.gh
+        LEFT JOIN c1 ON c1.w1h = p.w1h
+        CROSS JOIN vocab),
+      lmscore AS (
+        SELECT doc_id, round(CAST(sum(logp) AS DOUBLE) / count(*), 6)
+          AS avg_logp
+        FROM scored GROUP BY doc_id),
+      dl AS (SELECT doc_id, lang FROM documents),
+      lml AS (
+        SELECT doc_id FROM (
+          SELECT s.doc_id,
+            row_number() OVER (PARTITION BY dl.lang
+              ORDER BY s.avg_logp ASC, s.doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY dl.lang) AS n
+          FROM lmscore s JOIN dl ON dl.doc_id = s.doc_id) t
+        WHERE rn <= n div 10),
+      repl AS (
+        SELECT doc_id FROM (
+          SELECT r.doc_id,
+            row_number() OVER (PARTITION BY dl.lang
+              ORDER BY r.rep_ratio DESC, r.doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY dl.lang) AS n
+          FROM rep r JOIN dl ON dl.doc_id = r.doc_id) t
+        WHERE rn <= n div 20),
+      losers AS (
+        SELECT doc_id FROM ccl
+        UNION SELECT doc_id FROM lml
+        UNION SELECT doc_id FROM repl),
+      docs AS (
+        SELECT doc_id, source,
+          md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS h,
+          split(lower(text), ' ') AS t
+        FROM documents),
+      keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY h),
+      survivors AS (
+        SELECT d.doc_id, d.source, CAST(size(d.t) AS BIGINT) AS n_tokens
+        FROM docs d JOIN keep k ON d.doc_id = k.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+          AND size(d.t) >= 15
+          AND CAST(size(filter(d.t, x -> x IN ('the', 'a'))) AS DOUBLE)
+              / size(d.t) <= 0.4),
+      cgrams AS (
+        SELECT DISTINCT doc_id, ${functions.Portable.h60Sql("g", "dc|")}
+          AS gh
+        FROM (SELECT doc_id, explode(transform(sequence(0, size(t)-4),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3]))) AS g
+              FROM toks WHERE size(t) >= 4)),
+      contam AS (
+        SELECT DISTINCT c.doc_id
+        FROM cgrams c JOIN cgrams e ON e.gh = c.gh AND e.doc_id % 20 = 0
+        WHERE c.doc_id % 20 <> 0),
+      routed AS (
+        SELECT s.doc_id, s.source, s.n_tokens,
+          CASE WHEN s.doc_id % 20 = 0 THEN 'eval'
+               WHEN c.doc_id IS NOT NULL THEN 'quarantine'
+               WHEN $h60split % 10 < 8 THEN 'train'
+               WHEN $h60split % 10 = 8 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM survivors s LEFT JOIN contam c ON c.doc_id = s.doc_id),
+      packed AS (
+        SELECT source,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+            - n_tokens AS before_
+        FROM routed WHERE split = 'train'),
+      pc AS (
+        SELECT source,
+          CAST(max(before_ div ${operators.LlmOps.PACK_BUDGET}) + 1
+            AS BIGINT) AS np
+        FROM packed GROUP BY source)
+      SELECT r.split, r.source, count(*) AS n_docs,
+        CAST(sum(r.n_tokens) AS BIGINT) AS sum_tokens,
+        CASE WHEN r.split = 'train' THEN max(pc.np) END AS n_packs
+      FROM routed r LEFT JOIN pc ON pc.source = r.source
+      GROUP BY r.split, r.source"""
+    },
+    operators.LlmOps.e4LlmPipeline.oracle)
 
   // The Gopher rule battery as SQL text, sharing t16's oracle — the
   // quality-gate family's SQL reachability proof. The integer-compare
@@ -403,5 +542,5 @@ object SqlFrontend {
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
-      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet)
+      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline)
 }

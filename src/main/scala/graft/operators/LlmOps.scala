@@ -1446,7 +1446,7 @@ object LlmOps {
   // distributed training-data builds actually do (pack within a shard,
   // shuffle shards). One exchange on source, one sort per partition.
   // ---------------------------------------------------------------------
-  private val PACK_BUDGET = 512
+  private[graft] val PACK_BUDGET = 512
 
   val t9SequencePack = Q(
     "t9_sequence_pack",

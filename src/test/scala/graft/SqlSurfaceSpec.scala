@@ -75,6 +75,16 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(dfOut.count() > 0)
   }
 
+  test("sql_e4_pipeline reproduces the DSL's whole-build manifest exactly") {
+    val sqlOut = SqlFrontend.sqlE4Pipeline.fn(spark, sf)
+    val dfOut = operators.LlmOps.e4LlmPipeline.fn(spark, sf)
+      .select(sqlOut.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+    operators.LlmOps.releaseCaches()
+  }
+
   test("sql_c7_ccnet lands on the DSL's tercile report exactly") {
     val sqlOut = SqlFrontend.sqlC7Ccnet.fn(spark, sf)
     val dfOut = operators.LlmOps.c7CcnetBuckets.fn(spark, sf)
