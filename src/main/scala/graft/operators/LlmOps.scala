@@ -1871,6 +1871,54 @@ object LlmOps {
       SELECT doc_id, n_bigrams, avg_logp FROM lmscore"""))
 
   // ---------------------------------------------------------------------
+  // T17: n-gram novelty — per document, the fraction of its DISTINCT
+  // trigrams that occur in NO other document. The inverse signal of
+  // t13's within-doc repetition and d11's cross-doc duplication: high
+  // novelty marks content the corpus hasn't seen (worth keeping / the
+  // memorization-risk cohort in eval design), near-zero novelty marks
+  // boilerplate that contributes nothing beyond its duplicates. Shape:
+  // the same two map-side-combinable hash-aggs as d11's postings pass
+  // (distinct (gram, doc) → document frequency per gram → per-doc
+  // novel fraction) — no pairs, no text shuffle; the gram table is
+  // 8 bytes/entry. The ratio is exact integer-over-integer rounded at
+  // the edge, the d11 ppm discipline.
+  // ---------------------------------------------------------------------
+  val t17Novelty = Q(
+    "t17_novelty",
+    (s, d) => {
+      val grams = wordNgramHashes(s, d, 3, "nv|")
+      // a df=1 gram has exactly ONE owner, so per-doc novel counts
+      // fall straight out of the frequency aggregation (min(doc_id)
+      // IS the owner when df=1) — no join-back of the gram table onto
+      // itself (the first form paid a 3rd full-postings shuffle for
+      // that join and read ~1.5× slower at sf0.1)
+      val novel = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_grams"), 6).as("novelty"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(3)})", "nv|")} AS gh
+        FROM toks WHERE len(t) >= 3),
+      df AS (SELECT gh, count(*) AS df FROM g GROUP BY gh)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        round(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS novelty
+      FROM g JOIN df ON df.gh = g.gh
+      GROUP BY g.doc_id"""))
+
+  // ---------------------------------------------------------------------
   // T16: the Gopher quality-rule battery (Rae et al. 2021, "Scaling
   // Language Models: Methods, Analysis & Insights from Training
   // Gopher", §A1.1) — the composite rule filter most production
@@ -2837,7 +2885,7 @@ object LlmOps {
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
-    t14KmvQuantile, t15LmScore, t16GopherRules, a9HllDistinct, a9bHllNative,
+    t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
     c7CcnetBuckets, c8ShardShuffle, e4LlmPipeline)

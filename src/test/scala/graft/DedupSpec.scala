@@ -640,6 +640,30 @@ class DedupSpec extends SparkSuite {
     assert(out(6L) === Seq(true, true, true, true, false, 1L, false))
   }
 
+  test("T17: novelty is 0 for exact duplicates and 1 for unique content") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s1"),
+      (2L, "alpha beta gamma delta epsilon", "en", "s1"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa", "en", "s1"), // fully unique
+      // shares its first trigram with nothing, but doc 5 repeats its
+      // middle: partial novelty
+      (4L, "lambda mu nu xi omicron", "en", "s1"),
+      (5L, "pi rho mu nu xi sigma", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t17fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.t17Novelty.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 0.0 && out(2L) === 0.0,
+      "every trigram of an exact duplicate occurs in the other copy")
+    assert(out(3L) === 1.0, "a fully unique doc is fully novel")
+    // doc 4: trigrams {lambda mu nu, mu nu xi, nu xi omicron}; doc 5
+    // carries "mu nu xi" → novelty 2/3
+    assert(out(4L) === 0.666667)
+    assert(out(5L) > 0.7 && out(5L) < 0.8) // 3 of its 4 trigrams novel
+  }
+
   test("C8: shard shuffle is deterministic, complete, and dense per shard") {
     val run1 = operators.LlmOps.c8ShardShuffle.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
