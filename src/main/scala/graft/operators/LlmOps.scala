@@ -1938,10 +1938,13 @@ object LlmOps {
   // projection, codegen'd, no shuffle — at 100 TB this runs at scan
   // speed next to t1's stats pass.
   // ---------------------------------------------------------------------
-  val t16GopherRules = Q(
-    "t16_gopher_rules",
-    (s, d) =>
-      documents(s, d)
+  /** The rule battery as a TRANSFORM over any documents-shaped frame —
+    * a pure stateless projection, so the same definition gates a batch
+    * corpus and a readStream of arriving documents identically
+    * (StreamingSpec proves stream == batch row for row); the Q below
+    * is this transform over the lake table. */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame =
+      docs
         .select(col("doc_id"), col("source"), col("text"),
           split(lower(col("text")), " ").as("t"))
         .select(col("doc_id"), col("source"),
@@ -1975,7 +1978,11 @@ object LlmOps {
             (col("r_word_count").cast("int") + col("r_word_len").cast("int") +
               col("r_symbol").cast("int") + col("r_alpha").cast("int") +
               col("r_stop").cast("int"))).cast("long"))
-        .withColumn("pass", col("n_failed") === 0),
+        .withColumn("pass", col("n_failed") === 0)
+
+  val t16GopherRules = Q(
+    "t16_gopher_rules",
+    (s, d) => gopherRulesOf(documents(s, d)),
     Some("""WITH b AS (
         SELECT doc_id, source, text,
           string_split(lower(text), ' ') AS t FROM documents),

@@ -692,6 +692,29 @@ class StreamingSpec extends SparkSuite {
     } finally { rowsQ.stop(); countsQ.stop() }
   }
 
+  test("the Gopher quality gate runs unchanged over a stream (one definition, two modes)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val batch = graft.operators.LlmOps.gopherRulesOf(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "text", "source")
+    val q = graft.operators.LlmOps.gopherRulesOf(stream)
+      .writeStream.format("memory").queryName("gopher_stream_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 2 + 1))
+        .foreach { chunk => input.addData(chunk.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("gopher_stream_test").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(streamed === batch,
+        "stateless gate: stream output must equal batch output row for row")
+    } finally q.stop()
+  }
+
   test("streaming near-dup surfaces exactly d2's arrival-involving candidate pairs") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.Tables.documents(spark, sf)
