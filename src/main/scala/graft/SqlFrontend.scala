@@ -539,8 +539,73 @@ object SqlFrontend {
       FROM nt GROUP BY lang, bucket""",
     operators.LlmOps.c7CcnetBuckets.oracle)
 
+  // Graph-ANN through the SQL surface: a17's capped two-family edge
+  // build + 5-hop unrolled greedy beam as one WITH chain, leaning on
+  // the injected `cosine_sim` (the SQL text is SIMPLER than the DuckDB
+  // oracle, which must spell out list_inner_product/nrm). Shares a17's
+  // oracle; the unroll discipline is sql_d7's (each hop references only
+  // the previous frontier once — UNION dedup replaces the DSL's
+  // groupBy-max, identical because sim is deterministic per pair).
+  val sqlA17Nsw: Queries.Q = sqlQ(
+    "sql_a17_nsw", {
+      import operators.Ann.{NSW_M, NSW_M2, NSW_B, NSW_CAP, NSW_HOPS, NSW_K}
+      def bucketExpr(dims: Seq[Int]): String =
+        dims.zipWithIndex.map { case (d, i) =>
+          s"(CASE WHEN element_at(embedding, $d) > 0 THEN ${1 << (3 - i)} ELSE 0 END)"
+        }.mkString(" + ")
+      def familyCtes(tag: Int, dims: Seq[Int], m: Int): String =
+        s"""b$tag AS (
+          SELECT vec_id, embedding,
+            CAST(${bucketExpr(dims)} AS INT) AS b
+          FROM embeddings),
+        k$tag AS (SELECT b FROM b$tag GROUP BY b HAVING count(*) <= $NSW_CAP),
+        ef$tag AS (
+          SELECT v, n FROM (
+            SELECT va.vec_id AS v, vb.vec_id AS n,
+              row_number() OVER (PARTITION BY va.vec_id ORDER BY
+                round(cosine_sim(va.embedding, vb.embedding), 6) DESC,
+                vb.vec_id ASC) AS rn
+            FROM b$tag va JOIN k$tag ON k$tag.b = va.b
+            JOIN b$tag vb ON va.b = vb.b AND va.vec_id <> vb.vec_id) t
+          WHERE rn <= $m)"""
+      val hops = (1 to NSW_HOPS).map { k =>
+        s"""n$k AS (
+          SELECT f.probe_id, g.n AS vec_id
+          FROM f${k - 1} f JOIN edges g ON g.v = f.vec_id),
+        c$k AS (
+          SELECT probe_id, vec_id, sim FROM f${k - 1}
+          UNION
+          SELECT n.probe_id, n.vec_id,
+            round(cosine_sim(e.embedding, p.p_emb), 6) AS sim
+          FROM n$k n JOIN embeddings e ON e.vec_id = n.vec_id
+          JOIN p ON p.probe_id = n.probe_id),
+        f$k AS (
+          SELECT probe_id, vec_id, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM c$k) t
+          WHERE rn <= $NSW_B)"""
+      }.mkString(",\n      ")
+      s"""WITH ${familyCtes(1, Seq(1, 17, 33, 49), NSW_M)},
+      ${familyCtes(2, Seq(9, 25, 41, 57), NSW_M2)},
+      edges AS (SELECT v, n FROM ef1 UNION SELECT v, n FROM ef2),
+      p AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb
+        FROM embeddings WHERE vec_id < 8),
+      f0 AS (
+        SELECT p.probe_id, e.vec_id,
+          round(cosine_sim(e.embedding, p.p_emb), 6) AS sim
+        FROM p CROSS JOIN embeddings e
+        WHERE e.vec_id = (SELECT min(vec_id) FROM embeddings)),
+      $hops
+      SELECT probe_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY sim DESC, vec_id ASC) AS rn FROM f$NSW_HOPS) t
+      WHERE rn <= $NSW_K"""
+    },
+    operators.Ann.a17NswSearch.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
-      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline)
+      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw)
 }

@@ -1453,12 +1453,12 @@ object Ann {
   // against its own declared algorithm; recall vs exact brute force is
   // a17's spec concern (AnnGraphSpec reports it against a5's truth).
   // ---------------------------------------------------------------------
-  private val NSW_M = 8 // short-range out-degree
-  private val NSW_M2 = 4 // long-range out-degree
-  private val NSW_B = 16 // beam width
-  private val NSW_CAP = 256 // per-bucket membership cap in the build
-  private val NSW_HOPS = 5
-  private val NSW_K = 5
+  private[graft] val NSW_M = 8 // short-range out-degree
+  private[graft] val NSW_M2 = 4 // long-range out-degree
+  private[graft] val NSW_B = 16 // beam width
+  private[graft] val NSW_CAP = 256 // per-bucket membership cap in the build
+  private[graft] val NSW_HOPS = 5
+  private[graft] val NSW_K = 5
 
   /** Second sign-bucketing over dims {9, 25, 41, 57} — disjoint from
     * [[signBucket]]'s {1, 17, 33, 49}, so the two partitions cut the

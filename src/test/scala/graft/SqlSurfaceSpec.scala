@@ -75,6 +75,15 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(dfOut.count() > 0)
   }
 
+  test("sql_a17_nsw walks the DSL's exact beam") {
+    val sqlOut = SqlFrontend.sqlA17Nsw.fn(spark, sf)
+    val dfOut = operators.Ann.a17NswSearch.fn(spark, sf)
+      .select(sqlOut.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
+
   test("sql_e4_pipeline reproduces the DSL's whole-build manifest exactly") {
     val sqlOut = SqlFrontend.sqlE4Pipeline.fn(spark, sf)
     val dfOut = operators.LlmOps.e4LlmPipeline.fn(spark, sf)
