@@ -766,6 +766,63 @@ object Ingest {
       FROM events GROUP BY event_type"""))
 
   // ---------------------------------------------------------------------
+  // K7: date-partition retention sweep — the second lake-maintenance
+  // operator beside k6's compaction: write the events table partitioned
+  // by event date, then DELETE every partition older than the retention
+  // window and report the surviving lake (per-date counts + how many
+  // partitions the sweep removed). The cutoff derives from the LAKE'S
+  // OWN max date (never wall clock — replayable, oracle-checkable, and
+  // how a backfill-safe retention job should anchor anyway: retention
+  // relative to the newest data, not to when the job happens to run).
+  // The delete is a per-partition-DIRECTORY drop — the O(partitions)
+  // metadata operation retention is at any scale; no data file is ever
+  // read, rewritten, or scanned (at 100 TB this is the same shape
+  // against a table manifest/catalog instead of a directory listing).
+  // ---------------------------------------------------------------------
+  private[graft] val K7_RETENTION_DAYS = 7
+  val k7Retention = Q(
+    "k7_retention",
+    (s, d) => {
+      val dir = freshDir("k7_lake")
+      events(s, d).withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("event_date="))
+        .map(p => p.getPath ->
+          java.time.LocalDate.parse(
+            p.getPath.getName.stripPrefix("event_date=")))
+      val cutoff = parts.map(_._2).max(
+        Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+        .minusDays(K7_RETENTION_DAYS)
+      val dropped = parts.filter { case (_, dt) => !dt.isAfter(cutoff) }
+      dropped.foreach { case (p, _) => fs.delete(p, true) }
+      s.read.parquet(dir)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("n_partitions_before", lit(parts.length.toLong))
+        .withColumn("n_partitions_deleted", lit(dropped.length.toLong))
+    },
+    Some(s"""WITH d AS (
+        SELECT CAST(ts AS DATE) AS event_date, value FROM events),
+      mx AS (SELECT max(event_date) AS m FROM d),
+      kept AS (
+        SELECT d.event_date, d.value FROM d, mx
+        WHERE d.event_date > m - INTERVAL $K7_RETENTION_DAYS DAY)
+      SELECT event_date, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        (SELECT CAST(count(DISTINCT event_date) AS BIGINT) FROM d)
+          AS n_partitions_before,
+        (SELECT CAST(count(DISTINCT event_date) AS BIGINT) FROM d) -
+        (SELECT CAST(count(DISTINCT event_date) AS BIGINT) FROM kept)
+          AS n_partitions_deleted
+      FROM kept GROUP BY event_date"""))
+
+  // ---------------------------------------------------------------------
   // E3: the Strava streams pipeline restated end to end (SURVEY §3 E3):
   //   snapshot (orders) → date-range filter (F1/F2) → distinct ids (A3)
   //   → per-key stream rows (semi-join = the per-activity fetch, J3)
@@ -1209,7 +1266,7 @@ object Ingest {
 
   /** All sink/ingest/catalog queries, registration order. */
   def all: Seq[Q] = Seq(
-    k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction,
+    k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

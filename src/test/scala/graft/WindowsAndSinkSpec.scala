@@ -113,4 +113,28 @@ class WindowsAndSinkSpec extends SparkSuite {
       case _ => ()
     }
   }
+
+  test("K7: retention physically removes expired partitions and keeps the rest intact") {
+    val out = sources.Ingest.k7Retention.fn(spark, sf).collect()
+    val nBefore = out.head.getLong(3)
+    val nDeleted = out.head.getLong(4)
+    // the window itself: kept dates = RETENTION_DAYS, and something
+    // real was deleted on this fixture (30 distinct dates)
+    assert(out.length.toLong === nBefore - nDeleted)
+    assert(out.length === sources.Ingest.K7_RETENTION_DAYS)
+    assert(nDeleted > 0)
+    // the surviving partitions are exactly the newest dates, row-intact
+    val keptDates = out.map(_.getDate(0).toLocalDate).toSet
+    val srcByDate = graft.Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy("event_date").count().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(keptDates === srcByDate.keys.toSeq.sorted.takeRight(
+      sources.Ingest.K7_RETENTION_DAYS).toSet,
+      "kept dates must be exactly the newest RETENTION_DAYS dates")
+    out.foreach { r =>
+      assert(r.getLong(1) === srcByDate(r.getDate(0).toLocalDate),
+        s"surviving partition ${r.getDate(0)} must keep every row")
+    }
+  }
 }
