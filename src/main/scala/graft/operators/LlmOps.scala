@@ -1058,6 +1058,95 @@ object LlmOps {
       GROUP BY c.doc_id"""))
 
   // ---------------------------------------------------------------------
+  // D6b: the EVAL-SIDE leakage report — d6 answers "which corpus docs
+  // must be quarantined"; this answers the question the benchmark owner
+  // asks: "which of MY eval items has leaked, how badly, and where".
+  // Per eval doc: how many distinct corpus docs echo it, how many of
+  // its 4-grams are compromised (with its gram total, so the
+  // contaminated FRACTION is visible), and the single worst offender
+  // (most shared grams, min doc_id tie-break) to pull in triage. An
+  // eval item with a high contaminated fraction can't be scored
+  // honestly even after d6's quarantine (quarantine only fixes the NEXT
+  // build) — this report is how it gets rotated out of the benchmark.
+  // Same scale shape as d6: one gram equi-join, eval side tiny.
+  // ---------------------------------------------------------------------
+  val d6bLeakReport = Q(
+    "d6b_leak_report",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = wordNgramHashes(s, d, 4, "dc|")
+      val evalG = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("gh"))
+      val evalSz = evalG.groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = grams.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("gh"))
+        .join(evalG, Seq("gh"))
+      val perPair = hits.groupBy(col("eval_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("shared"))
+      val w = Window.partitionBy(col("eval_id"))
+        .orderBy(col("shared").desc, col("corpus_id").asc)
+      val worst = perPair.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("eval_id"), col("corpus_id").as("worst_offender"),
+          col("shared").as("worst_shared"))
+      perPair
+        .groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_corpus_docs"))
+        .join(hits.select(col("eval_id"), col("gh")).distinct()
+          .groupBy(col("eval_id")).agg(count(lit(1)).as("n_leaked_grams")),
+          Seq("eval_id"))
+        .join(evalSz, Seq("eval_id"))
+        .join(worst, Seq("eval_id"))
+        .select(col("eval_id"), col("n_corpus_docs"),
+          col("n_leaked_grams"), col("n_grams"),
+          round(col("n_leaked_grams").cast("double") / col("n_grams"), 6)
+            .as("leak_frac"),
+          col("worst_offender"), col("worst_shared"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(4)})", "dc|")} AS gh
+        FROM toks WHERE len(t) >= 4),
+      esz AS (
+        SELECT doc_id AS eval_id, count(*) AS n_grams FROM grams
+        WHERE doc_id % 20 = 0 GROUP BY 1),
+      pp AS (
+        SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id,
+          count(*) AS shared
+        FROM grams e JOIN grams c ON c.gh = e.gh AND c.doc_id % 20 <> 0
+        WHERE e.doc_id % 20 = 0
+        GROUP BY 1, 2),
+      lg AS (
+        SELECT e.doc_id AS eval_id, count(DISTINCT e.gh) AS n_leaked_grams
+        FROM grams e
+        WHERE e.doc_id % 20 = 0 AND EXISTS (
+          SELECT 1 FROM grams c
+          WHERE c.gh = e.gh AND c.doc_id % 20 <> 0)
+        GROUP BY 1),
+      worst AS (
+        SELECT eval_id, corpus_id AS worst_offender,
+          shared AS worst_shared
+        FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
+          ORDER BY shared DESC, corpus_id ASC) AS rn FROM pp) t
+        WHERE rn = 1)
+      SELECT p.eval_id,
+        CAST(count(*) AS BIGINT) AS n_corpus_docs,
+        CAST(max(lg.n_leaked_grams) AS BIGINT) AS n_leaked_grams,
+        CAST(max(esz.n_grams) AS BIGINT) AS n_grams,
+        round(CAST(max(lg.n_leaked_grams) AS DOUBLE)
+          / max(esz.n_grams), 6) AS leak_frac,
+        max(w.worst_offender) AS worst_offender,
+        CAST(max(w.worst_shared) AS BIGINT) AS worst_shared
+      FROM pp p
+      JOIN lg ON lg.eval_id = p.eval_id
+      JOIN esz ON esz.eval_id = p.eval_id
+      JOIN worst w ON w.eval_id = p.eval_id
+      GROUP BY p.eval_id"""))
+
+  // ---------------------------------------------------------------------
   // D9: Bloom-filter decontamination PRE-filter — the cheap gram-level
   // guard a production pipeline runs before d6's exact join. The eval
   // set's 4-grams are folded into a FIXED 2^14-bit Bloom filter (K=3
@@ -2888,7 +2977,7 @@ object LlmOps {
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
-    d6Decontaminate, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    d6Decontaminate, d6bLeakReport, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,

@@ -640,6 +640,31 @@ class DedupSpec extends SparkSuite {
     assert(out(6L) === Seq(true, true, true, true, false, 1L, false))
   }
 
+  test("D6b: eval-side leak report counts offenders, grams, and the worst source") {
+    val docs = Seq(
+      (0L, "a b c d e f", "en", "s1"), // eval (id % 20 == 0), 3 grams
+      (1L, "a b c d x", "en", "s1"), // shares {a b c d}
+      (2L, "a b c d e y", "en", "s1"), // shares {a b c d, b c d e}
+      (3L, "q r s t u", "en", "s1"), // clean
+      (20L, "j k l m n", "en", "s1") // eval, unleaked → absent
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d6bfix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.d6bLeakReport.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet === Set(0L), "only the leaked eval doc reports")
+    val (nDocs, nLeaked, nGrams, frac, worst, worstShared) = out(0L)
+    assert(nDocs === 2L) // docs 1 and 2
+    assert(nLeaked === 2L) // {a b c d, b c d e}
+    assert(nGrams === 3L)
+    assert(frac === 0.666667)
+    assert(worst === 2L && worstShared === 2L,
+      "doc 2 shares two grams; doc 1 only one")
+  }
+
   test("T17: novelty is 0 for exact duplicates and 1 for unique content") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon", "en", "s1"),
