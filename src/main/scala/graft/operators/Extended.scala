@@ -396,8 +396,77 @@ object Extended {
           AS price_c100
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  // ---------------------------------------------------------------------
+  // X11: Z-order clustering with data-skipping stats — the Delta/Iceberg
+  // Z-ORDER technique relationally: interleave the bits of two filter
+  // dimensions (l_partkey, l_suppkey) into one Z-value, bucket the table
+  // along the Z curve, and report each bucket's bounding box on BOTH
+  // dims beside the same buckets under a plain one-dimension ordering.
+  // The point is what a file pruner sees: Z buckets have TIGHT min/max
+  // on both dims (a predicate on EITHER dim skips most buckets), while
+  // linear buckets are tight on the sort key only — the second dim's
+  // per-bucket span covers the whole domain and nothing skips
+  // (ExtendedSpec quantifies the skipping ratio on a planted predicate).
+  //
+  // Portability: the interleave is 32 integer div/mod/multiply terms —
+  // no engine bit ops — so the Z-value is identical in DuckDB; buckets
+  // are exact ntile(64) over (z, rowkey), deterministic under ties. At
+  // 100 TB the write-side form is repartitionByRange(zcol) + per-file
+  // min/max stats (what the parquet footer already carries); ntile is
+  // the oracle-checkable bucket analogue, and the single global sort in
+  // this plan is exactly what a Z-order table REWRITE costs anyway.
+  // ---------------------------------------------------------------------
+  private val Z_BITS = 16
+  private val Z_BUCKETS = 64
+  private def zExpr(pk: String, sk: String, div: String): String =
+    (0 until Z_BITS).map { i =>
+      val p2i = 1L << i
+      s"(($pk $div $p2i) % 2) * ${1L << (2 * i)} + " +
+        s"(($sk $div $p2i) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  val x11Zorder = Q(
+    "x11_zorder",
+    (s, d) => {
+      val base = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("z", expr(zExpr("l_partkey", "l_suppkey", "div")))
+      def buckets(ordered: DataFrame, variant: String): DataFrame =
+        ordered
+          .withColumn("bucket",
+            ntile(Z_BUCKETS).over(Window.orderBy(
+              col("ord"), col("l_orderkey"), col("l_linenumber")))
+              .cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("pk_lo"),
+            max(col("l_partkey")).as("pk_hi"),
+            min(col("l_suppkey")).as("sk_lo"),
+            max(col("l_suppkey")).as("sk_hi"))
+          .withColumn("variant", lit(variant))
+      buckets(base.withColumn("ord", col("z")), "zorder")
+        .unionByName(
+          buckets(base.withColumn("ord", col("l_orderkey")), "linear"))
+    },
+    Some {
+      val z = zExpr("l_partkey", "l_suppkey", "//")
+      def half(ord: String, variant: String) = s"""
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+          CAST(count(*) AS BIGINT) AS n,
+          min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+          min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi,
+          '$variant' AS variant
+        FROM (SELECT l_partkey, l_suppkey,
+                ntile($Z_BUCKETS) OVER (ORDER BY $ord,
+                  l_orderkey, l_linenumber) AS bucket
+              FROM lineitem) t
+        GROUP BY bucket"""
+      s"""${half(s"($z)", "zorder")} UNION ALL ${half("l_orderkey", "linear")}"""
+    })
+
   /** All extension queries, registration order. */
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
-    x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube)
+    x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder)
 }

@@ -151,4 +151,28 @@ class ExtendedSpec extends SparkSuite {
     assert(plan.contains("Expand"), s"cube should plan one Expand:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("X11: z-order buckets let a second-dimension predicate skip; linear ones don't") {
+    // column order: bucket, n, pk_lo, pk_hi, sk_lo, sk_hi, variant
+    val rows = operators.Extended.x11Zorder.fn(spark, sf).collect()
+    def skipFrac(variant: String, lo: Long, hi: Long): Double = {
+      val bs = rows.filter(_.getString(6) == variant)
+      val skipped = bs.count(r =>
+        r.getLong(5) < lo || r.getLong(4) > hi) // sk_hi < lo || sk_lo > hi
+      skipped.toDouble / bs.length
+    }
+    // a pruner with predicate l_suppkey IN [8, 9]: which buckets'
+    // [sk_lo, sk_hi] can be skipped entirely? (sf0.001 has only 10
+    // distinct suppkeys, so the curve's clustering is at its weakest
+    // here — the margin grows with the key domain at real scale)
+    val zSkip = skipFrac("zorder", 8, 9)
+    val linSkip = skipFrac("linear", 8, 9)
+    assert(zSkip >= 0.4,
+      s"z-order must skip a large bucket share on the second dim (got $zSkip)")
+    assert(zSkip >= linSkip + 0.3,
+      s"z-order must skip far more than linear ($zSkip vs $linSkip)")
+    // both variants partition the table completely and identically in size
+    val sizes = rows.groupBy(_.getString(6)).view.mapValues(_.map(_.getLong(1)).sum)
+    assert(sizes("zorder") === sizes("linear"))
+  }
 }
