@@ -69,7 +69,8 @@ object ExplainAudit {
       "sql_d7_clusters", "d12b_semantic_recall", "s2e_token_refresh",
       "t16_gopher_rules", "c7_ccnet_buckets", "sql_t16_gopher",
       "c8_shard_shuffle", "sql_c7_ccnet", "a17_nsw_search",
-      "sql_e4_pipeline", "t17_novelty", "sql_a17_nsw")
+      "sql_e4_pipeline", "t17_novelty", "sql_a17_nsw",
+      "k7_retention", "d6b_leak_report", "x11_zorder")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
