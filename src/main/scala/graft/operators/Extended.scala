@@ -409,12 +409,16 @@ object Extended {
   // (ExtendedSpec quantifies the skipping ratio on a planted predicate).
   //
   // Portability: the interleave is 32 integer div/mod/multiply terms —
-  // no engine bit ops — so the Z-value is identical in DuckDB; buckets
-  // are exact ntile(64) over (z, rowkey), deterministic under ties. At
-  // 100 TB the write-side form is repartitionByRange(zcol) + per-file
-  // min/max stats (what the parquet footer already carries); ntile is
-  // the oracle-checkable bucket analogue, and the single global sort in
-  // this plan is exactly what a Z-order table REWRITE costs anyway.
+  // no engine bit ops — so the Z-value is identical in DuckDB. Buckets
+  // are FIXED-WIDTH ranges of the ordering key (width = ceil((max+1)/
+  // B), the 1-row max broadcast onto the scan) — a pure map-side
+  // assignment with NO global sort: the first form used ntile over a
+  // global ORDER BY, which moves the whole table through ONE partition
+  // and read 3.39× for 3× data at the r13 probe (60.7 s at 30×); the
+  // range form is two narrow aggs and scales with the scan. This is
+  // also the more faithful model: parquet row-group pruning works off
+  // VALUE ranges, and a Z-order table rewrite is repartitionByRange on
+  // exactly these curve ranges.
   // ---------------------------------------------------------------------
   private val Z_BITS = 16
   private val Z_BUCKETS = 64
@@ -428,16 +432,30 @@ object Extended {
   val x11Zorder = Q(
     "x11_zorder",
     (s, d) => {
+      // normalize BOTH dims to the common 16-bit domain before the
+      // interleave (value * 65535 div max): raw interleave of dims with
+      // unequal bit widths puts the narrow dim's bits entirely below
+      // the bucket cut and the curve degenerates to a one-dimension
+      // sort (measured: skip fraction 0.24 unnormalized vs ~0.75
+      // normalized on the same predicate) — every real Z-order
+      // implementation rank- or range-normalizes for exactly this
+      // reason. The two maxes are one broadcast row.
+      val mx = lineitem(s, d)
+        .agg(greatest(max(col("l_partkey")), lit(1L)).as("mx_pk"),
+          greatest(max(col("l_suppkey")), lit(1L)).as("mx_sk"))
       val base = lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"))
-        .withColumn("z", expr(zExpr("l_partkey", "l_suppkey", "div")))
-      def buckets(ordered: DataFrame, variant: String): DataFrame =
-        ordered
-          .withColumn("bucket",
-            ntile(Z_BUCKETS).over(Window.orderBy(
-              col("ord"), col("l_orderkey"), col("l_linenumber")))
-              .cast("long"))
+        .crossJoin(broadcast(mx))
+        .withColumn("npk", expr("(l_partkey * 65535) div mx_pk"))
+        .withColumn("nsk", expr("(l_suppkey * 65535) div mx_sk"))
+        .withColumn("z", expr(zExpr("npk", "nsk", "div")))
+      def buckets(withOrd: DataFrame, variant: String): DataFrame = {
+        val w = withOrd
+          .agg(max(col("ord")).as("mx"))
+          .select(expr(s"(mx + $Z_BUCKETS) div $Z_BUCKETS").as("w"))
+        withOrd.crossJoin(broadcast(w))
+          .withColumn("bucket", expr("ord div w"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
             min(col("l_partkey")).as("pk_lo"),
@@ -445,12 +463,19 @@ object Extended {
             min(col("l_suppkey")).as("sk_lo"),
             max(col("l_suppkey")).as("sk_hi"))
           .withColumn("variant", lit(variant))
+      }
       buckets(base.withColumn("ord", col("z")), "zorder")
         .unionByName(
           buckets(base.withColumn("ord", col("l_orderkey")), "linear"))
     },
     Some {
-      val z = zExpr("l_partkey", "l_suppkey", "//")
+      val z = zExpr("npk", "nsk", "//")
+      val normed = """(SELECT l_orderkey, l_partkey, l_suppkey,
+          (l_partkey * 65535) // greatest(mx_pk, 1) AS npk,
+          (l_suppkey * 65535) // greatest(mx_sk, 1) AS nsk
+        FROM lineitem,
+          (SELECT max(l_partkey) AS mx_pk, max(l_suppkey) AS mx_sk
+           FROM lineitem) m)"""
       def half(ord: String, variant: String) = s"""
         SELECT CAST(bucket AS BIGINT) AS bucket,
           CAST(count(*) AS BIGINT) AS n,
@@ -458,9 +483,10 @@ object Extended {
           min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi,
           '$variant' AS variant
         FROM (SELECT l_partkey, l_suppkey,
-                ntile($Z_BUCKETS) OVER (ORDER BY $ord,
-                  l_orderkey, l_linenumber) AS bucket
-              FROM lineitem) t
+                ord // ((mx + 1 + $Z_BUCKETS - 1) // $Z_BUCKETS) AS bucket
+              FROM (SELECT l_partkey, l_suppkey, $ord AS ord
+                    FROM $normed nz) o,
+                   (SELECT max($ord) AS mx FROM $normed nz2) m) t
         GROUP BY bucket"""
       s"""${half(s"($z)", "zorder")} UNION ALL ${half("l_orderkey", "linear")}"""
     })
