@@ -386,4 +386,36 @@ class PropertySpec extends SparkSuite {
         s"vec ${r.getLong(0)}: rmse ${r.getDouble(3)} > half-step $halfStep")
     }
   }
+
+  test("X11: the z-interleave is monotone in each dimension (pruning soundness)") {
+    // a range pruner on either dim is only sound if the curve never
+    // inverts that dim while the other is held fixed — the scalar
+    // property behind x11's per-bucket bounding boxes. Checked on the
+    // exact integer arithmetic the query ships (div/mod interleave),
+    // replicated here in Scala over generated 16-bit coordinates.
+    def z(pk: Long, sk: Long): Long =
+      (0 until 16).map { i =>
+        ((pk >> i) & 1L) * (1L << (2 * i)) +
+          ((sk >> i) & 1L) * (1L << (2 * i + 1))
+      }.sum
+    val dom = Gen.chooseNum(0L, 65535L)
+    val seed0 = Seed(42L)
+    var seed = seed0
+    (1 to 500).foreach { _ =>
+      val a = dom.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val b = dom.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val c = dom.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      if (lo != hi) {
+        assert(z(lo, c) < z(hi, c),
+          s"z must be monotone in pk: z($lo,$c) vs z($hi,$c)")
+        assert(z(c, lo) < z(c, hi),
+          s"z must be monotone in sk: z($c,$lo) vs z($c,$hi)")
+      }
+    }
+    // and the interleave is a bijection on the 16-bit grid corner cases
+    assert(z(0, 0) === 0L)
+    assert(z(65535, 65535) === (1L << 32) - 1)
+    assert(z(65535, 0) === 0x55555555L && z(0, 65535) === 0xAAAAAAAAL)
+  }
 }
