@@ -539,35 +539,71 @@ object SqlFrontend {
       FROM nt GROUP BY lang, bucket""",
     operators.LlmOps.c7CcnetBuckets.oracle)
 
-  // Graph-ANN through the SQL surface: a17's capped two-family edge
-  // build + 5-hop unrolled greedy beam as one WITH chain, leaning on
-  // the injected `cosine_sim` (the SQL text is SIMPLER than the DuckDB
-  // oracle, which must spell out list_inner_product/nrm). Shares a17's
-  // oracle; the unroll discipline is sql_d7's (each hop references only
-  // the previous frontier once — UNION dedup replaces the DSL's
-  // groupBy-max, identical because sim is deterministic per pair).
+  // Graph-ANN through the SQL surface: a17's corpus-scaled two-family
+  // edge build (r14 — sign-prefix buckets sized by integer thresholds,
+  // h60-random long-range buckets, sample-not-drop cap) + 5-hop unrolled
+  // greedy beam as one WITH chain, leaning on the injected `cosine_sim`
+  // (the SQL text is SIMPLER than the DuckDB oracle, which must spell
+  // out list_inner_product/nrm). Shares a17's oracle; the unroll
+  // discipline is sql_d7's (each hop references only the previous
+  // frontier once — UNION dedup replaces the DSL's groupBy-max,
+  // identical because sim is deterministic per pair).
   val sqlA17Nsw: Queries.Q = sqlQ(
     "sql_a17_nsw", {
-      import operators.Ann.{NSW_M, NSW_M2, NSW_B, NSW_CAP, NSW_HOPS, NSW_K}
-      def bucketExpr(dims: Seq[Int]): String =
-        dims.zipWithIndex.map { case (d, i) =>
-          s"(CASE WHEN element_at(embedding, $d) > 0 THEN ${1 << (3 - i)} ELSE 0 END)"
-        }.mkString(" + ")
-      def familyCtes(tag: Int, dims: Seq[Int], m: Int): String =
-        s"""b$tag AS (
-          SELECT vec_id, embedding,
-            CAST(${bucketExpr(dims)} AS INT) AS b
-          FROM embeddings),
-        k$tag AS (SELECT b FROM b$tag GROUP BY b HAVING count(*) <= $NSW_CAP),
-        ef$tag AS (
+      import operators.Ann.{NSW_MA, NSW_MB, NSW_MR, NSW_B, NSW_CAP,
+        NSW_HOPS, NSW_K, NSW_RTARGET, NSW_ENTRIES}
+      import graft.functions.Portable.h60Sql
+      val families = Seq(
+        ("a", operators.Ann.nswSignOffA, NSW_MA),
+        ("b", operators.Ann.nswSignOffB, NSW_MB))
+      val signCtes = families.map { case (t, off, m) =>
+        s"""b$t AS (SELECT vec_id, embedding,
+            CAST(pmod(${operators.Ann.nswSignKeySql("embedding", off)},
+              shiftleft(1, nbits)) AS INT) AS b
+          FROM embeddings CROSS JOIN nb),
+        s$t AS (SELECT vec_id, embedding, b FROM (
+            SELECT vec_id, embedding, b,
+              row_number() OVER (PARTITION BY b ORDER BY
+                ${h60Sql("CAST(vec_id AS STRING)", "nsws|")}, vec_id)
+                AS srn
+            FROM b$t) t WHERE srn <= $NSW_CAP),
+        ef$t AS (
           SELECT v, n FROM (
             SELECT va.vec_id AS v, vb.vec_id AS n,
               row_number() OVER (PARTITION BY va.vec_id ORDER BY
                 round(cosine_sim(va.embedding, vb.embedding), 6) DESC,
                 vb.vec_id ASC) AS rn
-            FROM b$tag va JOIN k$tag ON k$tag.b = va.b
-            JOIN b$tag vb ON va.b = vb.b AND va.vec_id <> vb.vec_id) t
+            FROM b$t va JOIN s$t vb
+              ON va.b = vb.b AND va.vec_id <> vb.vec_id) t
           WHERE rn <= $m)"""
+      }.mkString(",\n        ")
+      val edgeCtes =
+        s"""nc AS (SELECT count(*) AS n FROM embeddings),
+        nb AS (SELECT (${operators.Ann.nswNbitsSql}) AS nbits,
+            greatest(CAST(1 AS BIGINT),
+              CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+          FROM nc),
+        $signCtes,
+        br AS (SELECT vec_id,
+            CAST(pmod(${h60Sql("CAST(vec_id AS STRING)", "nswr|")},
+              nb2) AS INT) AS b
+          FROM embeddings CROSS JOIN nb),
+        sr AS (SELECT vec_id, b FROM (
+            SELECT vec_id, b,
+              row_number() OVER (PARTITION BY b ORDER BY
+                ${h60Sql("CAST(vec_id AS STRING)", "nsws|")}, vec_id)
+                AS srn
+            FROM br) t WHERE srn <= $NSW_CAP),
+        efr AS (
+          SELECT v, n FROM (
+            SELECT va.vec_id AS v, vb.vec_id AS n,
+              row_number() OVER (PARTITION BY va.vec_id ORDER BY
+                ${h60Sql("concat(CAST(va.vec_id AS STRING), '|', " +
+          "CAST(vb.vec_id AS STRING))", "nsw2|")} ASC,
+                vb.vec_id ASC) AS rn
+            FROM br va JOIN sr vb
+              ON va.b = vb.b AND va.vec_id <> vb.vec_id) t
+          WHERE rn <= $NSW_MR)"""
       val hops = (1 to NSW_HOPS).map { k =>
         s"""n$k AS (
           SELECT f.probe_id, g.n AS vec_id
@@ -585,17 +621,20 @@ object SqlFrontend {
               ORDER BY sim DESC, vec_id ASC) AS rn FROM c$k) t
           WHERE rn <= $NSW_B)"""
       }.mkString(",\n      ")
-      s"""WITH ${familyCtes(1, Seq(1, 17, 33, 49), NSW_M)},
-      ${familyCtes(2, Seq(9, 25, 41, 57), NSW_M2)},
-      edges AS (SELECT v, n FROM ef1 UNION SELECT v, n FROM ef2),
+      s"""WITH $edgeCtes,
+      edges AS (SELECT v, n FROM efa UNION SELECT v, n FROM efb
+        UNION SELECT v, n FROM efr),
       p AS (
         SELECT vec_id AS probe_id, embedding AS p_emb
         FROM embeddings WHERE vec_id < 8),
+      ent AS (SELECT vec_id FROM embeddings ORDER BY
+          ${h60Sql("CAST(vec_id AS STRING)", "nswe|")}, vec_id
+        LIMIT $NSW_ENTRIES),
       f0 AS (
         SELECT p.probe_id, e.vec_id,
           round(cosine_sim(e.embedding, p.p_emb), 6) AS sim
         FROM p CROSS JOIN embeddings e
-        WHERE e.vec_id = (SELECT min(vec_id) FROM embeddings)),
+        WHERE e.vec_id IN (SELECT vec_id FROM ent)),
       $hops
       SELECT probe_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id

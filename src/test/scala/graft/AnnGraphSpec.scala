@@ -10,8 +10,8 @@ import org.apache.spark.sql.expressions.Window
   * here — the a11/d4b self-evaluation pattern.) */
 class AnnGraphSpec extends SparkSuite {
 
-  private def bruteTop(k: Int) = {
-    val e = Tables.embeddings(spark, sf)
+  private def bruteTop(k: Int, dir: String = sf) = {
+    val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("emb"))
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
@@ -36,7 +36,8 @@ class AnnGraphSpec extends SparkSuite {
   test("A17: edge list respects per-family out-degree bounds") {
     val deg = operators.Ann.nswEdges(spark, sf)
       .groupBy("v").count().agg(max("count")).head().getLong(0)
-    assert(deg <= 12, s"out-degree $deg exceeds NSW_M + NSW_M2") // 8 + 4
+    assert(deg <= operators.Ann.NSW_DEG,
+      s"out-degree $deg exceeds NSW_DEG") // 6 + 6 + 4
   }
 
   test("A17: beam output is k-per-probe with ranks ordered by similarity") {
@@ -53,6 +54,75 @@ class AnnGraphSpec extends SparkSuite {
         byRank.map(_._3).sortBy(-(_: Double)).toSeq,
         s"probe $p sims not ordered")
     }
+  }
+
+  /** 10× fixture: 10 jittered copies of the sf embeddings (5,000
+    * vectors) written as an embeddings.parquet dir. 5,000 > 16 buckets ×
+    * NSW_CAP 256 = 4,096 — the size where the r13 fixed-bucket drop
+    * build provably emptied its edge list (VERDICT r13 What's-wrong #1).
+    * Per-element jitter (±0.05, deterministic h60 of (new vec_id, dim))
+    * keeps copies near-duplicates (cos ≈ 0.97) while flipping near-zero
+    * sign dims, so replicas spread across LSH buckets like organic
+    * near-dups rather than exact piles. */
+  private lazy val scaled10xDir: String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-nsw-10x").toString
+    val n = Tables.embeddings(spark, sf).count()
+    val copies = (0 until 10).map { i =>
+      Tables.embeddings(spark, sf)
+        .withColumn("vec_id", col("vec_id") + lit(i * n))
+        .select(col("vec_id"),
+          expr("transform(embedding, (x, j) -> CAST(x + 0.05 * ((" +
+            functions.Portable.h60Sql(
+              "concat(CAST(vec_id AS STRING), '|', CAST(j AS STRING))",
+              "jit|") +
+            " % 201) - 100) / 100.0 AS FLOAT))").as("embedding"),
+          col("label"))
+    }
+    copies.reduce(_ unionByName _).coalesce(4)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  test("A17 r14: corpus-scaled build stays connected at 10x " +
+      "(the r13 fixed-bucket drop build emptied here)") {
+    val n = Tables.embeddings(spark, scaled10xDir).count()
+    assert(n > 4096, s"fixture must exceed the old 16x256 saturation: $n")
+    val edges = operators.Ann.nswEdges(spark, scaled10xDir)
+      .persist()
+    try {
+      val total = edges.count()
+      assert(total > 0L, "edge list empty — the r13 failure mode")
+      // every node must keep out-edges (sample-not-drop guarantees the
+      // long-range family reaches all nodes whose random bucket has >1
+      // member; 99% allows singleton-bucket stragglers)
+      val covered = edges.select("v").distinct().count()
+      assert(covered >= (n * 99) / 100,
+        s"only $covered of $n nodes have out-edges")
+      val maxDeg = edges.groupBy("v").count().agg(max("count"))
+        .head().getLong(0)
+      assert(maxDeg <= operators.Ann.NSW_DEG,
+        s"out-degree $maxDeg exceeds NSW_DEG")
+    } finally { edges.unpersist(); () }
+  }
+
+  test("A17 r14: beam recall@5 clears the floor on the 10x fixture") {
+    val truth = bruteTop(5, scaled10xDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val found = operators.Ann.a17NswSearch.fn(spark, scaled10xDir)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (p, t) =>
+      (found.getOrElse(p, Set.empty) intersect t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"10x fixture mean recall@5 = $mean")
+    // the r13 build's recall here was ~0 (beam never left the entry
+    // node); the floor asserts the graph is navigable, not SOTA
+    assert(mean >= 0.4, s"mean recall@5 $mean below floor (per-probe: " +
+      recalls.mkString(", ") + ")")
   }
 
   test("A17: greedy beam recall@5 vs exact brute force clears the floor") {

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** d13_cap_report: the no-silent-caps accounting (VERDICT r13 #2). The
+  * planted-fixture test pins the exact drop/sample arithmetic against a
+  * hand-computable band table; the registry test asserts the report
+  * covers every capped index surface on real data. */
+class CapReportSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("capStats pins drop and sample arithmetic on a planted hot bucket") {
+    // bucket "hot": 100 members (over a cap of 64); "cold": 3 members
+    val bands = ((1 to 100).map(i => ("hot", i.toLong)) ++
+      (1 to 3).map(i => ("cold", i.toLong))).toDF("bkey", "doc_id")
+    val drop = operators.LlmOps
+      .capStats("t_drop", "drop", bands, Seq("bkey"), 64)
+      .as[(String, String, Long, Long, Long, Long, Long)].head()
+    assert(drop === (("t_drop", "drop", 64L, 2L, 1L, 103L, 100L)),
+      "drop policy: whole over-cap bucket counts as affected")
+    val sample = operators.LlmOps
+      .capStats("t_sample", "sample", bands, Seq("bkey"), 64)
+      .as[(String, String, Long, Long, Long, Long, Long)].head()
+    assert(sample === (("t_sample", "sample", 64L, 2L, 1L, 103L, 36L)),
+      "sample policy: only members beyond the cap sample are affected")
+  }
+
+  test("capStats of an under-cap table reports zero affected rows") {
+    val bands = (1 to 10).map(i => ("b" + (i % 3), i.toLong))
+      .toDF("bkey", "doc_id")
+    val r = operators.LlmOps
+      .capStats("t", "drop", bands, Seq("bkey"), 64)
+      .as[(String, String, Long, Long, Long, Long, Long)].head()
+    assert(r === (("t", "drop", 64L, 3L, 0L, 10L, 0L)))
+  }
+
+  test("d13_cap_report covers every capped index surface") {
+    val rows = operators.LlmOps.d13CapReport.fn(spark, sf).collect()
+    val idx = rows.map(_.getString(0)).toSet
+    assert(idx === Set("d2_minhash", "d3b_simhash", "d4_banded",
+      "d5_anchor", "d12b_banded", "nsw_sign_a", "nsw_sign_b", "nsw_rand"))
+    for (r <- rows) {
+      assert(r.getLong(5) > 0L, s"${r.getString(0)}: empty band table")
+      // affected ≤ total, and over-cap bucket count consistent with rows
+      assert(r.getLong(6) <= r.getLong(5), r.getString(0))
+      assert(r.getLong(4) <= r.getLong(3), r.getString(0))
+    }
+    // NSW frames are sample policy, dedup frames drop policy
+    val byIdx = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byIdx.filter(_._1.startsWith("nsw")).values.toSet === Set("sample"))
+    assert(byIdx.filterNot(_._1.startsWith("nsw")).values.toSet === Set("drop"))
+  }
+}
