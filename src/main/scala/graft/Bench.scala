@@ -55,6 +55,42 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // Canary pass (r13 advice #5): the same binary read 1.02x (builder)
+    // and 1.32x (driver) against the pins hours apart — pure machine
+    // load. Before the full suite, time a fixed 5-query slice spanning
+    // scan+join+agg / text / ANN and record its ratio to the pinned
+    // baseline IN the bench record, so any run carries its own
+    // load-contamination estimate: a total near 2x the pin with a
+    // canary near the same ratio is drift, not regression.
+    val canaryNames = Seq("q1_flagship", "d3_simhash", "agg_battery",
+      "j1_join_enrich", "a5_ann_bruteforce")
+    val canaryJson: String = {
+      val pinText =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_BENCH.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        catch { case _: Throwable => "" }
+      def pinOf(n: String): Option[Double] =
+        ("\"" + java.util.regex.Pattern.quote(n) +
+          "\"\\s*:\\s*([0-9][0-9.eE+-]*)").r
+          .findFirstMatchIn(pinText).map(_.group(1).toDouble)
+      val timed = canaryNames.flatMap { n =>
+        for {
+          fn <- SparkEntry.queries.get(n)
+          pin <- pinOf(n)
+          t = (1 to PASSES).map(_ => timeOnce(fn)).sorted.apply(PASSES / 2)
+          if t >= 0
+        } yield (n, t, pin)
+      }
+      operators.LlmOps.releaseCaches()
+      if (timed.isEmpty) "null"
+      else {
+        val ratio = timed.map(_._2).sum / timed.map(_._3).sum
+        val qs = timed.map { case (n, t, _) => s"\"$n\":$t" }
+          .mkString("{", ",", "}")
+        f"""{"ratio":$ratio%.4f,"queries":$qs}"""
+      }
+    }
     // SPARK_GRAFT_ONLY=q1,q2 restricts to a comma-separated subset —
     // local outlier triage only; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -92,7 +128,7 @@ object Bench {
     // across the board — a ratio against the pin is meaningless without
     // knowing which harness produced it (r8 triage burned an hour on
     // exactly that).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median","cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median","cpus":$cpus,"canary":$canaryJson}"""
     println(line)
     // The driver's BENCH_r*.json keeps only a 2000-char tail of sbt
     // output, which truncated 38 of 98 per-query timings in round 7 —

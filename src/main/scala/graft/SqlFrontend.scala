@@ -643,8 +643,92 @@ object SqlFrontend {
     },
     operators.Ann.a17NswSearch.oracle)
 
+  // The 100 TB serving shape through the SQL surface: a14's whole
+  // IVF-PQ chain — 2-Lloyd-iteration coarse quantizer (cells route
+  // probes), per-subspace PQ codebooks, and ADC scoring through 16-bit
+  // codes — as ONE WITH chain sharing a14's oracle, the way sql_a17
+  // reaches the beam and sql_e4 the curation pipeline. Every rounding
+  // boundary is the DSL's: csim rounded to 6 before the packed-long
+  // argmax (hash-aggregable, no SortAggregate), distance terms rounded
+  // then DECIMAL-summed, codes and ADC sums in exact integer micros.
+  // The probe distance table and centroid sides are tiny (≤320 rows);
+  // AQE broadcasts them exactly as the DSL's explicit broadcast() does.
+  val sqlA14IvfPq: Queries.Q = sqlQ(
+    "sql_a14_ivfpq", {
+      import operators.Ann.{KMEANS_K, PQ_M, PQ_K}
+      s"""WITH c0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb
+        FROM embeddings WHERE vec_id < $KMEANS_K),
+      a1 AS (
+        SELECT vec_id,
+          15 - pmod(max(CAST(round(csim * 1000000) AS BIGINT) * 16
+            + (15 - cid)), 16) AS cell
+        FROM (SELECT e.vec_id, c.cid,
+            round(cosine_sim(e.embedding, c.c_emb), 6) AS csim
+          FROM embeddings e CROSS JOIN c0 c) t
+        GROUP BY vec_id),
+      dims AS (
+        SELECT vec_id, pos AS dim, round(CAST(x0 AS DOUBLE), 6) AS x,
+          CAST(pos / ${64 / PQ_M} AS INT) AS sub
+        FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x0),
+      m1 AS (
+        SELECT a1.cell, d.dim,
+          round(CAST(sum(CAST(d.x AS DECIMAL(20,6))) AS DOUBLE)
+            / count(*), 6) AS v
+        FROM a1 JOIN dims d USING (vec_id)
+        GROUP BY a1.cell, d.dim),
+      c1 AS (
+        SELECT cell AS cid,
+          transform(sort_array(collect_list(struct(dim, v))), r -> r.v)
+            AS c_emb
+        FROM m1 GROUP BY cell),
+      a2 AS (
+        SELECT vec_id,
+          15 - pmod(max(CAST(round(csim * 1000000) AS BIGINT) * 16
+            + (15 - cid)), 16) AS cell
+        FROM (SELECT e.vec_id, c.cid,
+            round(cosine_sim(e.embedding, c.c_emb), 6) AS csim
+          FROM embeddings e CROSS JOIN c1 c) t
+        GROUP BY vec_id),
+      cents AS (
+        SELECT CAST(vec_id AS INT) AS cid, dim, x AS c
+        FROM dims WHERE vec_id < $PQ_K),
+      sqd AS (
+        SELECT d.vec_id, d.sub, c.cid,
+          CAST(sum(CAST(round((d.x - c.c) * (d.x - c.c), 6)
+            AS DECIMAL(20,6))) AS DOUBLE) AS sqdist
+        FROM dims d JOIN cents c ON c.dim = d.dim
+        GROUP BY d.vec_id, d.sub, c.cid),
+      codes AS (
+        SELECT vec_id, sub,
+          CAST(pmod(min(CAST(round(sqdist * 1000000) AS BIGINT) * $PQ_K
+            + cid), $PQ_K) AS INT) AS code
+        FROM sqd GROUP BY vec_id, sub),
+      idx AS (
+        SELECT k.vec_id, a2.cell, k.sub, k.code
+        FROM codes k JOIN a2 USING (vec_id)),
+      tbl AS (
+        SELECT s.vec_id AS probe_id, a2.cell, s.sub, s.cid AS code,
+          CAST(round(s.sqdist * 1000000) AS BIGINT) AS micro
+        FROM sqd s JOIN a2 ON a2.vec_id = s.vec_id
+        WHERE s.vec_id >= 100 AND s.vec_id < 110),
+      adc AS (
+        SELECT t.probe_id, k.vec_id, sum(t.micro) AS adc_micro
+        FROM idx k JOIN tbl t
+          ON t.cell = k.cell AND t.sub = k.sub AND t.code = k.code
+        WHERE k.vec_id <> t.probe_id
+        GROUP BY t.probe_id, k.vec_id)
+      SELECT probe_id, vec_id,
+        round(CAST(adc_micro AS DOUBLE) / 1000000.0, 6) AS adc_dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY adc_micro ASC, vec_id ASC) AS rn FROM adc) t
+      WHERE rn <= 5"""
+    },
+    operators.Ann.a14IvfPq.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
-      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw)
+      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
+      sqlA14IvfPq)
 }

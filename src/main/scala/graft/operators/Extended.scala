@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -429,27 +429,35 @@ object Extended {
         s"(($sk $div $p2i) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** The normalized-interleave base frame (l_orderkey, l_linenumber,
+    * l_partkey, l_suppkey, z): both dims normalized to the common
+    * 16-bit domain before the interleave (value * 65535 div max) — raw
+    * interleave of dims with unequal bit widths puts the narrow dim's
+    * bits entirely below the bucket cut and the curve degenerates to a
+    * one-dimension sort (measured: skip fraction 0.24 unnormalized vs
+    * ~0.75 normalized on the same predicate); every real Z-order
+    * implementation rank- or range-normalizes for exactly this reason.
+    * The two maxes are one broadcast row. Shared by x11's relational
+    * report and ZorderWriteSpec's real-file write+footer proof (the
+    * table rewrite IS repartitionByRange on this z column). */
+  private[graft] def zOrderedBase(s: SparkSession, d: String)
+      : DataFrame = {
+    val mx = lineitem(s, d)
+      .agg(greatest(max(col("l_partkey")), lit(1L)).as("mx_pk"),
+        greatest(max(col("l_suppkey")), lit(1L)).as("mx_sk"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("npk", expr("(l_partkey * 65535) div mx_pk"))
+      .withColumn("nsk", expr("(l_suppkey * 65535) div mx_sk"))
+      .withColumn("z", expr(zExpr("npk", "nsk", "div")))
+  }
+
   val x11Zorder = Q(
     "x11_zorder",
     (s, d) => {
-      // normalize BOTH dims to the common 16-bit domain before the
-      // interleave (value * 65535 div max): raw interleave of dims with
-      // unequal bit widths puts the narrow dim's bits entirely below
-      // the bucket cut and the curve degenerates to a one-dimension
-      // sort (measured: skip fraction 0.24 unnormalized vs ~0.75
-      // normalized on the same predicate) — every real Z-order
-      // implementation rank- or range-normalizes for exactly this
-      // reason. The two maxes are one broadcast row.
-      val mx = lineitem(s, d)
-        .agg(greatest(max(col("l_partkey")), lit(1L)).as("mx_pk"),
-          greatest(max(col("l_suppkey")), lit(1L)).as("mx_sk"))
-      val base = lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"))
-        .crossJoin(broadcast(mx))
-        .withColumn("npk", expr("(l_partkey * 65535) div mx_pk"))
-        .withColumn("nsk", expr("(l_suppkey * 65535) div mx_sk"))
-        .withColumn("z", expr(zExpr("npk", "nsk", "div")))
+      val base = zOrderedBase(s, d)
       def buckets(withOrd: DataFrame, variant: String): DataFrame = {
         val w = withOrd
           .agg(max(col("ord")).as("mx"))
