@@ -456,6 +456,68 @@ object StreamingJobs {
         })
   }
 
+  /** Streaming greedy-beam ANN over a FROZEN a17 graph — the arrival
+    * analog of [[streamingNearDupPairs]] for vectors: each arriving
+    * vector surfaces its top-K nearest STANDING neighbors via the same
+    * NSW beam the batch a17 search walks. The standing index (embedding
+    * map, adjacency map, entry list) collapses to ONE static row that
+    * broadcasts to every task — the load-the-index-once serving shape —
+    * and the whole NSW_HOPS-hop beam unrolls into a single stateless
+    * per-row chain of higher-order functions: no aggregation state, no
+    * shuffle, no watermark, append-safe. An arrival touches
+    * hops × beam × degree map entries — constant per row, so the stream
+    * shards freely; at 100 TB the broadcast index is the per-serving-
+    * shard partition of the graph (the same deployment note as a17's
+    * edge reuse). Rounding and tie-breaks mirror the batch beam exactly
+    * (round-6 sims, (sim desc, vec_id asc)), so an arrival equal to a
+    * batch probe surfaces the identical top-K — StreamingSpec proves
+    * row-for-row parity against a17's batch output. */
+  def nswSearchArrivals(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      standing: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import graft.operators.Ann
+    val embm = standing
+      .agg(map_from_entries(collect_list(
+        struct(col("vec_id"), col("emb")))).as("embm"))
+    val adjm = edges.groupBy(col("v"))
+      .agg(collect_list(col("n")).as("ns"))
+      .agg(map_from_entries(collect_list(
+        struct(col("v"), col("ns")))).as("adjm"))
+    val ents = standing
+      .withColumn("ek", graft.functions.Portable
+        .h60(col("vec_id").cast("string"), "nswe|"))
+      .orderBy(col("ek").asc, col("vec_id").asc)
+      .limit(Ann.NSW_ENTRIES)
+      .agg(collect_list(col("vec_id")).as("ents"))
+    val index = embm.crossJoin(adjm).crossJoin(ents)
+    // the batch beam's kernel and ordering, verbatim: round-6 cosine,
+    // (sim desc, id asc) — array_sort's comparator spells out the
+    // window's orderBy
+    val cos = Ann.cosineSql(spark, "embm[id]", "emb")
+    val cmp = "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 " +
+      "WHEN l.sim < r.sim THEN 1 WHEN l.id < r.id THEN -1 " +
+      "WHEN l.id > r.id THEN 1 ELSE 0 END"
+    def rank(ids: String): String =
+      s"slice(array_sort(transform(array_distinct($ids), id -> " +
+        s"named_struct('sim', round($cos, 6), 'id', id)), $cmp), " +
+        s"1, ${Ann.NSW_B})"
+    val beamExpr = (1 to Ann.NSW_HOPS).foldLeft(rank("ents")) {
+      (prev, _) =>
+        val ids = s"concat(transform($prev, s -> s.id), " +
+          s"flatten(transform($prev, s -> " +
+          "coalesce(adjm[s.id], CAST(array() AS ARRAY<BIGINT>)))))"
+        rank(ids)
+    }
+    arrivals.crossJoin(broadcast(index))
+      .withColumn("beam", expr(s"slice($beamExpr, 1, ${Ann.NSW_K})"))
+      .select(col("vec_id").as("probe_id"),
+        posexplode(col("beam")).as(Seq("i", "s")))
+      .select(col("probe_id"), col("s.id").as("vec_id"),
+        col("s.sim").as("sim"), (col("i") + 1).cast("long").as("rank"))
+  }
+
   /** Streaming arrival routing against a FROZEN centroid table — the
     * a15 incremental-index maintenance in streaming form. The centroid
     * table collapses to ONE broadcast row carrying all (cid, c_emb)

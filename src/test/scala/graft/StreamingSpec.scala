@@ -759,4 +759,35 @@ class StreamingSpec extends SparkSuite {
         "streamed candidate pairs must equal batch d2's, pair for pair")
     } finally q.stop()
   }
+
+  test("streaming NSW arrival search matches a17's batch top-k row-for-row") {
+    val standing = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val edges = operators.Ann.nswEdges(spark, sf)
+    // arrivals = the batch probes themselves, so the frozen-graph beam
+    // must reproduce a17's exact output (same entries, same hops, same
+    // rounding/tie-breaks)
+    val probes = standing.filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val arrivals = input.toDF().toDF("vec_id", "emb")
+    val q = StreamingJobs
+      .nswSearchArrivals(spark, arrivals, standing, edges)
+      .writeStream.format("memory").queryName("nsw_stream_test")
+      .outputMode("append").start()
+    try {
+      probes.grouped(3).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("nsw_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      val batch = operators.Ann.a17NswSearch.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(streamed === batch,
+        "stream arrival top-k must equal the batch beam row-for-row")
+    } finally q.stop()
+  }
 }
