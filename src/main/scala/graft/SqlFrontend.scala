@@ -604,26 +604,38 @@ object SqlFrontend {
             FROM br va JOIN sr vb
               ON va.b = vb.b AND va.vec_id <> vb.vec_id) t
           WHERE rn <= $NSW_MR)"""
+      // Each hop references the previous frontier exactly ONCE (left
+      // join against adjacency lists + explode of self ∪ neighbors,
+      // then rescore): the r13 two-reference form (neighbor join +
+      // UNION) doubled the inlined plan tree per hop — 2^5 copies of
+      // the whole chain once the r14 edge build got heavier. The
+      // BROADCAST hint makes every hop's adjacency side an IDENTICAL
+      // broadcast-exchange subtree, which physical planning collapses
+      // to one build + ReusedExchange — the SQL-text analogue of the
+      // DSL's pinned edge index. Rescoring frontier members costs
+      // B·(deg+1) cosines per probe per hop and changes nothing: sims
+      // are deterministic per (probe, vec) pair.
       val hops = (1 to NSW_HOPS).map { k =>
-        s"""n$k AS (
-          SELECT f.probe_id, g.n AS vec_id
-          FROM f${k - 1} f JOIN edges g ON g.v = f.vec_id),
-        c$k AS (
-          SELECT probe_id, vec_id, sim FROM f${k - 1}
-          UNION
-          SELECT n.probe_id, n.vec_id,
-            round(cosine_sim(e.embedding, p.p_emb), 6) AS sim
-          FROM n$k n JOIN embeddings e ON e.vec_id = n.vec_id
-          JOIN p ON p.probe_id = n.probe_id),
+        s"""c$k AS (
+          SELECT /*+ BROADCAST(g) */ DISTINCT f.probe_id, t.nv AS vec_id
+          FROM f${k - 1} f LEFT JOIN adjl g ON g.v = f.vec_id
+          LATERAL VIEW explode(concat(array(f.vec_id),
+            coalesce(g.ns, CAST(array() AS ARRAY<BIGINT>)))) t AS nv),
         f$k AS (
           SELECT probe_id, vec_id, sim FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY sim DESC, vec_id ASC) AS rn FROM c$k) t
+            SELECT c.probe_id, c.vec_id,
+              round(cosine_sim(e.embedding, p.p_emb), 6) AS sim,
+              row_number() OVER (PARTITION BY c.probe_id
+                ORDER BY round(cosine_sim(e.embedding, p.p_emb), 6) DESC,
+                c.vec_id ASC) AS rn
+            FROM c$k c JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN p ON p.probe_id = c.probe_id) t
           WHERE rn <= $NSW_B)"""
       }.mkString(",\n      ")
       s"""WITH $edgeCtes,
       edges AS (SELECT v, n FROM efa UNION SELECT v, n FROM efb
         UNION SELECT v, n FROM efr),
+      adjl AS (SELECT v, collect_list(n) AS ns FROM edges GROUP BY v),
       p AS (
         SELECT vec_id AS probe_id, embedding AS p_emb
         FROM embeddings WHERE vec_id < 8),

@@ -240,6 +240,17 @@ object LlmOps {
       pinnedReleases.remove(k).foreach(_.apply()))
   }
 
+  /** Persist `df` and register it for [[releaseCaches]] under `key`,
+    * unpinning any previous generation first (the minhashNearDups
+    * re-entry discipline). For operators outside this object (a17's
+    * edge list) that need the same pin-release lifecycle. */
+  private[graft] def pinFrame(key: String, df: DataFrame): DataFrame = {
+    pinned.remove(key).foreach(_.foreach(_.unpersist(blocking = false)))
+    val p = df.persist()
+    pinned(key) = Seq(p)
+    p
+  }
+
   /** Like [[pinned]], but for frames whose blocks Dataset.unpersist
     * cannot release (d8's checkpointed star frontier): the value is the
     * release callback itself. */
