@@ -137,10 +137,10 @@ class AnnGraphSpec extends SparkSuite {
       (found.getOrElse(p, Set.empty) intersect t).size.toDouble / t.size
     }
     val mean = recalls.sum / recalls.size
-    // 4 hops from one entry point over an M=6/M2=3 graph: a greedy beam
-    // must beat blind bucket search decisively; exact recall varies
-    // with the (regenerated-per-round) embedding fixture, so the bound
-    // is a floor, not a pin
+    // 5 hops from 4 h60-spread entries over a 6+6+4-degree graph: a
+    // greedy beam must beat blind bucket search decisively; exact
+    // recall varies with the (regenerated-per-round) embedding fixture,
+    // so the bound is a floor, not a pin
     assert(mean >= 0.5, s"mean recall@5 $mean below floor (per-probe: " +
       recalls.mkString(", ") + ")")
   }
