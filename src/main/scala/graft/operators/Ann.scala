@@ -1832,10 +1832,161 @@ object Ann {
       WHERE rn <= $NSW_K"""
     })
 
+  // ---------------------------------------------------------------------
+  // A18: incremental NSW graph maintenance — the a15/d10 lifecycle
+  // discipline applied to a17's graph: an arriving batch joins the
+  // standing graph WITHOUT a rebuild. Each arrival gets out-edges (its
+  // top-M cosine neighbors within each sign family's bucket + M_R
+  // hash-random long-range picks, all against STANDING members only)
+  // and every selected neighbor gets the reverse edge back — the
+  // bidirectional insertion NSW needs so future searches can REACH the
+  // new node. Bucket sizing (nbits, nb2) is FROZEN from the standing
+  // corpus (the a15 frozen-centroid discipline: arrivals must not
+  // re-partition the graph they're joining); the standing side is
+  // sampled to NSW_CAP per bucket, so an arrival batch of m vectors
+  // costs m · (2·bucket + cap) comparisons — linear in the batch,
+  // independent of corpus size, no touch of standing edges. Output:
+  // the delta edge list (src, dst, sim, kind out|back) a production
+  // index would append.
+  // ---------------------------------------------------------------------
+  val a18GraphExtend = Q(
+    "a18_graph_extend",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Portable
+      val all0 = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val standing = all0.filter(col("vec_id") % 10 =!= 0)
+      val batch = all0.filter(col("vec_id") % 10 === 0)
+      val sizes = standing.agg(count(lit(1)).as("n_corpus"))
+      def withSize(df: DataFrame) = df.crossJoin(broadcast(sizes))
+      def signB(df: DataFrame, off: Int): DataFrame =
+        withSize(df).withColumn("nbits", nswNbitsCol)
+          .withColumn("b", pmod(nswSignKey("emb", off),
+            expr("shiftleft(1, nbits)")).cast("int"))
+          .select("vec_id", "emb", "b")
+      def randB(df: DataFrame): DataFrame =
+        withSize(df).withColumn("b",
+            pmod(Portable.h60(col("vec_id").cast("string"), "nswr|"),
+              greatest(lit(1L),
+                floor(col("n_corpus") / lit(NSW_RTARGET.toDouble))
+                  .cast("long"))).cast("int"))
+          .select("vec_id", "emb", "b")
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("sim").desc, col("dst").asc)
+      def signFam(off: Int, m: Int): DataFrame =
+        signB(batch, off)
+          .select(col("vec_id").as("src"), col("emb").as("a_emb"),
+            col("b"))
+          .join(nswSampled(signB(standing, off))
+            .select(col("vec_id").as("dst"), col("emb").as("n_emb"),
+              col("b")), Seq("b"))
+          .select(col("src"), col("dst"),
+            round(cosine(s, "a_emb", "n_emb"), 6).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= m)
+          .select("src", "dst", "sim")
+      val wr = Window.partitionBy(col("src"))
+        .orderBy(col("rk").asc, col("dst").asc)
+      val randFam = randB(batch)
+        .select(col("vec_id").as("src"), col("emb").as("a_emb"),
+          col("b"))
+        .join(nswSampled(randB(standing))
+          .select(col("vec_id").as("dst"), col("emb").as("n_emb"),
+            col("b")), Seq("b"))
+        .withColumn("rk", Portable.h60(concat(col("src").cast("string"),
+          lit("|"), col("dst").cast("string")), "nsw2|"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= NSW_MR)
+        .select(col("src"), col("dst"),
+          round(cosine(s, "a_emb", "n_emb"), 6).as("sim"))
+      val out = signFam(NSW_OFF_A, NSW_MA)
+        .union(signFam(NSW_OFF_B, NSW_MB))
+        .union(randFam).distinct()
+      out.withColumn("kind", lit("out"))
+        .unionByName(out.select(col("dst").as("src"),
+          col("src").as("dst"), col("sim"))
+          .withColumn("kind", lit("back")))
+    },
+    Some {
+      def keyDuck(off: Int) = nswSignKeyDuck("emb", off)
+      def famCtes(tag: String, off: Int, m: Int) =
+        s"""bs_$tag AS (SELECT vec_id, emb, nrm,
+            CAST((${keyDuck(off)}) % (1 << nbits) AS INT) AS b
+          FROM es CROSS JOIN nb),
+        ss_$tag AS (SELECT vec_id, emb, nrm, b FROM (
+            SELECT vec_id, emb, nrm, b,
+              row_number() OVER (PARTITION BY b ORDER BY
+                ${graft.functions.Portable
+          .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
+            FROM bs_$tag) t WHERE srn <= $NSW_CAP),
+        qa_$tag AS (SELECT vec_id, emb, nrm,
+            CAST((${keyDuck(off)}) % (1 << nbits) AS INT) AS b
+          FROM eb CROSS JOIN nb),
+        ef_$tag AS (
+          SELECT src, dst, sim FROM (
+            SELECT q.vec_id AS src, t.vec_id AS dst,
+              round(list_inner_product(q.emb, t.emb)
+                / nullif(q.nrm * t.nrm, 0.0), 6) AS sim,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                round(list_inner_product(q.emb, t.emb)
+                  / nullif(q.nrm * t.nrm, 0.0), 6) DESC,
+                t.vec_id ASC) AS rn
+            FROM qa_$tag q JOIN ss_$tag t ON q.b = t.b) x
+          WHERE rn <= $m)"""
+      s"""WITH ea AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      es AS (SELECT * FROM ea WHERE vec_id % 10 <> 0),
+      eb AS (SELECT * FROM ea WHERE vec_id % 10 = 0),
+      nc AS (SELECT count(*) AS n FROM es),
+      nb AS (SELECT ($nswNbitsDuck) AS nbits,
+          greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+        FROM nc),
+      ${famCtes("a", NSW_OFF_A, NSW_MA)},
+      ${famCtes("b", NSW_OFF_B, NSW_MB)},
+      bs_r AS (SELECT vec_id, emb, nrm,
+          CAST(${graft.functions.Portable
+        .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
+        FROM es CROSS JOIN nb),
+      ss_r AS (SELECT vec_id, emb, nrm, b FROM (
+          SELECT vec_id, emb, nrm, b,
+            row_number() OVER (PARTITION BY b ORDER BY
+              ${graft.functions.Portable
+        .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
+          FROM bs_r) t WHERE srn <= $NSW_CAP),
+      qa_r AS (SELECT vec_id, emb, nrm,
+          CAST(${graft.functions.Portable
+        .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
+        FROM eb CROSS JOIN nb),
+      ef_r AS (
+        SELECT src, dst, sim FROM (
+          SELECT q.vec_id AS src, t.vec_id AS dst,
+            round(list_inner_product(q.emb, t.emb)
+              / nullif(q.nrm * t.nrm, 0.0), 6) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              ${graft.functions.Portable.h60Duck(
+        "concat(CAST(q.vec_id AS VARCHAR), '|', CAST(t.vec_id AS VARCHAR))",
+        "nsw2|")} ASC,
+              t.vec_id ASC) AS rn
+          FROM qa_r q JOIN ss_r t ON q.b = t.b) x
+        WHERE rn <= $NSW_MR),
+      outs AS (
+        SELECT DISTINCT src, dst, sim FROM (
+          SELECT src, dst, sim FROM ef_a
+          UNION ALL SELECT src, dst, sim FROM ef_b
+          UNION ALL SELECT src, dst, sim FROM ef_r) u)
+      SELECT src, dst, sim, 'out' AS kind FROM outs
+      UNION ALL
+      SELECT dst AS src, src AS dst, sim, 'back' AS kind FROM outs"""
+    })
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
-      a17NswSearch)
+      a17NswSearch, a18GraphExtend)
 }

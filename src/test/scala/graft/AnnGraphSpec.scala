@@ -125,6 +125,31 @@ class AnnGraphSpec extends SparkSuite {
       recalls.mkString(", ") + ")")
   }
 
+  test("A18: incremental extension links every arrival bidirectionally") {
+    val rows = operators.Ann.a18GraphExtend.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    val out = rows.filter(_._4 == "out")
+    val back = rows.filter(_._4 == "back")
+    val arrivals = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    // every arrival gets out-edges (the random family guarantees it
+    // even for a vector in an empty sign bucket), bounded by the
+    // standing build's degree budget
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.keySet.size === arrivals.toInt,
+      s"${bySrc.keySet.size} of $arrivals arrivals have out-edges")
+    assert(bySrc.values.map(_.size).max <= operators.Ann.NSW_DEG)
+    // out targets are STANDING members only; arrivals never link each
+    // other (the d10 standing-vs-batch routing convention)
+    assert(out.forall { case (s0, d0, _, _) =>
+      s0 % 10 == 0 && d0 % 10 != 0 })
+    // reverse edges mirror out edges exactly (the bidirectional
+    // insertion NSW needs so searches can REACH new nodes)
+    assert(back.map(e => (e._2, e._1, e._3)).toSet ===
+      out.map(e => (e._1, e._2, e._3)).toSet)
+  }
+
   test("A17: greedy beam recall@5 vs exact brute force clears the floor") {
     val truth = bruteTop(5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
