@@ -1265,8 +1265,32 @@ object Ingest {
       FROM gens g CROSS JOIN agg a"""))
 
   /** All sink/ingest/catalog queries, registration order. */
+  // ---------------------------------------------------------------------
+  // K8: ANN index sink — the serving deployment a17's pin comment
+  // promises, actually run: build the NSW edge list ONCE, write it to
+  // parquet clustered by source node (a served shard reads one node's
+  // adjacency from one file neighborhood), read it back, and run the
+  // SAME greedy beam against the served index. Shares a17's oracle, so
+  // a green row PROVES write → read → search loses nothing — the
+  // on-disk index reproduces the in-memory search bit-for-bit. At
+  // 100 TB this parquet table IS the index artifact a search tier
+  // loads; rebuild cost amortizes across every query served from it
+  // (and a18's delta edge list appends to exactly this table).
+  // ---------------------------------------------------------------------
+  val k8AnnIndexSink = Q(
+    "k8_ann_index_sink",
+    (s, d) => {
+      val out = freshDir("k8_index")
+      graft.operators.Ann.nswEdges(s, d)
+        .repartition(8, col("v"))
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Ann.nswSearchOver(s, d, s.read.parquet(out))
+    },
+    graft.operators.Ann.a17NswSearch.oracle)
+
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
+    k8AnnIndexSink,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
