@@ -738,9 +738,89 @@ object SqlFrontend {
     },
     operators.Ann.a14IvfPq.oracle)
 
+  // Incremental graph maintenance through the SQL surface — a18's
+  // frozen-sizing insertion as one WITH chain sharing a18's oracle:
+  // standing/batch split, corpus-sized sign buckets + random buckets
+  // (the sizing CTE reads the STANDING count only), per-bucket h60
+  // sample of the standing side, per-arrival top-M ranks, and the
+  // out ∪ back delta edge list.
+  val sqlA18Extend: Queries.Q = sqlQ(
+    "sql_a18_extend", {
+      import operators.Ann.{NSW_MA, NSW_MB, NSW_MR, NSW_CAP, NSW_RTARGET}
+      import graft.functions.Portable.h60Sql
+      def famCtes(tag: String, off: Int, m: Int) =
+        s"""bs_$tag AS (SELECT vec_id, embedding,
+            CAST(pmod(${operators.Ann.nswSignKeySql("embedding", off)},
+              shiftleft(1, nbits)) AS INT) AS b
+          FROM es CROSS JOIN nb),
+        ss_$tag AS (SELECT vec_id, embedding, b FROM (
+            SELECT vec_id, embedding, b,
+              row_number() OVER (PARTITION BY b ORDER BY
+                ${h60Sql("CAST(vec_id AS STRING)", "nsws|")}, vec_id)
+                AS srn
+            FROM bs_$tag) t WHERE srn <= $NSW_CAP),
+        qa_$tag AS (SELECT vec_id, embedding,
+            CAST(pmod(${operators.Ann.nswSignKeySql("embedding", off)},
+              shiftleft(1, nbits)) AS INT) AS b
+          FROM eb CROSS JOIN nb),
+        ef_$tag AS (
+          SELECT src, dst, sim FROM (
+            SELECT q.vec_id AS src, t.vec_id AS dst,
+              round(cosine_sim(q.embedding, t.embedding), 6) AS sim,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                round(cosine_sim(q.embedding, t.embedding), 6) DESC,
+                t.vec_id ASC) AS rn
+            FROM qa_$tag q JOIN ss_$tag t ON q.b = t.b) x
+          WHERE rn <= $m)"""
+      s"""WITH es AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+      eb AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      nc AS (SELECT count(*) AS n FROM es),
+      nb AS (SELECT (${operators.Ann.nswNbitsSql}) AS nbits,
+          greatest(CAST(1 AS BIGINT),
+            CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+        FROM nc),
+      ${famCtes("a", operators.Ann.nswSignOffA, NSW_MA)},
+      ${famCtes("b", operators.Ann.nswSignOffB, NSW_MB)},
+      bs_r AS (SELECT vec_id, embedding,
+          CAST(pmod(${h60Sql("CAST(vec_id AS STRING)", "nswr|")},
+            nb2) AS INT) AS b
+        FROM es CROSS JOIN nb),
+      ss_r AS (SELECT vec_id, embedding, b FROM (
+          SELECT vec_id, embedding, b,
+            row_number() OVER (PARTITION BY b ORDER BY
+              ${h60Sql("CAST(vec_id AS STRING)", "nsws|")}, vec_id)
+              AS srn
+          FROM bs_r) t WHERE srn <= $NSW_CAP),
+      qa_r AS (SELECT vec_id, embedding,
+          CAST(pmod(${h60Sql("CAST(vec_id AS STRING)", "nswr|")},
+            nb2) AS INT) AS b
+        FROM eb CROSS JOIN nb),
+      ef_r AS (
+        SELECT src, dst, sim FROM (
+          SELECT q.vec_id AS src, t.vec_id AS dst,
+            round(cosine_sim(q.embedding, t.embedding), 6) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              ${h60Sql("concat(CAST(q.vec_id AS STRING), '|', " +
+        "CAST(t.vec_id AS STRING))", "nsw2|")} ASC,
+              t.vec_id ASC) AS rn
+          FROM qa_r q JOIN ss_r t ON q.b = t.b) x
+        WHERE rn <= $NSW_MR),
+      outs AS (
+        SELECT DISTINCT src, dst, sim FROM (
+          SELECT src, dst, sim FROM ef_a
+          UNION ALL SELECT src, dst, sim FROM ef_b
+          UNION ALL SELECT src, dst, sim FROM ef_r) u)
+      SELECT src, dst, sim, 'out' AS kind FROM outs
+      UNION ALL
+      SELECT dst AS src, src AS dst, sim, 'back' AS kind FROM outs"""
+    },
+    operators.Ann.a18GraphExtend.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
-      sqlA14IvfPq)
+      sqlA14IvfPq, sqlA18Extend)
 }
