@@ -201,4 +201,36 @@ class PlanInvariantsSpec extends SparkSuite {
         s"hot-customer partition must be split by AQE skew-join:\n$plan")
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
+
+  test("a17: the beam's final plan is lineage-truncated (no inlined " +
+      "edge-build or hop recursion)") {
+    // the r14 fix: the edge index materializes as its own eager job and
+    // each hop localCheckpoints, so the FINAL plan must be just the
+    // last rank over the checkpointed beam — a handful of exchanges,
+    // zero parquet scans. Before the fix the inlined tree held 2^hops
+    // copies of the whole chain (116 stages / 124 s of task time for
+    // 2,000 rows).
+    val p = finalPlan("a17_nsw_search")
+    val scans = "Scan parquet".r.findAllIn(p).length +
+      "FileScan".r.findAllIn(p).length
+    assert(scans === 0, s"final a17 plan re-reads sources ($scans scans)")
+    val ex = "Exchange ".r.findAllIn(p).length
+    assert(ex <= 4, s"final a17 plan carries $ex exchanges — lineage " +
+      "truncation regressed")
+  }
+
+  test("sql_a17: the five adjacency subtrees collapse to reused " +
+      "exchanges") {
+    // the r14 fix for the SQL twin: each hop references the frontier
+    // once, and the broadcast hint makes every hop's adjacency side an
+    // identical broadcast subtree that physical planning must collapse
+    // (ReusedExchange/ReusedQueryStage) — without the collapse the
+    // edge build runs per hop and the query reads ~2.7x its pin.
+    val p = finalPlan("sql_a17_nsw")
+    val reused = "ReusedExchange".r.findAllIn(p).length +
+      "ReusedQueryStage".r.findAllIn(p).length
+    assert(reused >= graft.operators.Ann.NSW_HOPS - 1,
+      s"only $reused reused exchanges/stages in sql_a17's final plan — " +
+        "the adjacency collapse regressed")
+  }
 }
