@@ -818,9 +818,55 @@ object SqlFrontend {
     },
     operators.Ann.a18GraphExtend.oracle)
 
+  // The no-silent-caps report through the SQL surface: every capped
+  // index's pre-cap band/bucket table re-derived as one WITH chain
+  // (per-index CTE prefixes keep the eight derivations disjoint) and
+  // eight UNION ALL saturation-stat branches. Shares d13's oracle, so
+  // SQL == DSL == DuckDB on the observability numbers a production
+  // monitor would alarm on.
+  val sqlD13CapReport: Queries.Q = sqlQ(
+    "sql_d13_cap_report", {
+      import operators.LlmOps.{BUCKET_CAP, d2BandsSparkCtes,
+        d3bBandsSparkCtes, d5AnchorsSparkCtes}
+      import operators.Ann.{D12B_CAP, NSW_CAP}
+      def stats(idx: String, policy: String, cap: Int, src: String,
+          keys: String): String = {
+        val affected =
+          if (policy == "drop") s"CASE WHEN c > $cap THEN c ELSE 0 END"
+          else s"CASE WHEN c > $cap THEN c - $cap ELSE 0 END"
+        s"""SELECT '$idx' AS idx, '$policy' AS policy,
+          CAST($cap AS BIGINT) AS cap,
+          CAST(count(*) AS BIGINT) AS buckets_total,
+          CAST(coalesce(sum(CASE WHEN c > $cap THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS buckets_over,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS rows_total,
+          CAST(coalesce(sum($affected), 0) AS BIGINT) AS rows_affected
+        FROM (SELECT count(*) AS c FROM $src GROUP BY $keys) t"""
+      }
+      val branches = Seq(
+        stats("d2_minhash", "drop", BUCKET_CAP, "q2_bands", "band, bkey"),
+        stats("d3b_simhash", "drop", BUCKET_CAP, "q3_bands",
+          "band, bkey"),
+        stats("d4_banded", "drop", BUCKET_CAP, "q4_bands", "tbl, bkey"),
+        stats("d5_anchor", "drop", BUCKET_CAP, "q5_anchors", "anchor"),
+        stats("d12b_banded", "drop", D12B_CAP, "q12_bands",
+          "tbl, bkey"),
+        stats("nsw_sign_a", "sample", NSW_CAP, "qn_ba", "b"),
+        stats("nsw_sign_b", "sample", NSW_CAP, "qn_bb", "b"),
+        stats("nsw_rand", "sample", NSW_CAP, "qn_br", "b"))
+      s"""WITH $d2BandsSparkCtes,
+      $d3bBandsSparkCtes,
+      $d5AnchorsSparkCtes,
+      q4_bands AS (${operators.Ann.d4BandsSparkSelects}),
+      q12_bands AS (${operators.Ann.d12BandsSparkSelects}),
+      ${operators.Ann.nswBucketsSparkCtes}
+      ${branches.mkString(" UNION ALL ")}"""
+    },
+    operators.LlmOps.d13CapReport.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
-      sqlA14IvfPq, sqlA18Extend)
+      sqlA14IvfPq, sqlA18Extend, sqlD13CapReport)
 }

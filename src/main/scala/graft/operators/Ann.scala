@@ -235,6 +235,17 @@ object Ann {
       s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
     }.mkString(" UNION ALL ")
 
+  /** [[d4BandsDuckSelects]] as SPARK SQL text over the raw embeddings
+    * view (element_at, 1-based), for sql_d13_cap_report. */
+  private[graft] def d4BandsSparkSelects: String =
+    (0 until D4_TABLES).map { t =>
+      val bits = (0 until D4_BITS).map { i =>
+        s"(CASE WHEN element_at(embedding, ${t * 16 + i * 2 + 2}) > 0 " +
+          s"THEN ${1 << (D4_BITS - 1 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM embeddings"
+    }.mkString(" UNION ALL ")
+
   private def bandedPairsCtesSql: String = {
     s"""bands AS ($d4BandsDuckSelects),
       bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
@@ -1221,6 +1232,17 @@ object Ann {
       s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM e"
     }.mkString(" UNION ALL ")
 
+  /** [[d12BandsDuckSelects]] as SPARK SQL text, for
+    * sql_d13_cap_report. */
+  private[graft] def d12BandsSparkSelects: String =
+    (0 until D12B_TABLES).map { t =>
+      val bits = (0 until D12B_BITS).map { i =>
+        s"(CASE WHEN element_at(embedding, ${t * 8 + i * 2 + 2}) > 0 " +
+          s"THEN ${1 << (D12B_BITS - 1 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS bkey FROM embeddings"
+    }.mkString(" UNION ALL ")
+
   private def bandedPairsTauCtesSql: String = {
     s"""bands AS ($d12BandsDuckSelects),
       bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
@@ -1600,6 +1622,29 @@ object Ann {
           FROM embeddings CROSS JOIN nb"""
     Seq(("nsw_sign_a", sign(NSW_OFF_A)), ("nsw_sign_b", sign(NSW_OFF_B)),
       ("nsw_rand", rand))
+  }
+
+  /** The three NSW bucket frames as SPARK SQL CTE text (prefix qn_;
+    * provides qn_nc, qn_nb, qn_ba, qn_bb, qn_br each ending in
+    * (vec_id, b)), for sql_d13_cap_report. */
+  private[graft] def nswBucketsSparkCtes: String = {
+    import graft.functions.Portable.h60Sql
+    def sign(tag: String, off: Int) =
+      s"""qn_b$tag AS (SELECT vec_id,
+          CAST(pmod(${nswSignKeySql("embedding", off)},
+            shiftleft(1, nbits)) AS INT) AS b
+        FROM embeddings CROSS JOIN qn_nb)"""
+    s"""qn_nc AS (SELECT count(*) AS n FROM embeddings),
+      qn_nb AS (SELECT ($nswNbitsSql) AS nbits,
+          greatest(CAST(1 AS BIGINT),
+            CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+        FROM qn_nc),
+      ${sign("a", NSW_OFF_A)},
+      ${sign("b", NSW_OFF_B)},
+      qn_br AS (SELECT vec_id,
+          CAST(pmod(${h60Sql("CAST(vec_id AS STRING)", "nswr|")},
+            nb2) AS INT) AS b
+        FROM embeddings CROSS JOIN qn_nb)"""
   }
 
   /** The NSW edge list over any (vec_id, emb) frame: per-node top-M by

@@ -355,6 +355,25 @@ object LlmOps {
           s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, m${2 * b + 1})) AS bkey FROM mh")
           .mkString(" UNION ALL ")})"""
 
+  /** The same chain as SPARK SQL text (prefix q2_), for the SQL
+    * surface twin sql_d13_cap_report — mirrors [[d2BandsDuck]]. */
+  private[graft] val d2BandsSparkCtes: String = s"""q2_toks AS (
+        SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+      q2_sh AS (
+        SELECT DISTINCT doc_id, ${Portable.h60Sql("g", "sh|")} AS sh
+        FROM (SELECT doc_id, explode(${ngramExpr(2)}) AS g
+              FROM q2_toks WHERE size(t) >= 2) x),
+      q2_mh AS (
+        SELECT doc_id,
+          ${(0 until P).map(i =>
+            s"min(${Portable.h60Sql("CAST(sh AS STRING)", s"mh$i|")}) AS m$i")
+            .mkString(", ")}
+        FROM q2_sh GROUP BY doc_id),
+      q2_bands AS (
+        ${(0 until BANDS).map(b =>
+          s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, m${2 * b + 1})) AS bkey FROM q2_mh")
+          .mkString(" UNION ALL ")})"""
+
   val d2DedupMinhash = Q(
     "d2_dedup_minhash",
     (s, d) => minhashNearDups(documents(s, d),
@@ -482,6 +501,29 @@ object LlmOps {
             s"WHEN $j THEN ${1L << (BAND_BITS * j)}").mkString(" ")}
             END)) % ${1 << BAND_BITS} AS bkey
         FROM sh, unnest([${(0 until SIMHASH_BANDS).mkString(", ")}]) AS t(j))"""
+
+  /** [[d3bBandsDuck]] as SPARK SQL text (prefix q3_), for
+    * sql_d13_cap_report. */
+  private[graft] val d3bBandsSparkCtes: String = s"""q3_tok AS (
+        SELECT DISTINCT doc_id, explode(split(lower(text), ' ')) AS tok
+        FROM documents),
+      q3_th AS (SELECT doc_id, ${Portable.h60Sql("tok", "sh|")} AS h
+        FROM q3_tok),
+      q3_sums AS (
+        SELECT doc_id,
+          ${(0 until SIMHASH_BITS).map(j =>
+            s"sum(CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+            .mkString(", ")}
+        FROM q3_th GROUP BY doc_id),
+      q3_sh AS (
+        SELECT doc_id, CAST(${(0 until SIMHASH_BITS).map(j =>
+          s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")}
+          AS BIGINT) AS simhash
+        FROM q3_sums),
+      q3_bands AS (
+        ${(0 until SIMHASH_BANDS).map(j =>
+          s"SELECT doc_id, $j AS band, (simhash div ${1L << (BAND_BITS * j)}) % ${1 << BAND_BITS} AS bkey FROM q3_sh")
+          .mkString(" UNION ALL ")})"""
 
   val d3bSimhashNeardup = Q(
     "d3b_simhash_neardup",
@@ -638,6 +680,20 @@ object LlmOps {
         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
         JOIN sizes za ON za.doc_id = c.id_a
         JOIN sizes zb ON zb.doc_id = c.id_b)"""
+
+  /** [[d5AnchorsDuck]] as SPARK SQL text (prefix q5_), for
+    * sql_d13_cap_report. */
+  private[graft] val d5AnchorsSparkCtes: String = s"""q5_toks AS (
+        SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+      q5_grams AS (
+        SELECT DISTINCT doc_id, ${Portable.h60Sql("g", "ng|")} AS gh
+        FROM (SELECT doc_id, explode(${ngramExpr(3)}) AS g
+              FROM q5_toks WHERE size(t) >= 3) x),
+      q5_anchors AS (
+        SELECT doc_id, gh AS anchor FROM (
+          SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id
+            ORDER BY gh ASC) AS rn FROM q5_grams) t
+        WHERE rn <= $ANCHORS)"""
 
   val d5NgramJaccard = Q(
     "d5_ngram_jaccard",
