@@ -156,6 +156,55 @@ object SqlFrontend {
   val sqlX2Rollup: Queries.Q = sqlQ(
     "sql_x2_rollup", x2Ansi, Some(x2Ansi))
 
+  // AS-OF join as SQL text, sharing x1's DuckDB ASOF LEFT JOIN oracle.
+  // Spark SQL has no ASOF keyword, so the text spells out the DSL's
+  // union-tag technique (Extended.scala x1 notes): tag probe/candidate
+  // rows, one window sorted by (t, is_b, key), last(m, true) carries the
+  // latest strictly-earlier match forward. Probe rows order BEFORE
+  // same-date candidates (is_b ASC), preserving the strict inequality;
+  // b-rows' NULL o_orderkey sorts first within a tie group, which is
+  // inert (all a-rows carry NULL m, so order among them can't change
+  // the carried value). Same single-sort shape as the DSL at any scale —
+  // a green row proves SQL text == DSL window == DuckDB's native ASOF.
+  val sqlX1Asof: Queries.Q = sqlQ(
+    "sql_x1_asof",
+    """WITH o AS (
+        SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS t, o_orderkey
+        FROM orders),
+      b AS (
+        SELECT k, t, 1 AS is_b, CAST(NULL AS BIGINT) AS o_orderkey,
+          named_struct('prev_date', t,
+            'prev_orderkey', max(o_orderkey)) AS m
+        FROM o GROUP BY k, t),
+      a AS (
+        SELECT k, t, 0 AS is_b, o_orderkey,
+          CAST(NULL AS STRUCT<prev_date: DATE, prev_orderkey: BIGINT>)
+            AS m
+        FROM o),
+      u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      SELECT o_orderkey, k AS o_custkey, t AS order_date,
+        prev.prev_orderkey AS prev_orderkey, prev.prev_date AS prev_date
+      FROM (
+        SELECT *, last(m, true) OVER (PARTITION BY k
+          ORDER BY t ASC, is_b ASC, o_orderkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev
+        FROM u) t
+      WHERE is_b = 0""",
+    operators.Extended.x1AsofJoin.oracle)
+
+  // Session windows in SQL: GROUP BY session_window(ts, gap) — shares
+  // w3's gaps-and-islands oracle, so the SQL text, the DSL
+  // session_window aggregation, and DuckDB's lag/sum-over islands all
+  // merge sessions identically (including the boundary case: an event
+  // landing exactly at last+gap merges; the oracle breaks only on
+  // strictly-greater gaps — Windows.scala w3 notes).
+  val sqlW3Session: Queries.Q = sqlQ(
+    "sql_w3_session",
+    """SELECT user_id, session_window.start AS s_start,
+      session_window.end AS s_end, count(*) AS n
+      FROM events GROUP BY user_id, session_window(ts, '10 minutes')""",
+    operators.Windows.w3Session.oracle)
+
   // The count-min sketch through SQL — completes SQL reachability of
   // all three injected native functions (cosine_sim, hll_estimate,
   // cm_sketch). Same pipeline as t12b: exact token counts → one
@@ -866,7 +915,8 @@ object SqlFrontend {
 
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
-      sqlW1Tumbling, sqlX2Rollup, sqlT12bCountmin, sqlD1Dedup,
+      sqlW1Tumbling, sqlX2Rollup, sqlX1Asof, sqlW3Session,
+      sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA14IvfPq, sqlA18Extend, sqlD13CapReport)
 }
