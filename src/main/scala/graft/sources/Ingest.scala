@@ -823,6 +823,84 @@ object Ingest {
       FROM kept GROUP BY event_date"""))
 
   // ---------------------------------------------------------------------
+  // K9: dynamic partition overwrite — the corrected-day re-ingest, third
+  // lake-maintenance operator beside k6 (compaction) and k7 (retention).
+  // A prior run landed corrupted values in a trailing window of date
+  // partitions; the repair recomputes ONLY that window and writes it
+  // with partitionOverwriteMode=dynamic, which replaces exactly the
+  // partitions present in the written data. That is the reprocessing
+  // shape at 100 TB: cost O(affected days), never a full-table rewrite,
+  // and concurrent readers of untouched partitions see stable files.
+  // The proof is physical, not just relational: per-partition part-file
+  // sets are listed before and after the repair, and the result reports
+  // how many partitions kept their EXACT files (new writes get fresh
+  // task UUIDs, so a clobbered partition cannot alias a preserved one).
+  // Under static overwrite the same write would have deleted every
+  // pre-repair partition — both the per-date counts and the preserved
+  // count would go red, so the green row pins the dynamic semantics.
+  // ---------------------------------------------------------------------
+  private[graft] val K9_REPAIR_FROM = "2024-01-25"
+  val k9PartitionOverwrite = Q(
+    "k9_partition_overwrite",
+    (s, d) => {
+      val dir = freshDir("k9_lake")
+      val src = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), to_date(col("ts")).as("event_date"))
+      // seed: the "bad run" negated every value in the repair window
+      src.withColumn("value",
+          when(col("event_date") >= lit(K9_REPAIR_FROM), -col("value"))
+            .otherwise(col("value")))
+        .repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      def fileSets(): Map[String, Set[String]] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("event_date="))
+          .map(st => st.getPath.getName ->
+            fs.listStatus(st.getPath).map(_.getPath.getName)
+              .filter(_.startsWith("part-")).toSet)
+          .toMap
+      val before = fileSets()
+      // repair: recompute only the affected window; dynamic mode leaves
+      // every partition absent from this write untouched on disk
+      src.filter(col("event_date") >= lit(K9_REPAIR_FROM))
+        .repartition(col("event_date"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date").parquet(dir)
+      val after = fileSets()
+      val preserved = before.count {
+        case (p, files) => after.get(p).contains(files)
+      }
+      val replaced = before.size - preserved
+      s.read.parquet(dir)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("n_partitions_preserved", lit(preserved.toLong))
+        .withColumn("n_partitions_overwritten", lit(replaced.toLong))
+    },
+    // the oracle replays the FINAL lake from the clean source: every
+    // date's sum at its un-negated value (red if the repair missed a
+    // window partition OR clobbered one outside it), preserved/replaced
+    // derived from the same date split the repair used
+    Some(s"""WITH d AS (
+        SELECT CAST(ts AS DATE) AS event_date, value FROM events)
+      SELECT event_date, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        (SELECT CAST(count(DISTINCT event_date) AS BIGINT) FROM d
+         WHERE event_date < DATE '$K9_REPAIR_FROM')
+          AS n_partitions_preserved,
+        (SELECT CAST(count(DISTINCT event_date) AS BIGINT) FROM d
+         WHERE event_date >= DATE '$K9_REPAIR_FROM')
+          AS n_partitions_overwritten
+      FROM d GROUP BY event_date"""))
+
+  // ---------------------------------------------------------------------
   // E3: the Strava streams pipeline restated end to end (SURVEY §3 E3):
   //   snapshot (orders) → date-range filter (F1/F2) → distinct ids (A3)
   //   → per-key stream rows (semi-join = the per-activity fetch, J3)
@@ -1290,7 +1368,7 @@ object Ingest {
 
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
-    k8AnnIndexSink,
+    k8AnnIndexSink, k9PartitionOverwrite,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
