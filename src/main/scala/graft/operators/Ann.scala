@@ -1714,6 +1714,41 @@ object Ann {
     nswEdgesFrom(s,
       embeddings(s, d).select(col("vec_id"), col("embedding").as("emb")))
 
+  /** One greedy-beam phase over a (v, n) edge list: `hops` rounds of
+    * expand → score vs probe → top-`beam` prune from `frontier0`.
+    * Shared by a17 (single phase) and a19 (per-layer descent). Each
+    * hop ends in a localCheckpoint — per-hop lineage truncation (d8's
+    * fixpoint discipline): the frontier feeds TWO consumers next hop
+    * (neighbor join + union), so without it the plan tree doubles per
+    * hop — 2^hops copies of the whole chain, which AQE stage reuse
+    * only partially collapses (the r14 listener audit read 116 stages
+    * / 124 s task time). The checkpointed frontier is ≤ probes×beam
+    * rows. */
+  private[graft] def beamPhase(
+      s: SparkSession, e: DataFrame, probes: DataFrame,
+      frontier0: DataFrame, edges: DataFrame, hops: Int, beam: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    (1 to hops).foldLeft(frontier0) { (frontier, _) =>
+      val neighbors = frontier.select(col("probe_id"), col("vec_id"))
+        .join(edges, col("vec_id") === col("v"))
+        .select(col("probe_id"), col("n").as("vec_id"))
+        .join(e, Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      frontier.unionByName(neighbors)
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(max(col("sim")).as("sim")) // dedup revisited nodes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select("probe_id", "vec_id", "sim")
+        .localCheckpoint()
+    }
+  }
+
   /** The greedy-beam search side over ANY (v, n) edge list — a17's
     * search, split out so the k8 sink can serve the SAME beam from a
     * written-then-read parquet index (build once, search many, proven
@@ -1739,29 +1774,7 @@ object Ann {
           round(cosine(s, "emb", "p_emb"), 6).as("sim"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
-      val beam = (1 to NSW_HOPS).foldLeft(f0) { (frontier, _) =>
-        val neighbors = frontier.select(col("probe_id"), col("vec_id"))
-          .join(edges, col("vec_id") === col("v"))
-          .select(col("probe_id"), col("n").as("vec_id"))
-          .join(e, Seq("vec_id"))
-          .join(broadcast(probes), Seq("probe_id"))
-          .select(col("probe_id"), col("vec_id"),
-            round(cosine(s, "emb", "p_emb"), 6).as("sim"))
-        frontier.unionByName(neighbors)
-          .groupBy(col("probe_id"), col("vec_id"))
-          .agg(max(col("sim")).as("sim")) // dedup revisited nodes
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= NSW_B)
-          .select("probe_id", "vec_id", "sim")
-          // per-hop lineage truncation (d8's fixpoint discipline): the
-          // frontier feeds TWO consumers next hop (neighbor join +
-          // union), so without it the plan tree doubles per hop — 2^5
-          // copies of the whole chain, which AQE stage reuse only
-          // partially collapses (the r14 listener audit read 116
-          // stages / 124 s task time). The checkpointed frontier is
-          // ≤ probes x NSW_B rows.
-          .localCheckpoint()
-      }
+      val beam = beamPhase(s, e, probes, f0, edges, NSW_HOPS, NSW_B)
       beam.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= NSW_K)
         .select(col("probe_id"), col("vec_id"), col("sim"),
@@ -2038,10 +2051,228 @@ object Ann {
       SELECT dst AS src, src AS dst, sim, 'back' AS kind FROM outs"""
     })
 
+  // ---------------------------------------------------------------------
+  // A19: hierarchical layered graph search (HNSW-style) — the log-scale
+  // serving shape on top of a17's flat NSW. Three pieces, all
+  // deterministic and oracle-replayable:
+  //   - LAYERS: geometric promotion off a portable hash — a vector is a
+  //     layer-1 member iff h60(vec_id,"lvl|") % PROMOTE == 0, layer-2
+  //     iff % PROMOTE² == 0 (HNSW's exponentially-decaying level draw
+  //     with the randomness made replayable). Expected layer sizes
+  //     N/8, N/64 — at 100 TB the upper layers are a centroid-scale
+  //     graph that routes into the base in O(log N) total hops instead
+  //     of a17's fixed entry spread.
+  //   - EDGES per layer: nswEdgesFrom over the layer's members — the
+  //     corpus-scaled bucket sizing reads the LAYER's count, so every
+  //     layer keeps ~NSW_TARGET-sized buckets and per-node degree
+  //     NSW_DEG whatever its population. Built once, pinned eagerly
+  //     (a17's build-once discipline), tagged elvl.
+  //   - SEARCH: entries = NSW_ENTRIES h60-spread members of the
+  //     HIGHEST populated layer (lvl DESC ordering — at a scale factor
+  //     where layer 2 is empty the descent degrades gracefully: a
+  //     frontier crossing an empty edge set carries through unchanged).
+  //     Each upper layer runs HNSW_UHOPS beam hops at width HNSW_UBEAM
+  //     over ITS edges, passes its top-HNSW_DESC down; the base layer
+  //     runs HNSW_BHOPS at the full NSW_B and emits a17's
+  //     (probe, vec, sim, rank) top-K shape.
+  // MAXL=2 is inlined in both engines' level predicates (the CASE and
+  // the when-chain must stay literally twins).
+  // ---------------------------------------------------------------------
+  private[graft] val HNSW_PROMOTE = 8 // 1-in-8 promotion per layer
+  private[graft] val HNSW_MAXL = 2 // layers above the base
+  private[graft] val HNSW_UHOPS = 2 // beam hops per upper layer
+  private[graft] val HNSW_BHOPS = 3 // beam hops at the base layer
+  private[graft] val HNSW_UBEAM = 8 // beam width in upper layers
+  private[graft] val HNSW_DESC = 4 // survivors carried down a layer
+
+  /** One layer's NSW edge build as DuckDB CTE text: members `me<k>`
+    * (lvl ≥ k), layer-sized buckets, the two sign families + random
+    * long-range family, ending in `ledges<k>` — the oracle twin of
+    * `nswEdgesFrom(el.filter(lvl >= k))`, text structure identical to
+    * a17's single-layer oracle. */
+  private def hnswLayerEdgesDuck(k: Int): String = {
+    import graft.functions.Portable.h60Duck
+    def sample(src: String, out: String) =
+      s"""$out AS (SELECT vec_id, b FROM (
+          SELECT vec_id, b, row_number() OVER (PARTITION BY b ORDER BY
+            ${h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
+          FROM $src) t WHERE srn <= $NSW_CAP)"""
+    val sign = Seq(("a", NSW_OFF_A, NSW_MA), ("b", NSW_OFF_B, NSW_MB))
+      .map { case (t, off, m) =>
+        s"""lb$t$k AS (SELECT vec_id,
+            CAST((${nswSignKeyDuck("embedding", off)}) % (1 << nbits)
+              AS INT) AS b
+          FROM me$k CROSS JOIN nbl$k),
+        ${sample(s"lb$t$k", s"ls$t$k")},
+        lef$t$k AS (
+          SELECT v, n FROM (
+            SELECT va.vec_id AS v, vb.vec_id AS n,
+              row_number() OVER (PARTITION BY va.vec_id ORDER BY
+                round(list_inner_product(ea.emb, eb.emb)
+                  / nullif(ea.nrm * eb.nrm, 0.0), 6) DESC,
+                vb.vec_id ASC) AS rn
+            FROM lb$t$k va JOIN ls$t$k vb ON va.b = vb.b
+              AND va.vec_id <> vb.vec_id
+            JOIN e ea ON ea.vec_id = va.vec_id
+            JOIN e eb ON eb.vec_id = vb.vec_id) t
+          WHERE rn <= $m)"""
+      }.mkString(",\n      ")
+    s"""me$k AS (SELECT em.vec_id, em.embedding FROM embeddings em
+          JOIN lv ON lv.vec_id = em.vec_id AND lv.lvl >= $k),
+      ncl$k AS (SELECT count(*) AS n FROM me$k),
+      nbl$k AS (SELECT ($nswNbitsDuck) AS nbits,
+          greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+        FROM ncl$k),
+      $sign,
+      lbr$k AS (SELECT vec_id,
+          CAST(${h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2
+            AS INT) AS b
+        FROM me$k CROSS JOIN nbl$k),
+      ${sample(s"lbr$k", s"lsr$k")},
+      lefr$k AS (
+        SELECT v, n FROM (
+          SELECT va.vec_id AS v, vb.vec_id AS n,
+            row_number() OVER (PARTITION BY va.vec_id ORDER BY
+              ${h60Duck("concat(CAST(va.vec_id AS VARCHAR), '|', " +
+        "CAST(vb.vec_id AS VARCHAR))", "nsw2|")} ASC,
+              vb.vec_id ASC) AS rn
+          FROM lbr$k va JOIN lsr$k vb ON va.b = vb.b
+            AND va.vec_id <> vb.vec_id) t
+        WHERE rn <= $NSW_MR),
+      ledges$k AS (SELECT v, n FROM lefa$k UNION SELECT v, n FROM lefb$k
+        UNION SELECT v, n FROM lefr$k)"""
+  }
+
+  /** `hops` beam rounds as DuckDB CTE text (a17's hop shape: expand
+    * once off the previous frontier, UNION-dedup — sims are
+    * deterministic per pair — prune to `beam`); final frontier lands in
+    * `f<tag><hops>`. */
+  private def duckBeamCtes(tag: String, start: String, edgesCte: String,
+      hops: Int, beam: Int): String =
+    (1 to hops).map { j =>
+      val prev = if (j == 1) start else s"f$tag${j - 1}"
+      s"""n$tag$j AS (
+        SELECT f.probe_id, g.n AS vec_id
+        FROM $prev f JOIN $edgesCte g ON g.v = f.vec_id),
+      c$tag$j AS (
+        SELECT probe_id, vec_id, sim FROM $prev
+        UNION
+        SELECT n.probe_id, n.vec_id,
+          round(list_inner_product(e.emb, p.p_emb)
+            / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+        FROM n$tag$j n JOIN e ON e.vec_id = n.vec_id
+        JOIN p ON p.probe_id = n.probe_id),
+      f$tag$j AS (
+        SELECT probe_id, vec_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM c$tag$j) t
+        WHERE rn <= $beam)"""
+    }.mkString(",\n      ")
+
+  val a19HnswLayers = Q(
+    "a19_hnsw_layers",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Portable
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val lh = Portable.h60(col("vec_id").cast("string"), "lvl|")
+      val p1 = HNSW_PROMOTE.toLong
+      val lvlCol = when(pmod(lh, lit(p1 * p1)) === 0, 2)
+        .when(pmod(lh, lit(p1)) === 0, 1).otherwise(0)
+      val el = e.withColumn("lvl", lvlCol)
+      val edges = (0 to HNSW_MAXL).map { k =>
+        nswEdgesFrom(s, el.filter(col("lvl") >= k)
+          .select("vec_id", "emb"))
+          .withColumn("elvl", lit(k))
+      }.reduce(_ unionByName _)
+      // build once, pin eagerly (a17's discipline — a lazy persist
+      // races AQE's parallel hop stages)
+      val pinnedEdges = LlmOps.pinFrame(
+        s"a19|${s.sparkContext.applicationId}|$d", edges)
+      pinnedEdges.count()
+      def layerEdges(k: Int) =
+        pinnedEdges.filter(col("elvl") === k).select("v", "n")
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val entry = el
+        .withColumn("ek",
+          Portable.h60(col("vec_id").cast("string"), "nswe|"))
+        .orderBy(col("lvl").desc, col("ek").asc, col("vec_id").asc)
+        .limit(NSW_ENTRIES)
+        .select("vec_id", "emb")
+      val f0 = probes.crossJoin(broadcast(entry))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val descended = (HNSW_MAXL to 1 by -1).foldLeft(f0) { (front, k) =>
+        beamPhase(s, e, probes, front, layerEdges(k),
+          HNSW_UHOPS, HNSW_UBEAM)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= HNSW_DESC)
+          .select("probe_id", "vec_id", "sim")
+      }
+      beamPhase(s, e, probes, descended, layerEdges(0), HNSW_BHOPS,
+        NSW_B)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NSW_K)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rn").cast("long").as("rank"))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      val lh = h60Duck("CAST(vec_id AS VARCHAR)", "lvl|")
+      val p1 = HNSW_PROMOTE.toLong
+      val layerEdges =
+        (0 to HNSW_MAXL).map(hnswLayerEdgesDuck).mkString(",\n      ")
+      val phases = new StringBuilder
+      var start = "f0c"
+      for (k <- HNSW_MAXL to 1 by -1) {
+        phases.append(duckBeamCtes(s"u$k", start, s"ledges$k",
+          HNSW_UHOPS, HNSW_UBEAM)).append(",\n      ")
+        phases.append(
+          s"""g$k AS (SELECT probe_id, vec_id, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn
+            FROM fu$k$HNSW_UHOPS) t
+          WHERE rn <= $HNSW_DESC)""").append(",\n      ")
+        start = s"g$k"
+      }
+      phases.append(duckBeamCtes("z", start, "ledges0", HNSW_BHOPS,
+        NSW_B))
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      lv AS (SELECT vec_id,
+          CASE WHEN $lh % ${p1 * p1} = 0 THEN 2
+               WHEN $lh % $p1 = 0 THEN 1 ELSE 0 END AS lvl
+        FROM embeddings),
+      $layerEdges,
+      p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+        FROM e WHERE vec_id < 8),
+      ent AS (SELECT vec_id FROM lv ORDER BY lvl DESC,
+          ${h60Duck("CAST(vec_id AS VARCHAR)", "nswe|")} ASC, vec_id
+        LIMIT $NSW_ENTRIES),
+      f0c AS (
+        SELECT p.probe_id, e.vec_id,
+          round(list_inner_product(e.emb, p.p_emb)
+            / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+        FROM p CROSS JOIN e
+        WHERE e.vec_id IN (SELECT vec_id FROM ent)),
+      $phases
+      SELECT probe_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY sim DESC, vec_id ASC) AS rn FROM fz$HNSW_BHOPS) t
+      WHERE rn <= $NSW_K"""
+    })
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
-      a17NswSearch, a18GraphExtend)
+      a17NswSearch, a18GraphExtend, a19HnswLayers)
 }

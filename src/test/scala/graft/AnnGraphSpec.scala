@@ -169,4 +169,81 @@ class AnnGraphSpec extends SparkSuite {
     assert(mean >= 0.5, s"mean recall@5 $mean below floor (per-probe: " +
       recalls.mkString(", ") + ")")
   }
+
+  private def hnswLevels(dir: String) = {
+    val p1 = operators.Ann.HNSW_PROMOTE.toLong
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        when(pmod(functions.Portable.h60(col("vec_id").cast("string"),
+          "lvl|"), lit(p1 * p1)) === 0, 2)
+          .when(pmod(functions.Portable.h60(col("vec_id").cast("string"),
+            "lvl|"), lit(p1)) === 0, 1)
+          .otherwise(0).as("lvl"))
+  }
+
+  test("A19: layers thin geometrically and stay nested on the 10x fixture") {
+    val lv = hnswLevels(scaled10xDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = lv.size
+    val n1 = lv.values.count(_ >= 1)
+    val n2 = lv.values.count(_ >= 2)
+    // geometric thinning: each layer is a real subset, small enough to
+    // route cheaply but populated enough to navigate (binomial around
+    // N/8 and N/64)
+    assert(n1 > 0 && n2 > 0, s"upper layers empty at n=$n: $n1/$n2")
+    assert(n1 < n / 4 && n1 > n / 16, s"layer-1 size $n1 off N/8=$n")
+    assert(n2 < n1 / 4 && n2 > n1 / 32, s"layer-2 size $n2 off N/64")
+    // per-layer edges connect MEMBERS of that layer only — an upper
+    // layer reaching a base-only node would break the descent contract
+    val e0 = Tables.embeddings(spark, scaled10xDir)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    for (k <- 1 to operators.Ann.HNSW_MAXL) {
+      val members = lv.filter(_._2 >= k).keySet
+      val ids = hnswLevels(scaled10xDir).filter(col("lvl") >= k)
+        .select("vec_id")
+      val edges = operators.Ann.nswEdgesFrom(spark,
+        e0.join(ids, Seq("vec_id"))).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(edges.nonEmpty, s"layer $k edge list empty")
+      assert(edges.forall { case (v, nn) =>
+        members.contains(v) && members.contains(nn) },
+        s"layer $k edges leave the layer")
+    }
+  }
+
+  test("A19: descent emits a dense top-k per probe") {
+    val out = operators.Ann.a19HnswLayers.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet === (0L until 8L).toSet)
+    for ((p, rows) <- byProbe) {
+      assert(rows.length === 5, s"probe $p beam size")
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to 5L),
+        s"probe $p ranks not dense")
+      assert(byRank.map(_._3).toSeq ==
+        byRank.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"probe $p sims not ordered")
+    }
+  }
+
+  test("A19: hierarchical recall@5 clears the floor on the 10x fixture") {
+    val truth = bruteTop(5, scaled10xDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val found = operators.Ann.a19HnswLayers.fn(spark, scaled10xDir)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (p, t) =>
+      (found.getOrElse(p, Set.empty) intersect t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"10x fixture hierarchical mean recall@5 = $mean")
+    // the descent must land the base beam near the probe's true
+    // neighborhood — the floor asserts navigability at the fixture
+    // size where the upper layers are genuinely populated
+    assert(mean >= 0.4, s"mean recall@5 $mean below floor (per-probe: " +
+      recalls.mkString(", ") + ")")
+  }
 }
