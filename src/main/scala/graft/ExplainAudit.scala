@@ -71,7 +71,8 @@ object ExplainAudit {
       "c8_shard_shuffle", "sql_c7_ccnet", "a17_nsw_search",
       "sql_e4_pipeline", "t17_novelty", "sql_a17_nsw",
       "k7_retention", "d6b_leak_report", "x11_zorder",
-      "d13_cap_report", "sql_a14_ivfpq", "a18_graph_extend")
+      "d13_cap_report", "sql_a14_ivfpq", "a18_graph_extend",
+      "a19_hnsw_layers", "k9_partition_overwrite", "sql_x1_asof")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
