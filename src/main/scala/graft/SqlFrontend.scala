@@ -704,6 +704,141 @@ object SqlFrontend {
     },
     operators.Ann.a17NswSearch.oracle)
 
+  // The hierarchical HNSW descent through the SQL surface, sharing
+  // a19's oracle: level CTE (the 1-in-8 geometric promotion off h60),
+  // THREE per-layer edge builds (each sized by its own layer count —
+  // the me/ncl/nbl chain re-reads the layer population, so the SQL
+  // text keeps a19's every-layer-stays-bucketed property), per-layer
+  // adjacency lists, and the descent phrased as three sql_a17-style
+  // hop chains: two upper phases at width 8 passing top-4 down, the
+  // base phase at the full beam. Hop discipline carried over verbatim
+  // (one previous-frontier reference per hop; BROADCAST(g) makes each
+  // phase's adjacency side an identical broadcast subtree physical
+  // planning collapses to one build + ReusedExchange).
+  val sqlA19Hnsw: Queries.Q = sqlQ(
+    "sql_a19_hnsw", {
+      import operators.Ann.{NSW_MA, NSW_MB, NSW_MR, NSW_B, NSW_CAP,
+        NSW_K, NSW_RTARGET, NSW_ENTRIES, HNSW_PROMOTE, HNSW_MAXL,
+        HNSW_UHOPS, HNSW_BHOPS, HNSW_UBEAM, HNSW_DESC}
+      import graft.functions.Portable.h60Sql
+      val p1 = HNSW_PROMOTE.toLong
+      def layerEdges(k: Int): String = {
+        def sample(src: String, out: String, cols: String) =
+          s"""$out AS (SELECT $cols, b FROM (
+              SELECT $cols, b, row_number() OVER (PARTITION BY b
+                ORDER BY ${h60Sql("CAST(vec_id AS STRING)", "nsws|")},
+                vec_id) AS srn
+              FROM $src) t WHERE srn <= $NSW_CAP)"""
+        val sign = Seq(
+          ("a", operators.Ann.nswSignOffA, NSW_MA),
+          ("b", operators.Ann.nswSignOffB, NSW_MB)).map {
+          case (t, off, m) =>
+            s"""lb$t$k AS (SELECT vec_id, embedding,
+                CAST(pmod(${operators.Ann.nswSignKeySql("embedding", off)},
+                  shiftleft(1, nbits)) AS INT) AS b
+              FROM me$k CROSS JOIN nbl$k),
+            ${sample(s"lb$t$k", s"ls$t$k", "vec_id, embedding")},
+            lef$t$k AS (
+              SELECT v, n FROM (
+                SELECT va.vec_id AS v, vb.vec_id AS n,
+                  row_number() OVER (PARTITION BY va.vec_id ORDER BY
+                    round(cosine_sim(va.embedding, vb.embedding), 6)
+                      DESC,
+                    vb.vec_id ASC) AS rn
+                FROM lb$t$k va JOIN ls$t$k vb ON va.b = vb.b
+                  AND va.vec_id <> vb.vec_id) t
+              WHERE rn <= $m)"""
+        }.mkString(",\n        ")
+        s"""me$k AS (SELECT em.vec_id, em.embedding FROM embeddings em
+              JOIN lv ON lv.vec_id = em.vec_id AND lv.lvl >= $k),
+          ncl$k AS (SELECT count(*) AS n FROM me$k),
+          nbl$k AS (SELECT (${operators.Ann.nswNbitsSql}) AS nbits,
+              greatest(CAST(1 AS BIGINT),
+                CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+            FROM ncl$k),
+          $sign,
+          lbr$k AS (SELECT vec_id,
+              CAST(pmod(${h60Sql("CAST(vec_id AS STRING)", "nswr|")},
+                nb2) AS INT) AS b
+            FROM me$k CROSS JOIN nbl$k),
+          ${sample(s"lbr$k", s"lsr$k", "vec_id")},
+          lefr$k AS (
+            SELECT v, n FROM (
+              SELECT va.vec_id AS v, vb.vec_id AS n,
+                row_number() OVER (PARTITION BY va.vec_id ORDER BY
+                  ${h60Sql("concat(CAST(va.vec_id AS STRING), '|', " +
+          "CAST(vb.vec_id AS STRING))", "nsw2|")} ASC,
+                  vb.vec_id ASC) AS rn
+              FROM lbr$k va JOIN lsr$k vb ON va.b = vb.b
+                AND va.vec_id <> vb.vec_id) t
+            WHERE rn <= $NSW_MR),
+          ledges$k AS (SELECT v, n FROM lefa$k
+            UNION SELECT v, n FROM lefb$k
+            UNION SELECT v, n FROM lefr$k),
+          adjl$k AS (SELECT v, collect_list(n) AS ns
+            FROM ledges$k GROUP BY v)"""
+      }
+      def sqlBeam(tag: String, start: String, adj: String,
+          hops: Int, beam: Int): String =
+        (1 to hops).map { j =>
+          val prev = if (j == 1) start else s"f$tag${j - 1}"
+          s"""c$tag$j AS (
+            SELECT /*+ BROADCAST(g) */ DISTINCT f.probe_id, t.nv AS vec_id
+            FROM $prev f LEFT JOIN $adj g ON g.v = f.vec_id
+            LATERAL VIEW explode(concat(array(f.vec_id),
+              coalesce(g.ns, CAST(array() AS ARRAY<BIGINT>)))) t AS nv),
+          f$tag$j AS (
+            SELECT probe_id, vec_id, sim FROM (
+              SELECT c.probe_id, c.vec_id,
+                round(cosine_sim(e.embedding, p.p_emb), 6) AS sim,
+                row_number() OVER (PARTITION BY c.probe_id
+                  ORDER BY round(cosine_sim(e.embedding, p.p_emb), 6)
+                    DESC,
+                  c.vec_id ASC) AS rn
+              FROM c$tag$j c JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN p ON p.probe_id = c.probe_id) t
+            WHERE rn <= $beam)"""
+        }.mkString(",\n      ")
+      val phases = new StringBuilder
+      var start = "f0"
+      for (k <- HNSW_MAXL to 1 by -1) {
+        phases.append(sqlBeam(s"u$k", start, s"adjl$k",
+          HNSW_UHOPS, HNSW_UBEAM)).append(",\n      ")
+        phases.append(
+          s"""g$k AS (SELECT probe_id, vec_id, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn
+            FROM fu$k$HNSW_UHOPS) t
+          WHERE rn <= $HNSW_DESC)""").append(",\n      ")
+        start = s"g$k"
+      }
+      phases.append(sqlBeam("z", start, "adjl0", HNSW_BHOPS, NSW_B))
+      s"""WITH lv AS (SELECT vec_id,
+          CASE WHEN pmod(${h60Sql("CAST(vec_id AS STRING)", "lvl|")},
+                 ${p1 * p1}) = 0 THEN 2
+               WHEN pmod(${h60Sql("CAST(vec_id AS STRING)", "lvl|")},
+                 $p1) = 0 THEN 1 ELSE 0 END AS lvl
+        FROM embeddings),
+      ${(0 to HNSW_MAXL).map(layerEdges).mkString(",\n      ")},
+      p AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb
+        FROM embeddings WHERE vec_id < 8),
+      ent AS (SELECT vec_id FROM lv ORDER BY lvl DESC,
+          ${h60Sql("CAST(vec_id AS STRING)", "nswe|")}, vec_id
+        LIMIT $NSW_ENTRIES),
+      f0 AS (
+        SELECT p.probe_id, e.vec_id,
+          round(cosine_sim(e.embedding, p.p_emb), 6) AS sim
+        FROM p CROSS JOIN embeddings e
+        WHERE e.vec_id IN (SELECT vec_id FROM ent)),
+      $phases
+      SELECT probe_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY sim DESC, vec_id ASC) AS rn FROM fz$HNSW_BHOPS) t
+      WHERE rn <= $NSW_K"""
+    },
+    operators.Ann.a19HnswLayers.oracle)
+
   // The 100 TB serving shape through the SQL surface: a14's whole
   // IVF-PQ chain — 2-Lloyd-iteration coarse quantizer (cells route
   // probes), per-subspace PQ codebooks, and ADC scoring through 16-bit
@@ -918,5 +1053,5 @@ object SqlFrontend {
       sqlW1Tumbling, sqlX2Rollup, sqlX1Asof, sqlW3Session,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
-      sqlA14IvfPq, sqlA18Extend, sqlD13CapReport)
+      sqlA19Hnsw, sqlA14IvfPq, sqlA18Extend, sqlD13CapReport)
 }
