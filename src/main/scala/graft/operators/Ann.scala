@@ -2269,10 +2269,94 @@ object Ann {
       WHERE rn <= $NSW_K"""
     })
 
+  // ---------------------------------------------------------------------
+  // A20: filtered ANN — top-k under a metadata predicate (here: the
+  // probe's own label, the "nearest neighbors within my category"
+  // retrieval every production vector store serves). BOTH standard
+  // strategies in one report, so the result itself exposes the classic
+  // filtered-search trade-off instead of hiding it:
+  //   - 'prefilter': restrict the corpus to the predicate FIRST, then
+  //     an exact broadcast-probe pass — the right plan when the
+  //     predicate is selective (the label equi-join keys the broadcast
+  //     hash join; at 100 TB this is a partition-pruned scan of the
+  //     label's slice, cost O(|label slice|) per probe set).
+  //   - 'ivf_postfilter': route the probe to its trained coarse cell
+  //     (a7b's index) and apply the predicate to the CELL's members —
+  //     cost O(|corpus|/nlist) whatever the predicate, but a probe
+  //     whose label is rare in its cell returns FEWER than k rows.
+  //     That shortfall is visible in the output (missing ranks), not
+  //     silently padded — the d13 no-silent-degradation discipline:
+  //     the row deficit is exactly the signal that decides when to
+  //     fall back to prefilter or raise nprobe.
+  // ---------------------------------------------------------------------
+  val a20FilteredAnn = Q(
+    "a20_filtered_ann",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val el = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"), col("label"))
+      val cellsOf = kmeansAssign(s, d).select("vec_id", "cell")
+        .join(el, Seq("vec_id"))
+      val probes = cellsOf.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("cell").as("p_cell"),
+          col("emb").as("p_emb"), col("label").as("p_label"))
+      val pre = el
+        .join(broadcast(probes), col("label") === col("p_label") &&
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        .withColumn("strategy", lit("prefilter"))
+      val post = cellsOf
+        .join(broadcast(probes), col("cell") === col("p_cell") &&
+          col("label") === col("p_label") &&
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        .withColumn("strategy", lit("ivf_postfilter"))
+      val w = Window.partitionBy(col("probe_id"), col("strategy"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      pre.unionByName(post)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("strategy"), col("vec_id"),
+          col("sim"), col("rn").cast("long").as("rank"))
+    },
+    Some(s"""$KMEANS_CTES,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      cells AS (
+        SELECT e.vec_id, a2.cell, e.emb, e.nrm, l.label
+        FROM e JOIN a2 ON e.vec_id = a2.vec_id
+        JOIN lab l ON l.vec_id = e.vec_id),
+      p AS (
+        SELECT vec_id AS probe_id, cell AS p_cell, emb AS p_emb,
+               nrm AS p_nrm, label AS p_label
+        FROM cells WHERE vec_id < 8),
+      pre AS (
+        SELECT p.probe_id, c.vec_id,
+          round(list_inner_product(c.emb, p.p_emb)
+            / nullif(c.nrm * p.p_nrm, 0.0), 6) AS sim,
+          'prefilter' AS strategy
+        FROM cells c JOIN p ON c.label = p.p_label
+          AND c.vec_id <> p.probe_id),
+      post AS (
+        SELECT p.probe_id, c.vec_id,
+          round(list_inner_product(c.emb, p.p_emb)
+            / nullif(c.nrm * p.p_nrm, 0.0), 6) AS sim,
+          'ivf_postfilter' AS strategy
+        FROM cells c JOIN p ON c.cell = p.p_cell
+          AND c.label = p.p_label AND c.vec_id <> p.probe_id),
+      u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+      SELECT probe_id, strategy, vec_id, sim,
+        CAST(rn AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (
+          PARTITION BY probe_id, strategy
+          ORDER BY sim DESC, vec_id ASC) AS rn FROM u) t
+      WHERE rn <= 5"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
-      a17NswSearch, a18GraphExtend, a19HnswLayers)
+      a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn)
 }

@@ -215,4 +215,43 @@ class CosineSimSpec extends SparkSuite {
       assert(dist === a13Dist((p, v)), s"ADC mismatch for ($p, $v)")
     }
   }
+
+  test("A20: filtered search respects the predicate; the post-filter " +
+      "shortfall is exact, never padded") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Ann.a20FilteredAnn.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells = graft.operators.Ann.a8KmeansRefine.fn(spark, sf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.keySet === (0L until 8L).toSet)
+    for ((p, rows) <- byProbe) {
+      // every hit carries the probe's label — the predicate is hard
+      rows.foreach { case (_, _, v, _, _) =>
+        assert(labels(v) === labels(p), s"probe $p hit $v wrong label") }
+      val pre = rows.filter(_._2 == "prefilter")
+      val post = rows.filter(_._2 == "ivf_postfilter")
+      // prefilter is exact over the label slice: always k rows (the
+      // fixture labels are far larger than k), dense ranks
+      assert(pre.length === 5, s"probe $p prefilter ${pre.length}")
+      assert(pre.map(_._5).sorted.toSeq === (1L to 5L))
+      // post-filter returns exactly min(k, |cell ∩ label| - self) —
+      // the shortfall is structural, not a bug, and must not be padded
+      val cellLabel = labels.keySet.count(v => v != p &&
+        cells(v) == cells(p) && labels(v) == labels(p))
+      assert(post.length === math.min(5, cellLabel),
+        s"probe $p postfilter ${post.length} vs cell∩label $cellLabel")
+      // cell-restricted candidates can never beat the exact slice scan
+      if (post.nonEmpty)
+        assert(post.map(_._4).max <= pre.map(_._4).max + 1e-9,
+          s"probe $p post best exceeds pre best")
+      post.foreach { case (_, _, v, _, _) =>
+        assert(cells(v) === cells(p), s"probe $p post hit $v off-cell") }
+    }
+  }
 }
