@@ -518,6 +518,71 @@ object StreamingJobs {
         col("s.sim").as("sim"), (col("i") + 1).cast("long").as("rank"))
   }
 
+  /** Streaming arrival search over the FROZEN hierarchical graph —
+    * a19's three-phase descent as the same stateless per-row chain
+    * [[nswSearchArrivals]] uses for a17's flat beam: the index
+    * collapses to ONE broadcast row (embedding map, one adjacency map
+    * PER LAYER, entries from the highest populated layer), and each
+    * arrival runs upper-layer beams at width HNSW_UBEAM passing their
+    * top-HNSW_DESC down into the full-width base beam — all
+    * higher-order functions, no state, no shuffle, constant work per
+    * arrival. `layerEdges` is the (v, n, elvl) union a19 builds. */
+  def hnswSearchArrivals(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      standing: DataFrame,
+      layerEdges: DataFrame): DataFrame = {
+    import graft.operators.Ann
+    val p1 = Ann.HNSW_PROMOTE.toLong
+    def lh = graft.functions.Portable
+      .h60(col("vec_id").cast("string"), "lvl|")
+    val lvlCol = when(pmod(lh, lit(p1 * p1)) === 0, 2)
+      .when(pmod(lh, lit(p1)) === 0, 1).otherwise(0)
+    val embm = standing
+      .agg(map_from_entries(collect_list(
+        struct(col("vec_id"), col("emb")))).as("embm"))
+    def adjmOf(k: Int) = layerEdges.filter(col("elvl") === k)
+      .groupBy(col("v")).agg(collect_list(col("n")).as("ns"))
+      .agg(map_from_entries(collect_list(
+        struct(col("v"), col("ns")))).as(s"adjm$k"))
+    val ents = standing.withColumn("lvl", lvlCol)
+      .withColumn("ek", graft.functions.Portable
+        .h60(col("vec_id").cast("string"), "nswe|"))
+      .orderBy(col("lvl").desc, col("ek").asc, col("vec_id").asc)
+      .limit(Ann.NSW_ENTRIES)
+      .agg(collect_list(col("vec_id")).as("ents"))
+    val index = (0 to Ann.HNSW_MAXL).map(adjmOf)
+      .foldLeft(embm)(_ crossJoin _).crossJoin(ents)
+    val cos = Ann.cosineSql(spark, "embm[id]", "emb")
+    val cmp = "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 " +
+      "WHEN l.sim < r.sim THEN 1 WHEN l.id < r.id THEN -1 " +
+      "WHEN l.id > r.id THEN 1 ELSE 0 END"
+    def rank(ids: String, width: Int): String =
+      s"slice(array_sort(transform(array_distinct($ids), id -> " +
+        s"named_struct('sim', round($cos, 6), 'id', id)), $cmp), " +
+        s"1, $width)"
+    def expand(prev: String, adjm: String): String =
+      s"concat(transform($prev, s -> s.id), " +
+        s"flatten(transform($prev, s -> " +
+        s"coalesce($adjm[s.id], CAST(array() AS ARRAY<BIGINT>)))))"
+    val descended = (Ann.HNSW_MAXL to 1 by -1)
+      .foldLeft(rank("ents", Ann.HNSW_UBEAM)) { (start, k) =>
+        val beamed = (1 to Ann.HNSW_UHOPS).foldLeft(start) { (prev, _) =>
+          rank(expand(prev, s"adjm$k"), Ann.HNSW_UBEAM)
+        }
+        s"slice($beamed, 1, ${Ann.HNSW_DESC})"
+      }
+    val beamExpr = (1 to Ann.HNSW_BHOPS).foldLeft(descended) {
+      (prev, _) => rank(expand(prev, "adjm0"), Ann.NSW_B)
+    }
+    arrivals.crossJoin(broadcast(index))
+      .withColumn("beam", expr(s"slice($beamExpr, 1, ${Ann.NSW_K})"))
+      .select(col("vec_id").as("probe_id"),
+        posexplode(col("beam")).as(Seq("i", "s")))
+      .select(col("probe_id"), col("s.id").as("vec_id"),
+        col("s.sim").as("sim"), (col("i") + 1).cast("long").as("rank"))
+  }
+
   /** Streaming arrival routing against a FROZEN centroid table — the
     * a15 incremental-index maintenance in streaming form. The centroid
     * table collapses to ONE broadcast row carrying all (cid, c_emb)

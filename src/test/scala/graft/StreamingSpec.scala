@@ -790,4 +790,43 @@ class StreamingSpec extends SparkSuite {
         "stream arrival top-k must equal the batch beam row-for-row")
     } finally q.stop()
   }
+
+  test("streaming hierarchical arrival search matches a19's batch " +
+      "descent row-for-row") {
+    val standing = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    // the layered edge union exactly as a19 builds it
+    val p1 = operators.Ann.HNSW_PROMOTE.toLong
+    def lh = functions.Portable.h60(col("vec_id").cast("string"), "lvl|")
+    val el = standing.withColumn("lvl",
+      when(pmod(lh, lit(p1 * p1)) === 0, 2)
+        .when(pmod(lh, lit(p1)) === 0, 1).otherwise(0))
+    val layerEdges = (0 to operators.Ann.HNSW_MAXL).map { k =>
+      operators.Ann.nswEdgesFrom(spark,
+        el.filter(col("lvl") >= k).select("vec_id", "emb"))
+        .withColumn("elvl", lit(k))
+    }.reduce(_ unionByName _)
+    val probes = standing.filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val arrivals = input.toDF().toDF("vec_id", "emb")
+    val q = StreamingJobs
+      .hnswSearchArrivals(spark, arrivals, standing, layerEdges)
+      .writeStream.format("memory").queryName("hnsw_stream_test")
+      .outputMode("append").start()
+    try {
+      probes.grouped(3).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("hnsw_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      val batch = operators.Ann.a19HnswLayers.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(streamed === batch,
+        "stream descent top-k must equal batch a19 row-for-row")
+    } finally q.stop()
+  }
 }
