@@ -849,10 +849,14 @@ object SqlFrontend {
   // then DECIMAL-summed, codes and ADC sums in exact integer micros.
   // The probe distance table and centroid sides are tiny (≤320 rows);
   // AQE broadcasts them exactly as the DSL's explicit broadcast() does.
-  val sqlA14IvfPq: Queries.Q = sqlQ(
-    "sql_a14_ivfpq", {
-      import operators.Ann.{KMEANS_K, PQ_M, PQ_K}
-      s"""WITH c0 AS (
+  /** sql_a14's trained coarse-quantizer chain in Spark-SQL dialect
+    * (seed cells c0 → assignment a1 → per-dim means m1 → refreshed
+    * centroids c1 → trained assignment a2, plus the exploded `dims`
+    * the means and sql_a14's PQ both read) — factored so sql_a20's
+    * filtered search routes through the SAME trained cells. */
+  private lazy val kmeansSparkCtes: String = {
+    import operators.Ann.{KMEANS_K, PQ_M}
+    s"""c0 AS (
         SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb
         FROM embeddings WHERE vec_id < $KMEANS_K),
       a1 AS (
@@ -885,7 +889,13 @@ object SqlFrontend {
         FROM (SELECT e.vec_id, c.cid,
             round(cosine_sim(e.embedding, c.c_emb), 6) AS csim
           FROM embeddings e CROSS JOIN c1 c) t
-        GROUP BY vec_id),
+        GROUP BY vec_id)"""
+  }
+
+  val sqlA14IvfPq: Queries.Q = sqlQ(
+    "sql_a14_ivfpq", {
+      import operators.Ann.{PQ_K}
+      s"""WITH $kmeansSparkCtes,
       cents AS (
         SELECT CAST(vec_id AS INT) AS cid, dim, x AS c
         FROM dims WHERE vec_id < $PQ_K),
@@ -921,6 +931,42 @@ object SqlFrontend {
       WHERE rn <= 5"""
     },
     operators.Ann.a14IvfPq.oracle)
+
+  // Filtered vector search through the SQL surface, sharing a20's
+  // oracle: the trained coarse cells come from the SAME Spark-SQL
+  // Lloyd chain sql_a14 serves from, and both strategies (exact
+  // label-slice scan vs cell-routed post-filter with its visible
+  // shortfall) are plain joins off it — the full filtered-retrieval
+  // report in one SQL string.
+  val sqlA20Filtered: Queries.Q = sqlQ(
+    "sql_a20_filtered",
+    s"""WITH $kmeansSparkCtes,
+      cells AS (
+        SELECT e.vec_id, a2.cell, e.embedding, e.label
+        FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id),
+      p AS (
+        SELECT vec_id AS probe_id, cell AS p_cell, embedding AS p_emb,
+               label AS p_label
+        FROM cells WHERE vec_id < 8),
+      pre AS (
+        SELECT p.probe_id, c.vec_id,
+          round(cosine_sim(c.embedding, p.p_emb), 6) AS sim,
+          'prefilter' AS strategy
+        FROM cells c JOIN p ON c.label = p.p_label
+          AND c.vec_id <> p.probe_id),
+      post AS (
+        SELECT p.probe_id, c.vec_id,
+          round(cosine_sim(c.embedding, p.p_emb), 6) AS sim,
+          'ivf_postfilter' AS strategy
+        FROM cells c JOIN p ON c.cell = p.p_cell
+          AND c.label = p.p_label AND c.vec_id <> p.probe_id),
+      u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+      SELECT probe_id, strategy, vec_id, sim, CAST(rn AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (
+          PARTITION BY probe_id, strategy
+          ORDER BY sim DESC, vec_id ASC) AS rn FROM u) t
+      WHERE rn <= 5""",
+    operators.Ann.a20FilteredAnn.oracle)
 
   // Incremental graph maintenance through the SQL surface — a18's
   // frozen-sizing insertion as one WITH chain sharing a18's oracle:
@@ -1053,5 +1099,6 @@ object SqlFrontend {
       sqlW1Tumbling, sqlX2Rollup, sqlX1Asof, sqlW3Session,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
-      sqlA19Hnsw, sqlA14IvfPq, sqlA18Extend, sqlD13CapReport)
+      sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA18Extend,
+      sqlD13CapReport)
 }
