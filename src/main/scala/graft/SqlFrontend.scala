@@ -1083,13 +1083,27 @@ object SqlFrontend {
           "tbl, bkey"),
         stats("nsw_sign_a", "sample", NSW_CAP, "qn_ba", "b"),
         stats("nsw_sign_b", "sample", NSW_CAP, "qn_bb", "b"),
-        stats("nsw_rand", "sample", NSW_CAP, "qn_br", "b"))
+        stats("nsw_rand", "sample", NSW_CAP, "qn_br", "b")) ++
+        (1 to operators.Ann.HNSW_MAXL).flatMap { k =>
+          Seq(
+            stats(s"a19_l${k}_sign_a", "sample", NSW_CAP,
+              s"qn${k}_ba", "b"),
+            stats(s"a19_l${k}_sign_b", "sample", NSW_CAP,
+              s"qn${k}_bb", "b"),
+            stats(s"a19_l${k}_rand", "sample", NSW_CAP,
+              s"qn${k}_br", "b"))
+        }
+      val layerCtes = (1 to operators.Ann.HNSW_MAXL).map { k =>
+        operators.Ann.nswBucketsSparkCtesOver(s"qn$k",
+          operators.Ann.hnswMemberSql(k))
+      }.mkString(",\n      ")
       s"""WITH $d2BandsSparkCtes,
       $d3bBandsSparkCtes,
       $d5AnchorsSparkCtes,
       q4_bands AS (${operators.Ann.d4BandsSparkSelects}),
       q12_bands AS (${operators.Ann.d12BandsSparkSelects}),
-      ${operators.Ann.nswBucketsSparkCtes}
+      ${operators.Ann.nswBucketsSparkCtes},
+      $layerCtes
       ${branches.mkString(" UNION ALL ")}"""
     },
     operators.LlmOps.d13CapReport.oracle)

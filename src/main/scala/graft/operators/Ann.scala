@@ -1600,11 +1600,14 @@ object Ann {
       .filter(col("srn") <= NSW_CAP).drop("srn")
   }
 
-  /** The three NSW bucket frames as standalone DuckDB queries, each
-    * ending in a (vec_id, b) projection over `embeddings` — the oracle
-    * twins of [[nswBucketFrames]], shared with d13_cap_report. */
-  private[graft] def nswBucketsDuck: Seq[(String, String)] = {
-    val nbCtes = s"""nc AS (SELECT count(*) AS n FROM embeddings),
+  /** The three NSW bucket frames as standalone DuckDB queries over any
+    * (vec_id, embedding) member SELECT, each ending in a (vec_id, b)
+    * projection — the oracle twins of [[nswBucketFrames]], shared with
+    * d13_cap_report (full corpus AND a19's layer slices). */
+  private[graft] def nswBucketsDuckOver(srcSelect: String)
+      : Seq[(String, String)] = {
+    val nbCtes = s"""mem AS ($srcSelect),
+          nc AS (SELECT count(*) AS n FROM mem),
           nb AS (SELECT ($nswNbitsDuck) AS nbits,
               greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
             FROM nc)"""
@@ -1613,38 +1616,81 @@ object Ann {
           SELECT vec_id,
             CAST((${nswSignKeyDuck("embedding", off)}) % (1 << nbits)
               AS INT) AS b
-          FROM embeddings CROSS JOIN nb"""
+          FROM mem CROSS JOIN nb"""
     val rand =
       s"""WITH $nbCtes
           SELECT vec_id,
             CAST(${graft.functions.Portable
         .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
-          FROM embeddings CROSS JOIN nb"""
+          FROM mem CROSS JOIN nb"""
     Seq(("nsw_sign_a", sign(NSW_OFF_A)), ("nsw_sign_b", sign(NSW_OFF_B)),
       ("nsw_rand", rand))
   }
 
-  /** The three NSW bucket frames as SPARK SQL CTE text (prefix qn_;
-    * provides qn_nc, qn_nb, qn_ba, qn_bb, qn_br each ending in
-    * (vec_id, b)), for sql_d13_cap_report. */
-  private[graft] def nswBucketsSparkCtes: String = {
+  private[graft] def nswBucketsDuck: Seq[(String, String)] =
+    nswBucketsDuckOver("SELECT vec_id, embedding FROM embeddings")
+
+  /** The three NSW bucket frames as SPARK SQL CTE text over any
+    * (vec_id, embedding) member SELECT (prefix `p`; provides p_mem,
+    * p_nc, p_nb, p_ba, p_bb, p_br each ending in (vec_id, b)), for
+    * sql_d13_cap_report. */
+  private[graft] def nswBucketsSparkCtesOver(
+      p: String, srcSelect: String): String = {
     import graft.functions.Portable.h60Sql
     def sign(tag: String, off: Int) =
-      s"""qn_b$tag AS (SELECT vec_id,
+      s"""${p}_b$tag AS (SELECT vec_id,
           CAST(pmod(${nswSignKeySql("embedding", off)},
             shiftleft(1, nbits)) AS INT) AS b
-        FROM embeddings CROSS JOIN qn_nb)"""
-    s"""qn_nc AS (SELECT count(*) AS n FROM embeddings),
-      qn_nb AS (SELECT ($nswNbitsSql) AS nbits,
+        FROM ${p}_mem CROSS JOIN ${p}_nb)"""
+    s"""${p}_mem AS ($srcSelect),
+      ${p}_nc AS (SELECT count(*) AS n FROM ${p}_mem),
+      ${p}_nb AS (SELECT ($nswNbitsSql) AS nbits,
           greatest(CAST(1 AS BIGINT),
             CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
-        FROM qn_nc),
+        FROM ${p}_nc),
       ${sign("a", NSW_OFF_A)},
       ${sign("b", NSW_OFF_B)},
-      qn_br AS (SELECT vec_id,
+      ${p}_br AS (SELECT vec_id,
           CAST(pmod(${h60Sql("CAST(vec_id AS STRING)", "nswr|")},
             nb2) AS INT) AS b
-        FROM embeddings CROSS JOIN qn_nb)"""
+        FROM ${p}_mem CROSS JOIN ${p}_nb)"""
+  }
+
+  private[graft] def nswBucketsSparkCtes: String =
+    nswBucketsSparkCtesOver("qn",
+      "SELECT vec_id, embedding FROM embeddings")
+
+  /** a19 layer-k members (lvl ≥ k) of any (vec_id, emb) frame — the
+    * geometric h60 level draw shared by a19, the streaming descent,
+    * and d13's layer saturation accounting. */
+  private[graft] def hnswMembers(e0: DataFrame, k: Int): DataFrame = {
+    val p1 = HNSW_PROMOTE.toLong
+    val lh = graft.functions.Portable
+      .h60(col("vec_id").cast("string"), "lvl|")
+    val lvl = when(pmod(lh, lit(p1 * p1)) === 0, 2)
+      .when(pmod(lh, lit(p1)) === 0, 1).otherwise(0)
+    e0.withColumn("hnsw_lvl", lvl).filter(col("hnsw_lvl") >= k)
+      .drop("hnsw_lvl")
+  }
+
+  /** The layer-k member SELECT in DuckDB dialect. */
+  private[graft] def hnswMemberDuck(k: Int): String = {
+    val p1 = HNSW_PROMOTE.toLong
+    val lh = graft.functions.Portable
+      .h60Duck("CAST(vec_id AS VARCHAR)", "lvl|")
+    s"""SELECT vec_id, embedding FROM embeddings
+        WHERE (CASE WHEN $lh % ${p1 * p1} = 0 THEN 2
+               WHEN $lh % $p1 = 0 THEN 1 ELSE 0 END) >= $k"""
+  }
+
+  /** The layer-k member SELECT in Spark SQL dialect. */
+  private[graft] def hnswMemberSql(k: Int): String = {
+    val p1 = HNSW_PROMOTE.toLong
+    val lh = graft.functions.Portable
+      .h60Sql("CAST(vec_id AS STRING)", "lvl|")
+    s"""SELECT vec_id, embedding FROM embeddings
+        WHERE (CASE WHEN pmod($lh, ${p1 * p1}) = 0 THEN 2
+               WHEN pmod($lh, $p1) = 0 THEN 1 ELSE 0 END) >= $k"""
   }
 
   /** The NSW edge list over any (vec_id, emb) frame: per-node top-M by

@@ -3137,7 +3137,16 @@ object LlmOps {
         capStats("d12b_banded", "drop", Ann.d12BandsOf(e),
           Seq("tbl", "bkey"), Ann.D12B_CAP)) ++
         Ann.nswBucketFrames(e).map { case (nm, bf) =>
-          capStats(nm, "sample", bf, Seq("b"), Ann.NSW_CAP) }
+          capStats(nm, "sample", bf, Seq("b"), Ann.NSW_CAP) } ++
+        // a19's per-layer builds are indexes too — the no-silent-caps
+        // rule covers them the day they ship, not a round later
+        (1 to Ann.HNSW_MAXL).flatMap { k =>
+          Ann.nswBucketFrames(Ann.hnswMembers(e, k)).map {
+            case (nm, bf) =>
+              capStats(s"a19_l${k}_${nm.stripPrefix("nsw_")}",
+                "sample", bf, Seq("b"), Ann.NSW_CAP)
+          }
+        }
       rows.reduce(_ unionByName _)
     },
     Some {
@@ -3177,6 +3186,14 @@ object LlmOps {
         Ann.nswBucketsDuck.map { case (nm, q) =>
           stats(nm, "sample", Ann.NSW_CAP,
             s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
+        } ++
+        (1 to Ann.HNSW_MAXL).flatMap { k =>
+          Ann.nswBucketsDuckOver(Ann.hnswMemberDuck(k)).map {
+            case (nm, q) =>
+              stats(s"a19_l${k}_${nm.stripPrefix("nsw_")}", "sample",
+                Ann.NSW_CAP,
+                s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
+          }
         }
       branches.mkString(" UNION ALL ")
     })

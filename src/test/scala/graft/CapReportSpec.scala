@@ -38,16 +38,38 @@ class CapReportSpec extends SparkSuite {
     val rows = operators.LlmOps.d13CapReport.fn(spark, sf).collect()
     val idx = rows.map(_.getString(0)).toSet
     assert(idx === Set("d2_minhash", "d3b_simhash", "d4_banded",
-      "d5_anchor", "d12b_banded", "nsw_sign_a", "nsw_sign_b", "nsw_rand"))
+      "d5_anchor", "d12b_banded", "nsw_sign_a", "nsw_sign_b", "nsw_rand",
+      "a19_l1_sign_a", "a19_l1_sign_b", "a19_l1_rand",
+      "a19_l2_sign_a", "a19_l2_sign_b", "a19_l2_rand"))
     for (r <- rows) {
-      assert(r.getLong(5) > 0L, s"${r.getString(0)}: empty band table")
+      // a19 layer slices may be legitimately empty at tiny fixture
+      // sizes (the 1-in-64 draw over 20 vectors); everything else must
+      // carry rows
+      if (!r.getString(0).startsWith("a19_"))
+        assert(r.getLong(5) > 0L, s"${r.getString(0)}: empty band table")
       // affected ≤ total, and over-cap bucket count consistent with rows
       assert(r.getLong(6) <= r.getLong(5), r.getString(0))
       assert(r.getLong(4) <= r.getLong(3), r.getString(0))
     }
-    // NSW frames are sample policy, dedup frames drop policy
+    // graph frames are sample policy, dedup frames drop policy
     val byIdx = rows.map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(byIdx.filter(_._1.startsWith("nsw")).values.toSet === Set("sample"))
-    assert(byIdx.filterNot(_._1.startsWith("nsw")).values.toSet === Set("drop"))
+    def graphRow(n: String) = n.startsWith("nsw") || n.startsWith("a19_")
+    assert(byIdx.filter(kv => graphRow(kv._1)).values.toSet ===
+      Set("sample"))
+    assert(byIdx.filterNot(kv => graphRow(kv._1)).values.toSet ===
+      Set("drop"))
+    // layer accounting is EXACT: each layer family's rows_total equals
+    // the layer's member count (one bucket row per member per family)
+    val e = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").as("emb"))
+    for (k <- 1 to operators.Ann.HNSW_MAXL) {
+      val m = operators.Ann.hnswMembers(e, k).count()
+      for (fam <- Seq("sign_a", "sign_b", "rand")) {
+        val r = rows.find(_.getString(0) == s"a19_l${k}_$fam").get
+        assert(r.getLong(5) === m,
+          s"a19_l${k}_$fam rows_total ${r.getLong(5)} != members $m")
+      }
+    }
   }
 }
