@@ -697,7 +697,80 @@ object Multimodal {
             FROM documents WHERE doc_id % 3 = 2) t
       WHERE n_frames > 0"""))
 
+  // ---------------------------------------------------------------------
+  // M4: perceptual-hash image dedup — the image-side analog of d1/d3:
+  // decode each image container (the m2 machinery: real PNG chunk walk
+  // / JPEG segment walk per partition), compute a dHash-style
+  // difference hash over the decoded raster bytes (17 evenly-spaced
+  // samples → 16 adjacent-comparison bits, matching the codebase's
+  // 16-bit portable-signature convention from d3), and group identical
+  // hashes into duplicate families. The decode is imperative
+  // (mapPartitions, fused with containerize into one narrow stage, no
+  // shuffle before the final 16-bit-key groupBy — trivially
+  // broadcastable cardinality at any corpus size); the hash arithmetic
+  // is pure integer comparisons, so the oracle replays it byte-for-byte
+  // over hex(encode(text)) exactly as m2's checksum oracle does — a
+  // full rows+schema+hash check, not rows-only. A REAL pixel pHash
+  // (resize + DCT) slots into the same sample positions; the sampling,
+  // bit packing, grouping, and oracle contract are the production
+  // plumbing either way.
+  // ---------------------------------------------------------------------
+  private[graft] val PHASH_SAMPLES = 17 // 16 bits + 1
+  val m4MediaPhash = Q(
+    "m4_media_phash",
+    (s, d) => {
+      import s.implicits._
+      val hashes = mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.flatMap { r0 =>
+            val c = containerize(r0)
+            val data: Option[Array[Byte]] = c.mime match {
+              case "image/png" => Some(decodePng(c.payload).idat)
+              case "image/jpeg" => Some(decodeJpeg(c.payload).data)
+              case _ => None
+            }
+            data.filter(_.length >= PHASH_SAMPLES).map { b =>
+              val n = b.length
+              val s17 = (0 until PHASH_SAMPLES)
+                .map(j => b((j.toLong * n / PHASH_SAMPLES).toInt) & 0xff)
+              val h = (0 until PHASH_SAMPLES - 1).foldLeft(0L) {
+                (acc, i) =>
+                  acc | (if (s17(i + 1) > s17(i)) 1L << i else 0L)
+              }
+              (c.doc_id, h)
+            }
+          }
+        }.toDF("doc_id", "phash")
+      hashes.groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups"))
+    },
+    Some(s"""WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+          octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= $PHASH_SAMPLES),
+      g AS (
+        SELECT doc_id,
+          list_transform(range($PHASH_SAMPLES), j ->
+            CAST('0x' || substr(h,
+              CAST(1 + 2 * floor(j * n / $PHASH_SAMPLES.0) AS INT), 2)
+              AS INT)) AS s
+        FROM m),
+      ph AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(${PHASH_SAMPLES - 1}), i ->
+            CASE WHEN s[i + 2] > s[i + 1]
+              THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+            AS phash
+        FROM g)
+      SELECT phash, min(doc_id) AS keep_id,
+        CAST(count(*) AS BIGINT) AS n_dups
+      FROM ph GROUP BY phash"""))
+
   /** All multimodal queries, registration order. */
   def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
-    m2bDecodeQuarantine, m3FrameSample)
+    m2bDecodeQuarantine, m3FrameSample, m4MediaPhash)
 }

