@@ -2399,10 +2399,137 @@ object Ann {
           ORDER BY sim DESC, vec_id ASC) AS rn FROM u) t
       WHERE rn <= 5"""))
 
+  // ---------------------------------------------------------------------
+  // A21: the nprobe tuning sweep — multi-cell IVF routing plus the
+  // recall-vs-cost curve that decides the dial. a7b/a14 route each
+  // probe to its ONE best cell; production IVF serves with nprobe > 1
+  // (search the top-P cells) and tunes P from exactly this report:
+  // per (nprobe ∈ {1,2,4}, probe), the candidate count (the cost axis:
+  // ~nprobe·|corpus|/nlist) and recall@5 against exact brute-force
+  // truth (the quality axis). This also closes a20's "raise nprobe"
+  // arrow: the shortfall report says WHEN, this curve says TO WHAT.
+  // All small sides broadcast (centroids, probe routing, probe set);
+  // the corpus is touched once per nprobe tier through its cell index
+  // and once for the exact truth (the a5/a11 self-eval shape — at
+  // 100 TB the truth pass runs on a sampled probe set, as a11 notes).
+  // ---------------------------------------------------------------------
+  private[graft] val NPROBES = Seq(1, 2, 4)
+  val a21NprobeSweep = Q(
+    "a21_nprobe_sweep",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val cellsOf = kmeansAssign(s, d).select("vec_id", "cell")
+        .join(e, Seq("vec_id"))
+      val cents = kmeansTrainedCentroids(s, e)
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val wc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val ranked = probes.crossJoin(broadcast(cents))
+        .select(col("probe_id"), col("cid"),
+          round(cosine(s, "p_emb", "c_emb"), 6).as("csim"))
+        .withColumn("rc", row_number().over(wc))
+      val route = ranked
+        .join(broadcast(NPROBES.toDF("nprobe")),
+          col("rc") <= col("nprobe"))
+        .select(col("nprobe"), col("probe_id"), col("cid"))
+      val cand = cellsOf
+        .join(broadcast(route), col("cell") === col("cid"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("nprobe"), col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val wt = Window.partitionBy(col("nprobe"), col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val top = cand.withColumn("rn", row_number().over(wt))
+        .filter(col("rn") <= 5)
+        .select("nprobe", "probe_id", "vec_id")
+      val nCand = cand.groupBy(col("nprobe"), col("probe_id"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val wx = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      top.join(truth, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("nprobe"), col("probe_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .join(nCand, Seq("nprobe", "probe_id"))
+        .select(col("nprobe"), col("probe_id"), col("n_candidates"),
+          col("n_hits"),
+          round(col("n_hits") / lit(5.0), 6).as("recall"))
+    },
+    Some(s"""$KMEANS_CTES,
+      sw_cells AS (
+        SELECT e.vec_id, a2.cell, e.emb, e.nrm
+        FROM e JOIN a2 ON e.vec_id = a2.vec_id),
+      sw_p AS (
+        SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+        FROM e WHERE vec_id < 8),
+      sw_cn AS (
+        SELECT cid, c_emb,
+          sqrt(list_inner_product(c_emb, c_emb)) AS c_nrm
+        FROM c1),
+      sw_pr AS (
+        SELECT probe_id, cid, row_number() OVER (PARTITION BY probe_id
+            ORDER BY csim DESC, cid ASC) AS rc
+        FROM (SELECT p.probe_id, c.cid,
+            round(list_inner_product(c.c_emb, p.p_emb)
+              / nullif(c.c_nrm * p.p_nrm, 0.0), 6) AS csim
+          FROM sw_p p CROSS JOIN sw_cn c) t),
+      sw_np AS (SELECT CAST(unnest([${NPROBES.mkString(", ")}]) AS INT)
+        AS nprobe),
+      sw_route AS (
+        SELECT np.nprobe, pr.probe_id, pr.cid
+        FROM sw_pr pr CROSS JOIN sw_np np WHERE pr.rc <= np.nprobe),
+      sw_cand AS (
+        SELECT r.nprobe, r.probe_id, c.vec_id,
+          round(list_inner_product(c.emb, p.p_emb)
+            / nullif(c.nrm * p.p_nrm, 0.0), 6) AS sim
+        FROM sw_route r JOIN sw_cells c ON c.cell = r.cid
+        JOIN sw_p p ON p.probe_id = r.probe_id
+        WHERE c.vec_id <> r.probe_id),
+      sw_top AS (
+        SELECT nprobe, probe_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY nprobe, probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sw_cand) t
+        WHERE rn <= 5),
+      sw_nc AS (
+        SELECT nprobe, probe_id, CAST(count(*) AS BIGINT)
+          AS n_candidates
+        FROM sw_cand GROUP BY nprobe, probe_id),
+      sw_truth AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT p.probe_id, e.vec_id,
+            row_number() OVER (PARTITION BY p.probe_id ORDER BY
+              round(list_inner_product(e.emb, p.p_emb)
+                / nullif(e.nrm * p.p_nrm, 0.0), 6) DESC,
+              e.vec_id ASC) AS rn
+          FROM sw_p p CROSS JOIN e WHERE e.vec_id <> p.probe_id) t
+        WHERE rn <= 5),
+      sw_hits AS (
+        SELECT t.nprobe, t.probe_id,
+          CAST(count(tr.vec_id) AS BIGINT) AS n_hits
+        FROM sw_top t LEFT JOIN sw_truth tr
+          ON tr.probe_id = t.probe_id AND tr.vec_id = t.vec_id
+        GROUP BY t.nprobe, t.probe_id)
+      SELECT h.nprobe, h.probe_id, n.n_candidates, h.n_hits,
+        round(CAST(h.n_hits AS DOUBLE) / 5, 6) AS recall
+      FROM sw_hits h JOIN sw_nc n
+        ON n.nprobe = h.nprobe AND n.probe_id = h.probe_id"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
-      a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn)
+      a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
+      a21NprobeSweep)
 }

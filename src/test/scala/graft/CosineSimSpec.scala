@@ -254,4 +254,32 @@ class CosineSimSpec extends SparkSuite {
         assert(cells(v) === cells(p), s"probe $p post hit $v off-cell") }
     }
   }
+
+  test("A21: recall and candidate cost are monotone in nprobe") {
+    val rows = graft.operators.Ann.a21NprobeSweep.fn(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val byProbe = rows.groupBy(_._2)
+    assert(byProbe.nonEmpty)
+    for ((p, tiers) <- byProbe) {
+      val sorted = tiers.sortBy(_._1)
+      // widening the routed cell set can only ADD candidates and
+      // therefore never lose a true neighbor already found
+      assert(sorted.map(_._3).toSeq ===
+        sorted.map(_._3).sorted.toSeq,
+        s"probe $p candidates not monotone")
+      assert(sorted.map(_._5).toSeq ===
+        sorted.map(_._5).sorted.toSeq, s"probe $p recall not monotone")
+      tiers.foreach { case (np, _, nc, nh, rec) =>
+        assert(nh >= 0L && nh <= 5L)
+        assert(rec === nh.toDouble / 5, s"probe $p tier $np recall")
+        assert(nc >= nh, s"probe $p tier $np fewer candidates than hits")
+      }
+    }
+    // the curve must not be flat-zero (a broken router would still be
+    // monotone) — across the probe set, the widest tier finds truth
+    assert(rows.filter(_._1 == graft.operators.Ann.NPROBES.max)
+      .map(_._4).sum > 0L, "widest tier found no true neighbors")
+  }
 }
