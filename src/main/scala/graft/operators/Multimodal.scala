@@ -716,6 +716,19 @@ object Multimodal {
   // plumbing either way.
   // ---------------------------------------------------------------------
   private[graft] val PHASH_SAMPLES = 17 // 16 bits + 1
+
+  /** The 16-bit dHash over a decoded raster: 17 evenly-spaced samples,
+    * adjacent strict-greater comparisons packed LSB-first. Shared by
+    * m4 and e5; the Duck twin is the m4 oracle's list arithmetic. */
+  private[graft] def phashOf(b: Array[Byte]): Long = {
+    val n = b.length
+    val s = (0 until PHASH_SAMPLES)
+      .map(j => b((j.toLong * n / PHASH_SAMPLES).toInt) & 0xff)
+    (0 until PHASH_SAMPLES - 1).foldLeft(0L) { (acc, i) =>
+      acc | (if (s(i + 1) > s(i)) 1L << i else 0L)
+    }
+  }
+
   val m4MediaPhash = Q(
     "m4_media_phash",
     (s, d) => {
@@ -731,16 +744,8 @@ object Multimodal {
               case "image/jpeg" => Some(decodeJpeg(c.payload).data)
               case _ => None
             }
-            data.filter(_.length >= PHASH_SAMPLES).map { b =>
-              val n = b.length
-              val s17 = (0 until PHASH_SAMPLES)
-                .map(j => b((j.toLong * n / PHASH_SAMPLES).toInt) & 0xff)
-              val h = (0 until PHASH_SAMPLES - 1).foldLeft(0L) {
-                (acc, i) =>
-                  acc | (if (s17(i + 1) > s17(i)) 1L << i else 0L)
-              }
-              (c.doc_id, h)
-            }
+            data.filter(_.length >= PHASH_SAMPLES)
+              .map(b => (c.doc_id, phashOf(b)))
           }
         }.toDF("doc_id", "phash")
       hashes.groupBy(col("phash"))
@@ -770,7 +775,171 @@ object Multimodal {
         CAST(count(*) AS BIGINT) AS n_dups
       FROM ph GROUP BY phash"""))
 
+  // ---------------------------------------------------------------------
+  // E5: the multimodal curation pipeline end-to-end — the m-family's e4:
+  //   containerized media (~14% planted-corrupt, the m2b fixture)
+  //   → TOTAL per-partition decode (err column, no task kills)
+  //   → metadata quality gate (byte floor; image min-width — pure
+  //     integer arithmetic on decoded header fields)
+  //   → dedup on the modality's natural key (images: m4's perceptual
+  //     dHash so a re-encoded byte-identical raster dedups across
+  //     png/jpeg; audio/video: exact payload checksum)
+  //   → curated set written through a mime-partitioned sink and READ
+  //     BACK for its counts (the k1 closure: 'curated' numbers come
+  //     from the lake, not the pipeline's own bookkeeping).
+  // Output: per (mime, disposition) counts, disposition ∈ quarantined /
+  // low_quality / duplicate / curated — the dead-letter + yield report
+  // a crawl's media stage ships. Every derivation is deterministic in
+  // the payload bytes, so the oracle restates the WHOLE pipeline
+  // arithmetically over documents (the m2 oracle discipline), and a
+  // green row proves routing, gating, both dedup keys, and the sink
+  // round-trip in one hash check.
+  // ---------------------------------------------------------------------
+  val e5MediaPipeline = Q(
+    "e5_media_pipeline",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val staged = mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.map { r0 =>
+            val c0 = containerize(r0)
+            val c = if (r0.doc_id % 7 == 0)
+              MediaRow(c0.doc_id,
+                c0.payload.take(c0.payload.length / 2), c0.mime)
+            else c0
+            try {
+              c.mime match {
+                case "image/png" =>
+                  val p = decodePng(c.payload)
+                  val ph = if (p.idat.length >= PHASH_SAMPLES)
+                    Some(phashOf(p.idat)) else None
+                  (c.doc_id, c.mime, p.width, p.height, 1,
+                    payloadChecksum(p.idat), ph, p.idat.length,
+                    None: Option[String])
+                case "image/jpeg" =>
+                  val j = decodeJpeg(c.payload)
+                  val ph = if (j.data.length >= PHASH_SAMPLES)
+                    Some(phashOf(j.data)) else None
+                  (c.doc_id, c.mime, j.width, j.height, 1,
+                    payloadChecksum(j.data), ph, j.data.length,
+                    None: Option[String])
+                case "audio/wav" =>
+                  val w = decodeWav(c.payload)
+                  (c.doc_id, c.mime, 0, 0,
+                    w.data.length / w.blockAlign,
+                    payloadChecksum(w.data), None: Option[Long],
+                    w.data.length, None: Option[String])
+                case _ =>
+                  val v = decodeMp4(c.payload)
+                  (c.doc_id, c.mime, v.width, v.height, v.nFrames,
+                    payloadChecksum(v.mdat), None: Option[Long],
+                    v.mdat.length, None: Option[String])
+              }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                (c.doc_id, c.mime, 0, 0, 0, 0L, None: Option[Long], 0,
+                  Some(e.getMessage))
+            }
+          }
+        }.toDF("doc_id", "mime", "width", "height", "n_frames",
+          "checksum", "phash", "n_bytes", "err")
+      val gateOk = col("n_bytes") >= 64 &&
+        when(col("mime").like("image/%"), col("width") >= 80)
+          .when(col("mime") === "audio/wav", col("n_frames") >= 8)
+          .otherwise(col("n_frames") >= 4)
+      val d0 = when(col("err").isNotNull, "quarantined")
+        .when(!gateOk, "low_quality")
+      val survivors = staged.filter(d0.isNull)
+        .withColumn("k", when(col("mime").like("image/%"),
+          concat(lit("p|"), col("phash").cast("string")))
+          .otherwise(concat(lit("c|"), col("checksum").cast("string"))))
+      val routed = survivors
+        .withColumn("keep",
+          min(col("doc_id")).over(Window.partitionBy(col("k"))))
+        .withColumn("disposition",
+          when(col("doc_id") === col("keep"), "curated")
+            .otherwise("duplicate"))
+      val out = graft.sources.Ingest.freshDir("e5_curated")
+      routed.filter(col("disposition") === "curated")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("mime"))
+        .repartition(col("mime"))
+        .write.mode("overwrite").partitionBy("mime").parquet(out)
+      val curatedCounts = s.read.parquet(out)
+        .groupBy(col("mime")).agg(count(lit(1)).as("n"))
+        .withColumn("disposition", lit("curated"))
+        .select("mime", "disposition", "n")
+      staged.withColumn("disposition", d0)
+        .filter(col("disposition").isNotNull)
+        .select("mime", "disposition")
+        .unionByName(routed.filter(col("disposition") === "duplicate")
+          .select("mime", "disposition"))
+        .groupBy(col("mime"), col("disposition"))
+        .agg(count(lit(1)).as("n"))
+        .unionByName(curatedCounts)
+    },
+    Some(s"""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                       ELSE 'image/jpeg' END)
+               WHEN doc_id % 3 = 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS mime,
+          octet_length(encode(text)) AS n,
+          hex(encode(text)) AS h,
+          CAST(concat('0x',
+            substring(md5(hex(encode(text))), 1, 15)) AS BIGINT)
+            AS checksum
+        FROM documents),
+      d AS (
+        SELECT *,
+          CASE WHEN mime = 'image/png' THEN 64 + n % 576
+               WHEN mime = 'image/jpeg' THEN 96 + n % 544
+               ELSE 0 END AS width,
+          CASE WHEN mime = 'audio/wav' THEN n // 4
+               WHEN mime = 'video/mp4' THEN n // 16
+               ELSE 1 END AS n_frames
+        FROM m),
+      disp AS (
+        SELECT *,
+          CASE WHEN doc_id % 7 = 0 THEN 'quarantined'
+               WHEN NOT (n >= 64 AND
+                 (CASE WHEN mime LIKE 'image/%' THEN width >= 80
+                       WHEN mime = 'audio/wav' THEN n_frames >= 8
+                       ELSE n_frames >= 4 END))
+                 THEN 'low_quality'
+               ELSE NULL END AS d0
+        FROM d),
+      keyed AS (
+        SELECT doc_id, mime,
+          CASE WHEN mime LIKE 'image/%' THEN concat('p|', CAST(
+            CAST(list_sum(list_transform(range(${PHASH_SAMPLES - 1}),
+              i -> CASE WHEN s[i + 2] > s[i + 1]
+                THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+            AS VARCHAR))
+          ELSE concat('c|', CAST(checksum AS VARCHAR)) END AS k
+        FROM (
+          SELECT doc_id, mime, checksum,
+            list_transform(range($PHASH_SAMPLES), j ->
+              CAST('0x' || substr(h,
+                CAST(1 + 2 * floor(j * n / $PHASH_SAMPLES.0) AS INT), 2)
+                AS INT)) AS s
+          FROM disp WHERE d0 IS NULL) t),
+      dd AS (
+        SELECT mime,
+          CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k)
+               THEN 'curated' ELSE 'duplicate' END AS disposition
+        FROM keyed),
+      allrows AS (
+        SELECT mime, d0 AS disposition FROM disp WHERE d0 IS NOT NULL
+        UNION ALL SELECT mime, disposition FROM dd)
+      SELECT mime, disposition, CAST(count(*) AS BIGINT) AS n
+      FROM allrows GROUP BY mime, disposition"""))
+
   /** All multimodal queries, registration order. */
   def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
-    m2bDecodeQuarantine, m3FrameSample, m4MediaPhash)
+    m2bDecodeQuarantine, m3FrameSample, m4MediaPhash, e5MediaPipeline)
 }

@@ -302,4 +302,36 @@ class MultimodalSpec extends SparkSuite {
     assert(dhash(mutated) !== dhash(raster),
       "hash blind to a sampled-byte change")
   }
+
+  test("E5: the media pipeline accounts for every document exactly once " +
+      "and quarantines exactly the planted set") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.e5MediaPipeline.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = Tables.documents(spark, sf).count()
+    // conservation: every document lands in exactly one disposition
+    assert(out.map(_._3).sum === total)
+    assert(out.map(_._2).toSet.subsetOf(
+      Set("quarantined", "low_quality", "duplicate", "curated")))
+    // the quarantine is exactly the planted doc_id % 7 == 0 set, per mime
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0)
+      .select(when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, "image/png")
+          .otherwise("image/jpeg"))
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"))
+      .groupBy("mime").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quarantined = out.filter(_._2 == "quarantined")
+      .map(t => t._1 -> t._3).toMap
+    assert(quarantined === planted,
+      s"quarantine $quarantined != planted $planted")
+    // the curated lake really exists, partitioned by mime
+    val lake = new java.io.File(
+      graft.sources.Ingest.lakeRoot + "/e5_curated")
+    assert(lake.isDirectory &&
+      lake.listFiles.exists(_.getName.startsWith("mime=")),
+      "curated sink missing its mime partitions")
+  }
 }
