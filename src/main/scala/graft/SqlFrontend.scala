@@ -968,6 +968,64 @@ object SqlFrontend {
       WHERE rn <= 5""",
     operators.Ann.a20FilteredAnn.oracle)
 
+  // The nprobe tuning sweep through the SQL surface, sharing a21's
+  // oracle: multi-cell routing, per-tier candidates and recall@5
+  // against exact truth — the serving dial's tuning curve as one SQL
+  // string off the same factored Lloyd chain.
+  val sqlA21Nprobe: Queries.Q = sqlQ(
+    "sql_a21_nprobe",
+    s"""WITH $kmeansSparkCtes,
+      sw_cells AS (
+        SELECT e.vec_id, a2.cell, e.embedding
+        FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id),
+      sw_p AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb
+        FROM embeddings WHERE vec_id < 8),
+      sw_pr AS (
+        SELECT probe_id, cid, row_number() OVER (PARTITION BY probe_id
+            ORDER BY csim DESC, cid ASC) AS rc
+        FROM (SELECT p.probe_id, c.cid,
+            round(cosine_sim(c.c_emb, p.p_emb), 6) AS csim
+          FROM sw_p p CROSS JOIN c1 c) t),
+      sw_np AS (SELECT explode(array(${
+        operators.Ann.NPROBES.mkString(", ")})) AS nprobe),
+      sw_route AS (
+        SELECT np.nprobe, pr.probe_id, pr.cid
+        FROM sw_pr pr CROSS JOIN sw_np np WHERE pr.rc <= np.nprobe),
+      sw_cand AS (
+        SELECT r.nprobe, r.probe_id, c.vec_id,
+          round(cosine_sim(c.embedding, p.p_emb), 6) AS sim
+        FROM sw_route r JOIN sw_cells c ON c.cell = r.cid
+        JOIN sw_p p ON p.probe_id = r.probe_id
+        WHERE c.vec_id <> r.probe_id),
+      sw_top AS (
+        SELECT nprobe, probe_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY nprobe, probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sw_cand) t
+        WHERE rn <= 5),
+      sw_nc AS (
+        SELECT nprobe, probe_id, count(*) AS n_candidates
+        FROM sw_cand GROUP BY nprobe, probe_id),
+      sw_truth AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT p.probe_id, e.vec_id,
+            row_number() OVER (PARTITION BY p.probe_id ORDER BY
+              round(cosine_sim(e.embedding, p.p_emb), 6) DESC,
+              e.vec_id ASC) AS rn
+          FROM sw_p p CROSS JOIN embeddings e
+          WHERE e.vec_id <> p.probe_id) t
+        WHERE rn <= 5),
+      sw_hits AS (
+        SELECT t.nprobe, t.probe_id, count(tr.vec_id) AS n_hits
+        FROM sw_top t LEFT JOIN sw_truth tr
+          ON tr.probe_id = t.probe_id AND tr.vec_id = t.vec_id
+        GROUP BY t.nprobe, t.probe_id)
+      SELECT h.nprobe, h.probe_id, n.n_candidates, h.n_hits,
+        round(CAST(h.n_hits AS DOUBLE) / 5, 6) AS recall
+      FROM sw_hits h JOIN sw_nc n
+        ON n.nprobe = h.nprobe AND n.probe_id = h.probe_id""",
+    operators.Ann.a21NprobeSweep.oracle)
+
   // Incremental graph maintenance through the SQL surface — a18's
   // frozen-sizing insertion as one WITH chain sharing a18's oracle:
   // standing/batch split, corpus-sized sign buckets + random buckets
@@ -1113,6 +1171,6 @@ object SqlFrontend {
       sqlW1Tumbling, sqlX2Rollup, sqlX1Asof, sqlW3Session,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
-      sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA18Extend,
-      sqlD13CapReport)
+      sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
+      sqlA18Extend, sqlD13CapReport)
 }

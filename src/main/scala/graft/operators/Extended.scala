@@ -500,7 +500,57 @@ object Extended {
     })
 
   /** All extension queries, registration order. */
+  // ---------------------------------------------------------------------
+  // X12: the analytic window-function battery — lag/lead, rank /
+  // dense_rank / cume_dist / percent_rank (over the TIE-AMBIGUOUS
+  // date-only ordering, where their semantics are still deterministic:
+  // ties share a value), ntile + running decimal sum (over the fully
+  // deterministic (date, key) ordering, since position-based functions
+  // are NOT tie-stable). One window spec per ordering, so Spark plans
+  // ONE sort per (partition, ordering) pair and runs every function of
+  // a spec in the same Window operator — the battery costs two sorts
+  // total, not eight. The oracle is the same ANSI text DuckDB runs.
+  // ---------------------------------------------------------------------
+  val x12WindowBattery = Q(
+    "x12_window_battery",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val w1 = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+      val w2 = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey"))
+      val w2r = w2.rowsBetween(Window.unboundedPreceding, 0)
+      o.select(col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w2).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w2).as("next_price"),
+        rank().over(w1).cast("long").as("rk"),
+        dense_rank().over(w1).cast("long").as("drk"),
+        ntile(4).over(w2).cast("long").as("q4"),
+        cume_dist().over(w1).as("cd"),
+        percent_rank().over(w1).as("pr"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w2r)
+          .cast("double").as("run_spend"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        lag(o_totalprice) OVER w2 AS prev_price,
+        lead(o_totalprice) OVER w2 AS next_price,
+        CAST(rank() OVER w1 AS BIGINT) AS rk,
+        CAST(dense_rank() OVER w1 AS BIGINT) AS drk,
+        CAST(ntile(4) OVER w2 AS BIGINT) AS q4,
+        cume_dist() OVER w1 AS cd,
+        percent_rank() OVER w1 AS pr,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey
+          ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_spend
+      FROM orders
+      WINDOW
+        w1 AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)),
+        w2 AS (PARTITION BY o_custkey
+          ORDER BY CAST(o_orderdate AS DATE), o_orderkey)"""))
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
-    x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder)
+    x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
+    x12WindowBattery)
 }
