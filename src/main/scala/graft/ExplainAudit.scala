@@ -72,7 +72,9 @@ object ExplainAudit {
       "sql_e4_pipeline", "t17_novelty", "sql_a17_nsw",
       "k7_retention", "d6b_leak_report", "x11_zorder",
       "d13_cap_report", "sql_a14_ivfpq", "a18_graph_extend",
-      "a19_hnsw_layers", "k9_partition_overwrite", "sql_x1_asof")
+      "a19_hnsw_layers", "k9_partition_overwrite", "sql_x1_asof",
+      "sql_a19_hnsw", "a20_filtered_ann", "a21_nprobe_sweep",
+      "m4_media_phash", "e5_media_pipeline", "x12_window_battery")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
