@@ -156,6 +156,19 @@ object SqlFrontend {
   val sqlX2Rollup: Queries.Q = sqlQ(
     "sql_x2_rollup", x2Ansi, Some(x2Ansi))
 
+  // The analytic window battery's oracle is already one ANSI string
+  // (named WINDOW clause, both orderings) — the third verbatim-ANSI
+  // query: Spark SQL runs the identical text DuckDB runs, and the DSL
+  // twin (Extended.x12WindowBattery) shares the same oracle, so one
+  // green row pins Spark DSL == Spark SQL == DuckDB on the whole
+  // lag/lead/rank/dense_rank/ntile/cume_dist/percent_rank/running-sum
+  // surface. Same two-sort plan as the DSL battery (one Window operator
+  // per named spec).
+  val sqlX12Window: Queries.Q = {
+    val t = operators.Extended.x12WindowBattery.oracle.get
+    sqlQ("sql_x12_window", t, Some(t))
+  }
+
   // AS-OF join as SQL text, sharing x1's DuckDB ASOF LEFT JOIN oracle.
   // Spark SQL has no ASOF keyword, so the text spells out the DSL's
   // union-tag technique (Extended.scala x1 notes): tag probe/candidate
@@ -1168,7 +1181,7 @@ object SqlFrontend {
 
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
-      sqlW1Tumbling, sqlX2Rollup, sqlX1Asof, sqlW3Session,
+      sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
