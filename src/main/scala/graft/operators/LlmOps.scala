@@ -2111,6 +2111,116 @@ object LlmOps {
       GROUP BY g.doc_id"""))
 
   // ---------------------------------------------------------------------
+  // T18: BM25 retrieval scoring (the Okapi formula, Robertson et al.) —
+  // the relevance ranker a curation pipeline uses to pull topic-targeted
+  // training slices out of a 100 TB corpus ("the documents that best
+  // answer these queries"). Everything derives from the corpus itself so
+  // the oracle can replay it: the query workload is the top-6
+  // document-frequency tokens of length >= 5 paired into three two-term
+  // queries (deterministic df-then-token ranking), idf falls out of the
+  // df aggregation, and length normalization uses per-doc token counts
+  // against the corpus mean.
+  //
+  // Shape at scale: the corpus is touched through the (doc, tok) tf
+  // hash-agg (dl is a second agg over the same exploded pass), df is
+  // vocabulary-sized, the query table is top-6 (TakeOrdered ->
+  // broadcast), N/avgdl are a one-row broadcast, and the per-query
+  // top-5 is a WindowGroupLimit window — only 5 rows per query survive
+  // the final shuffle. The scoring join touches only docs containing a
+  // query term (the broadcast-semi slice), never the full corpus.
+  //
+  // Parity discipline: idf = round(ln(...), 6) (the libm rule, t10);
+  // the per-term score is one rounded product/quotient chain over exact
+  // integer tf/dl and the single-division avgdl (IEEE-identical in both
+  // engines); per-query sums accumulate as DECIMAL(20,6). The Okapi
+  // constants k1 = 1.2, b = 0.75 enter as verbatim double literals on
+  // BOTH sides (never computed: 1.0 + k1 re-derived in one engine could
+  // differ in the last ulp from the other's literal 2.2).
+  // ---------------------------------------------------------------------
+  val t18Bm25 = Q(
+    "t18_bm25",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val df = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val qtop = df.filter(length(col("tok")) >= 5)
+        .orderBy(col("df").desc, col("tok").asc).limit(6)
+      // row_number over the 6-row post-limit set: the unpartitioned
+      // window is fine here because limit(6) already collapsed the input
+      val qterms = qtop
+        .select(col("tok"), col("df"),
+          row_number().over(
+            Window.orderBy(col("df").desc, col("tok").asc))
+            .cast("long").as("rk"))
+        .select(col("tok"), col("df"),
+          expr("(rk - 1) div 2").as("query_id"))
+      val scored = tf.join(broadcast(qterms), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"),
+          round(
+            round(log((col("n") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5)) + lit(1.0)), 6) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))),
+            6).as("term_score"))
+      val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("term_score").cast("decimal(20,6)")).as("sraw"),
+          count(lit(1)).as("n_terms"))
+        .select(col("query_id"), col("doc_id"),
+          col("sraw").cast("double").as("bm25"), col("n_terms"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      perDoc.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("query_id", "doc_id", "bm25", "n_terms", "rk")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+        GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qtop AS (SELECT tok, df FROM df WHERE length(tok) >= 5
+        ORDER BY df DESC, tok ASC LIMIT 6),
+      qterms AS (SELECT tok, df,
+          (row_number() OVER (ORDER BY df DESC, tok ASC) - 1) // 2
+            AS query_id
+        FROM qtop),
+      scored AS (
+        SELECT q.query_id, t.doc_id,
+          round(round(ln((s.n - q.df + CAST(0.5 AS DOUBLE)) /
+                (q.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6)
+            * (t.tf * CAST(2.2 AS DOUBLE))
+            / (t.tf + CAST(1.2 AS DOUBLE) *
+               (CAST(0.25 AS DOUBLE) +
+                CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl))), 6)
+            AS term_score
+        FROM tf t JOIN qterms q USING (tok)
+        JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s),
+      perdoc AS (
+        SELECT query_id, doc_id,
+          CAST(sum(CAST(term_score AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+          CAST(count(*) AS BIGINT) AS n_terms
+        FROM scored GROUP BY 1, 2)
+      SELECT query_id, doc_id, bm25, n_terms, CAST(rk AS BIGINT) AS rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY bm25 DESC, doc_id ASC) AS rk FROM perdoc) z
+      WHERE rk <= 5"""))
+
+  // ---------------------------------------------------------------------
   // T16: the Gopher quality-rule battery (Rae et al. 2021, "Scaling
   // Language Models: Methods, Analysis & Insights from Training
   // Gopher", §A1.1) — the composite rule filter most production
@@ -3205,7 +3315,8 @@ object LlmOps {
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
-    t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, a9HllDistinct, a9bHllNative,
+    t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,
+    a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
     c7CcnetBuckets, c8ShardShuffle, e4LlmPipeline, d13CapReport)

@@ -640,6 +640,46 @@ class DedupSpec extends SparkSuite {
     assert(out(6L) === Seq(true, true, true, true, false, 1L, false))
   }
 
+  test("T18: BM25 ranks by idf, tf saturation, and length normalization") {
+    // six planted docs whose token dfs force the derived query workload
+    // exactly: termaa/termbb df=6 -> q0, termcc/termdd df=4 -> q1,
+    // termee/termff df=2 -> q2 (the only len>=5 tokens; the "w" filler
+    // is length-1, excluded). Each BM25 behavior then has a doc pair
+    // that isolates it.
+    val w = (n: Int) => ("w " * n).trim
+    val docs = Seq(
+      (1L, s"termaa termbb termcc termdd termee termff ${w(4)}"), // dl 10
+      (2L, s"termaa termbb termcc termdd termee termff ${w(24)}"), // dl 30
+      (3L, s"termaa termbb termcc termcc termcc termdd ${w(4)}"), // tf 3
+      (4L, s"termaa termbb termcc termdd ${w(6)}"), // dl 10, tf 1
+      (5L, s"termaa termbb ${w(8)}"),
+      (6L, s"termaa termbb ${w(8)}")
+    ).map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t18fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.t18Bm25.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet.map(_._1) === Set(0L, 1L, 2L),
+      "three two-term queries derive from the planted dfs")
+    // q2 (rare terms): only docs 1-2 carry them; same tf, dl 10 vs 30
+    // -> length normalization ranks the shorter doc first
+    assert(out.keySet.filter(_._1 == 2L).map(_._2) === Set(1L, 2L))
+    assert(out((2L, 1L))._3 === 1L && out((2L, 2L))._3 === 2L,
+      "shorter doc outranks longer at equal tf (length normalization)")
+    assert(out((2L, 1L))._2 === 2L, "both q2 terms matched in doc 1")
+    // idf: q2's terms (df 2) outscore q0's (df 6) at equal tf and dl
+    assert(out((2L, 1L))._1 > out((0L, 1L))._1,
+      "rarer terms score higher at equal tf/dl (idf)")
+    // tf: doc 3 (termcc x3) outranks the tf-1 docs in q1, but
+    // sublinearly — BM25's saturating tf term, not raw tf*idf
+    assert(out((1L, 3L))._3 === 1L, "tf-3 doc ranks first in q1")
+    assert(out((1L, 3L))._1 < 2.0 * out((1L, 4L))._1,
+      "tf saturation: 3x the tf earns less than 2x the two-term score")
+  }
+
   test("D6b: eval-side leak report counts offenders, grams, and the worst source") {
     val docs = Seq(
       (0L, "a b c d e f", "en", "s1"), // eval (id % 20 == 0), 3 grams
