@@ -2111,6 +2111,112 @@ object LlmOps {
       GROUP BY g.doc_id"""))
 
   // ---------------------------------------------------------------------
+  // D14: URL canonicalization dedup — the first dedup any web-crawl
+  // pipeline runs, BEFORE content hashing: the same page arrives under
+  // uppercased scheme/host, a www. prefix, an explicit default port, a
+  // trailing slash, tracking parameters, reordered query strings, and
+  // fragments. Canonicalize (lowercase scheme+host, strip www./:443,
+  // strip trailing path slash, drop utm_* params, sort the rest, drop
+  // the fragment), then group: one keeper (min doc_id) per canonical
+  // URL. Pages that differ in a REAL query parameter stay distinct —
+  // over-merging is the failure mode the spec pins.
+  //
+  // The corpus has no URL column, so each doc's raw URL is synthesized
+  // deterministically from doc_id (the suite's REST-payload convention:
+  // a replayable stand-in the oracle re-derives): four variant shapes
+  // per group of 4 docs, three collapsing to one canonical form and the
+  // fourth differing in a real parameter value.
+  //
+  // Shape at scale: the whole derivation is one codegen'd projection
+  // (regex extracts + a higher-order filter/sort over the split query —
+  // no UDF), and the only shuffle is the final canonical-URL hash-agg.
+  // Engine-parity notes: regexes avoid backslash classes ([.] not \.),
+  // the utm test is substr(p,1,4) (LIKE-in-lambda differs across
+  // engines), and array_sort/list_sort agree on ascending strings.
+  // ---------------------------------------------------------------------
+  val d14UrlDedup = Q(
+    "d14_url_dedup",
+    (s, d) => {
+      val raw = documents(s, d).select(col("doc_id"), expr("""concat(
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+               WHEN doc_id % 4 = 1 THEN 'https://'
+               WHEN doc_id % 4 = 2 THEN 'https://www.'
+               ELSE 'HTTPS://' END,
+          'd', CAST(doc_id div 4 AS STRING),
+          CASE WHEN doc_id % 2 = 0 THEN '.Example.COM'
+               ELSE '.example.com' END,
+          CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END,
+          '/docs/', CAST(doc_id div 4 AS STRING),
+          CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END,
+          CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+               WHEN doc_id % 4 = 2 THEN '?b=2&utm_medium=x&a=1'
+               ELSE '?a=1&utm_campaign=z&b=3' END,
+          CASE WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END)
+        """).as("raw_url"))
+      val canon = raw.select(col("doc_id"), col("raw_url"),
+        expr("""concat(
+            lower(regexp_extract(raw_url, '^([a-zA-Z]+)://', 1)), '://',
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(raw_url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+              '^www[.]', ''), ':443$', ''),
+            regexp_replace(
+              regexp_extract(raw_url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+              '/$', ''),
+            CASE WHEN array_join(array_sort(filter(
+                split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+                p -> substr(p, 1, 4) != 'utm_')), '&') = '' THEN ''
+              ELSE concat('?', array_join(array_sort(filter(
+                split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+                p -> substr(p, 1, 4) != 'utm_')), '&')) END)
+          """).as("canon_url"))
+      canon.groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("raw_url")).as("n_raw"),
+          min(col("doc_id")).as("keeper"))
+    },
+    Some("""WITH raw AS (
+        SELECT doc_id, concat(
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+               WHEN doc_id % 4 = 1 THEN 'https://'
+               WHEN doc_id % 4 = 2 THEN 'https://www.'
+               ELSE 'HTTPS://' END,
+          'd', CAST(doc_id // 4 AS VARCHAR),
+          CASE WHEN doc_id % 2 = 0 THEN '.Example.COM'
+               ELSE '.example.com' END,
+          CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END,
+          '/docs/', CAST(doc_id // 4 AS VARCHAR),
+          CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END,
+          CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+               WHEN doc_id % 4 = 2 THEN '?b=2&utm_medium=x&a=1'
+               ELSE '?a=1&utm_campaign=z&b=3' END,
+          CASE WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END)
+          AS raw_url
+        FROM documents),
+      canon AS (
+        SELECT doc_id, raw_url, concat(
+          lower(regexp_extract(raw_url, '^([a-zA-Z]+)://', 1)), '://',
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(raw_url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+            '^www[.]', ''), ':443$', ''),
+          regexp_replace(
+            regexp_extract(raw_url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+            '/$', ''),
+          CASE WHEN array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+              p -> substr(p, 1, 4) != 'utm_')), '&') = '' THEN ''
+            ELSE concat('?', array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+              p -> substr(p, 1, 4) != 'utm_')), '&')) END)
+          AS canon_url
+        FROM raw)
+      SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants,
+        CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw,
+        min(doc_id) AS keeper
+      FROM canon GROUP BY canon_url"""))
+
+  // ---------------------------------------------------------------------
   // T18: BM25 retrieval scoring (the Okapi formula, Robertson et al.) —
   // the relevance ranker a curation pipeline uses to pull topic-targeted
   // training slices out of a 100 TB corpus ("the documents that best
@@ -3311,7 +3417,8 @@ object LlmOps {
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
-    d6Decontaminate, d6bLeakReport, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
+    d6Decontaminate, d6bLeakReport, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, d14UrlDedup,
+    t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,

@@ -640,6 +640,34 @@ class DedupSpec extends SparkSuite {
     assert(out(6L) === Seq(true, true, true, true, false, 1L, false))
   }
 
+  test("D14: URL canonicalization merges cosmetic variants, keeps real ones") {
+    // doc_ids 0-7 = two groups of four variant shapes. Within a group,
+    // variants 0/1/2 differ ONLY cosmetically (case, www., :443,
+    // trailing slash, utm_* params, param order, fragment) and must
+    // collapse to one canonical URL with the min doc_id as keeper;
+    // variant 3 carries a REAL param difference (b=3) and must stay its
+    // own family — over-merging is the bug this pins.
+    val docs = (0L to 7L).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d14fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.d14UrlDedup.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(
+      "https://d0.example.com/docs/0?a=1&b=2",
+      "https://d0.example.com/docs/0?a=1&b=3",
+      "https://d1.example.com/docs/1?a=1&b=2",
+      "https://d1.example.com/docs/1?a=1&b=3"))
+    // three cosmetic variants collapse; raw forms were genuinely distinct
+    assert(out("https://d0.example.com/docs/0?a=1&b=2") === ((3L, 3L, 0L)))
+    assert(out("https://d1.example.com/docs/1?a=1&b=2") === ((3L, 3L, 4L)))
+    // the real-param variant stays alone, fragment stripped
+    assert(out("https://d0.example.com/docs/0?a=1&b=3") === ((1L, 1L, 3L)))
+    assert(out("https://d1.example.com/docs/1?a=1&b=3") === ((1L, 1L, 7L)))
+  }
+
   test("T18: BM25 ranks by idf, tf saturation, and length normalization") {
     // six planted docs whose token dfs force the derived query workload
     // exactly: termaa/termbb df=6 -> q0, termcc/termdd df=4 -> q1,
