@@ -84,6 +84,37 @@ object StreamingJobs {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n"))
 
+  /** Watermarked STREAM-STREAM interval join — the one Structured
+    * Streaming join mode the suite's other jobs don't exercise (every
+    * other streaming join here is stream-static with a broadcast
+    * dimension). Each probe event matches the candidate events of the
+    * SAME user landing in [probe.ts, probe.ts + 10 minutes): the
+    * streaming twin of x6's batch interval join. Both sides carry
+    * watermarks and the join condition bounds candidate time from BOTH
+    * directions, which is exactly what lets Spark evict buffered rows:
+    * a candidate older than (probe watermark) can never match a future
+    * probe, so join state is O(events-in-window) per side, not
+    * O(stream). Inner join → results append as matches arrive; no
+    * watermark wait for completeness within a micro-batch.
+    */
+  def streamStreamIntervalJoin(
+      probes: DataFrame, cands: DataFrame): DataFrame = {
+    val l = probes
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val r = cands
+      .select(col("event_id").as("cand_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"), col("value"))
+      .withWatermark("c_ts", "30 minutes")
+    l.join(r,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("probe_id"), col("cand_id"), col("user_id"),
+        col("p_ts"), col("c_ts"), col("value"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the d1 batch dedup,
     * keyed on event_id ALONE (a redelivered event with a jittered
     * ingestion timestamp still dedups); the watermark bounds state to

@@ -153,6 +153,63 @@ class StreamingSpec extends SparkSuite {
       "restart must deliver each shard exactly once, enriched")
   }
 
+  test("stream-stream interval join emits matches across micro-batch boundaries") {
+    // the suite's one STREAM-STREAM join: a candidate landing in a LATER
+    // micro-batch must still match a probe buffered from an earlier one
+    // (join state), and out-of-range / wrong-user pairs must never
+    // appear. Final result equals the identical batch join.
+    val pDir = java.nio.file.Files.createTempDirectory("ss-probe").toString
+    val cDir = java.nio.file.Files.createTempDirectory("ss-cand").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ss-ckpt").toString
+    def mk(rs: Seq[(Long, Long, String, Double)]) =
+      rs.toDF("event_id", "user_id", "s", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("s")).as("ts"), col("value"))
+    def land(dir: String, name: String,
+        rs: Seq[(Long, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ss-tmp")
+      mk(rs).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    val schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    def src(dir: String) = spark.readStream.schema(schema).parquet(dir)
+    // shard 1 — P1 u1@10:00, P2 u2@10:00; C1 u1@10:05 (in range for
+    // P1), C3 u2@09:55 (BEFORE its probe: must not match)
+    val p1 = Seq((100L, 1L, "2024-01-01 10:00:00", 0.0),
+      (200L, 2L, "2024-01-01 10:00:00", 0.0))
+    val c1 = Seq((500L, 1L, "2024-01-01 10:05:00", 1.5),
+      (700L, 2L, "2024-01-01 09:55:00", 9.9))
+    // shard 2 — C2 u1@10:08 matches the BUFFERED P1 from shard 1 AND
+    // the same-shard P3 u1@10:07; C1 is out of range for P3 (10:05 <
+    // 10:07)
+    val p2 = Seq((300L, 1L, "2024-01-01 10:07:00", 0.0))
+    val c2 = Seq((600L, 1L, "2024-01-01 10:08:00", 2.5))
+    land(pDir, "s1.parquet", p1); land(cDir, "s1.parquet", c1)
+    val q = StreamingJobs.streamStreamIntervalJoin(src(pDir), src(cDir))
+      .writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def pairs() = spark.table("ss_join").select("probe_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      q.processAllAvailable()
+      assert(pairs() === Set((100L, 500L)),
+        "shard 1: only the in-range same-user pair")
+      land(pDir, "s2.parquet", p2); land(cDir, "s2.parquet", c2)
+      q.processAllAvailable()
+      assert(pairs() === Set((100L, 500L), (100L, 600L), (300L, 600L)),
+        "shard 2's candidate matches both the buffered and same-shard probes")
+    } finally q.stop()
+    // the stream's final multiset equals the identical BATCH join
+    val batch = StreamingJobs.streamStreamIntervalJoin(
+      mk(p1 ++ p2), mk(c1 ++ c2))
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() === batch, "stream == batch on the same inputs")
+  }
+
   test("streaming dedup drops repeats across micro-batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
