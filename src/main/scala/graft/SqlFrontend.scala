@@ -268,6 +268,95 @@ object SqlFrontend {
       FROM documents GROUP BY h""",
     operators.LlmOps.d1DedupExact.oracle)
 
+  // BM25 from SQL — t18's whole chain (corpus-derived query workload,
+  // round(ln,6) idf, Okapi length-normalized tf, DECIMAL score sums,
+  // per-query top-5) as one Spark SQL string sharing t18's oracle.
+  // Dialect deltas from the oracle text only where the engines differ:
+  // explode/unnest, div-vs-//, D-suffixed double literals (a bare 0.5
+  // is DECIMAL in both dialects — the same trap, solved per-dialect).
+  val sqlT18Bm25: Queries.Q = sqlQ(
+    "sql_t18_bm25",
+    """WITH toks AS (
+        SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+        GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qtop AS (SELECT tok, df FROM df WHERE length(tok) >= 5
+        ORDER BY df DESC, tok ASC LIMIT 6),
+      qterms AS (SELECT tok, df,
+          CAST((row_number() OVER (ORDER BY df DESC, tok ASC) - 1) div 2
+            AS BIGINT) AS query_id
+        FROM qtop),
+      scored AS (
+        SELECT q.query_id, t.doc_id,
+          round(round(ln((s.n - q.df + 0.5D) / (q.df + 0.5D) + 1.0D), 6)
+            * (t.tf * 2.2D)
+            / (t.tf + 1.2D * (0.25D + 0.75D * (l.dl / s.avgdl))), 6)
+            AS term_score
+        FROM tf t JOIN qterms q USING (tok)
+        JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s),
+      perdoc AS (
+        SELECT query_id, doc_id,
+          CAST(sum(CAST(term_score AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+          count(*) AS n_terms
+        FROM scored GROUP BY 1, 2)
+      SELECT query_id, doc_id, bm25, n_terms, CAST(rk AS BIGINT) AS rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY bm25 DESC, doc_id ASC) AS rk FROM perdoc) z
+      WHERE rk <= 5""",
+    operators.LlmOps.t18Bm25.oracle)
+
+  // URL canonicalization from SQL — d14's synthesis + canonicalization
+  // verbatim (the DSL is already expr()-text; only list-function names
+  // differ from the DuckDB oracle: filter/array_sort/array_join vs
+  // list_filter/list_sort/array_to_string).
+  val sqlD14Url: Queries.Q = sqlQ(
+    "sql_d14_url",
+    """WITH raw AS (
+        SELECT doc_id, concat(
+          CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+               WHEN doc_id % 4 = 1 THEN 'https://'
+               WHEN doc_id % 4 = 2 THEN 'https://www.'
+               ELSE 'HTTPS://' END,
+          'd', CAST(doc_id div 4 AS STRING),
+          CASE WHEN doc_id % 2 = 0 THEN '.Example.COM'
+               ELSE '.example.com' END,
+          CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END,
+          '/docs/', CAST(doc_id div 4 AS STRING),
+          CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END,
+          CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+               WHEN doc_id % 4 = 2 THEN '?b=2&utm_medium=x&a=1'
+               ELSE '?a=1&utm_campaign=z&b=3' END,
+          CASE WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END)
+          AS raw_url
+        FROM documents),
+      canon AS (
+        SELECT doc_id, raw_url, concat(
+          lower(regexp_extract(raw_url, '^([a-zA-Z]+)://', 1)), '://',
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(raw_url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+            '^www[.]', ''), ':443$', ''),
+          regexp_replace(
+            regexp_extract(raw_url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+            '/$', ''),
+          CASE WHEN array_join(array_sort(filter(
+              split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+              p -> substr(p, 1, 4) != 'utm_')), '&') = '' THEN ''
+            ELSE concat('?', array_join(array_sort(filter(
+              split(regexp_extract(raw_url, '[?]([^#]*)', 1), '&'),
+              p -> substr(p, 1, 4) != 'utm_')), '&')) END)
+          AS canon_url
+        FROM raw)
+      SELECT canon_url, count(*) AS n_variants,
+        count(DISTINCT raw_url) AS n_raw, min(doc_id) AS keeper
+      FROM canon GROUP BY canon_url""",
+    operators.LlmOps.d14UrlDedup.oracle)
+
   /** Unrolled min-propagation rounds in [[nearDupLabelCtes]]; labels
     * land in `l<LABEL_ROUNDS>`. */
   private val LABEL_ROUNDS = 4
@@ -1185,5 +1274,5 @@ object SqlFrontend {
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
-      sqlA18Extend, sqlD13CapReport)
+      sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url)
 }
