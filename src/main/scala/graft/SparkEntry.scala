@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[Queries.Q] =
     Queries.all ++ operators.LlmOps.all ++ operators.Ann.all ++
       operators.Windows.all ++ operators.Multimodal.all ++
-      operators.Extended.all ++ sources.Ingest.all ++ SqlFrontend.all
+      operators.Extended.all ++ operators.Graph.all ++
+      sources.Ingest.all ++ SqlFrontend.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** G1 PageRank: the distributed fixpoint must equal an INDEPENDENT
+  * driver-side recompute of the same integer-arithmetic recurrence
+  * (not a re-run of the operator's own code), and the integer
+  * truncation must stay inside its provable mass-loss bound. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The g1 recurrence in plain Scala collections. */
+  private def referencePr(n: Long): Map[Long, Long] = {
+    val outdeg = (0L until n).map(u => u -> u % 4).toMap
+    val edges = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u, (u * p + k + 1) % n)
+      }
+    }
+    var pr = (0L until n).map(u => u -> Graph.PR_SCALE / n).toMap
+    for (_ <- 1 to Graph.PR_ITERS) {
+      val recv = edges
+        .groupBy(_._2)
+        .map { case (v, es) =>
+          v -> es.map { case (u, _) => pr(u) / outdeg(u) }.sum
+        }
+      val dang = (0L until n).filter(outdeg(_) == 0L).map(pr).sum
+      pr = (0L until n).map { v =>
+        v -> (15L * (Graph.PR_SCALE / n) / 100L +
+          Graph.PR_DAMP_PCT * (recv.getOrElse(v, 0L) + dang / n) / 100L)
+      }.toMap
+    }
+    pr
+  }
+
+  test("G1: distributed ranks equal the independent integer recurrence") {
+    // a 20-node fixture: big enough for rank variation (in-degrees 0-3,
+    // five dangling nodes), small enough to recompute by hand-rolled
+    // Scala maps
+    val n = 20L
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g1fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Graph.g1Pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = referencePr(n)
+    assert(got === want, "every node's rank, bit for bit")
+    // ranks genuinely vary (a uniform result would hide a broken edge
+    // list — each round's truncation floor makes accidental uniformity
+    // implausible but CHECK, the oracle-green-but-degenerate lesson)
+    assert(got.values.toSet.size >= 3, s"degenerate ranks: ${got.values}")
+    // integer-truncation mass loss is bounded: each round drops < 1
+    // unit per edge (contrib div), < 1 per node (dang share + teleport
+    // div), < 100 units at each of the two percent-divisions per node
+    val mass = got.values.sum
+    val edges = (0L until n).map(_ % 4).sum
+    val bound = Graph.PR_ITERS * (edges + n * 202L)
+    assert(mass <= Graph.PR_SCALE && mass >= Graph.PR_SCALE - bound,
+      s"mass $mass outside [${Graph.PR_SCALE - bound}, ${Graph.PR_SCALE}]")
+  }
+
+  test("G1: dangling mass is redistributed, not dropped") {
+    // with redistribution, a node with NO in-links still ends above the
+    // bare teleport floor (it receives dang/n each round); a build that
+    // drops dangling mass pins such nodes to the floor exactly
+    val n = 21L // 21's edge ring leaves nodes {0,2,3,4,10,...} unlinked
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g1dang").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Graph.g1Pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val inlinked = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u * p + k + 1) % n
+      }
+    }.toSet
+    val orphan = (0L until n).filterNot(inlinked)
+    assert(orphan.nonEmpty, "fixture must contain no-in-link nodes")
+    val teleportOnly = 15L * (Graph.PR_SCALE / n) / 100L
+    orphan.foreach { v =>
+      assert(got(v) > teleportOnly,
+        s"node $v sits at the bare teleport floor: dangling mass dropped")
+    }
+  }
+}
