@@ -357,6 +357,60 @@ object SqlFrontend {
       FROM canon GROUP BY canon_url""",
     operators.LlmOps.d14UrlDedup.oracle)
 
+  // PageRank from SQL — g1's integer-exact fixpoint as ONE Spark SQL
+  // string. THE SHAPE IS THE POINT: the naive unrolled form (each round
+  // = a recv CTE joining r{i-1} PLUS a dang CTE aggregating r{i-1})
+  // references the previous round twice, Spark inlines both, and the
+  // plan doubles per round — measured 23.3 s vs the DSL's 1.7 s at
+  // sf0.1, the 2^rounds trap the DSL dodges with localCheckpoint. This
+  // form makes each round a STRICTLY LINEAR chain referencing r{i-1}
+  // exactly once: the dangling total rides along as an unpartitioned
+  // window sum, and each node row EXPLODES into its self-record plus
+  // its outgoing contributions (the edge list inlined into the
+  // projection — no edges CTE to re-consume), so one hash-agg on the
+  // receiving node rebuilds the next round's ranks. Lands within noise
+  // of the DSL twin. Dialect note: the window pass is one
+  // single-partition exchange per round (N node rows) — the SQL-parity
+  // demonstration; the DSL broadcast form is the serving shape.
+  val sqlG1Pagerank: Queries.Q = sqlQ(
+    "sql_g1_pagerank", {
+      import operators.Graph.{PR_ITERS, PR_SCALE, PR_DAMP_PCT}
+      val rounds = (1 to PR_ITERS).map { i =>
+        s"""s$i AS (
+          SELECT explode(concat(
+            array(named_struct('node', doc_id, 'n', n, 'outdeg', outdeg,
+              'dang', dang, 'contrib', CAST(NULL AS BIGINT))),
+            transform(filter(array(0L, 1L, 2L), k -> k < outdeg), k ->
+              named_struct(
+                'node', (doc_id * (CASE WHEN k = 0 THEN 7
+                  WHEN k = 1 THEN 13 ELSE 29 END) + k + 1) % n,
+                'n', CAST(NULL AS BIGINT),
+                'outdeg', CAST(NULL AS BIGINT),
+                'dang', CAST(NULL AS BIGINT),
+                'contrib', pr div outdeg)))) AS x
+          FROM (SELECT doc_id, n, outdeg, pr,
+              coalesce(sum(CASE WHEN outdeg = 0 THEN pr END) OVER (), 0L)
+                AS dang
+            FROM r${i - 1})),
+        r$i AS (
+          SELECT x.node AS doc_id, max(x.n) AS n,
+            max(x.outdeg) AS outdeg,
+            (15 * ($PR_SCALE div max(x.n))) div 100
+              + ($PR_DAMP_PCT * (coalesce(sum(x.contrib), 0L)
+                  + max(x.dang) div max(x.n))) div 100 AS pr
+          FROM s$i GROUP BY x.node)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      r0 AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg,
+          $PR_SCALE div nn.n AS pr
+        FROM documents CROSS JOIN nn),
+      $rounds
+      SELECT doc_id, outdeg, CAST(pr AS BIGINT) AS pr
+      FROM r$PR_ITERS"""
+    },
+    operators.Graph.g1Pagerank.oracle)
+
   /** Unrolled min-propagation rounds in [[nearDupLabelCtes]]; labels
     * land in `l<LABEL_ROUNDS>`. */
   private val LABEL_ROUNDS = 4
@@ -1274,5 +1328,6 @@ object SqlFrontend {
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
-      sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url)
+      sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
+      sqlG1Pagerank)
 }
