@@ -2327,6 +2327,99 @@ object LlmOps {
       WHERE rk <= 5"""))
 
   // ---------------------------------------------------------------------
+  // T19: DSIR importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling") — the targeted data
+  // selector: score every raw document by how much more likely its
+  // hashed n-gram features are under the TARGET distribution than the
+  // raw one, then keep the target-like slice. The target set is the
+  // suite's eval split (doc_id % 20 = 0, the d6 convention); features
+  // are hashed unigrams + bigrams folded into DSIR_BUCKETS buckets
+  // (the paper's reduced feature space, counted WITH repeats).
+  //
+  //   lw[f]  = round(ln((cnt_t[f]+1)(tot_r+B) / ((cnt_r[f]+1)(tot_t+B))), 6)
+  //   logw(doc) = Σ_{feature occurrences} lw[f]   (DECIMAL-exact)
+  //   selected  = logw > 0  (more target-like than raw)
+  //
+  // Parity: the ln argument is ONE division of two exact integer
+  // products (IEEE-identical), rounded per the libm rule, summed as
+  // DECIMAL(28,6). Shape at scale: two corpus passes (feature explode →
+  // bucket counts; the same explode re-scored), the per-feature weight
+  // table is <= B rows (broadcast), totals are a one-row broadcast, and
+  // the per-doc sum is one hash-agg — no joins ever carry the corpus on
+  // both sides.
+  // ---------------------------------------------------------------------
+  private[graft] val DSIR_BUCKETS = 1024L
+
+  val t19DsirWeights = Q(
+    "t19_dsir_weights",
+    (s, d) => {
+      val docs = documents(s, d)
+      val feats = wordNgramHashesOf(docs, 1, "dsir|", dedup = false)
+        .union(wordNgramHashesOf(docs, 2, "dsir|", dedup = false))
+        .select(col("doc_id"), (col("gh") % DSIR_BUCKETS).as("f"),
+          (col("doc_id") % 20 === 0).as("is_t"))
+      val cnts = feats.groupBy(col("f"))
+        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+          sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r"))
+      val tots = cnts.agg(sum(col("cnt_t")).as("tot_t"),
+        sum(col("cnt_r")).as("tot_r"))
+      val lw = cnts.crossJoin(broadcast(tots))
+        .select(col("f"),
+          round(log(
+            ((col("cnt_t") + lit(1L)) * (col("tot_r") + lit(DSIR_BUCKETS)))
+              .cast("double") /
+            ((col("cnt_r") + lit(1L)) * (col("tot_t") + lit(DSIR_BUCKETS)))
+              .cast("double")), 6).as("lw"))
+      val scored = feats.filter(!col("is_t"))
+        .join(broadcast(lw), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum(col("lw").cast("decimal(28,6)")).as("w"))
+      scored.select(col("doc_id"), col("n_feats"),
+        col("w").cast("double").as("logw"),
+        (col("w") > 0).as("selected"))
+    },
+    Some {
+      val b = DSIR_BUCKETS
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents),
+      feats AS (
+        SELECT doc_id,
+          ${Portable.h60Duck("g", "dsir|")} % $b AS f,
+          doc_id % 20 = 0 AS is_t
+        FROM (
+          SELECT doc_id, unnest(${ngramDuck(1)}) AS g FROM toks
+            WHERE len(t) >= 1
+          UNION ALL
+          SELECT doc_id, unnest(${ngramDuck(2)}) AS g FROM toks
+            WHERE len(t) >= 2)),
+      cnts AS (
+        SELECT f,
+          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+          CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+        FROM feats GROUP BY f),
+      tots AS (
+        SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+          CAST(sum(cnt_r) AS BIGINT) AS tot_r
+        FROM cnts),
+      lw AS (
+        SELECT f,
+          round(ln(CAST((cnt_t + 1) * (tot_r + $b) AS DOUBLE) /
+                   CAST((cnt_r + 1) * (tot_t + $b) AS DOUBLE)), 6) AS lw
+        FROM cnts CROSS JOIN tots),
+      scored AS (
+        SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          sum(CAST(lw.lw AS DECIMAL(28,6))) AS w
+        FROM feats fe JOIN lw ON lw.f = fe.f
+        WHERE NOT fe.is_t
+        GROUP BY fe.doc_id)
+      SELECT doc_id, n_feats, CAST(w AS DOUBLE) AS logw,
+        w > 0 AS selected
+      FROM scored"""
+    })
+
+  // ---------------------------------------------------------------------
   // T16: the Gopher quality-rule battery (Rae et al. 2021, "Scaling
   // Language Models: Methods, Analysis & Insights from Training
   // Gopher", §A1.1) — the composite rule filter most production
@@ -3423,6 +3516,7 @@ object LlmOps {
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,
+    t19DsirWeights,
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,

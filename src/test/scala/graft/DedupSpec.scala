@@ -708,6 +708,31 @@ class DedupSpec extends SparkSuite {
       "tf saturation: 3x the tf earns less than 2x the two-term score")
   }
 
+  test("T19: DSIR weights rank raw docs by target-likeness, sign included") {
+    // target split = doc_id % 20 == 0. Doc 1 repeats the target doc's
+    // vocabulary verbatim -> its features are target-heavy -> positive
+    // weight, selected. Doc 2 uses vocabulary the target never emits ->
+    // negative, rejected. Doc 3 mixes half and half -> strictly between.
+    val docs = Seq(
+      (0L, "tgtaa tgtbb tgtcc tgtdd"), // target
+      (20L, "tgtaa tgtbb tgtcc tgtdd"), // target
+      (1L, "tgtaa tgtbb tgtcc tgtdd"),
+      (2L, "rawaa rawbb rawcc rawdd"),
+      (3L, "tgtaa tgtbb rawcc rawdd")
+    ).map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t19fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.t19DsirWeights.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "target docs never score")
+    assert(out(1L)._1 > 0 && out(1L)._2, "target-voiced doc selected")
+    assert(out(2L)._1 < 0 && !out(2L)._2, "raw-only-voiced doc rejected")
+    assert(out(1L)._1 > out(3L)._1 && out(3L)._1 > out(2L)._1,
+      "weights are monotone in target-vocabulary share")
+  }
+
   test("D6b: eval-side leak report counts offenders, grams, and the worst source") {
     val docs = Seq(
       (0L, "a b c d e f", "en", "s1"), // eval (id % 20 == 0), 3 grams
