@@ -2217,6 +2217,102 @@ object LlmOps {
       FROM canon GROUP BY canon_url"""))
 
   // ---------------------------------------------------------------------
+  // D15: cross-document LINE-level dedup (the CCNet/RefinedWeb pass):
+  // boilerplate lines — nav bars, cookie banners, footers — repeat
+  // across thousands of pages while the pages themselves are distinct,
+  // so document-level dedup (d1-d5) never sees them. Segment each doc
+  // into lines, hash each line, and drop every occurrence of a
+  // cross-document duplicated line EXCEPT the one in its first-sighted
+  // (min doc_id) document; rebuild the document from its surviving
+  // lines in order. Within-document repetition is t13's job — this pass
+  // only acts on lines seen in >= 2 DISTINCT documents.
+  //
+  // The corpus is single-line synthetic text, so "line" is a fixed
+  // 4-token segment (LINE_W) — the same stand-in discipline as t7's
+  // chunker; a real corpus would split on '\n' and the rest of the
+  // operator is unchanged.
+  //
+  // Shape at scale: line fingerprints are h60 longs, so the owner table
+  // is ~(8B key + 16B agg) per DISTINCT line — boilerplate-heavy
+  // corpora collapse it far below the line count. Two keyed shuffles
+  // (owner hash-agg, occurrence⋈owner on lh) plus the per-doc rebuild
+  // agg; the rebuild's collect_list is per-document (bounded by doc
+  // length), never per-key-group. No all-pairs anywhere: a line shared
+  // by m docs costs m join rows, not m².
+  // ---------------------------------------------------------------------
+  private val LINE_W = 4
+  val d15LineDedup = Q(
+    "d15_line_dedup",
+    (s, d) => {
+      val lines = documents(s, d)
+        .select(col("doc_id"), split(normText, " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(expr(
+            s"sequence(0, CAST(floor((size(t) - 1) / $LINE_W) AS INT))"))
+            .as("line_no"))
+        .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+          expr(s"concat_ws(' ', slice(t, line_no * $LINE_W + 1, $LINE_W))")
+            .as("line"))
+        .withColumn("lh", Portable.h60(col("line"), "ld|"))
+      val owners = lines.groupBy(col("lh"))
+        .agg(min(col("doc_id")).as("owner"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      lines.join(owners, Seq("lh"))
+        .withColumn("kept",
+          col("n_docs") === 1 || col("doc_id") === col("owner"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN kept THEN struct(line_no, line) END)), " +
+              "x -> x.line)")).as("deduped_text"))
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - col("n_kept")).as("n_dropped"),
+          round(col("n_kept").cast("double") / col("n_lines"), 6)
+            .as("kept_frac"),
+          col("deduped_text"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+            ' ') AS t
+        FROM documents),
+      idx AS (
+        SELECT doc_id, t,
+          unnest(range((len(t) - 1) // $LINE_W + 1)) AS i
+        FROM toks),
+      lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+          array_to_string(
+            list_slice(t, i * $LINE_W + 1, i * $LINE_W + $LINE_W), ' ')
+            AS line
+        FROM idx),
+      hashed AS (
+        SELECT doc_id, line_no, line,
+          ${Portable.h60Duck("line", "ld|")} AS lh
+        FROM lines),
+      own AS (
+        SELECT lh, min(doc_id) AS owner,
+          count(DISTINCT doc_id) AS n_docs
+        FROM hashed GROUP BY lh),
+      j AS (
+        SELECT h.doc_id, h.line_no, h.line,
+          (o.n_docs = 1 OR h.doc_id = o.owner) AS kept
+        FROM hashed h JOIN own o ON o.lh = h.lh),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          coalesce(
+            string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_no),
+            '') AS deduped_text
+        FROM j GROUP BY doc_id)
+      SELECT doc_id, n_lines, n_lines - n_kept AS n_dropped,
+        round(CAST(n_kept AS DOUBLE) / n_lines, 6) AS kept_frac,
+        deduped_text
+      FROM agg"""))
+
+  // ---------------------------------------------------------------------
   // T18: BM25 retrieval scoring (the Okapi formula, Robertson et al.) —
   // the relevance ranker a curation pipeline uses to pull topic-targeted
   // training slices out of a 100 TB corpus ("the documents that best
@@ -3510,7 +3606,7 @@ object LlmOps {
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
-    d6Decontaminate, d6bLeakReport, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, d14UrlDedup,
+    d6Decontaminate, d6bLeakReport, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, d14UrlDedup, d15LineDedup,
     t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,

@@ -668,6 +668,41 @@ class DedupSpec extends SparkSuite {
     assert(out("https://d1.example.com/docs/1?a=1&b=3") === ((1L, 1L, 7L)))
   }
 
+  test("D15: cross-doc duplicated lines drop everywhere but their first-" +
+    "sighted doc; unique lines and within-doc repeats survive") {
+    // LINE_W = 4, so each 4-token group below is one "line".
+    // line B ("bb bb bb bb") appears in docs 1, 2, and 3 -> kept only in
+    // doc 1 (min doc_id owner). line R repeats TWICE inside doc 2 but in
+    // no other doc -> both copies kept (within-doc repetition is t13's
+    // concern, not this pass). doc 3 is B+B -> every line dropped,
+    // rebuilt text must be the EMPTY STRING (not null) in both engines.
+    val docs = Seq(
+      (1L, "bb bb bb bb aa aa aa aa"), // B + unique A
+      (2L, "rr rr rr rr bb bb bb bb rr rr rr rr"), // R + B + R
+      (3L, "bb bb bb bb bb bb bb bb"), // B + B -> fully dropped
+      (4L, "cc cc cc cc dd dd") // unique lines, short tail line
+    ).map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d15fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.d15LineDedup.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(out(1L) === ((2L, 0L, 1.0, "bb bb bb bb aa aa aa aa")),
+      "owner doc keeps its copy of the shared line")
+    assert(out(2L) === ((3L, 1L, round2(2.0 / 3), "rr rr rr rr rr rr rr rr")),
+      "only the cross-doc line drops; within-doc repeats both survive")
+    assert(out(3L) === ((2L, 2L, 0.0, "")),
+      "a fully-boilerplate doc rebuilds to the empty string")
+    assert(out(4L) === ((2L, 0L, 1.0, "cc cc cc cc dd dd")),
+      "the short tail segment is a line too — no dropped tail")
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("T18: BM25 ranks by idf, tf saturation, and length normalization") {
     // six planted docs whose token dfs force the derived query workload
     // exactly: termaa/termbb df=6 -> q0, termcc/termdd df=4 -> q1,
