@@ -43,15 +43,15 @@ object Bench {
       sources.Ingest.s9JsonlFixture(spark, sfDir)
       sources.Ingest.s11GenFixtures(spark, sfDir)
     } catch { case _: Throwable => () }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
       // toRdd.count() materializes every InternalRow of the FULL plan —
       // df.count() would let Catalyst prune all projected expressions,
       // so projection-heavy queries would measure only scan+count.
       // A failed query reports -1 instead of masquerading as fast.
       try {
-        fn(spark, sfDir).queryExecution.toRdd.count()
+        fn(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
@@ -62,6 +62,13 @@ object Bench {
     // baseline IN the bench record, so any run carries its own
     // load-contamination estimate: a total near 2x the pin with a
     // canary near the same ratio is drift, not regression.
+    // SPARK_GRAFT_CANARY_DIR points the canary at a DIFFERENT dir than
+    // the suite (r14 VERDICT #8): a 10x/30x scale probe replicates the
+    // suite's input, which would scale the canary's own queries and
+    // destroy the load estimate — probes set it to the UNSCALED sf0.1
+    // dir so every probe record carries a valid machine-load ratio
+    // against the pins, whatever the probe dir scales.
+    val canaryDir = sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR", sfDir)
     val canaryNames = Seq("q1_flagship", "d3_simhash", "agg_battery",
       "j1_join_enrich", "a5_ann_bruteforce")
     val canaryJson: String = {
@@ -78,7 +85,8 @@ object Bench {
         for {
           fn <- SparkEntry.queries.get(n)
           pin <- pinOf(n)
-          t = (1 to PASSES).map(_ => timeOnce(fn)).sorted.apply(PASSES / 2)
+          t = (1 to PASSES).map(_ => timeOnce(fn, canaryDir))
+            .sorted.apply(PASSES / 2)
           if t >= 0
         } yield (n, t, pin)
       }
@@ -88,7 +96,10 @@ object Bench {
         val ratio = timed.map(_._2).sum / timed.map(_._3).sum
         val qs = timed.map { case (n, t, _) => s"\"$n\":$t" }
           .mkString("{", ",", "}")
-        f"""{"ratio":$ratio%.4f,"queries":$qs}"""
+        val dirNote =
+          if (canaryDir == sfDir) ""
+          else s""","dir":"$canaryDir""""
+        f"""{"ratio":$ratio%.4f,"queries":$qs$dirNote}"""
       }
     }
     // SPARK_GRAFT_ONLY=q1,q2 restricts to a comma-separated subset —

