@@ -1306,7 +1306,12 @@ object SqlFrontend {
               s"qn${k}_bb", "b"),
             stats(s"a19_l${k}_rand", "sample", NSW_CAP,
               s"qn${k}_br", "b"))
-        }
+        } ++
+        // a18's per-arrival sampled STANDING buckets (r14 VERDICT #4)
+        Seq(
+          stats("a18_sign_a", "sample", NSW_CAP, "qa18_ba", "b"),
+          stats("a18_sign_b", "sample", NSW_CAP, "qa18_bb", "b"),
+          stats("a18_rand", "sample", NSW_CAP, "qa18_br", "b"))
       val layerCtes = (1 to operators.Ann.HNSW_MAXL).map { k =>
         operators.Ann.nswBucketsSparkCtesOver(s"qn$k",
           operators.Ann.hnswMemberSql(k))
@@ -1317,7 +1322,9 @@ object SqlFrontend {
       q4_bands AS (${operators.Ann.d4BandsSparkSelects}),
       q12_bands AS (${operators.Ann.d12BandsSparkSelects}),
       ${operators.Ann.nswBucketsSparkCtes},
-      $layerCtes
+      $layerCtes,
+      ${operators.Ann.nswBucketsSparkCtesOver("qa18",
+        operators.Ann.a18StandingSelect)}
       ${branches.mkString(" UNION ALL ")}"""
     },
     operators.LlmOps.d13CapReport.oracle)

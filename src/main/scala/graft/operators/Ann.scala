@@ -1963,6 +1963,21 @@ object Ann {
   // the delta edge list (src, dst, sim, kind out|back) a production
   // index would append.
   // ---------------------------------------------------------------------
+
+  /** a18's standing corpus (arrivals are `vec_id % 10 == 0`) — the ONE
+    * definition of the split, shared with d13_cap_report: a18's
+    * per-arrival sampled standing buckets are a capped surface with the
+    * same silent-degradation potential as the build-time ones (VERDICT
+    * r14 #4), so the saturation report derives its pre-cap bucket
+    * tables from exactly this frame. */
+  private[graft] def a18Standing(e0: DataFrame): DataFrame =
+    e0.filter(col("vec_id") % 10 =!= 0)
+
+  /** The standing-member SELECT — DuckDB and Spark SQL share the
+    * dialect here (both accept `%` / `<>` on BIGINT). */
+  private[graft] val a18StandingSelect =
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0"
+
   val a18GraphExtend = Q(
     "a18_graph_extend",
     (s, d) => {
@@ -1970,7 +1985,7 @@ object Ann {
       import graft.functions.Portable
       val all0 = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-      val standing = all0.filter(col("vec_id") % 10 =!= 0)
+      val standing = a18Standing(all0)
       val batch = all0.filter(col("vec_id") % 10 === 0)
       val sizes = standing.agg(count(lit(1)).as("n_corpus"))
       def withSize(df: DataFrame) = df.crossJoin(broadcast(sizes))

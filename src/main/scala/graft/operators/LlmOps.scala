@@ -3551,6 +3551,15 @@ object LlmOps {
               capStats(s"a19_l${k}_${nm.stripPrefix("nsw_")}",
                 "sample", bf, Seq("b"), Ann.NSW_CAP)
           }
+        } ++
+        // a18's arrival-time surface: each arriving vector samples the
+        // STANDING side's buckets to NSW_CAP (Ann.nswSampled inside
+        // signFam/randFam) — a capped surface the r14 report missed
+        // (VERDICT r14 #4); bucket sizing is frozen from the standing
+        // corpus, so the pre-cap tables derive from the standing frame
+        Ann.nswBucketFrames(Ann.a18Standing(e)).map { case (nm, bf) =>
+          capStats(s"a18_${nm.stripPrefix("nsw_")}", "sample", bf,
+            Seq("b"), Ann.NSW_CAP)
         }
       rows.reduce(_ unionByName _)
     },
@@ -3599,6 +3608,12 @@ object LlmOps {
                 Ann.NSW_CAP,
                 s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
           }
+        } ++
+        Ann.nswBucketsDuckOver(Ann.a18StandingSelect).map {
+          case (nm, q) =>
+            stats(s"a18_${nm.stripPrefix("nsw_")}", "sample",
+              Ann.NSW_CAP,
+              s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
         }
       branches.mkString(" UNION ALL ")
     })

@@ -34,13 +34,48 @@ class CapReportSpec extends SparkSuite {
     assert(r === (("t", "drop", 64L, 3L, 0L, 10L, 0L)))
   }
 
+  test("d13 reports a planted over-cap STANDING bucket on a18's surface") {
+    // 700 vectors with IDENTICAL embeddings: every standing vector
+    // (vec_id % 10 != 0 → 630 of them) lands in the SAME sign bucket of
+    // each sign family (identical emb → identical hyperplane signs), so
+    // an arriving vector's neighbor-candidate pool is sampled
+    // 630 → NSW_CAP. The report must surface exactly that: 1 occupied
+    // bucket, over cap, 630 − 256 rows sampled out — hand-computable
+    // because nbits(630) = 4 (630 < 128·2^4) and the pile-up is total.
+    val nVec = 700L
+    val emb = Array.tabulate(64)(j => ((j % 5) + 1) * 0.1f)
+    val dir = java.nio.file.Files.createTempDirectory("a18cap").toString
+    (0L until nVec).map(i => (i, emb, (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (0L until 20L)
+      .map(id => (id, "the quick brown fox jumps over the lazy dog",
+        "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.LlmOps.d13CapReport.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val nStanding = (0L until nVec).count(_ % 10 != 0).toLong // 630
+    val overflow = nStanding - operators.Ann.NSW_CAP // 374
+    for (fam <- Seq("a18_sign_a", "a18_sign_b")) {
+      assert(rows(fam) === ((1L, 1L, nStanding, overflow)),
+        s"$fam: planted standing pile-up not reported")
+    }
+    // the random family spreads by vec_id hash (identical payloads
+    // cannot co-bucket it) — accounting must still cover every member
+    assert(rows("a18_rand")._3 === nStanding)
+  }
+
   test("d13_cap_report covers every capped index surface") {
     val rows = operators.LlmOps.d13CapReport.fn(spark, sf).collect()
     val idx = rows.map(_.getString(0)).toSet
     assert(idx === Set("d2_minhash", "d3b_simhash", "d4_banded",
       "d5_anchor", "d12b_banded", "nsw_sign_a", "nsw_sign_b", "nsw_rand",
       "a19_l1_sign_a", "a19_l1_sign_b", "a19_l1_rand",
-      "a19_l2_sign_a", "a19_l2_sign_b", "a19_l2_rand"))
+      "a19_l2_sign_a", "a19_l2_sign_b", "a19_l2_rand",
+      "a18_sign_a", "a18_sign_b", "a18_rand"))
     for (r <- rows) {
       // a19 layer slices may be legitimately empty at tiny fixture
       // sizes (the 1-in-64 draw over 20 vectors); everything else must
@@ -53,7 +88,8 @@ class CapReportSpec extends SparkSuite {
     }
     // graph frames are sample policy, dedup frames drop policy
     val byIdx = rows.map(r => r.getString(0) -> r.getString(1)).toMap
-    def graphRow(n: String) = n.startsWith("nsw") || n.startsWith("a19_")
+    def graphRow(n: String) = n.startsWith("nsw") ||
+      n.startsWith("a19_") || n.startsWith("a18_")
     assert(byIdx.filter(kv => graphRow(kv._1)).values.toSet ===
       Set("sample"))
     assert(byIdx.filterNot(kv => graphRow(kv._1)).values.toSet ===
@@ -70,6 +106,13 @@ class CapReportSpec extends SparkSuite {
         assert(r.getLong(5) === m,
           s"a19_l${k}_$fam rows_total ${r.getLong(5)} != members $m")
       }
+    }
+    // a18's accounting covers exactly the standing corpus per family
+    val standing = operators.Ann.a18Standing(e).count()
+    for (fam <- Seq("sign_a", "sign_b", "rand")) {
+      val r = rows.find(_.getString(0) == s"a18_$fam").get
+      assert(r.getLong(5) === standing,
+        s"a18_$fam rows_total ${r.getLong(5)} != standing $standing")
     }
   }
 }
