@@ -357,6 +357,100 @@ object SqlFrontend {
       FROM canon GROUP BY canon_url""",
     operators.LlmOps.d14UrlDedup.oracle)
 
+  // Cross-document line-level dedup from SQL — d15's postings chain
+  // (segment → hash → owner election → per-doc rebuild) as one SQL
+  // string: the struct(line_no, line) collect + array_sort + transform
+  // rebuild is the same expression tree the DSL compiles, so the twin
+  // demonstrates the whole boilerplate-removal pass is SQL-reachable.
+  val sqlD15LineDedup: Queries.Q = sqlQ(
+    "sql_d15_line_dedup", {
+      import graft.functions.Portable
+      val w = operators.LlmOps.LINE_W
+      s"""WITH toks AS (
+        SELECT doc_id,
+          split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')
+            AS t
+        FROM documents),
+      lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+          concat_ws(' ', slice(t, i * $w + 1, $w)) AS line
+        FROM toks
+        LATERAL VIEW explode(sequence(0,
+          CAST(floor((size(t) - 1) / $w) AS INT))) sq AS i),
+      hashed AS (
+        SELECT doc_id, line_no, line,
+          ${Portable.h60Sql("line", "ld|")} AS lh
+        FROM lines),
+      own AS (
+        SELECT lh, min(doc_id) AS owner,
+          count(DISTINCT doc_id) AS n_docs
+        FROM hashed GROUP BY lh),
+      j AS (
+        SELECT h.doc_id, h.line_no, h.line,
+          (o.n_docs = 1 OR h.doc_id = o.owner) AS kept
+        FROM hashed h JOIN own o ON o.lh = h.lh),
+      agg AS (
+        SELECT doc_id, count(*) AS n_lines,
+          sum(CASE WHEN kept THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END) AS n_kept,
+          concat_ws(' ', transform(array_sort(collect_list(
+            CASE WHEN kept THEN struct(line_no, line) END)),
+            x -> x.line)) AS deduped_text
+        FROM j GROUP BY doc_id)
+      SELECT doc_id, n_lines, n_lines - n_kept AS n_dropped,
+        round(CAST(n_kept AS DOUBLE) / n_lines, 6) AS kept_frac,
+        deduped_text
+      FROM agg"""
+    },
+    operators.LlmOps.d15LineDedup.oracle)
+
+  // DSIR importance weighting from SQL — t19's hashed-feature
+  // log-ratio chain. The broadcast hints reproduce the DSL's plan
+  // (one-row totals and the 1024-bucket weight table never shuffle the
+  // corpus side; the corpus appears on exactly one side of each join).
+  val sqlT19Dsir: Queries.Q = sqlQ(
+    "sql_t19_dsir", {
+      import graft.functions.Portable
+      val b = operators.LlmOps.DSIR_BUCKETS
+      s"""WITH toks AS (
+        SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+      feats AS (
+        SELECT doc_id, ${Portable.h60Sql("g", "dsir|")} % $b AS f,
+          doc_id % 20 = 0 AS is_t
+        FROM (
+          SELECT doc_id, explode(transform(sequence(0, size(t) - 1),
+            i -> concat_ws(' ', t[i]))) AS g
+          FROM toks WHERE size(t) >= 1
+          UNION ALL
+          SELECT doc_id, explode(transform(sequence(0, size(t) - 2),
+            i -> concat_ws(' ', t[i], t[i+1]))) AS g
+          FROM toks WHERE size(t) >= 2) u),
+      cnts AS (
+        SELECT f,
+          sum(CASE WHEN is_t THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END) AS cnt_t,
+          sum(CASE WHEN is_t THEN CAST(0 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END) AS cnt_r
+        FROM feats GROUP BY f),
+      tots AS (
+        SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r FROM cnts),
+      lw AS (
+        SELECT /*+ BROADCAST(tots) */ f,
+          round(ln(CAST((cnt_t + 1) * (tot_r + $b) AS DOUBLE)
+            / CAST((cnt_r + 1) * (tot_t + $b) AS DOUBLE)), 6) AS lw
+        FROM cnts CROSS JOIN tots),
+      scored AS (
+        SELECT /*+ BROADCAST(lw) */ fe.doc_id,
+          count(*) AS n_feats,
+          sum(CAST(lw.lw AS DECIMAL(28,6))) AS w
+        FROM feats fe JOIN lw ON lw.f = fe.f
+        WHERE NOT fe.is_t GROUP BY fe.doc_id)
+      SELECT doc_id, n_feats, CAST(w AS DOUBLE) AS logw,
+        w > 0 AS selected
+      FROM scored"""
+    },
+    operators.LlmOps.t19DsirWeights.oracle)
+
   // PageRank from SQL — g1's integer-exact fixpoint as ONE Spark SQL
   // string. THE SHAPE IS THE POINT: the naive unrolled form (each round
   // = a recv CTE joining r{i-1} PLUS a dang CTE aggregating r{i-1})
@@ -1336,5 +1430,5 @@ object SqlFrontend {
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
-      sqlG1Pagerank)
+      sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank)
 }

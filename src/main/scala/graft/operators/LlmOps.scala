@@ -2240,7 +2240,7 @@ object LlmOps {
   // length), never per-key-group. No all-pairs anywhere: a line shared
   // by m docs costs m join rows, not m².
   // ---------------------------------------------------------------------
-  private val LINE_W = 4
+  private[graft] val LINE_W = 4
   val d15LineDedup = Q(
     "d15_line_dedup",
     (s, d) => {
