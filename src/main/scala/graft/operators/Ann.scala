@@ -2230,56 +2230,78 @@ object Ann {
         WHERE rn <= $beam)"""
     }.mkString(",\n      ")
 
+  /** a19's build artifact: the union-of-layers NSW edge list
+    * (elvl, v, n) — one NSW graph per layer over the lvl ≥ k member
+    * slice. Extracted so the k8b sink can WRITE this frame to parquet
+    * and serve the descent from the read-back artifact (VERDICT r14
+    * #2: the flat a17 edge list round-tripped through k8, but the
+    * hierarchical index — the one that matters at 100 TB — was rebuilt
+    * on every query). */
+  private[graft] def hnswEdgesAll(s: SparkSession, d: String)
+      : DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    (0 to HNSW_MAXL).map { k =>
+      nswEdgesFrom(s, hnswMembers(e, k)).withColumn("elvl", lit(k))
+    }.reduce(_ unionByName _)
+  }
+
+  /** a19's hierarchical descent over ANY (elvl, v, n) edge source —
+    * entry at the top layer's h60-ranked members, HNSW_UHOPS/UBEAM
+    * beam per upper layer narrowing to HNSW_DESC seeds, full
+    * NSW_B-beam on layer 0. Shared by a19 (in-memory pinned build) and
+    * k8b (parquet round-trip), so both produce identical rows by
+    * construction and share one oracle. */
+  private[graft] def hnswDescentOver(
+      s: SparkSession, d: String, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Portable
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val lh = Portable.h60(col("vec_id").cast("string"), "lvl|")
+    val p1 = HNSW_PROMOTE.toLong
+    val lvlCol = when(pmod(lh, lit(p1 * p1)) === 0, 2)
+      .when(pmod(lh, lit(p1)) === 0, 1).otherwise(0)
+    val el = e.withColumn("lvl", lvlCol)
+    def layerEdges(k: Int) =
+      edges.filter(col("elvl") === k).select("v", "n")
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val entry = el
+      .withColumn("ek",
+        Portable.h60(col("vec_id").cast("string"), "nswe|"))
+      .orderBy(col("lvl").desc, col("ek").asc, col("vec_id").asc)
+      .limit(NSW_ENTRIES)
+      .select("vec_id", "emb")
+    val f0 = probes.crossJoin(broadcast(entry))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val descended = (HNSW_MAXL to 1 by -1).foldLeft(f0) { (front, k) =>
+      beamPhase(s, e, probes, front, layerEdges(k),
+        HNSW_UHOPS, HNSW_UBEAM)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= HNSW_DESC)
+        .select("probe_id", "vec_id", "sim")
+    }
+    beamPhase(s, e, probes, descended, layerEdges(0), HNSW_BHOPS,
+      NSW_B)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NSW_K)
+      .select(col("probe_id"), col("vec_id"), col("sim"),
+        col("rn").cast("long").as("rank"))
+  }
+
   val a19HnswLayers = Q(
     "a19_hnsw_layers",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.Portable
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("emb"))
-      val lh = Portable.h60(col("vec_id").cast("string"), "lvl|")
-      val p1 = HNSW_PROMOTE.toLong
-      val lvlCol = when(pmod(lh, lit(p1 * p1)) === 0, 2)
-        .when(pmod(lh, lit(p1)) === 0, 1).otherwise(0)
-      val el = e.withColumn("lvl", lvlCol)
-      val edges = (0 to HNSW_MAXL).map { k =>
-        nswEdgesFrom(s, el.filter(col("lvl") >= k)
-          .select("vec_id", "emb"))
-          .withColumn("elvl", lit(k))
-      }.reduce(_ unionByName _)
       // build once, pin eagerly (a17's discipline — a lazy persist
       // races AQE's parallel hop stages)
       val pinnedEdges = LlmOps.pinFrame(
-        s"a19|${s.sparkContext.applicationId}|$d", edges)
+        s"a19|${s.sparkContext.applicationId}|$d", hnswEdgesAll(s, d))
       pinnedEdges.count()
-      def layerEdges(k: Int) =
-        pinnedEdges.filter(col("elvl") === k).select("v", "n")
-      val probes = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
-      val entry = el
-        .withColumn("ek",
-          Portable.h60(col("vec_id").cast("string"), "nswe|"))
-        .orderBy(col("lvl").desc, col("ek").asc, col("vec_id").asc)
-        .limit(NSW_ENTRIES)
-        .select("vec_id", "emb")
-      val f0 = probes.crossJoin(broadcast(entry))
-        .select(col("probe_id"), col("vec_id"),
-          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      val descended = (HNSW_MAXL to 1 by -1).foldLeft(f0) { (front, k) =>
-        beamPhase(s, e, probes, front, layerEdges(k),
-          HNSW_UHOPS, HNSW_UBEAM)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= HNSW_DESC)
-          .select("probe_id", "vec_id", "sim")
-      }
-      beamPhase(s, e, probes, descended, layerEdges(0), HNSW_BHOPS,
-        NSW_B)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= NSW_K)
-        .select(col("probe_id"), col("vec_id"), col("sim"),
-          col("rn").cast("long").as("rank"))
+      hnswDescentOver(s, d, pinnedEdges)
     },
     Some {
       import graft.functions.Portable.h60Duck

@@ -1366,9 +1366,33 @@ object Ingest {
     },
     graft.operators.Ann.a17NswSearch.oracle)
 
+  // ---------------------------------------------------------------------
+  // K8b: the HIERARCHICAL index through the same sink discipline
+  // (VERDICT r14 #2) — a19's per-layer edge lists written as ONE
+  // parquet table partitioned by layer (elvl=K directories; rows
+  // clustered by source node within each, so a served shard reads one
+  // layer's adjacency with partition pruning + one node's edges from
+  // one file neighborhood), read back, and a19's descent re-run over
+  // the served artifact. Shares a19's oracle: a green row proves the
+  // layered write → read → hierarchical search loses nothing. This is
+  // the serving story a19's cost profile wants — the layer builds
+  // (its dominant cost) amortize across every query served from the
+  // table, and a18's delta edges append per layer.
+  // ---------------------------------------------------------------------
+  val k8bHnswIndexSink = Q(
+    "k8b_hnsw_index_sink",
+    (s, d) => {
+      val out = freshDir("k8b_index")
+      graft.operators.Ann.hnswEdgesAll(s, d)
+        .repartition(8, col("elvl"), col("v"))
+        .write.mode("overwrite").partitionBy("elvl").parquet(out)
+      graft.operators.Ann.hnswDescentOver(s, d, s.read.parquet(out))
+    },
+    graft.operators.Ann.a19HnswLayers.oracle)
+
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
-    k8AnnIndexSink, k9PartitionOverwrite,
+    k8AnnIndexSink, k8bHnswIndexSink, k9PartitionOverwrite,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

@@ -246,4 +246,23 @@ class AnnGraphSpec extends SparkSuite {
     assert(mean >= 0.4, s"mean recall@5 $mean below floor (per-probe: " +
       recalls.mkString(", ") + ")")
   }
+
+  test("K8b: the layered index round-trips through the parquet sink") {
+    // the on-disk artifact must be layer-partitioned (elvl=K dirs → a
+    // served descent prunes to one layer's files), and the descent over
+    // the read-back index must reproduce the in-memory a19 rows exactly
+    val rows = sources.Ingest.k8bHnswIndexSink.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val out = new java.io.File(sources.Ingest.lakeRoot, "k8b_index")
+    val lvlDirs = out.listFiles().map(_.getName)
+      .filter(_.startsWith("elvl=")).toSet
+    assert(lvlDirs ===
+      (0 to operators.Ann.HNSW_MAXL).map(k => s"elvl=$k").toSet,
+      s"layer partitions on disk: $lvlDirs")
+    val mem = operators.Ann.a19HnswLayers.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(rows === mem, "served descent != in-memory descent")
+  }
 }
