@@ -1035,8 +1035,159 @@ object Multimodal {
       SELECT mime, disposition, CAST(count(*) AS BIGINT) AS n
       FROM allrows GROUP BY mime, disposition"""))
 
+  // ---------------------------------------------------------------------
+  // E6: cross-modal PAIR curation — the LAION-style image-text build
+  // the families didn't yet join: e5 curates media and e4 curates
+  // documents, but a multimodal training set is PAIRS, and a pair dies
+  // if EITHER side fails. The image slice decodes through the real
+  // codec path (with the m2b ~14%-corrupt fixture), its caption is the
+  // SAME document's text gated by t16-style integer-arithmetic rules
+  // sized for captions (word-count window, stop-word evidence,
+  // alphabetic fraction, symbol ratio), and surviving pairs dedup on
+  // the image side's m4 perceptual hash (a re-encoded identical raster
+  // must not yield two pairs). Output: one disposition row PER PAIR —
+  // image_quarantined / image_low_quality / caption_low_quality /
+  // duplicate_image / paired — with the caption stats and dedup keys a
+  // pair-curation dashboard routes on; MultimodalSpec pins exact
+  // conservation (every image doc appears exactly once) and duplicate
+  // keep_id integrity.
+  //
+  // Shape at scale: decode is per-partition map work (the m2 codec
+  // discipline), the caption gate is a codegen'd projection, and the
+  // cross-modal join is a doc_id equi-join of two frames derived from
+  // co-partitioned scans — the phash window (16-bit key space) is the
+  // only other shuffle. No all-pairs, no driver collects.
+  // ---------------------------------------------------------------------
+  private[graft] val CAP_MIN_WORDS = 8L
+  private[graft] val CAP_MAX_WORDS = 64L
+
+  val e6PairCuration = Q(
+    "e6_pair_curation",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val imgs = mediaFrame(s, d)
+        .filter(col("mime").like("image/%"))
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.map { r0 =>
+            val c0 = containerize(r0)
+            val c = if (r0.doc_id % 7 == 0)
+              MediaRow(c0.doc_id,
+                c0.payload.take(c0.payload.length / 2), c0.mime)
+            else c0
+            try {
+              val data = c.mime match {
+                case "image/png" => decodePng(c.payload).idat
+                case _ => decodeJpeg(c.payload).data
+              }
+              val ph = if (data.length >= PHASH_SAMPLES)
+                Some(phashOf(data)) else None
+              (c.doc_id, c.mime, ph, None: Option[String])
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                (c.doc_id, c.mime, None: Option[Long],
+                  Some(e.getMessage))
+            }
+          }
+        }.toDF("doc_id", "mime", "phash", "err")
+      val caps = documents(s, d)
+        .select(col("doc_id"), col("text"),
+          split(lower(col("text")), " ").as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?#]", "")))
+            .cast("long").as("n_symbols"),
+          expr("size(filter(t, x -> x rlike '[a-z]'))")
+            .cast("long").as("n_alpha"),
+          expr("size(filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to')))")
+            .cast("long").as("n_stop"))
+      val capOk = col("n_words") >= CAP_MIN_WORDS &&
+        col("n_words") <= CAP_MAX_WORDS && col("n_stop") >= 2 &&
+        col("n_alpha") * 5 >= col("n_words") * 4 &&
+        col("n_symbols") * 10 <= col("n_words")
+      val base = imgs.join(caps, Seq("doc_id"))
+      val d0 = when(col("err").isNotNull, lit("image_quarantined"))
+        .when(col("phash").isNull, lit("image_low_quality"))
+        .when(!capOk, lit("caption_low_quality"))
+      val outCols = Seq(col("doc_id"), col("mime"), col("n_words"),
+        col("phash"), col("keep_id"), col("disposition"))
+      val rejected = base.withColumn("disposition", d0)
+        .filter(col("disposition").isNotNull)
+        .withColumn("keep_id", lit(null).cast("long"))
+        .select(outCols: _*)
+      val surv = base.filter(d0.isNull)
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+        .withColumn("disposition",
+          when(col("doc_id") === col("keep_id"), "paired")
+            .otherwise("duplicate_image"))
+        .select(outCols: _*)
+      rejected.unionByName(surv)
+    },
+    Some(s"""WITH m AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+               ELSE 'image/jpeg' END AS mime,
+          octet_length(encode(text)) AS n,
+          hex(encode(text)) AS h, text
+        FROM documents WHERE doc_id % 3 = 0),
+      cap AS (
+        SELECT doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+          CAST(length(text) -
+            length(regexp_replace(text, '[.,;:!?#]', '', 'g')) AS BIGINT)
+            AS n_symbols,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+            AS n_stop
+        FROM m),
+      ph AS (
+        SELECT doc_id,
+          CASE WHEN n >= $PHASH_SAMPLES THEN
+            CAST(list_sum(list_transform(range(${PHASH_SAMPLES - 1}),
+              i -> CASE WHEN s[i + 2] > s[i + 1]
+                THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+          END AS phash
+        FROM (
+          SELECT doc_id, n,
+            list_transform(range($PHASH_SAMPLES), j ->
+              CAST('0x' || substr(h,
+                CAST(1 + 2 * floor(j * n / $PHASH_SAMPLES.0) AS INT), 2)
+                AS INT)) AS s
+          FROM m) t),
+      base AS (
+        SELECT m.doc_id, m.mime, c.n_words, p.phash,
+          CASE WHEN m.doc_id % 7 = 0 THEN 'image_quarantined'
+               WHEN p.phash IS NULL THEN 'image_low_quality'
+               WHEN NOT (c.n_words >= $CAP_MIN_WORDS
+                 AND c.n_words <= $CAP_MAX_WORDS AND c.n_stop >= 2
+                 AND c.n_alpha * 5 >= c.n_words * 4
+                 AND c.n_symbols * 10 <= c.n_words)
+                 THEN 'caption_low_quality' END AS d0
+        FROM m JOIN cap c ON c.doc_id = m.doc_id
+        JOIN ph p ON p.doc_id = m.doc_id),
+      surv AS (
+        SELECT doc_id, mime, n_words, phash,
+          min(doc_id) OVER (PARTITION BY phash) AS keep_id
+        FROM base WHERE d0 IS NULL)
+      SELECT doc_id, mime, n_words,
+        CASE WHEN d0 = 'image_quarantined' THEN NULL ELSE phash END
+          AS phash,
+        CAST(NULL AS BIGINT) AS keep_id, d0 AS disposition
+      FROM base WHERE d0 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, mime, n_words, phash, keep_id,
+        CASE WHEN doc_id = keep_id THEN 'paired'
+             ELSE 'duplicate_image' END AS disposition
+      FROM surv"""))
+
   /** All multimodal queries, registration order. */
   def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
     m2bDecodeQuarantine, m3FrameSample, m4MediaPhash, m5AudioEnergy,
-    e5MediaPipeline)
+    e5MediaPipeline, e6PairCuration)
 }

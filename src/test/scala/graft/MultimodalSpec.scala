@@ -374,4 +374,83 @@ class MultimodalSpec extends SparkSuite {
       lake.listFiles.exists(_.getName.startsWith("mime=")),
       "curated sink missing its mime partitions")
   }
+
+  test("E6: pair dispositions conserve the image slice exactly, " +
+      "and every disposition path fires on a planted fixture") {
+    import spark.implicits._
+    // 42 docs → image slice = doc_id % 3 == 0 (14 pairs). Planted:
+    //   0, 21  → % 7 == 0, decode quarantined (whatever the caption)
+    //   3,6,9  → IDENTICAL passing captions → one paired + two dups
+    //   12     → 8-byte payload (< PHASH_SAMPLES) → image_low_quality
+    //   15     → 8 words but zero stop words → caption_low_quality
+    //   rest   → distinct passing captions → paired
+    val goodCap = "the quick brown fox jumps over a lazy dog number"
+    val words = Seq("garden", "harbor", "market", "valley", "forest",
+      "castle", "desert", "meadow", "island", "canyon", "temple",
+      "bridge", "tunnel", "planet")
+    def text(id: Long): String = id match {
+      case 3 | 6 | 9 => goodCap
+      case 12 => "tiny pic"
+      case 15 => "alpha beta gamma delta epsilon zeta eta theta"
+      case _ =>
+        val i = (id / 3).toInt % words.size
+        s"the ${words(i)} keeper walks to a " +
+          s"${words((i + 5) % words.size)} gate before the morning light"
+    }
+    val dir = java.nio.file.Files.createTempDirectory("e6fix").toString
+    (0L until 42L).map(id => (id, text(id), "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.e6PairCuration.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(5),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(_._1)
+    // exact conservation: every image doc exactly once, nothing else
+    assert(rows.map(_._1).toSeq === (0L until 42L by 3L).toSeq,
+      "pair rows must partition the image slice")
+    // independent recompute of every disposition (the referencePr
+    // discipline): phash via phashOf on the raw caption bytes (the
+    // decoded raster IS the payload for these containers), caption
+    // rules in plain Scala — the operator must agree row for row,
+    // INCLUDING any legitimate perceptual collisions beyond the
+    // planted {3,6,9} family (dHash collapses near-identical bytes by
+    // design, which is what the r14 first draft of this test learned)
+    val img = (0L until 42L by 3L)
+    def capOkOf(s0: String): Boolean = {
+      val t = s0.toLowerCase.split(" ", -1)
+      val nw = t.length.toLong
+      val stops = Set("the", "a", "of", "and", "to")
+      val nStop = t.count(stops)
+      val nAlpha = t.count(_.exists(c => c >= 'a' && c <= 'z'))
+      val nSym = s0.count(".,;:!?#".contains(_)).toLong
+      nw >= Multimodal.CAP_MIN_WORDS && nw <= Multimodal.CAP_MAX_WORDS &&
+        nStop >= 2 && nAlpha * 5 >= nw * 4 && nSym * 10 <= nw
+    }
+    val phOf = img.map { id =>
+      val b = text(id).getBytes("UTF-8")
+      id -> (if (id % 7 == 0) None
+        else if (b.length < Multimodal.PHASH_SAMPLES) None
+        else Some(Multimodal.phashOf(b)))
+    }.toMap
+    val survivors = img.filter(id =>
+      id % 7 != 0 && phOf(id).isDefined && capOkOf(text(id)))
+    val keeperOf = survivors.groupBy(phOf(_).get)
+      .flatMap { case (_, ids) => ids.map(_ -> ids.min) }
+    val expected = img.map { id =>
+      val disp =
+        if (id % 7 == 0) ("image_quarantined", -1L)
+        else if (phOf(id).isEmpty) ("image_low_quality", -1L)
+        else if (!capOkOf(text(id))) ("caption_low_quality", -1L)
+        else if (keeperOf(id) == id) ("paired", id)
+        else ("duplicate_image", keeperOf(id))
+      (id, disp._1, disp._2)
+    }
+    assert(rows.toSeq === expected,
+      s"dispositions diverge from the independent recompute")
+    // and the fixture itself is non-degenerate: every path fired
+    val fired = rows.map(_._2).toSet
+    assert(fired === Set("image_quarantined", "image_low_quality",
+      "caption_low_quality", "paired", "duplicate_image"),
+      s"fixture must exercise every disposition: $fired")
+  }
 }
