@@ -74,7 +74,12 @@ object ExplainAudit {
       "d13_cap_report", "sql_a14_ivfpq", "a18_graph_extend",
       "a19_hnsw_layers", "k9_partition_overwrite", "sql_x1_asof",
       "sql_a19_hnsw", "a20_filtered_ann", "a21_nprobe_sweep",
-      "m4_media_phash", "e5_media_pipeline", "x12_window_battery")
+      "m4_media_phash", "e5_media_pipeline", "x12_window_battery",
+      "t18_bm25", "sql_t18_bm25", "t19_dsir_weights", "sql_t19_dsir",
+      "d14_url_dedup", "sql_d14_url", "d15_line_dedup",
+      "sql_d15_line_dedup", "m5_audio_energy", "g1_pagerank",
+      "sql_g1_pagerank", "g1b_pagerank_converge", "k8b_hnsw_index_sink",
+      "e6_pair_curation", "sql_x12_window")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
