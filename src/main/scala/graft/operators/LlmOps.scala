@@ -2241,19 +2241,53 @@ object LlmOps {
   // by m docs costs m join rows, not m².
   // ---------------------------------------------------------------------
   private[graft] val LINE_W = 4
+
+  /** (doc_id, line_no, line, lh) — the ONE line segmentation every
+    * line-level pass shares (d15's full rebuild, d16's incremental
+    * form, and their oracles' CTE twin): fixed [[LINE_W]]-token
+    * segments of the normalized text, each identified by its 60-bit
+    * portable hash so every downstream join/agg moves 8-byte longs. */
+  private[graft] def linesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(normText, " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(
+          s"sequence(0, CAST(floor((size(t) - 1) / $LINE_W) AS INT))"))
+          .as("line_no"))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        expr(s"concat_ws(' ', slice(t, line_no * $LINE_W + 1, $LINE_W))")
+          .as("line"))
+      .withColumn("lh", Portable.h60(col("line"), "ld|"))
+
+  /** The line segmentation as DuckDB CTE text over `documents $where`,
+    * prefixed so two slices can coexist in one WITH chain; lands in
+    * `${p}hashed` with (doc_id, line_no, line, lh) — [[linesOf]]'s
+    * oracle twin, shared by d15 and d16. */
+  private def linesDuckCtes(p: String, where: String): String =
+    s"""${p}toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+            ' ') AS t
+        FROM documents $where),
+      ${p}idx AS (
+        SELECT doc_id, t,
+          unnest(range((len(t) - 1) // $LINE_W + 1)) AS i
+        FROM ${p}toks),
+      ${p}lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+          array_to_string(
+            list_slice(t, i * $LINE_W + 1, i * $LINE_W + $LINE_W), ' ')
+            AS line
+        FROM ${p}idx),
+      ${p}hashed AS (
+        SELECT doc_id, line_no, line,
+          ${Portable.h60Duck("line", "ld|")} AS lh
+        FROM ${p}lines)"""
+
   val d15LineDedup = Q(
     "d15_line_dedup",
     (s, d) => {
-      val lines = documents(s, d)
-        .select(col("doc_id"), split(normText, " ").as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(expr(
-            s"sequence(0, CAST(floor((size(t) - 1) / $LINE_W) AS INT))"))
-            .as("line_no"))
-        .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
-          expr(s"concat_ws(' ', slice(t, line_no * $LINE_W + 1, $LINE_W))")
-            .as("line"))
-        .withColumn("lh", Portable.h60(col("line"), "ld|"))
+      val lines = linesOf(documents(s, d))
       val owners = lines.groupBy(col("lh"))
         .agg(min(col("doc_id")).as("owner"),
           countDistinct(col("doc_id")).as("n_docs"))
@@ -2273,25 +2307,7 @@ object LlmOps {
             .as("kept_frac"),
           col("deduped_text"))
     },
-    Some(s"""WITH toks AS (
-        SELECT doc_id,
-          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
-            ' ') AS t
-        FROM documents),
-      idx AS (
-        SELECT doc_id, t,
-          unnest(range((len(t) - 1) // $LINE_W + 1)) AS i
-        FROM toks),
-      lines AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS line_no,
-          array_to_string(
-            list_slice(t, i * $LINE_W + 1, i * $LINE_W + $LINE_W), ' ')
-            AS line
-        FROM idx),
-      hashed AS (
-        SELECT doc_id, line_no, line,
-          ${Portable.h60Duck("line", "ld|")} AS lh
-        FROM lines),
+    Some(s"""WITH ${linesDuckCtes("", "")},
       own AS (
         SELECT lh, min(doc_id) AS owner,
           count(DISTINCT doc_id) AS n_docs
@@ -2308,6 +2324,95 @@ object LlmOps {
             '') AS deduped_text
         FROM j GROUP BY doc_id)
       SELECT doc_id, n_lines, n_lines - n_kept AS n_dropped,
+        round(CAST(n_kept AS DOUBLE) / n_lines, 6) AS kept_frac,
+        deduped_text
+      FROM agg"""))
+
+  // ---------------------------------------------------------------------
+  // D16: INCREMENTAL line-level dedup — the d10/a15/a18 lifecycle
+  // discipline applied to d15: a daily arriving batch must shed
+  // boilerplate lines the standing corpus has already seen WITHOUT
+  // re-reading (or re-electing over) the standing text. The standing
+  // side is touched only through its distinct line-FINGERPRINT table
+  // (8 bytes per distinct line — the maintained artifact a production
+  // run carries forward, exactly like d10's doc fingerprints): any
+  // batch occurrence of a standing line drops with provenance
+  // 'standing' (the standing owner already carries the line); lines
+  // shared only within the batch elect a min-doc_id batch owner (d15's
+  // rule applied batch-internally, provenance 'batch' for the losers);
+  // batch-unique lines survive. Output per arriving doc: the d15
+  // report split by drop provenance — the number that tells an
+  // operator whether today's crawl is re-crawling old boilerplate or
+  // growing new.
+  //
+  // Shape at scale: two keyed shuffles on the 8-byte lh (standing-set
+  // left join + batch-owner agg) and the bounded per-doc rebuild; the
+  // standing fingerprint table joins once, batch-side cost is linear
+  // in the batch — corpus-size-independent, the incremental property.
+  // ---------------------------------------------------------------------
+  val d16IncrementalLineDedup = Q(
+    "d16_incremental_line_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val standingFp = linesOf(docs.filter(col("doc_id") % 4 =!= 0))
+        .select(col("lh")).distinct()
+        .withColumn("in_hist", lit(1))
+      val batch = linesOf(docs.filter(col("doc_id") % 4 === 0))
+      val owners = batch.groupBy(col("lh"))
+        .agg(min(col("doc_id")).as("owner"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      batch
+        .join(standingFp, Seq("lh"), "left")
+        .join(owners, Seq("lh"))
+        .withColumn("drop_standing", col("in_hist").isNotNull)
+        .withColumn("drop_batch", col("in_hist").isNull &&
+          col("n_docs") > 1 && col("doc_id") =!= col("owner"))
+        .withColumn("kept", !col("drop_standing") && !col("drop_batch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("drop_standing"), 1L).otherwise(0L))
+            .as("n_dropped_standing"),
+          sum(when(col("drop_batch"), 1L).otherwise(0L))
+            .as("n_dropped_batch"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN kept THEN struct(line_no, line) END)), " +
+              "x -> x.line)")).as("deduped_text"))
+        .select(col("doc_id"), col("n_lines"),
+          col("n_dropped_standing"), col("n_dropped_batch"),
+          round(col("n_kept").cast("double") / col("n_lines"), 6)
+            .as("kept_frac"),
+          col("deduped_text"))
+    },
+    Some(s"""WITH ${linesDuckCtes("s_", "WHERE doc_id % 4 <> 0")},
+      ${linesDuckCtes("b_", "WHERE doc_id % 4 = 0")},
+      hist AS (SELECT DISTINCT lh FROM s_hashed),
+      own AS (
+        SELECT lh, min(doc_id) AS owner,
+          count(DISTINCT doc_id) AS n_docs
+        FROM b_hashed GROUP BY lh),
+      j AS (
+        SELECT b.doc_id, b.line_no, b.line,
+          (h.lh IS NOT NULL) AS drop_standing,
+          (h.lh IS NULL AND o.n_docs > 1 AND b.doc_id <> o.owner)
+            AS drop_batch
+        FROM b_hashed b
+        LEFT JOIN hist h ON h.lh = b.lh
+        JOIN own o ON o.lh = b.lh),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN drop_standing THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped_standing,
+          CAST(sum(CASE WHEN drop_batch THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped_batch,
+          CAST(sum(CASE WHEN NOT drop_standing AND NOT drop_batch
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          coalesce(
+            string_agg(CASE WHEN NOT drop_standing AND NOT drop_batch
+              THEN line END, ' ' ORDER BY line_no), '') AS deduped_text
+        FROM j GROUP BY doc_id)
+      SELECT doc_id, n_lines, n_dropped_standing, n_dropped_batch,
         round(CAST(n_kept AS DOUBLE) / n_lines, 6) AS kept_frac,
         deduped_text
       FROM agg"""))
@@ -3622,6 +3727,7 @@ object LlmOps {
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
     d6Decontaminate, d6bLeakReport, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, d14UrlDedup, d15LineDedup,
+    d16IncrementalLineDedup,
     t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,

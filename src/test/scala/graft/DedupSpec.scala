@@ -703,6 +703,42 @@ class DedupSpec extends SparkSuite {
   private def round2(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("D16: arriving lines drop against standing FINGERPRINTS with " +
+    "provenance; batch-internal dups elect a batch owner") {
+    // standing = doc_id % 4 != 0, batch = doc_id % 4 == 0 (d10's split).
+    // line B ("bb bb bb bb") lives in standing docs 1 and 2 -> every
+    // batch copy drops as 'standing' (the standing owner already
+    // carries it; the batch must NOT re-elect it). line S ("ss ss ss
+    // ss") is shared only WITHIN the batch (docs 0 and 4) -> doc 0
+    // keeps it (min batch doc_id), doc 4 drops it as 'batch'. unique
+    // lines survive untouched.
+    val docs = Seq(
+      (1L, "bb bb bb bb standing one extra text"), // standing: B + unique
+      (2L, "bb bb bb bb standing two other words"), // standing: B + unique
+      (0L, "bb bb bb bb ss ss ss ss zz zz zz zz"), // batch: B + S + U0
+      (4L, "ss ss ss ss yy yy yy yy"), // batch: S + U4
+      (8L, "ww ww ww ww xx xx xx xx") // batch: all unique
+    ).map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d16fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.d16IncrementalLineDedup.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    // only batch docs report (standing is touched via fingerprints only)
+    assert(out.keySet === Set(0L, 4L, 8L))
+    assert(out(0L) === ((3L, 1L, 0L, round2(2.0 / 3),
+      "ss ss ss ss zz zz zz zz")),
+      "standing line drops with 'standing' provenance; batch owner keeps S")
+    assert(out(4L) === ((2L, 0L, 1L, 0.5, "yy yy yy yy")),
+      "the non-owner batch copy drops with 'batch' provenance")
+    assert(out(8L) === ((2L, 0L, 0L, 1.0, "ww ww ww ww xx xx xx xx")),
+      "batch-unique lines survive untouched")
+  }
+
   test("T18: BM25 ranks by idf, tf saturation, and length normalization") {
     // six planted docs whose token dfs force the derived query workload
     // exactly: termaa/termbb df=6 -> q0, termcc/termdd df=4 -> q1,
