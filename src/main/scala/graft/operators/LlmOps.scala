@@ -2350,41 +2350,49 @@ object LlmOps {
   // standing fingerprint table joins once, batch-side cost is linear
   // in the batch — corpus-size-independent, the incremental property.
   // ---------------------------------------------------------------------
+  /** d16's per-line routing — (doc_id, line_no, line, status ∈
+    * standing | batch_dup | kept). The Q below aggregates this; the
+    * streaming twin (StreamingJobs.streamingLineDedup) must emit the
+    * SAME routes row for row, which StreamingSpec pins. */
+  private[graft] def d16LineRoutes(docs: DataFrame): DataFrame = {
+    val standingFp = linesOf(docs.filter(col("doc_id") % 4 =!= 0))
+      .select(col("lh")).distinct()
+      .withColumn("in_hist", lit(1))
+    val batch = linesOf(docs.filter(col("doc_id") % 4 === 0))
+    val owners = batch.groupBy(col("lh"))
+      .agg(min(col("doc_id")).as("owner"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    batch
+      .join(standingFp, Seq("lh"), "left")
+      .join(owners, Seq("lh"))
+      .select(col("doc_id"), col("line_no"), col("line"),
+        when(col("in_hist").isNotNull, "standing")
+          .when(col("n_docs") > 1 && col("doc_id") =!= col("owner"),
+            "batch_dup")
+          .otherwise("kept").as("status"))
+  }
+
   val d16IncrementalLineDedup = Q(
     "d16_incremental_line_dedup",
-    (s, d) => {
-      val docs = documents(s, d)
-      val standingFp = linesOf(docs.filter(col("doc_id") % 4 =!= 0))
-        .select(col("lh")).distinct()
-        .withColumn("in_hist", lit(1))
-      val batch = linesOf(docs.filter(col("doc_id") % 4 === 0))
-      val owners = batch.groupBy(col("lh"))
-        .agg(min(col("doc_id")).as("owner"),
-          countDistinct(col("doc_id")).as("n_docs"))
-      batch
-        .join(standingFp, Seq("lh"), "left")
-        .join(owners, Seq("lh"))
-        .withColumn("drop_standing", col("in_hist").isNotNull)
-        .withColumn("drop_batch", col("in_hist").isNull &&
-          col("n_docs") > 1 && col("doc_id") =!= col("owner"))
-        .withColumn("kept", !col("drop_standing") && !col("drop_batch"))
+    (s, d) =>
+      d16LineRoutes(documents(s, d))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(when(col("drop_standing"), 1L).otherwise(0L))
+          sum(when(col("status") === "standing", 1L).otherwise(0L))
             .as("n_dropped_standing"),
-          sum(when(col("drop_batch"), 1L).otherwise(0L))
+          sum(when(col("status") === "batch_dup", 1L).otherwise(0L))
             .as("n_dropped_batch"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("status") === "kept", 1L).otherwise(0L))
+            .as("n_kept"),
           concat_ws(" ", expr(
             "transform(array_sort(collect_list(" +
-              "CASE WHEN kept THEN struct(line_no, line) END)), " +
+              "CASE WHEN status = 'kept' THEN struct(line_no, line) END)), " +
               "x -> x.line)")).as("deduped_text"))
         .select(col("doc_id"), col("n_lines"),
           col("n_dropped_standing"), col("n_dropped_batch"),
           round(col("n_kept").cast("double") / col("n_lines"), 6)
             .as("kept_frac"),
-          col("deduped_text"))
-    },
+          col("deduped_text")),
     Some(s"""WITH ${linesDuckCtes("s_", "WHERE doc_id % 4 <> 0")},
       ${linesDuckCtes("b_", "WHERE doc_id % 4 = 0")},
       hist AS (SELECT DISTINCT lh FROM s_hashed),

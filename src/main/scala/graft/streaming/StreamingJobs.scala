@@ -303,6 +303,58 @@ object StreamingJobs {
         })
   }
 
+  /** Streaming twin of d16's incremental LINE dedup: arriving docs
+    * segment through the SAME LlmOps.linesOf projection (pure
+    * expressions — streaming-safe), flag against the STATIC standing
+    * line-fingerprint table via a broadcast stream-static left join,
+    * and elect batch-internal line owners in flatMapGroupsWithState
+    * keyed on the 8-byte line hash (state = one Long owner per distinct
+    * new line — the streaming form of d16's batchOwner aggregate, the
+    * d10 pattern one level down). Routes per LINE: 'standing' (the
+    * standing corpus already carries it), 'batch_dup' (another arriving
+    * doc owns it), 'kept'. The owner doc keeps ALL its copies
+    * (within-doc repeats are t13's concern), matching d16's
+    * doc_id =!= owner rule; under id-ordered delivery the stream's
+    * first-arrival election equals d16's min(doc_id) election and
+    * StreamingSpec pins route-for-route equality. */
+  final case class LineRoute(
+      doc_id: Long, line_no: Long, line: String, status: String)
+  def streamingLineDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      standingFp: DataFrame): org.apache.spark.sql.Dataset[LineRoute] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val lines = graft.operators.LlmOps.linesOf(docs)
+    val flagged = lines
+      .join(broadcast(standingFp.select(col("lh")).distinct()
+        .withColumn("in_hist", lit(1))), Seq("lh"), "left")
+      .select(col("doc_id"), col("line_no"), col("line"), col("lh"),
+        coalesce(col("in_hist"), lit(0)).as("in_hist"))
+      .as[(Long, Long, String, Long, Int)]
+    flagged
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, String, Long, Int)],
+            state: GroupState[Long]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[LineRoute]
+          // sort the (same-line-hash, same-micro-batch) group by
+          // (doc_id, line_no) so the within-batch election is
+          // min(doc_id) — exactly d16's owner aggregate
+          rows.toSeq.sortBy(r => (r._1, r._2)).foreach {
+            case (id, no, line, _, inHist) =>
+              if (inHist == 1) out += LineRoute(id, no, line, "standing")
+              else if (!state.exists) {
+                state.update(id); out += LineRoute(id, no, line, "kept")
+              } else if (state.get == id)
+                out += LineRoute(id, no, line, "kept")
+              else out += LineRoute(id, no, line, "batch_dup")
+          }
+          out.iterator
+        })
+  }
+
   final case class BloomBit(shard: Int, pos: Int)
   private val SHARD_BITS = 512
   /** Streaming maintenance of d9's Bloom filter bits: eval-set gram

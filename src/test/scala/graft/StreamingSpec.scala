@@ -499,6 +499,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming line dedup matches batch d16 routing line for line") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-side truth: d16's per-line routes over the sf corpus
+    val batchRoutes = graft.operators.LlmOps
+      .d16LineRoutes(graft.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val standingFp = graft.operators.LlmOps
+      .linesOf(docs.filter(col("doc_id") % 4 =!= 0))
+      .select(col("lh"))
+    val batchRows = docs.filter(col("doc_id") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1) // id-ordered delivery: stream election == min(doc_id)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs
+      .streamingLineDedup(spark, stream, standingFp)
+      .writeStream.format("memory").queryName("linededup_test")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: within-batch owner election AND
+      // cross-micro-batch state carry-over both exercised
+      batchRows.grouped(math.max(1, batchRows.length / 3 + 1)).foreach {
+        chunk => input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamRoutes = spark.table("linededup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getString(3)))).toMap
+      assert(streamRoutes.size === batchRoutes.size,
+        "every batch line must be routed exactly once")
+      assert(streamRoutes === batchRoutes,
+        "stream routing must equal d16's batch routing line for line")
+      // and the fixture is non-degenerate: all three routes fire
+      assert(streamRoutes.values.map(_._2).toSet ===
+        Set("standing", "batch_dup", "kept"),
+        "sf corpus must exercise every line route")
+    } finally q.stop()
+  }
+
   test("file streams over drifted ts generations union into one canonical stream") {
     // the s11 scenario, streaming form: two landing directories written
     // by producers of different eras — one carries ts as epoch-nanos
