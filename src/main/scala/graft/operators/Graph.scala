@@ -63,18 +63,21 @@ object Graph {
   // the inlined plan per iteration — 2^8 copies otherwise (the d8/a17
   // listener-audit trap, memory + VERDICT r13).
   // ---------------------------------------------------------------------
-  /** The r0..r[[PR_ITERS]] rank frames, each localCheckpoint-pinned
-    * (so g1's final projection and g1b's per-round deltas both read
-    * materialized rounds, never re-run lineage). Column shape per
-    * round: (doc_id, n, outdeg, pr). */
-  private def prRounds(s: SparkSession, d: String): Seq[DataFrame] = {
+  /** (doc_id, n, outdeg) — the synthetic node frame both fixpoints
+    * share (n rides along for the teleport arithmetic). */
+  private def nodesOf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"))
-    val nRow = docs.agg(count(lit(1)).as("n"))
-    val nodes = docs
-      .crossJoin(broadcast(nRow))
+    docs
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
       .select(col("doc_id"), col("n"),
         (col("doc_id") % 4).cast("long").as("outdeg"))
-    val edges = nodes
+  }
+
+  /** The deterministic (src, outdeg, dst) edge list over [[nodesOf]] —
+    * ONE definition, shared by g1/g1b (PageRank) and g2 (HITS) so the
+    * two link-analysis fixpoints provably rank the same graph. */
+  private def edgesOf(nodes: DataFrame): DataFrame =
+    nodes
       .select(col("doc_id"), col("n"), col("outdeg"),
         explode(array(lit(0L), lit(1L), lit(2L))).as("k"))
       .filter(col("k") < col("outdeg"))
@@ -82,7 +85,14 @@ object Graph {
         ((col("doc_id") *
           when(col("k") === 0L, 7L).when(col("k") === 1L, 13L)
             .otherwise(29L) + col("k") + lit(1L)) % col("n")).as("dst"))
-      .persist()
+
+  /** The r0..r[[PR_ITERS]] rank frames, each localCheckpoint-pinned
+    * (so g1's final projection and g1b's per-round deltas both read
+    * materialized rounds, never re-run lineage). Column shape per
+    * round: (doc_id, n, outdeg, pr). */
+  private def prRounds(s: SparkSession, d: String): Seq[DataFrame] = {
+    val nodes = nodesOf(s, d)
+    val edges = edgesOf(nodes).persist()
     edges.count() // eager: 8 consuming rounds must not race the cache
     val teleport = expr(s"15L * ($PR_SCALE div n) div 100")
     var r = nodes
@@ -200,5 +210,113 @@ object Graph {
       $branches"""
     })
 
-  def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge)
+  /** HITS iterations (6 move the ring-graph scores past ordering
+    * stabilization; GraphSpec recomputes the same fixpoint). */
+  private[graft] val HITS_ITERS = 6
+
+  /** Overflow-safe integer normalization: x·SCALE/total computed as
+    * (x · 1e3) div (total div 1e9) — x ≤ 3·SCALE keeps the product
+    * under 2^63 (x·SCALE itself would overflow), and both truncations
+    * are integer ops DuckDB replays exactly. Totals sit near SCALE, so
+    * total div 1e9 ≥ 1 is guarded only for pathological inputs. */
+  private[graft] val HITS_NN = 1000L
+  private[graft] val HITS_ND = 1000000000L
+
+  // ---------------------------------------------------------------------
+  // G2: HITS hubs & authorities (Kleinberg) over the SAME link graph as
+  // g1 — the second canonical link-analysis prior: a crawl curator
+  // reads authorities as content-quality signal and hubs as
+  // directory/spam signal, and the two-phase mutual recursion
+  // (auth = Σ in-link hubs, hub = Σ out-link auths, renormalize each
+  // half-step) is the canonical BIPARTITE iterative workload — two
+  // keyed shuffles per round instead of g1's one. All integer
+  // arithmetic (scores in 1e12 mass units, overflow-safe two-step
+  // normalization), so Spark and DuckDB agree bit-for-bit; both score
+  // frames are localCheckpoint-truncated per round (each feeds TWO
+  // consumers: the partner join and its own total — the 2^rounds
+  // trap, twice per round here).
+  // ---------------------------------------------------------------------
+  val g2Hits = Q(
+    "g2_hits",
+    (s, d) => {
+      val nodes = nodesOf(s, d)
+      val edges = edgesOf(nodes).persist()
+      edges.count()
+      def normalize(raw: DataFrame, scoreCol: String): DataFrame = {
+        val tot = raw.agg(coalesce(sum(col("s")), lit(0L)).as("t"))
+        nodes.select(col("doc_id"))
+          .join(raw, Seq("doc_id"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            expr(s"coalesce(s, 0L) * $HITS_NN div " +
+              s"greatest(1L, t div $HITS_ND)").as(scoreCol))
+          .localCheckpoint()
+      }
+      var h = nodes
+        .select(col("doc_id"), expr(s"$PR_SCALE div n").as("hub"))
+        .localCheckpoint()
+      var a: DataFrame = null
+      for (_ <- 1 to HITS_ITERS) {
+        a = normalize(
+          edges.join(h.select(col("doc_id").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum(col("hub")).as("s")),
+          "auth")
+        h = normalize(
+          edges.join(a.select(col("doc_id").as("dst"), col("auth")), "dst")
+            .groupBy(col("src").as("doc_id"))
+            .agg(sum(col("auth")).as("s")),
+          "hub")
+      }
+      val out = h.join(a, Seq("doc_id"))
+        .select(col("doc_id"), col("hub"), col("auth"))
+      edges.unpersist()
+      out
+    },
+    Some {
+      // STRICTLY LINEAR chain (the sql_g1 lesson, here in the oracle:
+      // DuckDB inlines CTEs, so a normalize step that references its
+      // raw-score CTE twice — once for the join, once for the total —
+      // expands the whole prior chain 4x PER ROUND; 4^6 inlined copies
+      // blew the process fd limit re-opening the parquet leaf). Each
+      // CTE references its predecessor exactly once: the total rides
+      // along as an unpartitioned window sum over the null-filled
+      // node frame.
+      def norm(i: Int, frm: String, key: String, score: String,
+          prev: String, prevCol: String): String =
+        s"""${frm}r$i AS (
+          SELECT e.$key AS doc_id, CAST(sum(p.$prevCol) AS BIGINT) AS s
+          FROM edges e JOIN $prev p
+            ON p.doc_id = e.${if (key == "dst") "src" else "dst"}
+          GROUP BY e.$key),
+        $frm$i AS (
+          SELECT doc_id,
+            CAST(coalesce(s, 0) * $HITS_NN //
+              greatest(1, sum(coalesce(s, 0)) OVER () // $HITS_ND)
+              AS BIGINT) AS $score
+          FROM (SELECT n.doc_id, r.s
+                FROM nodes n LEFT JOIN ${frm}r$i r
+                  ON r.doc_id = n.doc_id) z)"""
+      val rounds = (1 to HITS_ITERS).map { i =>
+        val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+        norm(i, "a", "dst", "auth", hPrev, "hub") + ",\n      " +
+          norm(i, "h", "src", "hub", s"a$i", "auth")
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes, unnest([0, 1, 2]) AS t(k)
+        WHERE k < outdeg),
+      h0 AS (SELECT doc_id, $PR_SCALE // n AS hub FROM nodes),
+      $rounds
+      SELECT h.doc_id, h.hub, a.auth
+      FROM h$HITS_ITERS h JOIN a$HITS_ITERS a ON a.doc_id = h.doc_id"""
+    })
+
+  def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits)
 }

@@ -91,6 +91,59 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  /** The g2 recurrence in plain Scala collections. */
+  private def referenceHits(n: Long): Map[Long, (Long, Long)] = {
+    val edges = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u, (u * p + k + 1) % n)
+      }
+    }
+    def normalize(raw: Map[Long, Long]): Map[Long, Long] = {
+      val t = raw.values.sum
+      (0L until n).map(v => v -> raw.getOrElse(v, 0L) * Graph.HITS_NN /
+        math.max(1L, t / Graph.HITS_ND)).toMap
+    }
+    var h = (0L until n).map(u => u -> Graph.PR_SCALE / n).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to Graph.HITS_ITERS) {
+      a = normalize(edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => h(u) }.sum })
+      h = normalize(edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map { case (_, v) => a(v) }.sum })
+    }
+    (0L until n).map(u => u -> ((h(u), a(u)))).toMap
+  }
+
+  test("G2: distributed HITS equals the independent integer recurrence") {
+    val n = 24L
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g2fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Graph.g2Hits.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = referenceHits(n)
+    assert(got === want, "every node's (hub, auth), bit for bit")
+    // scores genuinely vary on both axes (a uniform result would hide a
+    // broken join direction — the oracle-green-but-degenerate lesson)
+    assert(got.values.map(_._1).toSet.size >= 3, "degenerate hubs")
+    assert(got.values.map(_._2).toSet.size >= 3, "degenerate auths")
+    // dangling nodes (outdeg 0) can endorse nothing: hub exactly 0;
+    // nodes nothing links to carry no authority: auth exactly 0
+    val inlinked = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u * p + k + 1) % n
+      }
+    }.toSet
+    (0L until n).filter(_ % 4 == 0).foreach(u =>
+      assert(got(u)._1 === 0L, s"dangling node $u must have hub 0"))
+    (0L until n).filterNot(inlinked).foreach(v =>
+      assert(got(v)._2 === 0L, s"unlinked node $v must have auth 0"))
+  }
+
   test("G1b: per-round L1 delta decreases monotonically to convergence") {
     // damping 0.85 contracts the L1 error geometrically, so each
     // round's delta must be strictly below the previous until the
