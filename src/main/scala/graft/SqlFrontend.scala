@@ -505,6 +505,52 @@ object SqlFrontend {
     },
     operators.Graph.g1Pagerank.oracle)
 
+  // HITS from SQL — g2's strictly linear chain in Spark dialect: each
+  // iterated score frame is referenced exactly once (raw sums via the
+  // edge join, normalization via an unpartitioned window total over
+  // the null-filled node frame); only the LEAF edges/nodes CTEs are
+  // multiply referenced. Dialect deltas from the shared oracle: div vs
+  // //, LATERAL VIEW explode vs unnest.
+  val sqlG2Hits: Queries.Q = sqlQ(
+    "sql_g2_hits", {
+      import operators.Graph.{HITS_ITERS, HITS_NN, HITS_ND, PR_SCALE}
+      def norm(i: Int, frm: String, key: String, score: String,
+          prev: String, prevCol: String): String =
+        s"""${frm}r$i AS (
+          SELECT e.$key AS doc_id, CAST(sum(p.$prevCol) AS BIGINT) AS s
+          FROM edges e JOIN $prev p
+            ON p.doc_id = e.${if (key == "dst") "src" else "dst"}
+          GROUP BY e.$key),
+        $frm$i AS (
+          SELECT doc_id,
+            CAST(coalesce(s, 0L) * $HITS_NN div
+              greatest(1L, sum(coalesce(s, 0L)) OVER () div $HITS_ND)
+              AS BIGINT) AS $score
+          FROM (SELECT n.doc_id, r.s
+                FROM nodes n LEFT JOIN ${frm}r$i r
+                  ON r.doc_id = n.doc_id) z)"""
+      val rounds = (1 to HITS_ITERS).map { i =>
+        val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+        norm(i, "a", "dst", "auth", hPrev, "hub") + ",\n      " +
+          norm(i, "h", "src", "hub", s"a$i", "auth")
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes LATERAL VIEW explode(array(0L, 1L, 2L)) t AS k
+        WHERE k < outdeg),
+      h0 AS (SELECT doc_id, $PR_SCALE div n AS hub FROM nodes),
+      $rounds
+      SELECT h.doc_id, h.hub, a.auth
+      FROM h$HITS_ITERS h JOIN a$HITS_ITERS a ON a.doc_id = h.doc_id"""
+    },
+    operators.Graph.g2Hits.oracle)
+
   /** Unrolled min-propagation rounds in [[nearDupLabelCtes]]; labels
     * land in `l<LABEL_ROUNDS>`. */
   private val LABEL_ROUNDS = 4
@@ -1430,5 +1476,5 @@ object SqlFrontend {
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
-      sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank)
+      sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank, sqlG2Hits)
 }
