@@ -318,5 +318,105 @@ object Graph {
       FROM h$HITS_ITERS h JOIN a$HITS_ITERS a ON a.doc_id = h.doc_id"""
     })
 
-  def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits)
+  /** Synchronous label-propagation rounds. 5 is past ordering
+    * stabilization on the synthetic quasi-ring (GraphSpec recomputes
+    * the fixpoint independently at the same depth). */
+  private[graft] val LPA_ITERS = 5
+
+  // ---------------------------------------------------------------------
+  // G3: community detection by synchronous label propagation (Raghavan
+  // et al. 2007) over the UNDIRECTED view of the same link graph as
+  // g1/g2 — the third canonical link-analysis prior: a crawl curator
+  // reads communities as site/mirror clusters (sampling caps per
+  // community, spam-farm detection). Exactness needs no scaling trick
+  // here: labels ARE node ids and votes ARE counts, so every quantity
+  // is a BIGINT both engines agree on bit-for-bit; the only
+  // determinism hazard is the argmax tie, broken (count DESC, label
+  // ASC) — a total order.
+  //
+  // Each node also votes for ITSELF (a standing self-loop): that keeps
+  // isolated nodes labeled without a second reference to the previous
+  // round's frame (the sql_g2 lesson — a coalesce-with-previous update
+  // doubles the inlined CTE chain per round, 2^5 copies), and damps
+  // the 2-cycle oscillation synchronous LPA suffers on near-bipartite
+  // structures.
+  //
+  // Shape at scale: the symmetrized neighbor list builds once (explode
+  // of both directions — d7's lesson: a self-union evaluates the edge
+  // subtree per branch — cached and eagerly counted); each round is
+  // ONE edge-sized shuffle (the (node, label) vote hash-agg) plus one
+  // node-keyed window (rank-1 filter → WindowGroupLimit, partial
+  // top-1 before the sort shuffle), and the label frame is
+  // localCheckpoint-truncated per round.
+  // ---------------------------------------------------------------------
+  val g3LabelProp = Q(
+    "g3_label_prop",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = nodesOf(s, d)
+      val nbrs = edgesOf(nodes)
+        .select(explode(array(
+          struct(col("src").as("node"), col("dst").as("nbr")),
+          struct(col("dst").as("node"), col("src").as("nbr")))).as("e"))
+        .select(col("e.node"), col("e.nbr"))
+        .unionByName(nodes.select(
+          col("doc_id").as("node"), col("doc_id").as("nbr")))
+        .persist()
+      nbrs.count() // eager: 5 consuming rounds must not race the cache
+      var labels = nodes
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      for (_ <- 1 to LPA_ITERS) {
+        val votes = nbrs
+          .join(labels.select(col("doc_id").as("nbr"), col("lbl")), "nbr")
+          .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        labels = votes
+          .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
+            .orderBy(col("cnt").desc, col("lbl").asc)))
+          .filter(col("rn") === 1)
+          .select(col("node").as("doc_id"), col("lbl"))
+          .localCheckpoint()
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+      val out = labels.join(sizes, "lbl")
+        .select(col("doc_id"), col("lbl").as("community"), col("csize"))
+      nbrs.unpersist()
+      out
+    },
+    Some {
+      val rounds = (1 to LPA_ITERS).map { i =>
+        s"""c$i AS (
+          SELECT b.node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+          FROM nbrs b JOIN l${i - 1} l ON l.doc_id = b.nbr
+          GROUP BY b.node, l.lbl),
+        l$i AS (
+          SELECT node AS doc_id, lbl FROM (
+            SELECT node, lbl, row_number() OVER (
+              PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM c$i) z
+          WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes, unnest([0, 1, 2]) AS t(k)
+        WHERE k < outdeg),
+      nbrs AS (
+        SELECT src AS node, dst AS nbr FROM edges
+        UNION ALL SELECT dst AS node, src AS nbr FROM edges
+        UNION ALL SELECT doc_id AS node, doc_id AS nbr FROM nodes),
+      l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+      $rounds
+      SELECT l.doc_id, l.lbl AS community, s.csize
+      FROM l$LPA_ITERS l
+      JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+            FROM l$LPA_ITERS GROUP BY lbl) s ON s.lbl = l.lbl"""
+    })
+
+  def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits, g3LabelProp)
 }

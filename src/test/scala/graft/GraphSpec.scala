@@ -173,4 +173,54 @@ class GraphSpec extends SparkSuite {
     assert(deltas.last < Graph.PR_SCALE / 100,
       s"round ${Graph.PR_ITERS} delta ${deltas.last} still coarse")
   }
+
+  /** The g3 recurrence in plain Scala collections: symmetrized
+    * neighbor MULTISET (multi-edges vote with multiplicity) plus a
+    * self-loop per node; argmax by (count desc, label asc). */
+  private def referenceLpa(n: Long): Map[Long, Long] = {
+    val edges = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u, (u * p + k + 1) % n)
+      }
+    }
+    val nbrs = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) } ++
+      (0L until n).map(v => (v, v))
+    var lbl = (0L until n).map(v => v -> v).toMap
+    for (_ <- 1 to Graph.LPA_ITERS) {
+      lbl = nbrs
+        .map { case (node, nbr) => node -> lbl(nbr) }
+        .groupBy(_._1)
+        .map { case (node, votes) =>
+          val best = votes.groupBy(_._2).map { case (l, vs) =>
+            (l, vs.size.toLong)
+          }.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+          node -> best
+        }
+    }
+    lbl
+  }
+
+  test("G3: distributed label propagation equals the independent recurrence") {
+    val n = 30L
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g3fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Graph.g3LabelProp.fn(spark, dir).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = referenceLpa(n)
+    assert(got === want, "every node's community label, bit for bit")
+    // propagation genuinely happened (not all-distinct) AND did not
+    // collapse to one label (the oracle-green-but-degenerate lesson)
+    val communities = got.values.toSet
+    assert(communities.size < n, "no label ever propagated")
+    assert(communities.size > 1, s"collapsed to one community")
+    // csize column is consistent with the assignment itself
+    val sizes = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val wantSizes =
+      got.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+    assert(sizes === wantSizes, "csize must equal the community's row count")
+  }
 }
