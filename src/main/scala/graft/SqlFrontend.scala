@@ -551,6 +551,50 @@ object SqlFrontend {
     },
     operators.Graph.g2Hits.oracle)
 
+  // Label propagation from SQL — g3's unrolled synchronous rounds in
+  // Spark dialect. The chain is strictly linear per round (votes →
+  // rank-1 winner, each referencing only the previous label frame);
+  // nbrs/edges/nodes are the only multiply-referenced CTEs and they
+  // are leaves. Dialect delta from the shared oracle: LATERAL VIEW
+  // explode vs unnest.
+  val sqlG3LabelProp: Queries.Q = sqlQ(
+    "sql_g3_label_prop", {
+      import operators.Graph.LPA_ITERS
+      val rounds = (1 to LPA_ITERS).map { i =>
+        s"""c$i AS (
+          SELECT b.node, l.lbl, count(*) AS cnt
+          FROM nbrs b JOIN l${i - 1} l ON l.doc_id = b.nbr
+          GROUP BY b.node, l.lbl),
+        l$i AS (
+          SELECT node AS doc_id, lbl FROM (
+            SELECT node, lbl, row_number() OVER (
+              PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+            FROM c$i) z
+          WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes LATERAL VIEW explode(array(0L, 1L, 2L)) t AS k
+        WHERE k < outdeg),
+      nbrs AS (
+        SELECT src AS node, dst AS nbr FROM edges
+        UNION ALL SELECT dst AS node, src AS nbr FROM edges
+        UNION ALL SELECT doc_id AS node, doc_id AS nbr FROM nodes),
+      l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+      $rounds
+      SELECT l.doc_id, l.lbl AS community, s.csize
+      FROM l$LPA_ITERS l
+      JOIN (SELECT lbl, count(*) AS csize
+            FROM l$LPA_ITERS GROUP BY lbl) s ON s.lbl = l.lbl"""
+    },
+    operators.Graph.g3LabelProp.oracle)
+
   /** Unrolled min-propagation rounds in [[nearDupLabelCtes]]; labels
     * land in `l<LABEL_ROUNDS>`. */
   private val LABEL_ROUNDS = 4
@@ -1476,5 +1520,6 @@ object SqlFrontend {
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
-      sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank, sqlG2Hits)
+      sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank, sqlG2Hits,
+      sqlG3LabelProp)
 }
