@@ -2629,6 +2629,120 @@ object LlmOps {
     })
 
   // ---------------------------------------------------------------------
+  // T20: BPE merge learning (Sennrich et al. 2016, "Neural Machine
+  // Translation of Rare Words with Subword Units") — tokenizer
+  // TRAINING as a corpus op, the missing half of t9's sequence
+  // packing (which consumes a tokenizer). The classic vocab-level
+  // algorithm, exactly how production trainers shape it: ONE heavy
+  // corpus pass builds the word-frequency table (hash-agg at scan
+  // speed — the only stage that sees 100 TB), then every merge round
+  // runs on the CAPPED vocab (top-[[BPE_VOCAB_CAP]] words by mass,
+  // deterministic (freq DESC, word ASC) — the cap is a reported d13
+  // surface, not silent). Per round: explode the symbol sequences,
+  // pair adjacent symbols via lead() over (word, ord) — a window, not
+  // a self-join, so each round references the previous state ONCE and
+  // the unrolled oracle stays linear-ish — weight pairs by word freq,
+  // take the argmax (weight DESC, pair ASC: a total order), and apply
+  // the merge to the delimited symbol string.
+  //
+  // Exactness: symbols ride in " a b c "-delimited strings; applying a
+  // merge is replace(" l r " -> " lr ") run [[BPE_REPLACE_PASSES]]
+  // times — both engines' replace() is non-overlapping left-to-right,
+  // so pass k halves any remaining same-symbol run and 3 passes
+  // resolve runs <= 8 symbols identically (BpeSpec pins the semantics
+  // on planted runs). All weights are BIGINT sums of BIGINT freqs.
+  //
+  // Shape at scale: corpus pass = one shuffle; each of the 6 rounds
+  // shuffles only the <=256-row vocab (explode ~10 symbols/word); the
+  // 1-row argmax broadcasts into the apply. The learned merge table IS
+  // the artifact a tokenizer ships.
+  // ---------------------------------------------------------------------
+  private[graft] val BPE_VOCAB_CAP = 256
+  private[graft] val BPE_ROUNDS = 6
+  private[graft] val BPE_REPLACE_PASSES = 3
+
+  val t20BpeMerges = Q(
+    "t20_bpe_merges",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(BPE_VOCAB_CAP)
+      var seq = words.select(col("word"), col("freq"),
+        concat(regexp_replace(col("word"), "(.)", " $1"), lit(" "))
+          .as("seq"))
+        .localCheckpoint()
+      val rows = Seq.newBuilder[DataFrame]
+      for (i <- 1 to BPE_ROUNDS) {
+        val best = seq
+          .select(col("word"), col("freq"),
+            posexplode(split(trim(col("seq")), " ")))
+          .withColumnRenamed("pos", "ord").withColumnRenamed("col", "sym")
+          .withColumn("r", lead(col("sym"), 1).over(
+            Window.partitionBy(col("word")).orderBy(col("ord"))))
+          .filter(col("r").isNotNull)
+          .groupBy(col("sym").as("lhs"), col("r").as("rhs"))
+          .agg(sum(col("freq")).as("weight"))
+          .orderBy(col("weight").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .localCheckpoint() // 1 row; feeds BOTH the output and the apply
+        rows += best.select(lit(i.toLong).as("rnd"), col("lhs"),
+          col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
+          col("weight"))
+        val pat = concat(lit(" "), col("lhs"), lit(" "), col("rhs"),
+          lit(" "))
+        val rep = concat(lit(" "), col("lhs"), col("rhs"), lit(" "))
+        val applied = (1 to BPE_REPLACE_PASSES).foldLeft[Column](
+          col("seq"))((c, _) => replace(c, pat, rep))
+        seq = seq.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+          .select(col("word"), col("freq"), applied.as("seq"))
+          .localCheckpoint()
+      }
+      rows.result().reduce(_ unionByName _)
+    },
+    Some {
+      val rounds = (1 to BPE_ROUNDS).map { i =>
+        val rp = (1 to BPE_REPLACE_PASSES).foldLeft("seq")((e, _) =>
+          s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
+        s"""px$i AS (
+          SELECT sym AS lhs, lead(sym) OVER (
+              PARTITION BY word ORDER BY ord) AS rhs, freq
+          FROM (SELECT word, freq, unnest(syms) AS sym,
+                  unnest(range(1, len(syms) + 1)) AS ord
+                FROM (SELECT word, freq,
+                    string_split(trim(seq), ' ') AS syms
+                  FROM s${i - 1}))),
+        m$i AS (
+          SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS weight
+          FROM px$i WHERE rhs IS NOT NULL
+          GROUP BY lhs, rhs
+          ORDER BY weight DESC, lhs ASC, rhs ASC LIMIT 1),
+        s$i AS (
+          SELECT word, freq, $rp AS seq
+          FROM s${i - 1} CROSS JOIN m$i)"""
+      }.mkString(",\n      ")
+      val out = (1 to BPE_ROUNDS).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS rnd, lhs, rhs,
+          lhs || rhs AS merged, weight FROM m$i"""
+      }.mkString(" UNION ALL ")
+      s"""WITH wc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents) t
+        WHERE regexp_matches(word, '^[a-z]+${"$"}')
+        GROUP BY word ORDER BY freq DESC, word ASC LIMIT $BPE_VOCAB_CAP),
+      s0 AS (
+        SELECT word, freq,
+          regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS seq
+        FROM wc),
+      $rounds
+      $out"""
+    })
+
+  // ---------------------------------------------------------------------
   // T16: the Gopher quality-rule battery (Rae et al. 2021, "Scaling
   // Language Models: Methods, Analysis & Insights from Training
   // Gopher", §A1.1) — the composite rule filter most production
@@ -3741,7 +3855,7 @@ object LlmOps {
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,
-    t19DsirWeights,
+    t19DsirWeights, t20BpeMerges,
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
