@@ -1495,7 +1495,25 @@ object SqlFrontend {
         Seq(
           stats("a18_sign_a", "sample", NSW_CAP, "qa18_ba", "b"),
           stats("a18_sign_b", "sample", NSW_CAP, "qa18_bb", "b"),
-          stats("a18_rand", "sample", NSW_CAP, "qa18_br", "b"))
+          stats("a18_rand", "sample", NSW_CAP, "qa18_br", "b")) :+ {
+          // t20's global top-K vocab cap — rank form, as the oracle
+          val cap = operators.LlmOps.BPE_VOCAB_CAP
+          s"""SELECT 't20_vocab' AS idx, 'topk' AS policy,
+            CAST($cap AS BIGINT) AS cap,
+            CAST(count(*) AS BIGINT) AS buckets_total,
+            CAST(coalesce(sum(CASE WHEN rk > $cap THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS buckets_over,
+            CAST(coalesce(sum(c), 0) AS BIGINT) AS rows_total,
+            CAST(coalesce(sum(CASE WHEN rk > $cap THEN c ELSE 0 END), 0)
+              AS BIGINT) AS rows_affected
+          FROM (SELECT c, row_number() OVER (
+                  ORDER BY c DESC, word ASC) AS rk
+            FROM (SELECT word, count(*) AS c
+              FROM (SELECT explode(split(lower(text), ' ')) AS word
+                    FROM documents) t
+              WHERE word RLIKE '^[a-z]+${"$"}'
+              GROUP BY word) wf) r"""
+        }
       val layerCtes = (1 to operators.Ann.HNSW_MAXL).map { k =>
         operators.Ann.nswBucketsSparkCtesOver(s"qn$k",
           operators.Ann.hnswMemberSql(k))

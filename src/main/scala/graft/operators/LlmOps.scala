@@ -3787,6 +3787,38 @@ object LlmOps {
         Ann.nswBucketFrames(Ann.a18Standing(e)).map { case (nm, bf) =>
           capStats(s"a18_${nm.stripPrefix("nsw_")}", "sample", bf,
             Seq("b"), Ann.NSW_CAP)
+        } ++
+        // t20's vocab cap is a GLOBAL top-K, not a per-bucket cap:
+        // saturation = words ranked past the cap plus the token mass
+        // they carry (the corpus share the learned merges never see).
+        // Scale shape: TakeOrdered(cap) cutoff broadcast into one
+        // filtered agg — no global sort; the oracle states the same
+        // set as rank > cap under the (freq DESC, word ASC) order.
+        Seq {
+          val wf = docs
+            .select(explode(split(lower(col("text")), " ")).as("word"))
+            .filter(col("word").rlike("^[a-z]+$"))
+            .groupBy(col("word")).agg(count(lit(1)).as("c"))
+          val cut = wf.orderBy(col("c").desc, col("word").asc)
+            .limit(BPE_VOCAB_CAP)
+            .agg(max(struct((-col("c")).as("nc"),
+              col("word").as("w"))).as("cut"))
+          wf.crossJoin(broadcast(cut))
+            .select(col("c"),
+              (struct((-col("c")).as("nc"), col("word").as("w")) >
+                col("cut")).as("over"))
+            .agg(count(lit(1)).as("bt"),
+              sum(when(col("over"), 1L).otherwise(0L)).as("bo"),
+              sum(col("c")).as("rt"),
+              sum(when(col("over"), col("c")).otherwise(0L)).as("ra"))
+            .select(lit("t20_vocab").as("idx"), lit("topk").as("policy"),
+              lit(BPE_VOCAB_CAP.toLong).as("cap"),
+              col("bt").cast("long").as("buckets_total"),
+              coalesce(col("bo"), lit(0L)).cast("long")
+                .as("buckets_over"),
+              coalesce(col("rt"), lit(0L)).cast("long").as("rows_total"),
+              coalesce(col("ra"), lit(0L)).cast("long")
+                .as("rows_affected"))
         }
       rows.reduce(_ unionByName _)
     },
@@ -3841,6 +3873,23 @@ object LlmOps {
             stats(s"a18_${nm.stripPrefix("nsw_")}", "sample",
               Ann.NSW_CAP,
               s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
+        } :+ {
+          val cap = BPE_VOCAB_CAP
+          s"""SELECT 't20_vocab' AS idx, 'topk' AS policy,
+            CAST($cap AS BIGINT) AS cap,
+            CAST(count(*) AS BIGINT) AS buckets_total,
+            CAST(coalesce(sum(CASE WHEN rk > $cap THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS buckets_over,
+            CAST(coalesce(sum(c), 0) AS BIGINT) AS rows_total,
+            CAST(coalesce(sum(CASE WHEN rk > $cap THEN c ELSE 0 END), 0)
+              AS BIGINT) AS rows_affected
+          FROM (SELECT c, row_number() OVER (
+                  ORDER BY c DESC, word ASC) AS rk
+            FROM (SELECT word, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(string_split(lower(text), ' '))
+                      AS word FROM documents) t
+              WHERE regexp_matches(word, '^[a-z]+${"$"}')
+              GROUP BY word) wf) r"""
         }
       branches.mkString(" UNION ALL ")
     })

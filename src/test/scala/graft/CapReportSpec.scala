@@ -75,7 +75,7 @@ class CapReportSpec extends SparkSuite {
       "d5_anchor", "d12b_banded", "nsw_sign_a", "nsw_sign_b", "nsw_rand",
       "a19_l1_sign_a", "a19_l1_sign_b", "a19_l1_rand",
       "a19_l2_sign_a", "a19_l2_sign_b", "a19_l2_rand",
-      "a18_sign_a", "a18_sign_b", "a18_rand"))
+      "a18_sign_a", "a18_sign_b", "a18_rand", "t20_vocab"))
     for (r <- rows) {
       // a19 layer slices may be legitimately empty at tiny fixture
       // sizes (the 1-in-64 draw over 20 vectors); everything else must
@@ -92,7 +92,9 @@ class CapReportSpec extends SparkSuite {
       n.startsWith("a19_") || n.startsWith("a18_")
     assert(byIdx.filter(kv => graphRow(kv._1)).values.toSet ===
       Set("sample"))
-    assert(byIdx.filterNot(kv => graphRow(kv._1)).values.toSet ===
+    assert(byIdx("t20_vocab") === "topk")
+    assert(byIdx.filterNot(kv =>
+      graphRow(kv._1) || kv._1 == "t20_vocab").values.toSet ===
       Set("drop"))
     // layer accounting is EXACT: each layer family's rows_total equals
     // the layer's member count (one bucket row per member per family)
@@ -114,5 +116,36 @@ class CapReportSpec extends SparkSuite {
       assert(r.getLong(5) === standing,
         s"a18_$fam rows_total ${r.getLong(5)} != standing $standing")
     }
+  }
+
+  test("d13 reports t20's vocab saturation on a planted over-cap vocab") {
+    // 300 distinct words (past BPE_VOCAB_CAP = 256) with a frequency
+    // staircase: word w_i appears (i < 100 ? 3 : 1) times, so the
+    // top-256 under (freq DESC, word ASC) is all 100 tripled words
+    // plus the 156 lexicographically-first singles; the 44 remaining
+    // singles are the saturation — hand-computable mass of 44 tokens
+    val cap = operators.LlmOps.BPE_VOCAB_CAP // 256
+    // alpha-only (the pre-tokenizer drops anything else), lexicographic
+    // order == index order
+    val words = (0 until 300).map(i =>
+      s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val text = (words.take(100).flatMap(w => Seq(w, w, w)) ++
+      words.drop(100)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("t20cap").toString
+    Seq((0L, text, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings table must exist for the other report branches
+    Seq((0L, Array.fill(64)(0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = operators.LlmOps.d13CapReport.fn(spark, dir).collect()
+      .find(_.getString(0) == "t20_vocab").get
+    assert(r.getLong(3) === 300L, "buckets_total = distinct words")
+    assert(r.getLong(4) === (300L - cap), "buckets_over = words past cap")
+    assert(r.getLong(5) === 500L, "rows_total = token occurrences")
+    assert(r.getLong(6) === (300L - cap),
+      "rows_affected = occurrences carried by dropped words")
   }
 }
