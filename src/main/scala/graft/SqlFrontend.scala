@@ -1495,7 +1495,9 @@ object SqlFrontend {
         Seq(
           stats("a18_sign_a", "sample", NSW_CAP, "qa18_ba", "b"),
           stats("a18_sign_b", "sample", NSW_CAP, "qa18_bb", "b"),
-          stats("a18_rand", "sample", NSW_CAP, "qa18_br", "b")) :+ {
+          stats("a18_rand", "sample", NSW_CAP, "qa18_br", "b")) :+
+        stats("a22_band", "sample", operators.Ann.A22_CAP,
+          "qa22_bands", "tbl, bkey") :+ {
           // t20's global top-K vocab cap — rank form, as the oracle
           val cap = operators.LlmOps.BPE_VOCAB_CAP
           s"""SELECT 't20_vocab' AS idx, 'topk' AS policy,
@@ -1523,6 +1525,7 @@ object SqlFrontend {
       $d5AnchorsSparkCtes,
       q4_bands AS (${operators.Ann.d4BandsSparkSelects}),
       q12_bands AS (${operators.Ann.d12BandsSparkSelects}),
+      qa22_bands AS (${operators.Ann.d12BandsSparkSelects}),
       ${operators.Ann.nswBucketsSparkCtes},
       $layerCtes,
       ${operators.Ann.nswBucketsSparkCtesOver("qa18",

@@ -2562,11 +2562,154 @@ object Ann {
       FROM sw_hits h JOIN sw_nc n
         ON n.nprobe = h.nprobe AND n.probe_id = h.probe_id"""))
 
+  // ---------------------------------------------------------------------
+  // A22: RANGE (radius) similarity search — "every vector within
+  // cosine >= tau of the probe", the other half of the ANN surface:
+  // top-k answers "the best k no matter how far", range answers "all
+  // the close ones no matter how many" (dedup sweeps, near-duplicate
+  // audits, abuse-cluster expansion all want the radius form). tau
+  // reuses d4's 0.3 near-dup threshold on the same rounded-to-6
+  // similarities, so the boundary set is engine-exact.
+  //
+  // Both strategies run, a20-style, with the shortfall driver-visible
+  // per probe: the EXACT pass (broadcast probes x one corpus scan —
+  // no shuffle, the right shape while |probes| stays small) and the
+  // BANDED pass (d4's capped multi-table LSH buckets generate
+  // candidates, exact cosine rescored — the 100 TB shape where even
+  // one full scan per probe batch is too much). n_exact - n_band is
+  // the recall the banding gives up; at production scale you alert on
+  // it next to d13's saturation rows (same band tables, same caps).
+  // ---------------------------------------------------------------------
+  private[graft] val RANGE_TAU = 0.3
+
+  /** a22 searches d12b's tau-sized band geometry (4 sign bits x 8
+    * tables — radius search at tau ~0.3 needs ~0.6^4 per-table
+    * collision; d4's 8-bit near-dup bands read ~1.6% here) but under
+    * its own cap POLICY: over-cap buckets are SAMPLED to this size,
+    * not dropped. A radius query's bucket population grows linearly
+    * with the corpus (unlike near-dup bands, where a hot bucket means
+    * degenerate data), so d12b's drop-at-1024 would zero recall
+    * exactly when the corpus gets big — the a17 lesson. Sampling
+    * bounds per-probe work at 8 tables x 64 candidates while recall
+    * degrades smoothly, and d13's a22_band row reports the sampled
+    * volume next to d12b_banded's drop accounting of the same table. */
+  private[graft] val A22_CAP = 64
+
+  /** Deterministic per-bucket sample (hash order, the nswSampled
+    * pattern) — the corpus-side neighbor pool a22 searches. */
+  private def a22Sampled(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tbl"), col("bkey"))
+      .orderBy(graft.functions.Portable
+        .h60(col("vec_id").cast("string"), "a22s|").asc,
+        col("vec_id").asc)
+    bands.withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= A22_CAP).drop("srn")
+  }
+
+  val a22RangeSearch = Q(
+    "a22_range_search",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val exact = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        .filter(col("sim") >= RANGE_TAU)
+      val kept = a22Sampled(d12BandsOf(e))
+      val pBands = d12BandsOf(
+        probes.select(col("probe_id").as("vec_id"),
+          col("p_emb").as("emb")))
+        .select(col("vec_id").as("probe_id"), col("tbl"), col("bkey"))
+      val band = kept
+        .join(broadcast(pBands), Seq("tbl", "bkey"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select("probe_id", "vec_id").distinct()
+        .join(e, Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        .filter(col("sim") >= RANGE_TAU)
+      val ex = exact.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("ne"), max(col("sim")).as("max_sim"))
+      val bd = band.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("nb"))
+      probes.select(col("probe_id"))
+        .join(ex, Seq("probe_id"), "left")
+        .join(bd, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("ne"), lit(0L)).as("n_exact"),
+          coalesce(col("nb"), lit(0L)).as("n_band"),
+          (coalesce(col("ne"), lit(0L)) - coalesce(col("nb"), lit(0L)))
+            .as("missed"),
+          col("max_sim"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+            FROM e WHERE vec_id < 8),
+      exf AS (
+        SELECT * FROM (
+          SELECT probe_id, vec_id,
+            round(list_inner_product(emb, p_emb) / (nrm * p_nrm), 6)
+              AS sim
+          FROM e CROSS JOIN p
+          WHERE vec_id <> probe_id) t
+        WHERE sim >= $RANGE_TAU),
+      bands AS ($d12BandsDuckSelects),
+      kept AS (
+        SELECT vec_id, tbl, bkey FROM (
+          SELECT vec_id, tbl, bkey, row_number() OVER (
+            PARTITION BY tbl, bkey
+            ORDER BY ${graft.functions.Portable
+              .h60Duck("CAST(vec_id AS VARCHAR)", "a22s|")} ASC,
+              vec_id ASC) AS srn
+          FROM bands) t
+        WHERE srn <= $A22_CAP),
+      pb AS (SELECT vec_id AS probe_id, tbl, bkey FROM bands
+             WHERE vec_id < 8),
+      cand AS (
+        SELECT DISTINCT k.vec_id, pb.probe_id
+        FROM kept k JOIN pb
+          ON pb.tbl = k.tbl AND pb.bkey = k.bkey
+            AND k.vec_id <> pb.probe_id),
+      bf AS (
+        SELECT * FROM (
+          SELECT c.probe_id, c.vec_id,
+            round(list_inner_product(a.emb, p.p_emb)
+              / (a.nrm * p.p_nrm), 6) AS sim
+          FROM cand c
+          JOIN e a ON a.vec_id = c.vec_id
+          JOIN p ON p.probe_id = c.probe_id) t
+        WHERE sim >= $RANGE_TAU),
+      ex AS (
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS ne,
+          max(sim) AS max_sim
+        FROM exf GROUP BY probe_id),
+      bd AS (
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS nb
+        FROM bf GROUP BY probe_id)
+      SELECT p.probe_id,
+        CAST(coalesce(ex.ne, 0) AS BIGINT) AS n_exact,
+        CAST(coalesce(bd.nb, 0) AS BIGINT) AS n_band,
+        CAST(coalesce(ex.ne, 0) - coalesce(bd.nb, 0) AS BIGINT)
+          AS missed,
+        ex.max_sim
+      FROM p
+      LEFT JOIN ex ON ex.probe_id = p.probe_id
+      LEFT JOIN bd ON bd.probe_id = p.probe_id"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
-      a21NprobeSweep)
+      a21NprobeSweep, a22RangeSearch)
 }

@@ -3788,6 +3788,11 @@ object LlmOps {
           capStats(s"a18_${nm.stripPrefix("nsw_")}", "sample", bf,
             Seq("b"), Ann.NSW_CAP)
         } ++
+        // a22's radius-search bands: sampled, bucket population grows
+        // with the corpus by design — the report row IS the recall
+        // alarm (rows_affected = neighbor pool a query never sees)
+        Seq(capStats("a22_band", "sample", Ann.d12BandsOf(e),
+          Seq("tbl", "bkey"), Ann.A22_CAP)) ++
         // t20's vocab cap is a GLOBAL top-K, not a per-bucket cap:
         // saturation = words ranked past the cap plus the token mass
         // they carry (the corpus share the learned merges never see).
@@ -3873,7 +3878,10 @@ object LlmOps {
             stats(s"a18_${nm.stripPrefix("nsw_")}", "sample",
               Ann.NSW_CAP,
               s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
-        } :+ {
+        } :+
+        stats("a22_band", "sample", Ann.A22_CAP,
+          s"WITH $eCte, bands AS (${Ann.d12BandsDuckSelects}) " +
+            "SELECT count(*) AS c FROM bands GROUP BY tbl, bkey") :+ {
           val cap = BPE_VOCAB_CAP
           s"""SELECT 't20_vocab' AS idx, 'topk' AS policy,
             CAST($cap AS BIGINT) AS cap,

@@ -114,4 +114,65 @@ class BandedLshRecallSpec extends SparkSuite {
           f"$analytic%.3f for the 4-bit x 8-table band set")
     }
   }
+
+  test("a22 range search: exact side equals brute force; sample cap " +
+    "caps a planted pile-up and reports it as missed") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(99)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // probe 0's direction shared by 300 clones (cosine 1 > tau): the
+    // exact side must count all 300; every clone co-buckets with the
+    // probe in EVERY table, so the banded pool is the deterministic
+    // 64-sample and the shortfall lands in `missed` (the a17
+    // degenerate-pile-up shape, now bounded AND visible)
+    val dir = Array.fill(64)(rnd.nextGaussian())
+    val probes = (0 until 8).map { i =>
+      val v = if (i == 0) dir else Array.fill(64)(rnd.nextGaussian())
+      (i.toLong, unit(v))
+    }
+    val clones = (0 until 300).map(i => ((100 + i).toLong, unit(dir)))
+    val noise = (0 until 100).map(i =>
+      ((1000 + i).toLong, unit(Array.fill(64)(rnd.nextGaussian()))))
+    val all = probes ++ clones ++ noise
+    val fixDir = java.nio.file.Files.createTempDirectory("a22fix").toString
+    all.toDF("vec_id", "embedding")
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+      .write.mode("overwrite").parquet(s"$fixDir/embeddings.parquet")
+    val rows = operators.Ann.a22RangeSearch.fn(spark, fixDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent brute force for n_exact (same rounding)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- 0 until 64) {
+        dot += a(j).toDouble * b(j).toDouble
+        na += a(j).toDouble * a(j).toDouble
+        nb += b(j).toDouble * b(j).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = all.toMap
+    for ((pid, pv) <- probes) {
+      val want = all.count { case (id, v) =>
+        id != pid && cos(v, pv) >= operators.Ann.RANGE_TAU }
+      assert(rows(pid)._1 === want.toLong,
+        s"probe $pid n_exact ${rows(pid)._1} != brute force $want")
+      val (ne, nb, missed) = rows(pid)
+      assert(missed === ne - nb, s"probe $pid missed arithmetic")
+      assert(nb <= ne, s"probe $pid banded found more than exact")
+    }
+    // the pile-up probe: exact sees all 300 clones, the banded pool is
+    // capped at A22_CAP so the sample cap must have bitten — and the
+    // report says so instead of silently returning a full-looking set
+    val (ne0, nb0, missed0) = rows(0L)
+    assert(ne0 >= 300L, s"probe 0 exact side $ne0 missed the clones")
+    assert(nb0 <= operators.Ann.A22_CAP,
+      s"probe 0 banded pool $nb0 exceeded the per-bucket sample cap")
+    assert(missed0 > 0L, "the capped shortfall must be visible")
+    assert(byId.contains(0L)) // fixture sanity
+  }
 }

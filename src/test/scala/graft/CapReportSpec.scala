@@ -75,7 +75,7 @@ class CapReportSpec extends SparkSuite {
       "d5_anchor", "d12b_banded", "nsw_sign_a", "nsw_sign_b", "nsw_rand",
       "a19_l1_sign_a", "a19_l1_sign_b", "a19_l1_rand",
       "a19_l2_sign_a", "a19_l2_sign_b", "a19_l2_rand",
-      "a18_sign_a", "a18_sign_b", "a18_rand", "t20_vocab"))
+      "a18_sign_a", "a18_sign_b", "a18_rand", "a22_band", "t20_vocab"))
     for (r <- rows) {
       // a19 layer slices may be legitimately empty at tiny fixture
       // sizes (the 1-in-64 draw over 20 vectors); everything else must
@@ -89,7 +89,8 @@ class CapReportSpec extends SparkSuite {
     // graph frames are sample policy, dedup frames drop policy
     val byIdx = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     def graphRow(n: String) = n.startsWith("nsw") ||
-      n.startsWith("a19_") || n.startsWith("a18_")
+      n.startsWith("a19_") || n.startsWith("a18_") ||
+      n == "a22_band" // sampled for the same reason: pool grows with corpus
     assert(byIdx.filter(kv => graphRow(kv._1)).values.toSet ===
       Set("sample"))
     assert(byIdx("t20_vocab") === "topk")
