@@ -825,6 +825,100 @@ object Multimodal {
         CAST(n_clipped AS BIGINT) AS n_clipped
       FROM e"""))
 
+  // ---------------------------------------------------------------------
+  // M6: scene-change detection — the video-curation stage between m3's
+  // frame sampling and a vision encoder: a training pipeline clips
+  // videos at scene boundaries (one caption per shot, near-static
+  // shots deduped), so "where are the cuts" is a first-class corpus
+  // op. Decode the BMFF container FOR REAL (m2's box walk → mdat +
+  // the mvhd frame count), split the media bytes into the container's
+  // frames, hash each frame with m4's 16-bit dHash, and call a cut
+  // wherever consecutive frames' hashes differ in >= CUT_TAU of 16
+  // bits — the classic histogram/fingerprint-difference detector with
+  // the codebase's portable signature standing in for a pixel
+  // histogram (a real one slots into the same per-frame hook).
+  //
+  // Shape at scale: decode + per-frame hashing are per-partition map
+  // work, zero shuffle; the ONLY exchange is the doc_id hash for the
+  // lag() window, and the final per-video aggregation reuses that
+  // partitioning (AQE: no second exchange). All arithmetic is integer
+  // (byte compares, xor, popcount), so the oracle replays frame
+  // slicing, hashing, and cut detection over hex(encode(text))
+  // exactly — a full rows+schema+hash check.
+  // ---------------------------------------------------------------------
+  private[graft] val CUT_TAU = 8
+
+  val m6SceneCut = Q(
+    "m6_scene_cut",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.flatMap { r0 =>
+            if (r0.mime != "video/mp4") Iterator.empty
+            else {
+              val v = decodeMp4(containerize(r0).payload)
+              val n = v.mdat.length
+              if (v.nFrames <= 0) Iterator.empty
+              else (0 until v.nFrames).iterator.map { i =>
+                val a = (i.toLong * n / v.nFrames).toInt
+                val b = ((i + 1).toLong * n / v.nFrames).toInt
+                (r0.doc_id, v.nFrames.toLong, i.toLong,
+                  phashOf(java.util.Arrays.copyOfRange(v.mdat, a, b)))
+              }
+            }
+          }
+        }.toDF("doc_id", "n_frames", "frame_idx", "fhash")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("prev", lag(col("fhash"), 1).over(w))
+        .withColumn("ham", expr("bit_count(fhash ^ prev)"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+          sum(when(col("ham") >= CUT_TAU, 1L).otherwise(0L)).as("n_cuts"),
+          max(col("ham")).cast("long").as("max_hamming"),
+          min(when(col("ham") >= CUT_TAU, col("frame_idx")))
+            .as("first_cut"))
+    },
+    Some(s"""WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+          octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 2 AND octet_length(encode(text)) // 16 > 0),
+      fr AS (
+        SELECT doc_id, n // 16 AS nf, unnest(range(n // 16)) AS fi, h, n
+        FROM m),
+      g AS (
+        SELECT doc_id, nf, fi,
+          list_transform(range($PHASH_SAMPLES), j ->
+            CAST('0x' || substr(h,
+              CAST(1 + 2 * ((fi * n) // nf
+                + (j * (((fi + 1) * n) // nf - (fi * n) // nf))
+                  // $PHASH_SAMPLES) AS INT), 2) AS INT)) AS s
+        FROM fr),
+      ph AS (
+        SELECT doc_id, nf, fi,
+          CAST(list_sum(list_transform(range(${PHASH_SAMPLES - 1}), i ->
+            CASE WHEN s[i + 2] > s[i + 1]
+              THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+            AS fh
+        FROM g),
+      hm AS (
+        SELECT doc_id, nf, fi, fh,
+          lag(fh) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        FROM ph)
+      SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        CAST(sum(CASE WHEN bit_count(xor(fh, prev)) >= $CUT_TAU
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        CAST(max(CASE WHEN prev IS NOT NULL
+          THEN bit_count(xor(fh, prev)) END) AS BIGINT) AS max_hamming,
+        CAST(min(CASE WHEN bit_count(xor(fh, prev)) >= $CUT_TAU
+          THEN fi END) AS BIGINT) AS first_cut
+      FROM hm GROUP BY doc_id"""))
+
   val m4MediaPhash = Q(
     "m4_media_phash",
     (s, d) => {
@@ -1189,5 +1283,5 @@ object Multimodal {
   /** All multimodal queries, registration order. */
   def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
     m2bDecodeQuarantine, m3FrameSample, m4MediaPhash, m5AudioEnergy,
-    e5MediaPipeline, e6PairCuration)
+    m6SceneCut, e5MediaPipeline, e6PairCuration)
 }

@@ -343,6 +343,64 @@ class MultimodalSpec extends SparkSuite {
       "matches the operator's on in-range bytes")
   }
 
+  test("M6: cut detection is the exact frame-slice dHash arithmetic; " +
+      "static video reports zero cuts; planted transition is found at " +
+      "its frame index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // video docs are doc_id % 3 == 2. doc 2: 3 frames — two identical
+    // flat frames then an alternating frame (one cut, at frame 2);
+    // doc 5: all-flat 4 frames (zero cuts); doc 8: ramp bytes per
+    // frame with different phases; doc 1 is audio (excluded)
+    val docs = Seq(
+      (2L, "a" * 32 + "ab" * 8),
+      (5L, "z" * 64),
+      (8L, (0 until 48).map(i => ('a' + (i * (i / 16 + 1)) % 26).toChar)
+        .mkString),
+      (1L, "b" * 64)
+    ).map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("m6fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.m6SceneCut.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out.keySet === Set(2L, 5L, 8L), "only the video slice reports")
+    // independent recompute: frame split + 16-bit dHash + hamming
+    def dHash(b: Array[Byte]): Long = {
+      val n = b.length
+      val s = (0 until 17).map(j => b((j.toLong * n / 17).toInt) & 0xff)
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (if (s(i + 1) > s(i)) 1L << i else 0L))
+    }
+    def expect(text: String): (Long, Long, Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val nf = bytes.length / 16
+      val hashes = (0 until nf).map { i =>
+        val a = (i.toLong * bytes.length / nf).toInt
+        val b = ((i + 1).toLong * bytes.length / nf).toInt
+        dHash(java.util.Arrays.copyOfRange(bytes, a, b))
+      }
+      val hams = hashes.zip(hashes.tail).map { case (p, c) =>
+        java.lang.Long.bitCount(p ^ c).toLong }
+      val cuts = hams.zipWithIndex.filter(_._1 >= Multimodal.CUT_TAU)
+      (nf.toLong, cuts.size.toLong,
+        if (hams.isEmpty) -1L else hams.max,
+        cuts.headOption.map(_._2 + 1L).getOrElse(-1L))
+    }
+    assert(out(2L) === expect("a" * 32 + "ab" * 8), "planted-cut video")
+    assert(out(2L)._2 === 1L, "exactly one cut")
+    assert(out(2L)._4 === 2L, "the cut is at the alternating frame")
+    assert(out(5L) === expect("z" * 64), "static video")
+    assert(out(5L)._2 === 0L, "static video has zero cuts")
+    assert(out(5L)._3 === 0L, "static video max hamming is 0")
+    assert(out(8L) === expect(
+      (0 until 48).map(i => ('a' + (i * (i / 16 + 1)) % 26).toChar)
+        .mkString), "ramp video matches the recompute bit for bit")
+  }
+
   test("E5: the media pipeline accounts for every document exactly once " +
       "and quarantines exactly the planted set") {
     import org.apache.spark.sql.functions._
