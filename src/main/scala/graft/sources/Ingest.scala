@@ -280,6 +280,68 @@ object Ingest {
       FROM orders WHERE o_orderstatus = 'O'"""))
 
   // ---------------------------------------------------------------------
+  // S12: CSV file source with a DECLARED schema and a dead-letter
+  // quarantine — the fourth source family (parquet S1, REST DSv2
+  // S2-S4, JSONL S9): partner/export feeds still land as CSV, and the
+  // two production rules are (a) schema DECLARED, never inferred (an
+  // inference pass is a full extra read of 100 TB), and (b) a
+  // malformed row becomes a QUARANTINE row via PERMISSIVE mode's
+  // _corrupt_record, never a task-killing exception — the m2 decode
+  // discipline applied to a text format. The fixture plants a
+  // deterministic corruption (every o_orderkey % 13 == 0 row carries
+  // a non-numeric price), so the oracle restates both the surviving
+  // aggregate and the quarantine count from the parquet truth.
+  //
+  // Revenue accumulates in DECIMAL(18,2) and casts to double at the
+  // edge (the q1 rule): the CSV round-trips prices as their exact
+  // 2-dp rendering, so both engines aggregate the identical decimals.
+  // ---------------------------------------------------------------------
+  private[graft] def s12CsvFixture(s: SparkSession, d: String): String =
+    memoFixture("s12_csv", d) { out =>
+      orders(s, d).select(concat_ws(",",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 13 === 0, lit("NA"))
+          .otherwise(col("o_totalprice").cast("decimal(18,2)")
+            .cast("string"))).as("value"))
+        .write.mode("overwrite").text(out)
+    }
+
+  val s12CsvSource = Q(
+    "s12_csv_source",
+    (s, d) => {
+      val parsed = s.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, " +
+            "o_orderstatus STRING, o_totalprice DOUBLE, " +
+            "_corrupt_record STRING"))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(s12CsvFixture(s, d))
+      // ONE pass routes rows to their status or the quarantine group
+      // (Spark refuses a plan whose only referenced source column is
+      // _corrupt_record, and a second pass would re-read the files
+      // anyway); corrupt rows keep their parseable fields, but route
+      // on corruptness, not the possibly-half-parsed status
+      parsed
+        .groupBy(when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNull,
+            col("o_totalprice").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+    },
+    Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue
+      FROM orders WHERE o_orderkey % 13 <> 0
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT '__corrupt__' AS o_orderstatus,
+        CAST(count(*) AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE)
+          AS revenue
+      FROM orders WHERE o_orderkey % 13 = 0"""))
+
+  // ---------------------------------------------------------------------
   // P9 full fidelity: wide normalization with nested structs + defaults —
   // the 47-field SummaryActivity shape (utils.py:146-233) restated: direct
   // picks, deterministic synthesized gaps, coalesce() defaults (False /
@@ -1398,5 +1460,5 @@ object Ingest {
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
     s2RestSource, s2bHeart1sec, s2cThirtyDay, f6MissingDates,
     f8ResourceValidation, s2dRetry429, s2eTokenRefresh, s9JsonlSource,
-    s10SnapshotDiff, s11GenerationUnion)
+    s10SnapshotDiff, s11GenerationUnion, s12CsvSource)
 }
