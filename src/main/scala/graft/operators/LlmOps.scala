@@ -1715,6 +1715,89 @@ object LlmOps {
   // corpus/N_SHARDS (seeded-hash balance, reported by c8b-style stats
   // downstream consumers watch).
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // C9: epoch budgeting under data constraint (Muennighoff et al. 2023,
+  // "Scaling Data-Constrained Language Models") — the mixing PLANNER
+  // that sits between curation (c1-c7) and the shard writer (c8): given
+  // a training-token budget, target a UNIFORM per-source mix (the
+  // balance-the-mix choice vs natural sampling) but never repeat a
+  // source past [[C9_MAX_EPOCHS]] epochs (the paper's ~4-epoch
+  // usefulness cliff). Allocation is integer water-filling, unrolled
+  // [[C9_ROUNDS]] rounds: each round gives every un-capped source an
+  // equal share of the remaining budget, clamps at its cap, and the
+  // freed remainder re-spreads next round. The residual after the last
+  // round is REPORTED per row (`unalloc` — the no-silent-dials rule:
+  // "how much budget the caps strand" is the number that tells you to
+  // raise the cap or buy more data).
+  //
+  // Shape at scale: the ONLY corpus-sized stage is the per-source token
+  // count (one hash-agg at scan speed); the fill iterates on the
+  // #sources-row table under an unpartitioned window (sources number
+  // in the dozens, not the billions). All arithmetic is BIGINT —
+  // equal-share is integer division, so both engines strand identical
+  // dust.
+  // ---------------------------------------------------------------------
+  private[graft] val C9_MAX_EPOCHS = 4L
+  private[graft] val C9_BUDGET_EPOCHS = 4L // budget = 4x the corpus
+  private[graft] val C9_ROUNDS = 3
+
+  val c9EpochBudget = Q(
+    "c9_epoch_budget",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val toks = documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tk"))
+        .groupBy(col("source")).agg(sum(col("tk")).as("n_tokens"))
+      var r = toks.select(col("source"), col("n_tokens"),
+        (col("n_tokens") * C9_MAX_EPOCHS).as("cap"),
+        lit(0L).as("a"),
+        (sum(col("n_tokens")).over(w) * C9_BUDGET_EPOCHS).as("b"))
+      for (_ <- 1 to C9_ROUNDS) {
+        r = r
+          .withColumn("rem", col("b") - sum(col("a")).over(w))
+          .withColumn("kun",
+            sum(when(col("a") < col("cap"), 1L).otherwise(0L)).over(w))
+          .withColumn("a", when(col("a") < col("cap"),
+            least(col("cap"), col("a") + expr("rem div kun")))
+            .otherwise(col("a")))
+          .drop("rem", "kun")
+      }
+      r.select(col("source"), col("n_tokens"),
+        col("cap").as("cap_tokens"), col("a").as("alloc_tokens"),
+        expr("a * 1000 div n_tokens").as("epochs_milli"),
+        (col("a") === col("cap")).as("capped"),
+        (col("b") - sum(col("a")).over(w)).as("unalloc"))
+    },
+    Some {
+      val rounds = (1 to C9_ROUNDS).map { i =>
+        s"""r$i AS (
+          SELECT source, n_tokens, cap,
+            CAST(CASE WHEN a < cap THEN least(cap,
+                a + (b - sum(a) OVER ())
+                  // sum(CASE WHEN a < cap THEN 1 ELSE 0 END) OVER ())
+              ELSE a END AS BIGINT) AS a, b
+          FROM r${i - 1})"""
+      }.mkString(",\n      ")
+      s"""WITH tk AS (
+        SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      r0 AS (
+        SELECT source, n_tokens,
+          CAST($C9_MAX_EPOCHS * n_tokens AS BIGINT) AS cap,
+          CAST(0 AS BIGINT) AS a,
+          CAST($C9_BUDGET_EPOCHS * sum(n_tokens) OVER () AS BIGINT) AS b
+        FROM tk),
+      $rounds
+      SELECT source, n_tokens, cap AS cap_tokens, a AS alloc_tokens,
+        CAST(a * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+        a = cap AS capped,
+        CAST(b - sum(a) OVER () AS BIGINT) AS unalloc
+      FROM r$C9_ROUNDS"""
+    })
+
   private val N_SHARDS = 16
   val c8ShardShuffle = Q(
     "c8_shard_shuffle",
@@ -3916,5 +3999,6 @@ object LlmOps {
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
-    c7CcnetBuckets, c8ShardShuffle, e4LlmPipeline, d13CapReport)
+    c7CcnetBuckets, c8ShardShuffle, c9EpochBudget, e4LlmPipeline,
+    d13CapReport)
 }

@@ -485,6 +485,54 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("C9: epoch budgeting equals the independent water-filling " +
+    "recompute on planted skew, and the books balance") {
+    // sources sized 10 / 100 / 1000 tokens: the uniform share (B/3 =
+    // 1480) caps tiny and mid in round 1, the freed budget flows to
+    // big in round 2, and with budget epochs == max epochs the whole
+    // corpus allocates exactly (unalloc == 0 proves redistribution)
+    def doc(id: Long, src: String, nTok: Int) =
+      (id, Seq.fill(nTok)("w").mkString(" "), "en", src)
+    val docs = (
+      (0 until 2).map(i => doc(i.toLong, "tiny", 5)) ++
+        (10 until 20).map(i => doc(i.toLong, "mid", 10)) ++
+        (100 until 120).map(i => doc(i.toLong, "big", 50))
+      ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("c9fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.LlmOps.c9EpochBudget.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6))))
+      .toMap
+    // independent recompute of the unrolled fill
+    val n = Map("tiny" -> 10L, "mid" -> 100L, "big" -> 1000L)
+    val cap = n.view.mapValues(_ * operators.LlmOps.C9_MAX_EPOCHS).toMap
+    val b = n.values.sum * operators.LlmOps.C9_BUDGET_EPOCHS
+    var a = n.keys.map(_ -> 0L).toMap
+    for (_ <- 1 to operators.LlmOps.C9_ROUNDS) {
+      val rem = b - a.values.sum
+      val kun = a.count { case (s, v) => v < cap(s) }
+      if (kun > 0)
+        a = a.map { case (s, v) =>
+          s -> (if (v < cap(s)) math.min(cap(s), v + rem / kun) else v) }
+    }
+    for (s <- n.keys) {
+      assert(out(s) === ((n(s), cap(s), a(s), a(s) * 1000 / n(s),
+        a(s) == cap(s), b - a.values.sum)),
+        s"source $s row must match the recompute")
+    }
+    // books: every token of budget is either allocated or reported
+    assert(out.values.map(_._3).sum + out.values.head._6 === b)
+    assert(out("tiny")._5 && out("mid")._5, "small sources cap")
+    assert(out("big")._3 === cap("big"),
+      "freed budget reached the big source across rounds")
+    assert(out.values.head._6 === 0L,
+      "budget epochs == cap epochs: full allocation, zero stranded")
+    // nobody exceeds the repeat ceiling
+    out.values.foreach(v => assert(v._4 <= 4000L))
+  }
+
   test("E4: the composed pipeline agrees with its component queries " +
     "doc for doc, and the manifest adds up") {
     val routed = operators.LlmOps.e4Routed(spark, sf).collect()
