@@ -595,6 +595,98 @@ object SqlFrontend {
     },
     operators.Graph.g3LabelProp.oracle)
 
+  // k-core from SQL — g4's strictly-linear peeling (the redundant-
+  // membership lemma in Graph.scala makes each round reference only
+  // the previous alive frame once; only the final report doubles the
+  // chain, a constant). Dialect delta from the shared oracle: LATERAL
+  // VIEW explode vs unnest.
+  val sqlG4Kcore: Queries.Q = sqlQ(
+    "sql_g4_kcore", {
+      import operators.Graph.{KCORE_ITERS, KCORE_K}
+      val rounds = (1 to KCORE_ITERS).map { i =>
+        s"""d$i AS (
+          SELECT b.node, CAST(count(*) AS BIGINT) AS deg
+          FROM unbrs b
+          JOIN a${i - 1} x ON x.doc_id = b.nbr
+          GROUP BY b.node),
+        a$i AS (SELECT node AS doc_id FROM d$i WHERE deg >= $KCORE_K)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes LATERAL VIEW explode(array(0L, 1L, 2L)) t AS k
+        WHERE k < outdeg),
+      ${operators.Graph.undNbrsCtesSpark},
+      a0 AS (SELECT doc_id FROM nodes),
+      $rounds
+      SELECT d.node AS doc_id, d.deg AS core_deg
+      FROM (SELECT b.node, CAST(count(*) AS BIGINT) AS deg
+            FROM unbrs b
+            JOIN a$KCORE_ITERS x ON x.doc_id = b.nbr
+            GROUP BY b.node) d
+      WHERE EXISTS (SELECT 1 FROM a$KCORE_ITERS y
+                    WHERE y.doc_id = d.node)"""
+    },
+    operators.Graph.g4Kcore.oracle)
+
+  // Triangle counting from SQL — g5's degree-oriented wedge closure,
+  // one-shot (no iteration, so no inlining hazard; oriented is the
+  // only multiply-referenced non-leaf CTE and the plan reuses its
+  // exchange). Dialect delta: LATERAL VIEW explode vs unnest.
+  val sqlG5Triangles: Queries.Q = sqlQ(
+    "sql_g5_triangles",
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes LATERAL VIEW explode(array(0L, 1L, 2L)) t AS k
+        WHERE k < outdeg),
+      ${operators.Graph.denseUndCte(
+        graft.functions.Portable.h60Sql("doc_id", "g4f"),
+        " LATERAL VIEW explode(array(1L, 2L, 3L)) t AS j",
+        " LATERAL VIEW explode(array(0L, 1L, 2L)) t AS j")},
+      deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) z
+        GROUP BY x),
+      oriented AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                 THEN u ELSE v END AS a,
+               CASE WHEN du < dv OR (du = dv AND u < v)
+                 THEN v ELSE u END AS b,
+               CASE WHEN du < dv OR (du = dv AND u < v)
+                 THEN dv ELSE du END AS db
+        FROM (SELECT e.u, e.v, x.deg AS du, y.deg AS dv
+              FROM und e JOIN deg x ON x.x = e.u
+              JOIN deg y ON y.x = e.v) z),
+      wedges AS (
+        SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2
+        FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a
+        WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+      tris AS (
+        SELECT w.w0, w.w1, w.w2 FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.a = w.w1 AND o.b = w.w2)),
+      tri_cnt AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS tri_cnt
+        FROM (SELECT w0 AS x FROM tris UNION ALL
+              SELECT w1 AS x FROM tris UNION ALL
+              SELECT w2 AS x FROM tris) z
+        GROUP BY x)
+      SELECT d.x AS doc_id, d.deg,
+        CAST(coalesce(t.tri_cnt, 0) AS BIGINT) AS tri_cnt
+      FROM deg d LEFT JOIN tri_cnt t ON t.x = d.x""",
+    operators.Graph.g5Triangles.oracle)
+
   /** Unrolled min-propagation rounds in [[nearDupLabelCtes]]; labels
     * land in `l<LABEL_ROUNDS>`. */
   private val LABEL_ROUNDS = 4
@@ -1542,5 +1634,5 @@ object SqlFrontend {
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
       sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank, sqlG2Hits,
-      sqlG3LabelProp)
+      sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles)
 }

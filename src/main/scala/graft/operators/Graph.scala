@@ -418,5 +418,300 @@ object Graph {
             FROM l$LPA_ITERS GROUP BY lbl) s ON s.lbl = l.lbl"""
     })
 
-  def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits, g3LabelProp)
+  /** The DENSE undirected substrate of g4 (k-core) and g5 (triangles):
+    * the g1/g2/g3 sparse cross-links PLUS, per 8-node block, a 4-clique
+    * on residues 0–3 and hash-randomized fringe attachments from
+    * residues 4–7 to the first h60(id)%4 clique members. Web graphs
+    * have exactly this texture — locally clustered cores (the cliques
+    * carry triangles at every scale) with a loosely attached fringe
+    * (whose hash-varied degree makes peeling genuinely bite) — whereas
+    * the sparse multiplier ring alone is triangle-free and min-degree-
+    * uniform at round N (both ops were oracle-green but DEGENERATE on
+    * it at sf0.01: zero triangles, zero peeled — the r13 lesson, caught
+    * by the spec's non-vacuity guards before commit). The fringe count
+    * hashes with [[graft.functions.Portable.h60]] so DuckDB replays the
+    * graph bit-for-bit, and modular wraps keep partial tail blocks
+    * valid at any N.
+    *
+    * Simulated at N = 500 / 5k / 15k / 50k / 150k: triangles ≈ N,
+    * peeling removes ~8% and reaches its fixpoint in ≤ 3 rounds at
+    * every scale (clique walls stop cascades — a chain-structured
+    * densifier instead unzips linearly and never converges; tried and
+    * discarded). Distinct simple edges (u < v): one hash-agg shuffle,
+    * paid once per query. */
+  private def denseUndOf(nodes: DataFrame): DataFrame = {
+    val sparse = edgesOf(nodes)
+      .select(col("src").as("x"), col("dst").as("y"))
+    val blocked = nodes.select(col("doc_id"), col("n"),
+      (col("doc_id") - col("doc_id") % 8).as("b"),
+      (col("doc_id") % 8).as("r"))
+    val clique = blocked
+      .select(col("doc_id"), col("n"), col("b"), col("r"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+      .filter(col("r") < 4 && col("j") > col("r"))
+      .select(col("doc_id").as("x"), ((col("b") + col("j")) % col("n")).as("y"))
+    val fringe = blocked
+      .filter(col("r") >= 4)
+      .select(col("doc_id"), col("n"), col("b"),
+        (graft.functions.Portable.h60(col("doc_id"), "g4f") % 4).as("c"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+      .filter(col("j") < col("c"))
+      .select(col("doc_id").as("x"), ((col("b") + col("j")) % col("n")).as("y"))
+    sparse.unionByName(clique).unionByName(fringe)
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+  }
+
+  /** [[denseUndOf]] as SQL text over the `nodes` CTE. `unnestJ` is the
+    * dialect seam: DuckDB `, unnest([..]) AS t(j)` vs Spark
+    * `LATERAL VIEW explode(array(..)) t AS j`. */
+  private[graft] def denseUndCte(h60: String, unnest123: String,
+      unnest012: String): String =
+    s"""und AS (
+        SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM (
+          SELECT src AS x, dst AS y FROM edges
+          UNION ALL
+          SELECT doc_id AS x, ((doc_id - doc_id % 8) + j) % n AS y
+          FROM nodes $unnest123
+          WHERE doc_id % 8 < 4 AND j > doc_id % 8
+          UNION ALL
+          SELECT doc_id AS x, ((doc_id - doc_id % 8) + j) % n AS y
+          FROM nodes $unnest012
+          WHERE doc_id % 8 >= 4 AND j < $h60 % 4
+        ) z WHERE x <> y)"""
+
+  /** DuckDB form of [[denseUndCte]] + the both-directions neighbor
+    * view, shared by g4's oracle (and reused by its SQL twin via the
+    * Spark-dialect variant). */
+  private[graft] def undNbrsCtesDuck: String =
+    denseUndCte(graft.functions.Portable.h60Duck("doc_id", "g4f"),
+      ", unnest([1, 2, 3]) AS t(j)", ", unnest([0, 1, 2]) AS t(j)") +
+      """,
+      unbrs AS (
+        SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und)"""
+
+  /** Spark-SQL form, for the sql twins. */
+  private[graft] def undNbrsCtesSpark: String =
+    denseUndCte(graft.functions.Portable.h60Sql("doc_id", "g4f"),
+      " LATERAL VIEW explode(array(1L, 2L, 3L)) t AS j",
+      " LATERAL VIEW explode(array(0L, 1L, 2L)) t AS j") +
+      """,
+      unbrs AS (
+        SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und)"""
+
+  /** Peeling rounds for the k-core. 6 rounds reach the fixpoint on the
+    * quasi-ring fixture (GraphSpec asserts round 6 removes nothing); a
+    * graph needing more rounds shows up as a non-converged spec, not a
+    * silently-wrong answer. */
+  private[graft] val KCORE_ITERS = 6
+
+  /** The core order: nodes must keep ≥ K still-alive neighbors. K = 3
+    * on the dense substrate: the per-block 4-cliques guarantee an
+    * unpeelable 3-core backbone at every scale, while ~8% of the
+    * hash-fringe (attachment count 0–1 plus sparse luck) falls below 3
+    * and peels — both sides of the decomposition non-empty at any N
+    * (simulated 500 → 150k). K = 2 is vacuous here (min degree ≥ 2 by
+    * construction at block-aligned N). */
+  private[graft] val KCORE_K = 3L
+
+  // ---------------------------------------------------------------------
+  // G4: k-core decomposition by synchronous peeling (Seidman 1983) over
+  // the UNDIRECTED view of the g1/g2/g3 link graph — the density prior
+  // of crawl curation: the k-core is the maximal subgraph where every
+  // node keeps ≥ k neighbors, so core membership separates densely
+  // interlinked hubs/spam-farms from the long tail of leaf pages, and
+  // peeling depth is the standard "how embedded is this host" feature.
+  //
+  // Semantics: KCORE_ITERS synchronized rounds of "drop every node
+  // whose degree among survivors is < K", then report survivors with
+  // their in-core degree. Peeling is monotone (alive sets only
+  // shrink), so a round that removes nothing IS the fixpoint —
+  // GraphSpec asserts exactly that on the fixture, and the all-integer
+  // quantities (degrees are counts) make Spark and DuckDB agree
+  // bit-for-bit with no scaling tricks.
+  //
+  // The recurrence is STRICTLY LINEAR by a small lemma: the textbook
+  // round is a_i = {u ∈ a_{i-1} : |N(u) ∩ a_{i-1}| ≥ K}, which reads
+  // a_{i-1} twice (membership + neighbor count) — the 2^rounds CTE-
+  // inlining trap in SQL form (the sql_g2 lesson). But the membership
+  // conjunct is REDUNDANT: a node peeled at round j had < K alive
+  // neighbors then, alive sets only shrink, so its count at any later
+  // round is ≤ that and it can never re-pass the ≥ K test. Hence
+  // a_i = {u : |N(u) ∩ a_{i-1}| ≥ K} — one reference per round — and
+  // a_i ⊆ a_{i-1} follows by induction. Only the FINAL report (core
+  // members + their in-core degree) reads the last frame twice: one
+  // doubling at the tail, not 2^rounds along the chain.
+  //
+  // Shape at scale: the undirected neighbor list builds once (cached,
+  // eagerly counted — the a17 lazy-persist race); each round is one
+  // nbr-keyed join + one node-keyed count hash-agg (edge-sized
+  // shuffles, same as g3's vote round) and the alive frame is
+  // localCheckpoint-truncated per round (it still feeds two stages —
+  // the join and the next checkpoint — under parallel AQE).
+  // ---------------------------------------------------------------------
+  val g4Kcore = Q(
+    "g4_kcore",
+    (s, d) => {
+      val nodes = nodesOf(s, d)
+      val nbrs = denseUndOf(nodes)
+        .select(explode(array(
+          struct(col("u").as("node"), col("v").as("nbr")),
+          struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+        .select(col("e.node"), col("e.nbr"))
+        .persist()
+      nbrs.count() // eager: the peeling rounds must not race the cache
+      def aliveNbrCnt(alive: DataFrame): DataFrame =
+        nbrs
+          .join(alive.select(col("doc_id").as("nbr")), "nbr")
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      var alive = nodes.select(col("doc_id")).localCheckpoint()
+      for (_ <- 1 to KCORE_ITERS) {
+        alive = aliveNbrCnt(alive)
+          .filter(col("deg") >= KCORE_K)
+          .select(col("node").as("doc_id"))
+          .localCheckpoint()
+      }
+      val out = aliveNbrCnt(alive)
+        .join(alive.select(col("doc_id").as("node")), Seq("node"),
+          "left_semi")
+        .select(col("node").as("doc_id"), col("deg").as("core_deg"))
+      nbrs.unpersist()
+      out
+    },
+    Some {
+      val rounds = (1 to KCORE_ITERS).map { i =>
+        s"""d$i AS (
+          SELECT b.node, CAST(count(*) AS BIGINT) AS deg
+          FROM unbrs b
+          JOIN a${i - 1} x ON x.doc_id = b.nbr
+          GROUP BY b.node),
+        a$i AS (SELECT node AS doc_id FROM d$i WHERE deg >= $KCORE_K)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes, unnest([0, 1, 2]) AS t(k)
+        WHERE k < outdeg),
+      $undNbrsCtesDuck,
+      a0 AS (SELECT doc_id FROM nodes),
+      $rounds
+      SELECT d.node AS doc_id, d.deg AS core_deg
+      FROM (SELECT b.node, CAST(count(*) AS BIGINT) AS deg
+            FROM unbrs b
+            JOIN a$KCORE_ITERS x ON x.doc_id = b.nbr
+            GROUP BY b.node) d
+      WHERE EXISTS (SELECT 1 FROM a$KCORE_ITERS y
+                    WHERE y.doc_id = d.node)"""
+    })
+
+  // ---------------------------------------------------------------------
+  // G5: triangle counting over the same undirected view — the local-
+  // clustering prior (a page whose neighborhood closes into triangles
+  // sits in genuine community structure; link farms show high degree
+  // with near-zero closure), and the canonical "join-explosion" graph
+  // workload whose scale story is the ORIENTATION, not the join: each
+  // undirected edge is directed from its (degree, id)-smaller endpoint
+  // to the larger, so every wedge is generated at its lowest-ordered
+  // apex and the wedge count is Σ d⁺(a)² with d⁺ bounded by O(√m) on
+  // any graph (arboricity bound, Chiba–Nishizeki) — the skew-proof
+  // shape, vs Σ d(a)² unoriented which explodes on hub nodes at 100 TB.
+  // Each triangle is emitted exactly once (its two higher-ordered
+  // corners close the wedge), counts are integers, and the (deg, id)
+  // order is total, so both engines agree bit-for-bit.
+  //
+  // Shape: degree hash-agg → two node-keyed joins to attach endpoint
+  // degrees → wedge self-join on the apex → closure semi-join against
+  // the oriented edge list → explode corners → per-node count. Five
+  // keyed shuffles, no iteration, no caching needed.
+  // ---------------------------------------------------------------------
+  val g5Triangles = Q(
+    "g5_triangle_count",
+    (s, d) => {
+      val nodes = nodesOf(s, d)
+      val und = denseUndOf(nodes)
+      val deg = und
+        .select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val before = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = und
+        .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(before, col("u")).otherwise(col("v")).as("a"),
+          when(before, col("v")).otherwise(col("u")).as("b"),
+          when(before, col("dv")).otherwise(col("du")).as("db"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.a") === col("e2.a") &&
+          (col("e1.db") < col("e2.db") ||
+            (col("e1.db") === col("e2.db") &&
+              col("e1.b") < col("e2.b"))))
+        .select(col("e1.a").as("w0"), col("e1.b").as("w1"),
+          col("e2.b").as("w2"))
+      val tris = wedges
+        .join(oriented.select(col("a").as("w1"), col("b").as("w2")),
+          Seq("w1", "w2"), "left_semi")
+      val triCnt = tris
+        .select(explode(array(col("w0"), col("w1"), col("w2"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("tri_cnt"))
+      deg
+        .join(triCnt, Seq("x"), "left")
+        .select(col("x").as("doc_id"), col("deg"),
+          coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+    },
+    Some(s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
+        FROM documents CROSS JOIN nn),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes, unnest([0, 1, 2]) AS t(k)
+        WHERE k < outdeg),
+      ${denseUndCte(graft.functions.Portable.h60Duck("doc_id", "g4f"),
+        ", unnest([1, 2, 3]) AS t(j)", ", unnest([0, 1, 2]) AS t(j)")},
+      deg AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) z
+        GROUP BY x),
+      oriented AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                 THEN u ELSE v END AS a,
+               CASE WHEN du < dv OR (du = dv AND u < v)
+                 THEN v ELSE u END AS b,
+               CASE WHEN du < dv OR (du = dv AND u < v)
+                 THEN dv ELSE du END AS db
+        FROM (SELECT e.u, e.v, x.deg AS du, y.deg AS dv
+              FROM und e JOIN deg x ON x.x = e.u
+              JOIN deg y ON y.x = e.v) z),
+      wedges AS (
+        SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2
+        FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a
+        WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+      tris AS (
+        SELECT w.w0, w.w1, w.w2 FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.a = w.w1 AND o.b = w.w2)),
+      tri_cnt AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS tri_cnt
+        FROM (SELECT w0 AS x FROM tris UNION ALL
+              SELECT w1 AS x FROM tris UNION ALL
+              SELECT w2 AS x FROM tris) z
+        GROUP BY x)
+      SELECT d.x AS doc_id, d.deg,
+        CAST(coalesce(t.tri_cnt, 0) AS BIGINT) AS tri_cnt
+      FROM deg d LEFT JOIN tri_cnt t ON t.x = d.x"""))
+
+  def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits,
+    g3LabelProp, g4Kcore, g5Triangles)
 }

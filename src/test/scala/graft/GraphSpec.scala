@@ -223,4 +223,121 @@ class GraphSpec extends SparkSuite {
       got.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
     assert(sizes === wantSizes, "csize must equal the community's row count")
   }
+
+  /** Graph.h60 replayed on the driver: first 15 hex of md5. */
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+
+  /** The DENSE undirected simple edge set (u < v) g4/g5 read: sparse
+    * cross-links + per-8-block 4-cliques + h60-randomized fringe. */
+  private def referenceUnd(n: Long): Set[(Long, Long)] = {
+    val sparse = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u, (u * p + k + 1) % n)
+      }
+    }
+    val dense = (0L until n).flatMap { u =>
+      val b = u - u % 8
+      val r = u % 8
+      if (r < 4) (r + 1 to 3L).map(j => (u, (b + j) % n))
+      else (0L until h60("g4f" + u) % 4).map(j => (u, (b + j) % n))
+    }
+    (sparse ++ dense)
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .toSet
+  }
+
+  /** g4's peeling in plain Scala: KCORE_ITERS rounds of the single-
+    * reference recurrence a_i = {u : |N(u) ∩ a_{i-1}| ≥ K}. */
+  private def referenceKcore(n: Long): Map[Long, Long] = {
+    val nbrs = referenceUnd(n).toSeq
+      .flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    var alive = (0L until n).toSet
+    for (_ <- 1 to Graph.KCORE_ITERS)
+      alive = (0L until n).filter(u =>
+        nbrs.getOrElse(u, Set.empty).count(alive).toLong >=
+          Graph.KCORE_K).toSet
+    alive.map(u =>
+      u -> nbrs.getOrElse(u, Set.empty).count(alive).toLong).toMap
+  }
+
+  test("G4: distributed k-core equals the independent peeling") {
+    val n = 53L
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g4fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Graph.g4Kcore.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = referenceKcore(n)
+    assert(got === want, "every core member's (id, core_deg), bit for bit")
+    // peeling genuinely removed something AND kept something (the
+    // oracle-green-but-degenerate lesson: an all-nodes or empty result
+    // would still hash-match a matching-but-broken oracle)
+    assert(got.nonEmpty, "2-core empty: fixture too sparse to test")
+    assert(got.size < n.toInt, "nothing peeled: fixture too dense to test")
+    // every survivor meets the core order
+    got.foreach { case (u, d) =>
+      assert(d >= Graph.KCORE_K, s"node $u survived with degree $d")
+    }
+    // KCORE_ITERS rounds REACHED the fixpoint on this fixture: one
+    // more peeling round removes nothing (otherwise the fixed-depth
+    // unrolling is reporting a not-yet-converged set)
+    val nbrs = referenceUnd(n).toSeq
+      .flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val alive = got.keySet
+    val oneMore = (0L until n).filter(u =>
+      nbrs.getOrElse(u, Set.empty).count(alive).toLong >=
+        Graph.KCORE_K).toSet
+    assert(oneMore === alive, "peeling had not converged at KCORE_ITERS")
+  }
+
+  /** Triangles by brute force over all id-ordered triples. */
+  private def referenceTriangles(n: Long): Map[Long, Long] = {
+    val und = referenceUnd(n)
+    val tri = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val nodesWithEdges = und.flatMap(e => Seq(e._1, e._2))
+    for {
+      a <- nodesWithEdges; b <- nodesWithEdges if a < b
+      if und((a, b))
+      c <- nodesWithEdges if b < c
+      if und((a, c)) && und((b, c))
+    } {
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (u, xs) => u -> xs.size.toLong }
+    deg.map { case (u, _) => u -> tri(u) }
+  }
+
+  test("G5: oriented wedge-closure equals brute-force triangle counts") {
+    // 53: simulated 120 triangles, 4 fringe nodes peeled, converged
+    val n = 53L
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g5fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Graph.g5Triangles.fn(spark, dir).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = referenceTriangles(n)
+    assert(got === want, "every node's triangle count, bit for bit")
+    // the fixture genuinely contains triangles (a triangle-free graph
+    // would green-match a wedge join that never closes)
+    assert(got.values.sum > 0L, "fixture has no triangles — vacuous test")
+    // and the deg column matches the undirected degree
+    val gotDeg = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDeg = referenceUnd(n).toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (u, xs) => u -> xs.size.toLong }
+    assert(gotDeg === wantDeg, "deg column must be the undirected degree")
+  }
 }
