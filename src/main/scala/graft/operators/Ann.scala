@@ -2705,11 +2705,165 @@ object Ann {
       LEFT JOIN ex ON ex.probe_id = p.probe_id
       LEFT JOIN bd ON bd.probe_id = p.probe_id"""))
 
+  // ---------------------------------------------------------------------
+  // A23: MMR (maximal-marginal-relevance) diversified re-ranking — the
+  // retrieval-for-training-data selection shape: pure relevance top-k
+  // returns k near-duplicates of each other; MMR greedily picks
+  //   argmax_d  lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s)
+  // so each pick is relevant AND far from what's already selected.
+  //
+  // Integer-exact across engines (the g1 discipline): similarities are
+  // micro-scaled BIGINTs (round(cos*1e6)) and lambda=0.7 becomes the
+  // integer pair (7, 3) — scores are 7*sq - 3*ms with no float math, so
+  // rank boundaries cannot drift between Spark and DuckDB.
+  //
+  // Scale: the only corpus-sized work is pool extraction — the a5
+  // broadcast-probe shape, ONE corpus scan, per-probe top-POOL window.
+  // The greedy loop then runs over the pooled frame: O(|probes|*POOL^2)
+  // rows INDEPENDENT of corpus size, each round two hash-aggs over that
+  // bounded frame. The picks frame feeds two consumers per round (the
+  // max-sim join and the union) — localCheckpoint per round, or the
+  // inlined plan doubles per iteration (the d8/a17 listener trap).
+  // ---------------------------------------------------------------------
+  private val MMR_POOL = 12
+  private val MMR_K = 5
+
+  /** round(cos*1e6) as BIGINT — the micro-scaled similarity both MMR
+    * engines rank on. */
+  private def microCos(s: SparkSession, a: String, b: String): Column =
+    expr(s"CAST(round((${cosineSql(s, a, b)}) * 1000000) AS BIGINT)")
+
+  val a23MmrRerank = Q(
+    "a23_mmr_rerank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val probes = e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val simq = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          microCos(s, "emb", "p_emb").as("sq"))
+      val wp = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sq").desc, col("vec_id").asc)
+      val pool = simq.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= MMR_POOL).drop("rn")
+        .localCheckpoint()
+      val poolV = pool.join(e, Seq("vec_id"))
+      val pairs = poolV
+        .select(col("probe_id"), col("vec_id").as("va"),
+          col("emb").as("ea"))
+        .join(poolV.select(col("probe_id"), col("vec_id").as("vb"),
+          col("emb").as("eb")), Seq("probe_id"))
+        .filter(col("va") =!= col("vb"))
+        .select(col("probe_id"), col("va"), col("vb"),
+          microCos(s, "ea", "eb").as("pu"))
+        .localCheckpoint()
+      val w1 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      var picks = pool
+        .select(col("probe_id"), col("vec_id"),
+          (col("sq") * lit(7L)).as("score"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("vec_id"), col("score"),
+          lit(1L).as("pick"))
+        .localCheckpoint()
+      for (r <- 2 to MMR_K) {
+        val selIds = picks.select(col("probe_id"), col("vec_id"))
+        val ms = pairs
+          .join(selIds.select(col("probe_id"), col("vec_id").as("vb")),
+            Seq("probe_id", "vb"))
+          .groupBy(col("probe_id"), col("va"))
+          .agg(max(col("pu")).as("ms"))
+        val next = pool
+          .join(selIds, Seq("probe_id", "vec_id"), "left_anti")
+          .join(ms.select(col("probe_id"), col("va").as("vec_id"),
+            col("ms")), Seq("probe_id", "vec_id"), "left")
+          .select(col("probe_id"), col("vec_id"),
+            (col("sq") * lit(7L) -
+              coalesce(col("ms"), lit(0L)) * lit(3L)).as("score"))
+          .withColumn("rn", row_number().over(w1))
+          .filter(col("rn") === 1)
+          .select(col("probe_id"), col("vec_id"), col("score"),
+            lit(r.toLong).as("pick"))
+        picks = picks.unionByName(next).localCheckpoint()
+      }
+      picks.select(col("probe_id"), col("pick"), col("vec_id"),
+        col("score").as("mmr_u"))
+    },
+    Some {
+      val rounds = (2 to MMR_K).map { r =>
+        s"""ms$r AS (
+        SELECT pr.probe_id, pr.va AS vec_id, max(pr.pu) AS ms
+        FROM pr JOIN sel${r - 1} s
+          ON s.probe_id = pr.probe_id AND s.vec_id = pr.vb
+        GROUP BY pr.probe_id, pr.va),
+      s$r AS (
+        SELECT probe_id, vec_id, score, CAST($r AS BIGINT) AS pick
+        FROM (
+          SELECT c.*, row_number() OVER (PARTITION BY probe_id
+            ORDER BY score DESC, vec_id ASC) AS rn
+          FROM (
+            SELECT pl.probe_id, pl.vec_id,
+              7 * pl.sq - 3 * coalesce(m.ms, 0) AS score
+            FROM pool pl
+            LEFT JOIN ms$r m
+              ON m.probe_id = pl.probe_id AND m.vec_id = pl.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+              WHERE s.probe_id = pl.probe_id
+                AND s.vec_id = pl.vec_id)) c) t
+        WHERE rn = 1),
+      sel$r AS (SELECT probe_id, vec_id FROM sel${r - 1}
+        UNION ALL SELECT probe_id, vec_id FROM s$r)"""
+      }.mkString(",\n      ")
+      val unionAll = (1 to MMR_K).map(r => s"SELECT * FROM s$r")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+            FROM e WHERE vec_id < 6),
+      simq AS (
+        SELECT probe_id, vec_id,
+          CAST(round(list_inner_product(emb, p_emb) / (nrm * p_nrm)
+            * 1000000) AS BIGINT) AS sq
+        FROM e CROSS JOIN p WHERE vec_id <> probe_id),
+      pool AS (
+        SELECT probe_id, vec_id, sq FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sq DESC, vec_id ASC) AS rn FROM simq) t
+        WHERE rn <= $MMR_POOL),
+      pr AS (
+        SELECT a.probe_id, a.vec_id AS va, b.vec_id AS vb,
+          CAST(round(list_inner_product(ea.emb, eb.emb)
+            / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS pu
+        FROM pool a
+        JOIN pool b ON b.probe_id = a.probe_id AND b.vec_id <> a.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id),
+      s1 AS (
+        SELECT probe_id, vec_id, score, CAST(1 AS BIGINT) AS pick
+        FROM (
+          SELECT probe_id, vec_id, 7 * sq AS score, row_number() OVER (
+            PARTITION BY probe_id ORDER BY 7 * sq DESC, vec_id ASC)
+            AS rn
+          FROM pool) t
+        WHERE rn = 1),
+      sel1 AS (SELECT probe_id, vec_id FROM s1),
+      $rounds
+      SELECT probe_id, pick, vec_id, CAST(score AS BIGINT) AS mmr_u
+      FROM ($unionAll) u"""
+    })
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
-      a21NprobeSweep, a22RangeSearch)
+      a21NprobeSweep, a22RangeSearch, a23MmrRerank)
 }
