@@ -1798,6 +1798,68 @@ object LlmOps {
       FROM r$C9_ROUNDS"""
     })
 
+  // ---------------------------------------------------------------------
+  // C10: curriculum ordering (Bengio et al. 2009 shape) — the ORDERING
+  // planner between the mix (c9) and the shard writer (c8): assign every
+  // doc to one of [[C10_STAGES]] difficulty stages of EQUAL TOKEN MASS
+  // (difficulty = token count, the classic short-to-long curriculum),
+  // then give it a seeded-hash position so sources INTERLEAVE within a
+  // stage instead of training all of source A before source B.
+  //
+  // The scale point is how the equal-mass quantiles are computed WITHOUT
+  // a global sort: one hash-agg builds the (n_tok -> token mass)
+  // histogram — bounded by the number of DISTINCT lengths, not by corpus
+  // size — a window over that small table turns exclusive-prefix mass
+  // into a stage id (stage = pre*K div total, pure BIGINT so both
+  // engines strand identical dust), and the tiny map broadcasts back
+  // onto the corpus. Corpus-sized work is two scans + one hash-agg; the
+  // unpartitioned window touches only the histogram (the c9 discipline:
+  // global windows are fine on planner-sized frames, never on the
+  // corpus). Docs sharing a length share a stage, so stage boundaries
+  // land on value boundaries — the worst-case mass imbalance is one
+  // length-value's mass, which CurriculumSpec bounds explicitly.
+  // ---------------------------------------------------------------------
+  private[graft] val C10_STAGES = 4L
+
+  val c10Curriculum = Q(
+    "c10_curriculum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val hist = tok.groupBy(col("n_tok"))
+        .agg(sum(col("n_tok")).as("mass"))
+      val wPre = Window.orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      val stages = hist
+        .withColumn("pre", coalesce(sum(col("mass")).over(wPre), lit(0L)))
+        .withColumn("total", sum(col("mass")).over(wAll))
+        .select(col("n_tok"),
+          least(lit(C10_STAGES - 1),
+            expr(s"pre * $C10_STAGES div total")).as("stage"))
+      tok.join(broadcast(stages), Seq("n_tok"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("stage"),
+          Portable.h60(col("doc_id").cast("string"), "cur|").as("ord"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      hist AS (
+        SELECT n_tok, CAST(sum(n_tok) AS BIGINT) AS mass
+        FROM tok GROUP BY n_tok),
+      st AS (
+        SELECT n_tok,
+          least(CAST(${C10_STAGES - 1} AS BIGINT),
+            CAST(coalesce(sum(mass) OVER (ORDER BY n_tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              * $C10_STAGES // sum(mass) OVER () AS BIGINT)) AS stage
+        FROM hist)
+      SELECT t.doc_id, t.source, t.n_tok, s.stage,
+        ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "cur|")} AS ord
+      FROM tok t JOIN st s USING (n_tok)"""))
+
   private val N_SHARDS = 16
   val c8ShardShuffle = Q(
     "c8_shard_shuffle",
@@ -3999,6 +4061,7 @@ object LlmOps {
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
-    c7CcnetBuckets, c8ShardShuffle, c9EpochBudget, e4LlmPipeline,
+    c7CcnetBuckets, c8ShardShuffle, c9EpochBudget, c10Curriculum,
+    e4LlmPipeline,
     d13CapReport)
 }
