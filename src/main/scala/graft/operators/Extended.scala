@@ -549,8 +549,65 @@ object Extended {
         w2 AS (PARTITION BY o_custkey
           ORDER BY CAST(o_orderdate AS DATE), o_orderkey)"""))
 
+  // ---------------------------------------------------------------------
+  // X13: arbitrary GROUPING SETS — the reporting form rollup (x2) and
+  // cube (x10) cannot express: a hand-picked lattice of dimension
+  // combinations over an enriched fact. Sets here: (nation, year),
+  // (priority, year), (year), () — the "two drill-downs sharing a time
+  // axis plus totals" dashboard shape.
+  //
+  // Scale shape: ONE Expand (each fact row replicated once per set, 4×)
+  // feeding ONE hash-agg shuffle with map-side partials — vs the naive
+  // 4-query UNION ALL that re-scans and re-shuffles the fact per set.
+  // The nation dim arrives by broadcast (customer -> nation is the j1b
+  // pattern), so the only exchange is the final grouping-key shuffle,
+  // post-Expand, after partial aggregation has already collapsed each
+  // map partition to at most |groups| rows per set. grouping_id() is
+  // bit-compatible with DuckDB's GROUPING(...) when the column lists
+  // match order, which the oracle pins.
+  // ---------------------------------------------------------------------
+  val x13GroupingSets = Q(
+    "x13_grouping_sets",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_custkey"),
+        col("o_orderpriority").as("priority"),
+        year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val n = nation(s, d).select(col("n_nationkey"),
+        col("n_name").as("nation_name"))
+      val enriched = o
+        .join(broadcast(c.join(broadcast(n),
+          col("c_nationkey") === col("n_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+      enriched
+        .groupingSets(
+          Seq(Seq(col("nation_name"), col("yr")),
+            Seq(col("priority"), col("yr")),
+            Seq(col("yr")),
+            Seq()),
+          col("nation_name"), col("priority"), col("yr"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("price_c")).as("price_c100"))
+    },
+    Some("""WITH enriched AS (
+        SELECT n.n_name AS nation_name, o.o_orderpriority AS priority,
+          CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+          CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey)
+      SELECT nation_name, priority, yr,
+        CAST(GROUPING(nation_name, priority, yr) AS BIGINT) AS gid,
+        count(*) AS n,
+        CAST(sum(price_c) AS BIGINT) AS price_c100
+      FROM enriched
+      GROUP BY GROUPING SETS ((nation_name, yr), (priority, yr), (yr),
+        ())"""))
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
-    x12WindowBattery)
+    x12WindowBattery, x13GroupingSets)
 }

@@ -152,6 +152,51 @@ class ExtendedSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("X13: grouping sets equal the 4-way union recompute; one Expand," +
+    " one grouping shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Extended.x13GroupingSets.fn(spark, sf)
+    // columns: nation_name, priority, yr, gid, n, price_c100
+    val rows = df.collect().map(r => (Option(r.getString(0)),
+      Option(r.getString(1)), Option(r.get(2)).map(_ => r.getLong(2)),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // independent recompute: four separate groupBys over the same
+    // enriched frame, unioned — the semantics GROUPING SETS must equal
+    val o = Tables.orders(spark, sf).select(col("o_custkey"),
+      col("o_orderpriority").as("priority"),
+      year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name").as("nation_name"))
+    val e = o.join(c.join(n, col("c_nationkey") === col("n_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("nation_name"), col("priority"), col("yr"),
+        col("price_c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    def agg(key: ((String, String, Long, Long)) =>
+        (Option[String], Option[String], Option[Long]), gid: Long) =
+      e.groupBy(key).map { case (k, rs) =>
+        (k._1, k._2, k._3, gid, rs.length.toLong, rs.map(_._4).sum) }
+    val want = (
+      agg(t => (Some(t._1), None, Some(t._3)), 2L) ++
+        agg(t => (None, Some(t._2), Some(t._3)), 4L) ++
+        agg(t => (None, None, Some(t._3)), 6L) ++
+        agg(_ => (None, None, None), 7L)).toSet
+    assert(rows === want)
+    // plan shape: exactly one Expand and one grouping shuffle — not a
+    // per-set re-scan/re-shuffle union
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), s"grouping sets must Expand:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 1,
+      s"the dim join must broadcast:\n$plan")
+  }
+
   test("X11: z-order buckets let a second-dimension predicate skip; linear ones don't") {
     // column order: bucket, n, pk_lo, pk_hi, sk_lo, sk_hi, variant
     val rows = operators.Extended.x11Zorder.fn(spark, sf).collect()
