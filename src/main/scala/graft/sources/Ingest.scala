@@ -963,6 +963,114 @@ object Ingest {
       FROM d GROUP BY event_date"""))
 
   // ---------------------------------------------------------------------
+  // K10: write-audit-publish — the Iceberg/Netflix WAP commit protocol
+  // on a plain parquet lake: every batch lands in an UNPUBLISHED
+  // staging snapshot, a relational audit runs against the staged files
+  // (row floor, key-null count, value bounds), and only a passing batch
+  // gets the pointer flip — a one-line `_CURRENT` file naming the live
+  // snapshot, the atomic-publish primitive on object stores where
+  // directory rename is not atomic. A failing batch stays quarantined
+  // in staging WITH its violation counts (the d13 no-silent-dials rule:
+  // "how bad was it" is queryable, not logged), and readers of
+  // `_CURRENT` never observe a half-published or poisoned row.
+  //
+  // Scale shape: audits are one hash-agg scan of the STAGED BATCH only
+  // (never the published table), publish is O(1) metadata, and the
+  // published read is pointer → snapshot dir — so commit cost is
+  // independent of table size, which is the whole point at 100 TB.
+  // Snapshot 2 here simulates the upstream bug WAP exists to catch:
+  // nulled keys (id%7) and negated values (id%11) in the final window.
+  // ---------------------------------------------------------------------
+  private[graft] val K10_B1_FROM = "2024-01-21"
+  private[graft] val K10_B2_FROM = "2024-01-26"
+
+  val k10WriteAuditPublish = Q(
+    "k10_write_audit_publish",
+    (s, d) => {
+      val lake = freshDir("k10_lake")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(lake), s.sparkContext.hadoopConfiguration)
+      def setPointer(snap: String): Unit = {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$lake/_CURRENT"), true)
+        out.write(snap.getBytes("UTF-8")); out.close()
+      }
+      def getPointer: String = {
+        val in = fs.open(
+          new org.apache.hadoop.fs.Path(s"$lake/_CURRENT"))
+        val b = new Array[Byte](256); val n = in.read(b); in.close()
+        new String(b, 0, n, "UTF-8")
+      }
+      val src = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date"))
+      // audit the staged snapshot ON DISK (what was written, not what
+      // we meant to write); returns (rows, null_viol, bound_viol)
+      def audit(snap: String): (Long, Long, Long) = {
+        val r = s.read.parquet(s"$lake/$snap")
+          .agg(count(lit(1)),
+            count(when(col("event_id").isNull ||
+              col("event_type").isNull, 1)),
+            count(when(col("value") < 0, 1))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      // write staged; publish = flip pointer to base+batch union view:
+      // each snapshot dir holds ONLY its batch, `_CURRENT` lists the
+      // live snapshot set (comma-joined, append-only on publish)
+      def stage(snap: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$lake/$snap")
+      stage("snap-base", src.filter(col("event_date") < lit(K10_B1_FROM)))
+      setPointer("snap-base")
+      // batch 1: clean window [B1, B2) — audits pass, pointer flips
+      stage("snap-001", src.filter(col("event_date") >= lit(K10_B1_FROM)
+        && col("event_date") < lit(K10_B2_FROM)))
+      val (b1n, b1null, b1bound) = audit("snap-001")
+      val b1ok = b1n > 0 && b1null == 0 && b1bound == 0
+      if (b1ok) setPointer(getPointer + ",snap-001")
+      // batch 2: the poisoned window — upstream nulled keys and
+      // negated values; audits fail, pointer must NOT move
+      stage("snap-002", src.filter(col("event_date") >= lit(K10_B2_FROM))
+        .withColumn("event_type",
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
+        .withColumn("value",
+          when(col("event_id") % 11 === 0, -col("value"))
+            .otherwise(col("value"))))
+      val (b2n, b2null, b2bound) = audit("snap-002")
+      val b2ok = b2n > 0 && b2null == 0 && b2bound == 0
+      if (b2ok) setPointer(getPointer + ",snap-002")
+      // the published read path: pointer → snapshot dirs, nothing else
+      val live = getPointer.split(",").map(p => s.read.parquet(s"$lake/$p"))
+        .reduce(_ unionByName _)
+      live.groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("b1_published", lit(b1ok))
+        .withColumn("b2_published", lit(b2ok))
+        .withColumn("b2_null_viol", lit(b2null))
+        .withColumn("b2_bound_viol", lit(b2bound))
+    },
+    // the oracle replays the protocol relationally: published = base +
+    // batch1 only (batch2's violations are non-zero by construction, so
+    // a green row REQUIRES the pointer not to have moved), and the
+    // violation counts recompute from the same id predicates upstream
+    // used to poison
+    Some(s"""WITH d AS (
+        SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+        FROM events),
+      b2 AS (SELECT * FROM d WHERE event_date >= DATE '$K10_B2_FROM')
+      SELECT event_date, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        TRUE AS b1_published, FALSE AS b2_published,
+        (SELECT CAST(count(*) AS BIGINT) FROM b2 WHERE event_id % 7 = 0)
+          AS b2_null_viol,
+        (SELECT CAST(count(*) AS BIGINT) FROM b2 WHERE event_id % 11 = 0)
+          AS b2_bound_viol
+      FROM d WHERE event_date < DATE '$K10_B2_FROM'
+      GROUP BY event_date"""))
+
+  // ---------------------------------------------------------------------
   // E3: the Strava streams pipeline restated end to end (SURVEY §3 E3):
   //   snapshot (orders) → date-range filter (F1/F2) → distinct ids (A3)
   //   → per-key stream rows (semi-join = the per-activity fetch, J3)
@@ -1455,6 +1563,7 @@ object Ingest {
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
     k8AnnIndexSink, k8bHnswIndexSink, k9PartitionOverwrite,
+    k10WriteAuditPublish,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

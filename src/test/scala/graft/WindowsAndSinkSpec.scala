@@ -166,4 +166,31 @@ class WindowsAndSinkSpec extends SparkSuite {
         s"partition ${r.getDate(0)} must hold clean values after repair")
     }
   }
+
+  test("K10: failed audit quarantines the batch, pointer never moves, " +
+    "published read stays poison-free") {
+    val out = sources.Ingest.k10WriteAuditPublish.fn(spark, sf).collect()
+    val b2From =
+      java.time.LocalDate.parse(sources.Ingest.K10_B2_FROM)
+    // columns: event_date, n, sum_value, b1_published, b2_published,
+    // b2_null_viol, b2_bound_viol
+    assert(out.forall(_.getBoolean(3)), "clean batch must publish")
+    assert(out.forall(!_.getBoolean(4)), "poisoned batch must not")
+    assert(out.head.getLong(5) > 0 && out.head.getLong(6) > 0,
+      "the audit must report non-zero violation counts, not just fail")
+    assert(out.forall(_.getDate(0).toLocalDate.isBefore(b2From)),
+      "no published date may come from the quarantined window")
+    // physical protocol state: the pointer names exactly the published
+    // snapshots, and the quarantined staging dir survives WITH its
+    // poisoned rows (the audit trail) without leaking into the read
+    val lake = s"${sources.Ingest.lakeRoot}/k10_lake"
+    val current = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lake, "_CURRENT")), "UTF-8")
+    assert(current === "snap-base,snap-001", s"pointer reads '$current'")
+    val staged = spark.read.parquet(s"$lake/snap-002")
+    assert(staged.filter(col("event_type").isNull).count() ===
+      out.head.getLong(5), "quarantined nulls must match the report")
+    assert(staged.filter(col("value") < 0).count() ===
+      out.head.getLong(6), "quarantined bounds must match the report")
+  }
 }
