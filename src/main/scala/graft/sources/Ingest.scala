@@ -342,6 +342,81 @@ object Ingest {
       FROM orders WHERE o_orderkey % 13 = 0"""))
 
   // ---------------------------------------------------------------------
+  // S13: binary-file source — the media lake's front door (the fifth
+  // source family: parquet S1, REST DSv2 S2-S4, JSONL S9, CSV S12):
+  // `spark.read.format("binaryFile")` over a directory of opaque blobs,
+  // which is how image/audio corpora actually arrive before anyone
+  // compacts them to parquet (m1-m6 then operate on the binary column).
+  // Production rules demonstrated: (a) identity comes from the PATH
+  // (the only metadata a blob store guarantees), parsed once per file;
+  // (b) format comes from CONTENT sniffing (magic bytes), never the
+  // extension — the fixture plants files whose magic disagrees with
+  // what their id would suggest (id % 5 == 0 carries garbage magic),
+  // and those route to '__unknown__' instead of killing the task (the
+  // m2/s12 quarantine discipline); (c) an integrity hash is computed
+  // in the SAME scan — no second read of 100 TB of blobs. Scale shape:
+  // zero shuffles — one distributed file scan, per-row projections;
+  // pathGlobFilter prunes non-blob droppings at listing time, before
+  // any task reads a byte. modificationTime is real but nondeterministic
+  // — it stays out of the result on purpose.
+  // ---------------------------------------------------------------------
+  private[graft] def s13BinFixture(s: SparkSession, d: String): String =
+    memoFixture("s13_bin", d) { out =>
+      // one blob per document, written task-side (no driver loop):
+      // magic || utf8(text), so every byte is derivable from the
+      // parquet truth the oracle reads
+      {
+        import s.implicits._
+        Files.createDirectories(Paths.get(out))
+        documents(s, d)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, lit("XXXX"))
+              .when(col("doc_id") % 2 === 0, lit("PNG1"))
+              .otherwise(lit("WAV1")).as("magic"),
+            col("text"))
+          .as[(Long, String, String)]
+          .foreachPartition { it: Iterator[(Long, String, String)] =>
+            it.foreach { case (id, magic, text) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, s"doc_$id.bin"),
+                (magic + text).getBytes("UTF-8")): Unit
+            }
+          }
+      }
+      // a non-blob dropping the glob must prune at listing time
+      Files.write(Paths.get(out, "_manifest.json"),
+        "{\"n\": -1}".getBytes("UTF-8")): Unit
+    }
+
+  val s13BinarySource = Q(
+    "s13_binary_source",
+    (s, d) =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(s13BinFixture(s, d))
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          expr("decode(substring(content, 1, 4), 'UTF-8')").as("magic"),
+          col("length").as("n_bytes"),
+          expr("CAST(conv(substring(md5(content), 1, 15), 16, 10) " +
+            "AS BIGINT)").as("h"))
+        .select(col("doc_id"),
+          when(col("magic") === "PNG1", lit("png"))
+            .when(col("magic") === "WAV1", lit("wav"))
+            .otherwise(lit("__unknown__")).as("fmt"),
+          col("n_bytes"), col("h")),
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN '__unknown__'
+             WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+        CAST(4 + strlen(text) AS BIGINT) AS n_bytes,
+        CAST('0x' || substring(md5(
+          (CASE WHEN doc_id % 5 = 0 THEN 'XXXX'
+                WHEN doc_id % 2 = 0 THEN 'PNG1' ELSE 'WAV1' END) || text),
+          1, 15) AS BIGINT) AS h
+      FROM documents"""))
+
+  // ---------------------------------------------------------------------
   // P9 full fidelity: wide normalization with nested structs + defaults —
   // the 47-field SummaryActivity shape (utils.py:146-233) restated: direct
   // picks, deterministic synthesized gaps, coalesce() defaults (False /
@@ -1569,5 +1644,5 @@ object Ingest {
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,
     s2RestSource, s2bHeart1sec, s2cThirtyDay, f6MissingDates,
     f8ResourceValidation, s2dRetry429, s2eTokenRefresh, s9JsonlSource,
-    s10SnapshotDiff, s11GenerationUnion, s12CsvSource)
+    s10SnapshotDiff, s11GenerationUnion, s12CsvSource, s13BinarySource)
 }
