@@ -1281,7 +1281,124 @@ object Multimodal {
       FROM surv"""))
 
   /** All multimodal queries, registration order. */
+  // ---------------------------------------------------------------------
+  // E7: cross-video keyframe dedup — the re-upload detector: two videos
+  // are duplicates when the SHOTS they contain overlap, regardless of
+  // container or trim. Stage 1 is m6 verbatim (decode → per-frame
+  // dHash → keyframes = frame 0 + every scene cut). Stage 2 is the
+  // d11/d15 postings discipline, never pairs: each keyframe hash
+  // elects an OWNER (min doc_id — one hash-agg), every later video's
+  // keyframes look up their owner (one keyed join), and a video is a
+  // dup when its shared-keyframe count CONCENTRATES on one earlier
+  // owner (2*n_shared >= n_keyframes). An all-pairs video join never
+  // appears, so cost is O(keyframes), not O(videos^2) — at 100 TB the
+  // hash space gets wider, not the algorithm different. Every video
+  // emits a row (dup or not): yield is first-class output, and the
+  // 16-bit hash's chance collisions are visible as small n_shared
+  // counts that the concentration test correctly ignores.
+  // ---------------------------------------------------------------------
+  val e7KeyframeDedup = Q(
+    "e7_keyframe_dedup",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.flatMap { r0 =>
+            if (r0.mime != "video/mp4") Iterator.empty
+            else {
+              val v = decodeMp4(containerize(r0).payload)
+              val n = v.mdat.length
+              if (v.nFrames <= 0) Iterator.empty
+              else (0 until v.nFrames).iterator.map { i =>
+                val a = (i.toLong * n / v.nFrames).toInt
+                val b = ((i + 1).toLong * n / v.nFrames).toInt
+                (r0.doc_id, i.toLong,
+                  phashOf(java.util.Arrays.copyOfRange(v.mdat, a, b)))
+              }
+            }
+          }
+        }.toDF("doc_id", "frame_idx", "fhash")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      // keyframes feed three consumers (owner agg, lookup join, yield
+      // count) — truncate lineage so the decode runs once
+      val keyf = frames
+        .withColumn("prev", lag(col("fhash"), 1).over(w))
+        .filter(col("prev").isNull ||
+          expr(s"bit_count(fhash ^ prev) >= $CUT_TAU"))
+        .select(col("doc_id"), col("fhash"))
+        .localCheckpoint()
+      val owners = keyf.groupBy(col("fhash"))
+        .agg(min(col("doc_id")).as("owner"))
+      val shared = keyf.join(owners, Seq("fhash"))
+        .filter(col("owner") < col("doc_id"))
+        .groupBy(col("doc_id"), col("owner"))
+        .agg(count(lit(1)).as("n_shared"))
+      val wb = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n_shared").desc, col("owner").asc)
+      val best = shared.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1).drop("rn")
+      val nk = keyf.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_keyframes"))
+      nk.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_keyframes"),
+          col("owner").as("dup_of"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) * 2 >=
+            col("n_keyframes")).as("is_dup"))
+    },
+    Some(s"""WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+          octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 2 AND octet_length(encode(text)) // 16 > 0),
+      fr AS (
+        SELECT doc_id, n // 16 AS nf, unnest(range(n // 16)) AS fi, h, n
+        FROM m),
+      g AS (
+        SELECT doc_id, nf, fi,
+          list_transform(range($PHASH_SAMPLES), j ->
+            CAST('0x' || substr(h,
+              CAST(1 + 2 * ((fi * n) // nf
+                + (j * (((fi + 1) * n) // nf - (fi * n) // nf))
+                  // $PHASH_SAMPLES) AS INT), 2) AS INT)) AS s
+        FROM fr),
+      ph AS (
+        SELECT doc_id, fi,
+          CAST(list_sum(list_transform(range(${PHASH_SAMPLES - 1}), i ->
+            CASE WHEN s[i + 2] > s[i + 1]
+              THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+            AS fh
+        FROM g),
+      hm AS (
+        SELECT doc_id, fi, fh,
+          lag(fh) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        FROM ph),
+      kf AS (
+        SELECT doc_id, fh FROM hm
+        WHERE prev IS NULL OR bit_count(xor(fh, prev)) >= $CUT_TAU),
+      ow AS (SELECT fh, min(doc_id) AS owner FROM kf GROUP BY fh),
+      sh AS (
+        SELECT k.doc_id, o.owner, CAST(count(*) AS BIGINT) AS n_shared
+        FROM kf k JOIN ow o ON o.fh = k.fh
+        WHERE o.owner < k.doc_id
+        GROUP BY k.doc_id, o.owner),
+      bst AS (
+        SELECT doc_id, owner, n_shared FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY n_shared DESC, owner ASC) AS rn
+          FROM sh) t WHERE rn = 1),
+      nk AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_keyframes
+        FROM kf GROUP BY doc_id)
+      SELECT nk.doc_id, nk.n_keyframes, b.owner AS dup_of,
+        CAST(coalesce(b.n_shared, 0) AS BIGINT) AS n_shared,
+        coalesce(b.n_shared, 0) * 2 >= nk.n_keyframes AS is_dup
+      FROM nk LEFT JOIN bst b USING (doc_id)"""))
+
   def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
     m2bDecodeQuarantine, m3FrameSample, m4MediaPhash, m5AudioEnergy,
-    m6SceneCut, e5MediaPipeline, e6PairCuration)
+    m6SceneCut, e5MediaPipeline, e6PairCuration, e7KeyframeDedup)
 }

@@ -401,6 +401,75 @@ class MultimodalSpec extends SparkSuite {
         .mkString), "ramp video matches the recompute bit for bit")
   }
 
+  test("E7: a re-uploaded video dups its original via keyframe " +
+      "ownership; unrelated content stays clean; election is exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 2: a 6-shot video; docs 5 and 11: byte-identical re-uploads
+    // (both must elect 2 — the OLDEST copy — as owner, not each
+    // other); doc 8: unrelated digits; doc 1: audio (excluded)
+    val original = "a" * 32 + "ab" * 8 + "qqqqrrrrssssttt!" +
+      "z" * 16 + "mnopmnopmnopmnop" + "!" * 16
+    val docs = Seq(
+      (2L, original), (5L, original), (11L, original),
+      (8L, (0 until 96).map(i => ('0' + (i * 7) % 10).toChar).mkString),
+      (1L, "b" * 64)
+    ).map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("e7fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.e7KeyframeDedup.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(2L, 5L, 8L, 11L),
+      "every video emits a row, dup or not")
+    // independent replay: frames -> dHash -> keyframes -> ownership
+    def dHash(b: Array[Byte]): Long = {
+      val n = b.length
+      val s = (0 until 17).map(j => b((j.toLong * n / 17).toInt) & 0xff)
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (if (s(i + 1) > s(i)) 1L << i else 0L))
+    }
+    def keyframes(text: String): Seq[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val nf = bytes.length / 16
+      val hs = (0 until nf).map { i =>
+        val a = (i.toLong * bytes.length / nf).toInt
+        val b = ((i + 1).toLong * bytes.length / nf).toInt
+        dHash(java.util.Arrays.copyOfRange(bytes, a, b))
+      }
+      hs.head +: hs.zip(hs.tail).collect {
+        case (p, c) if java.lang.Long.bitCount(p ^ c) >=
+          Multimodal.CUT_TAU => c
+      }
+    }
+    val kf = Map(2L -> keyframes(original), 5L -> keyframes(original),
+      11L -> keyframes(original),
+      8L -> keyframes((0 until 96).map(i =>
+        ('0' + (i * 7) % 10).toChar).mkString))
+    assert(kf(2L).size >= 3, "fixture must produce a multi-shot video")
+    val owner = kf.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    for ((id, hs) <- kf) {
+      val sh = hs.map(owner).filter(_ < id)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val best = if (sh.isEmpty) (-1L, 0L)
+        else sh.toSeq.minBy { case (o, n) => (-n, o) }
+      val isDup = best._2 * 2 >= hs.size
+      assert(out(id) === ((hs.size.toLong, best._1, best._2, isDup)),
+        s"video $id election mismatch")
+    }
+    // the headline semantics, stated directly
+    assert(out(5L)._4 && out(5L)._2 === 2L, "re-upload 5 dups 2")
+    assert(out(11L)._4 && out(11L)._2 === 2L,
+      "re-upload 11 elects the OLDEST copy, not 5")
+    assert(!out(8L)._4, "unrelated video stays clean")
+    assert(out(5L)._3 === out(5L)._1,
+      "an identical copy shares every keyframe")
+  }
+
   test("E5: the media pipeline accounts for every document exactly once " +
       "and quarantines exactly the planted set") {
     import org.apache.spark.sql.functions._
