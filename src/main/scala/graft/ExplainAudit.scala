@@ -79,7 +79,14 @@ object ExplainAudit {
       "d14_url_dedup", "sql_d14_url", "d15_line_dedup",
       "sql_d15_line_dedup", "m5_audio_energy", "g1_pagerank",
       "sql_g1_pagerank", "g1b_pagerank_converge", "k8b_hnsw_index_sink",
-      "e6_pair_curation", "sql_x12_window")
+      "e6_pair_curation", "sql_x12_window",
+      "d16_incremental_line_dedup", "g2_hits", "sql_g2_hits",
+      "g3_label_prop", "sql_g3_label_prop", "g4_kcore", "sql_g4_kcore",
+      "g5_triangle_count", "sql_g5_triangles", "t20_bpe_merges",
+      "a22_range_search", "m6_scene_cut", "s12_csv_source",
+      "c9_epoch_budget", "a23_mmr_rerank", "c10_curriculum",
+      "x13_grouping_sets", "k10_write_audit_publish",
+      "s13_binary_source", "e7_keyframe_dedup")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
