@@ -86,7 +86,8 @@ object ExplainAudit {
       "a22_range_search", "m6_scene_cut", "s12_csv_source",
       "c9_epoch_budget", "a23_mmr_rerank", "c10_curriculum",
       "x13_grouping_sets", "k10_write_audit_publish",
-      "s13_binary_source", "e7_keyframe_dedup")
+      "s13_binary_source", "e7_keyframe_dedup",
+      "sql_x13_grouping_sets", "sql_c10_curriculum")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -169,6 +169,45 @@ object SqlFrontend {
     sqlQ("sql_x12_window", t, Some(t))
   }
 
+  // The curriculum planner as SQL text, sharing c10's oracle. Dialect
+  // deltas only where the engines name things differently (size/split
+  // vs len/string_split, div vs //, conv-md5 vs 0x-md5 for the seeded
+  // hash); the BROADCAST hint reproduces the DSL's plan — the stage
+  // map is planner-sized (distinct lengths), the corpus is never
+  // sorted globally.
+  val sqlC10Curriculum: Queries.Q = sqlQ(
+    "sql_c10_curriculum",
+    s"""WITH tok AS (
+        SELECT /*+ BROADCAST(st) */ doc_id, source,
+          CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      hist AS (
+        SELECT n_tok, CAST(sum(n_tok) AS BIGINT) AS mass
+        FROM tok GROUP BY n_tok),
+      st AS (
+        SELECT n_tok,
+          least(CAST(3 AS BIGINT),
+            CAST(coalesce(sum(mass) OVER (ORDER BY n_tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              * 4 div sum(mass) OVER () AS BIGINT)) AS stage
+        FROM hist)
+      SELECT /*+ BROADCAST(s) */ t.doc_id, t.source, t.n_tok, s.stage,
+        ${functions.Portable.h60Sql("CAST(doc_id AS STRING)", "cur|")}
+          AS ord
+      FROM tok t JOIN st s USING (n_tok)""",
+    operators.LlmOps.c10Curriculum.oracle)
+
+  // The grouping-sets lattice is the FOURTH verbatim-ANSI query: x13's
+  // oracle text runs identically in Spark SQL and DuckDB (gid spelled
+  // as per-column grouping() arithmetic — order-free where multi-arg
+  // grouping_id() is engine-ordered), so one green row pins
+  // DSL Expand == Spark SQL == DuckDB across the whole hand-picked
+  // lattice. Same one-Expand/one-shuffle plan as the DSL twin.
+  val sqlX13GroupingSets: Queries.Q = {
+    val t = operators.Extended.x13GroupingSets.oracle.get
+    sqlQ("sql_x13_grouping_sets", t, Some(t))
+  }
+
   // AS-OF join as SQL text, sharing x1's DuckDB ASOF LEFT JOIN oracle.
   // Spark SQL has no ASOF keyword, so the text spells out the DSL's
   // union-tag technique (Extended.scala x1 notes): tag probe/candidate
@@ -1634,5 +1673,6 @@ object SqlFrontend {
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
       sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank, sqlG2Hits,
-      sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles)
+      sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
+      sqlC10Curriculum)
 }

@@ -591,6 +591,12 @@ object Extended {
           count(lit(1)).as("n"),
           sum(col("price_c")).as("price_c100"))
     },
+    // the oracle text is VERBATIM ANSI runnable by BOTH engines
+    // (sql_x13 runs the identical string in Spark SQL): gid is spelled
+    // as per-column grouping() arithmetic because Spark's multi-arg
+    // grouping_id() demands the args in grouping-column first-
+    // appearance order, which differs from the DSL's declared order —
+    // the single-arg form is order-free and bit-identical
     Some("""WITH enriched AS (
         SELECT n.n_name AS nation_name, o.o_orderpriority AS priority,
           CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
@@ -599,7 +605,8 @@ object Extended {
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey)
       SELECT nation_name, priority, yr,
-        CAST(GROUPING(nation_name, priority, yr) AS BIGINT) AS gid,
+        CAST(grouping(nation_name) * 4 + grouping(priority) * 2 +
+             grouping(yr) AS BIGINT) AS gid,
         count(*) AS n,
         CAST(sum(price_c) AS BIGINT) AS price_c100
       FROM enriched
