@@ -10,6 +10,20 @@ object Bench {
   private val PASSES =
     sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
 
+  /** JSON string escape (same table as Verify's oracle_sql writer): a
+    * canary dir containing a quote/backslash/control char would
+    * otherwise emit invalid JSON the downstream json.load rejects
+    * (ADVICE r15). */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -98,7 +112,7 @@ object Bench {
           .mkString("{", ",", "}")
         val dirNote =
           if (canaryDir == sfDir) ""
-          else s""","dir":"$canaryDir""""
+          else s""","dir":${jsonStr(canaryDir)}"""
         f"""{"ratio":$ratio%.4f,"queries":$qs$dirNote}"""
       }
     }
@@ -139,7 +153,7 @@ object Bench {
     // across the board — a ratio against the pin is meaningless without
     // knowing which harness produced it (r8 triage burned an hour on
     // exactly that).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median","cpus":$cpus,"canary":$canaryJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)},"n_queries":$n,"sec_per_query":$mean,"action":"toRdd.count","passes":$PASSES,"stat":"median","cpus":$cpus,"canary":$canaryJson}"""
     println(line)
     // The driver's BENCH_r*.json keeps only a 2000-char tail of sbt
     // output, which truncated 38 of 98 per-query timings in round 7 —

@@ -1126,23 +1126,62 @@ object Ingest {
         .withColumn("b2_null_viol", lit(b2null))
         .withColumn("b2_bound_viol", lit(b2bound))
     },
-    // the oracle replays the protocol relationally: published = base +
-    // batch1 only (batch2's violations are non-zero by construction, so
-    // a green row REQUIRES the pointer not to have moved), and the
-    // violation counts recompute from the same id predicates upstream
-    // used to poison
+    // the oracle replays the protocol relationally: re-poison batch 2
+    // exactly as the engine staged it, then apply the AUDIT'S OWN
+    // predicates (key null, value < 0) to derive both the violation
+    // counts and the publish booleans — nothing is hardcoded, so a
+    // regenerated events fixture (e.g. one where a negated value is 0
+    // or null and trips no bound audit) moves the oracle and the
+    // engine together instead of silently diverging (ADVICE r15 #1)
     Some(s"""WITH d AS (
         SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
         FROM events),
-      b2 AS (SELECT * FROM d WHERE event_date >= DATE '$K10_B2_FROM')
+      b1 AS (SELECT * FROM d
+             WHERE event_date >= DATE '$K10_B1_FROM'
+               AND event_date < DATE '$K10_B2_FROM'),
+      b2p AS (
+        SELECT event_id,
+          CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+            AS event_type,
+          CASE WHEN event_id % 11 = 0 THEN -value ELSE value END AS value,
+          event_date
+        FROM d WHERE event_date >= DATE '$K10_B2_FROM'),
+      a1 AS (
+        SELECT count(*) AS n,
+          CAST(count(CASE WHEN event_id IS NULL
+            OR event_type IS NULL THEN 1 END) AS BIGINT) AS null_viol,
+          CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+            AS bound_viol
+        FROM b1),
+      a2 AS (
+        SELECT count(*) AS n,
+          CAST(count(CASE WHEN event_id IS NULL
+            OR event_type IS NULL THEN 1 END) AS BIGINT) AS null_viol,
+          CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+            AS bound_viol
+        FROM b2p),
+      flags AS (
+        SELECT
+          (SELECT n > 0 AND null_viol = 0 AND bound_viol = 0 FROM a1)
+            AS b1ok,
+          (SELECT n > 0 AND null_viol = 0 AND bound_viol = 0 FROM a2)
+            AS b2ok),
+      pub AS (
+        SELECT event_id, event_type, value, event_date FROM d
+        WHERE event_date < DATE '$K10_B1_FROM'
+        UNION ALL
+        SELECT event_id, event_type, value, event_date FROM b1
+        WHERE (SELECT b1ok FROM flags)
+        UNION ALL
+        SELECT event_id, event_type, value, event_date FROM b2p
+        WHERE (SELECT b2ok FROM flags))
       SELECT event_date, CAST(count(*) AS BIGINT) AS n,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        TRUE AS b1_published, FALSE AS b2_published,
-        (SELECT CAST(count(*) AS BIGINT) FROM b2 WHERE event_id % 7 = 0)
-          AS b2_null_viol,
-        (SELECT CAST(count(*) AS BIGINT) FROM b2 WHERE event_id % 11 = 0)
-          AS b2_bound_viol
-      FROM d WHERE event_date < DATE '$K10_B2_FROM'
+        (SELECT b1ok FROM flags) AS b1_published,
+        (SELECT b2ok FROM flags) AS b2_published,
+        (SELECT null_viol FROM a2) AS b2_null_viol,
+        (SELECT bound_viol FROM a2) AS b2_bound_viol
+      FROM pub
       GROUP BY event_date"""))
 
   // ---------------------------------------------------------------------

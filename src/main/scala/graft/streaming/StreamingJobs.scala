@@ -252,6 +252,63 @@ object StreamingJobs {
         })
   }
 
+  /** One-pass, bounded-memory min-owner election inside a
+    * flatMapGroupsWithState group (ADVICE r15 #4 — the rows.toSeq form
+    * buffered the WHOLE group, unbounded for a hot fingerprint, and its
+    * first-arrival election matched the batch min(doc_id) election only
+    * under id-ordered delivery).
+    *
+    * The owner candidate starts at the standing state owner (or +inf)
+    * and only ever DECREASES as rows stream past, so at group end it is
+    * min(state, min(batch ids)) whatever order the iterator delivered —
+    * the within-batch election is now order-independent, and a
+    * reordered multi-batch stream converges state to the true min owner
+    * (a prior batch's already-emitted 'kept' cannot be retracted in
+    * Append mode; that cross-batch limit is the documented contract).
+    * Memory: history rows and rows strictly above the candidate route
+    * immediately; only rows TIED to the running minimum are held (at
+    * most one document's repeats of the key), flushed as dups the
+    * moment a smaller id displaces them. The state write happens when
+    * the output iterator drains — safe, because
+    * FlatMapGroupsWithStateExec commits state via a CompletionIterator
+    * that runs only after full consumption. */
+  private def minOwnerRoutes[A, O](
+      rows: Iterator[A],
+      state: org.apache.spark.sql.streaming.GroupState[Long],
+      histStatus: A => Option[String], idOf: A => Long,
+      emit: (A, String) => O,
+      keptStatus: String, dupStatus: String): Iterator[O] =
+    new Iterator[O] {
+      private var candidate = state.getOption.getOrElse(Long.MaxValue)
+      private var pending = List.empty[A] // rows tied to candidate
+      private val queue = scala.collection.mutable.Queue.empty[O]
+      private var flushed = false
+      private def advance(): Unit = {
+        while (queue.isEmpty && rows.hasNext) {
+          val r = rows.next()
+          histStatus(r) match {
+            case Some(st) => queue += emit(r, st)
+            case None =>
+              val id = idOf(r)
+              if (id < candidate) {
+                pending.reverseIterator
+                  .foreach(p => queue += emit(p, dupStatus))
+                pending = r :: Nil
+                candidate = id
+              } else if (id == candidate) pending ::= r
+              else queue += emit(r, dupStatus)
+          }
+        }
+        if (queue.isEmpty && !rows.hasNext && !flushed) {
+          flushed = true
+          pending.reverseIterator.foreach(p => queue += emit(p, keptStatus))
+          if (candidate != Long.MaxValue) state.update(candidate)
+        }
+      }
+      def hasNext: Boolean = { advance(); queue.nonEmpty }
+      def next(): O = { advance(); queue.dequeue() }
+    }
+
   /** Streaming incremental dedup — d10's daily three-way routing run
     * continuously: each arriving document is fingerprinted (the SAME
     * LlmOps normalization the batch path hashes), checked against the
@@ -288,19 +345,17 @@ object StreamingJobs {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (h: String, rows: Iterator[(Long, String, Int)],
-            state: GroupState[Long]) => {
-          val out = scala.collection.mutable.ArrayBuffer.empty[DocRoute]
-          // sort the (small: same-fingerprint, same-micro-batch) group by
-          // doc_id so the WITHIN-batch election is min(doc_id), exactly
-          // d10's batchOwner aggregate — group iterator order is not
-          // otherwise deterministic
-          rows.toSeq.sortBy(_._1).foreach { case (id, _, inHist) =>
-            if (inHist == 1) out += DocRoute(id, h, "dup_of_history")
-            else if (state.exists) out += DocRoute(id, h, "dup_in_batch")
-            else { state.update(id); out += DocRoute(id, h, "new") }
-          }
-          out.iterator
-        })
+            state: GroupState[Long]) =>
+          // min-owner election streamed in one pass ([[minOwnerRoutes]]):
+          // the within-batch election is min(doc_id) — d10's batchOwner
+          // aggregate — independent of iterator delivery order, with
+          // memory bounded by the owner's own rows, not the group
+          minOwnerRoutes[(Long, String, Int), DocRoute](
+            rows, state,
+            r => if (r._3 == 1) Some("dup_of_history") else None,
+            _._1,
+            (r, st) => DocRoute(r._1, h, st),
+            keptStatus = "new", dupStatus = "dup_in_batch"))
   }
 
   /** Streaming twin of d16's incremental LINE dedup: arriving docs
@@ -337,22 +392,19 @@ object StreamingJobs {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, rows: Iterator[(Long, Long, String, Long, Int)],
-            state: GroupState[Long]) => {
-          val out = scala.collection.mutable.ArrayBuffer.empty[LineRoute]
-          // sort the (same-line-hash, same-micro-batch) group by
-          // (doc_id, line_no) so the within-batch election is
-          // min(doc_id) — exactly d16's owner aggregate
-          rows.toSeq.sortBy(r => (r._1, r._2)).foreach {
-            case (id, no, line, _, inHist) =>
-              if (inHist == 1) out += LineRoute(id, no, line, "standing")
-              else if (!state.exists) {
-                state.update(id); out += LineRoute(id, no, line, "kept")
-              } else if (state.get == id)
-                out += LineRoute(id, no, line, "kept")
-              else out += LineRoute(id, no, line, "batch_dup")
-          }
-          out.iterator
-        })
+            state: GroupState[Long]) =>
+          // min-owner election streamed in one pass ([[minOwnerRoutes]]):
+          // the within-batch election is min(doc_id) — exactly d16's
+          // owner aggregate, now independent of delivery order — the
+          // owner doc keeps ALL its copies (rows tied to the winning id
+          // flush as 'kept' together), and a hot boilerplate line no
+          // longer buffers its whole group (ADVICE r15 #4)
+          minOwnerRoutes[(Long, Long, String, Long, Int), LineRoute](
+            rows, state,
+            r => if (r._5 == 1) Some("standing") else None,
+            _._1,
+            (r, st) => LineRoute(r._1, r._2, r._3, st),
+            keptStatus = "kept", dupStatus = "batch_dup"))
   }
 
   final case class BloomBit(shard: Int, pos: Int)

@@ -580,4 +580,38 @@ class MultimodalSpec extends SparkSuite {
       "caption_low_quality", "paired", "duplicate_image"),
       s"fixture must exercise every disposition: $fired")
   }
+
+  test("E6: every doc_id % 7 image payload FAILS decode after the " +
+      "half-truncation (quarantine-path non-vacuity)") {
+    // e6's oracle routes doc_id % 7 == 0 straight to image_quarantined,
+    // but the ENGINE actually attempts decoding the half-truncated
+    // container inside try/catch. If a truncated prefix ever parsed,
+    // the disposition AND the phash (truncated bytes vs the oracle's
+    // full-byte hex) would silently diverge — so assert, over the real
+    // sf fixture and through the exact decoders e6 calls, that the
+    // truncation is rejected doc for doc (ADVICE r15 #2; the M2b
+    // counterpart covers decodeBatch, not e6's direct decode path).
+    import spark.implicits._
+    val planted = Multimodal.mediaFrame(spark, sf)
+      .filter(col("mime").like("image/%") && col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("payload"), col("mime"))
+      .as[MediaRow]
+      .collect()
+    assert(planted.nonEmpty, "fixture must contain %7 image rows")
+    planted.foreach { r0 =>
+      val c0 = Multimodal.containerize(r0)
+      val cut = c0.payload.take(c0.payload.length / 2)
+      val parsed =
+        try {
+          c0.mime match {
+            case "image/png" => Multimodal.decodePng(cut).idat
+            case _ => Multimodal.decodeJpeg(cut).data
+          }
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      assert(!parsed, s"doc ${r0.doc_id} (${r0.mime}, " +
+        s"${c0.payload.length} B container) still parsed after " +
+        "half-truncation — e6's quarantine disposition would diverge")
+    }
+  }
 }
