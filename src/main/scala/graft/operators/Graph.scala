@@ -236,73 +236,95 @@ object Graph {
   // consumers: the partner join and its own total — the 2^rounds
   // trap, twice per round here).
   // ---------------------------------------------------------------------
+  /** The h0..h[[HITS_ITERS]] hub frames and a1..a[[HITS_ITERS]] auth
+    * frames, every frame localCheckpoint-pinned — shared by g2 (final
+    * scores) and g2b (per-round deltas), the prRounds pattern: extra
+    * consumers read materialized rounds, never re-run fixpoint
+    * lineage. */
+  private def hitsRounds(s: SparkSession, d: String)
+      : (Seq[DataFrame], Seq[DataFrame]) = {
+    val nodes = nodesOf(s, d)
+    val edges = edgesOf(nodes).persist()
+    edges.count()
+    def normalize(raw: DataFrame, scoreCol: String): DataFrame = {
+      val tot = raw.agg(coalesce(sum(col("s")), lit(0L)).as("t"))
+      nodes.select(col("doc_id"))
+        .join(raw, Seq("doc_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          expr(s"coalesce(s, 0L) * $HITS_NN div " +
+            s"greatest(1L, t div $HITS_ND)").as(scoreCol))
+        .localCheckpoint()
+    }
+    var h = nodes
+      .select(col("doc_id"), expr(s"$PR_SCALE div n").as("hub"))
+      .localCheckpoint()
+    val hs = Seq.newBuilder[DataFrame]
+    val as = Seq.newBuilder[DataFrame]
+    hs += h
+    for (_ <- 1 to HITS_ITERS) {
+      val a = normalize(
+        edges.join(h.select(col("doc_id").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum(col("hub")).as("s")),
+        "auth")
+      as += a
+      h = normalize(
+        edges.join(a.select(col("doc_id").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(sum(col("auth")).as("s")),
+        "hub")
+      hs += h
+    }
+    edges.unpersist()
+    (hs.result(), as.result())
+  }
+
   val g2Hits = Q(
     "g2_hits",
     (s, d) => {
-      val nodes = nodesOf(s, d)
-      val edges = edgesOf(nodes).persist()
-      edges.count()
-      def normalize(raw: DataFrame, scoreCol: String): DataFrame = {
-        val tot = raw.agg(coalesce(sum(col("s")), lit(0L)).as("t"))
-        nodes.select(col("doc_id"))
-          .join(raw, Seq("doc_id"), "left")
-          .crossJoin(broadcast(tot))
-          .select(col("doc_id"),
-            expr(s"coalesce(s, 0L) * $HITS_NN div " +
-              s"greatest(1L, t div $HITS_ND)").as(scoreCol))
-          .localCheckpoint()
-      }
-      var h = nodes
-        .select(col("doc_id"), expr(s"$PR_SCALE div n").as("hub"))
-        .localCheckpoint()
-      var a: DataFrame = null
-      for (_ <- 1 to HITS_ITERS) {
-        a = normalize(
-          edges.join(h.select(col("doc_id").as("src"), col("hub")), "src")
-            .groupBy(col("dst").as("doc_id"))
-            .agg(sum(col("hub")).as("s")),
-          "auth")
-        h = normalize(
-          edges.join(a.select(col("doc_id").as("dst"), col("auth")), "dst")
-            .groupBy(col("src").as("doc_id"))
-            .agg(sum(col("auth")).as("s")),
-          "hub")
-      }
-      val out = h.join(a, Seq("doc_id"))
+      val (hs, as) = hitsRounds(s, d)
+      hs.last.join(as.last, Seq("doc_id"))
         .select(col("doc_id"), col("hub"), col("auth"))
-      edges.unpersist()
-      out
     },
-    Some {
-      // STRICTLY LINEAR chain (the sql_g1 lesson, here in the oracle:
-      // DuckDB inlines CTEs, so a normalize step that references its
-      // raw-score CTE twice — once for the join, once for the total —
-      // expands the whole prior chain 4x PER ROUND; 4^6 inlined copies
-      // blew the process fd limit re-opening the parquet leaf). Each
-      // CTE references its predecessor exactly once: the total rides
-      // along as an unpartitioned window sum over the null-filled
-      // node frame.
-      def norm(i: Int, frm: String, key: String, score: String,
-          prev: String, prevCol: String): String =
-        s"""${frm}r$i AS (
-          SELECT e.$key AS doc_id, CAST(sum(p.$prevCol) AS BIGINT) AS s
-          FROM edges e JOIN $prev p
-            ON p.doc_id = e.${if (key == "dst") "src" else "dst"}
-          GROUP BY e.$key),
-        $frm$i AS (
-          SELECT doc_id,
-            CAST(coalesce(s, 0) * $HITS_NN //
-              greatest(1, sum(coalesce(s, 0)) OVER () // $HITS_ND)
-              AS BIGINT) AS $score
-          FROM (SELECT n.doc_id, r.s
-                FROM nodes n LEFT JOIN ${frm}r$i r
-                  ON r.doc_id = n.doc_id) z)"""
-      val rounds = (1 to HITS_ITERS).map { i =>
-        val hPrev = if (i == 1) "h0" else s"h${i - 1}"
-        norm(i, "a", "dst", "auth", hPrev, "hub") + ",\n      " +
-          norm(i, "h", "src", "hub", s"a$i", "auth")
-      }.mkString(",\n      ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+    Some(s"""WITH $hitsDuckCtes
+      SELECT h.doc_id, h.hub, a.auth
+      FROM h$HITS_ITERS h JOIN a$HITS_ITERS a ON a.doc_id = h.doc_id"""))
+
+  /** The full HITS recurrence (h0, a1..a6, h1..h6) as DuckDB CTE text —
+    * the shared oracle prefix of g2 (final scores) and g2b (per-round
+    * deltas). STRICTLY LINEAR chain (the sql_g1 lesson, here in the
+    * oracle: DuckDB inlines CTEs, so a normalize step that references
+    * its raw-score CTE twice — once for the join, once for the total —
+    * expands the whole prior chain 4x PER ROUND; 4^6 inlined copies
+    * blew the process fd limit re-opening the parquet leaf). Each CTE
+    * references its predecessor exactly once: the total rides along as
+    * an unpartitioned window sum over the null-filled node frame.
+    * (g2b's delta branches reference TWO chain suffixes each — that is
+    * the g1b shape, quadratic total inlining over rounds, not the
+    * exponential per-round doubling the linearity rule exists for.) */
+  private def hitsDuckCtes: String = {
+    def norm(i: Int, frm: String, key: String, score: String,
+        prev: String, prevCol: String): String =
+      s"""${frm}r$i AS (
+        SELECT e.$key AS doc_id, CAST(sum(p.$prevCol) AS BIGINT) AS s
+        FROM edges e JOIN $prev p
+          ON p.doc_id = e.${if (key == "dst") "src" else "dst"}
+        GROUP BY e.$key),
+      $frm$i AS (
+        SELECT doc_id,
+          CAST(coalesce(s, 0) * $HITS_NN //
+            greatest(1, sum(coalesce(s, 0)) OVER () // $HITS_ND)
+            AS BIGINT) AS $score
+        FROM (SELECT n.doc_id, r.s
+              FROM nodes n LEFT JOIN ${frm}r$i r
+                ON r.doc_id = n.doc_id) z)"""
+    val rounds = (1 to HITS_ITERS).map { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      norm(i, "a", "dst", "auth", hPrev, "hub") + ",\n      " +
+        norm(i, "h", "src", "hub", s"a$i", "auth")
+    }.mkString(",\n      ")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
       nodes AS (
         SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
         FROM documents CROSS JOIN nn),
@@ -313,9 +335,57 @@ object Graph {
         FROM nodes, unnest([0, 1, 2]) AS t(k)
         WHERE k < outdeg),
       h0 AS (SELECT doc_id, $PR_SCALE // n AS hub FROM nodes),
-      $rounds
-      SELECT h.doc_id, h.hub, a.auth
-      FROM h$HITS_ITERS h JOIN a$HITS_ITERS a ON a.doc_id = h.doc_id"""
+      $rounds"""
+  }
+
+  // ---------------------------------------------------------------------
+  // G2b: HITS convergence observability — the g1b treatment for the
+  // second fixed iteration count (VERDICT r15 #4): one row per round
+  // with the L1 deltas of BOTH score vectors (hub: h_i vs h_{i−1} for
+  // every round; auth: a_i vs a_{i−1}, defined from round 2 — a1 has
+  // no predecessor, the column is NULL there), so "how converged is 6
+  // rounds" is driver-visible output and the dial to raise HITS_ITERS
+  // on. Every delta joins two ALREADY-MATERIALIZED rounds from
+  // hitsRounds (localCheckpoint per round), so no fixpoint lineage
+  // re-runs; each branch is one doc_id join + one scalar agg.
+  // GraphSpec asserts overall contraction (the final deltas sit well
+  // under the early ones) — HITS normalization makes per-step deltas
+  // near-monotone but not provably strictly so, hence the weaker,
+  // honest assertion.
+  // ---------------------------------------------------------------------
+  val g2bHitsConverge = Q(
+    "g2b_hits_converge",
+    (s, d) => {
+      val (hs, as) = hitsRounds(s, d)
+      def l1(cur: DataFrame, prev: DataFrame, c: String,
+          out: String): DataFrame =
+        cur.join(prev.withColumnRenamed(c, "prv"), "doc_id")
+          .agg(sum(abs(col(c) - col("prv"))).as(out))
+      val hubD = hs.zip(hs.tail).zipWithIndex.map { case ((p, c), i) =>
+        l1(c, p, "hub", "hub_l1")
+          .select(lit((i + 1).toLong).as("round"), col("hub_l1"))
+      }.reduce(_ unionByName _)
+      val authD = as.zip(as.tail).zipWithIndex.map { case ((p, c), i) =>
+        l1(c, p, "auth", "auth_l1")
+          .select(lit((i + 2).toLong).as("round"), col("auth_l1"))
+      }.reduce(_ unionByName _)
+      hubD.join(authD, Seq("round"), "left")
+        .select(col("round"), col("hub_l1"), col("auth_l1"))
+    },
+    Some {
+      val hubB = (1 to HITS_ITERS).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+          CAST(sum(abs(a.hub - b.hub)) AS BIGINT) AS hub_l1
+        FROM h$i a JOIN h${i - 1} b ON a.doc_id = b.doc_id"""
+      }.mkString(" UNION ALL ")
+      val authB = (2 to HITS_ITERS).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+          CAST(sum(abs(a.auth - b.auth)) AS BIGINT) AS auth_l1
+        FROM a$i a JOIN a${i - 1} b ON a.doc_id = b.doc_id"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $hitsDuckCtes
+      SELECT h.round, h.hub_l1, a.auth_l1
+      FROM ($hubB) h LEFT JOIN ($authB) a ON a.round = h.round"""
     })
 
   /** Synchronous label-propagation rounds. 5 is past ordering
@@ -349,54 +419,58 @@ object Graph {
   // top-1 before the sort shuffle), and the label frame is
   // localCheckpoint-truncated per round.
   // ---------------------------------------------------------------------
-  val g3LabelProp = Q(
-    "g3_label_prop",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val nodes = nodesOf(s, d)
-      val nbrs = edgesOf(nodes)
-        .select(explode(array(
-          struct(col("src").as("node"), col("dst").as("nbr")),
-          struct(col("dst").as("node"), col("src").as("nbr")))).as("e"))
-        .select(col("e.node"), col("e.nbr"))
-        .unionByName(nodes.select(
-          col("doc_id").as("node"), col("doc_id").as("nbr")))
-        .persist()
-      nbrs.count() // eager: 5 consuming rounds must not race the cache
-      var labels = nodes
-        .select(col("doc_id"), col("doc_id").as("lbl"))
+  /** The l0..l[[LPA_ITERS]] label frames, each localCheckpoint-pinned —
+    * shared by g3 (final communities) and g3b (per-round
+    * labels-changed counts). */
+  private def lpaRounds(s: SparkSession, d: String): Seq[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = nodesOf(s, d)
+    val nbrs = edgesOf(nodes)
+      .select(explode(array(
+        struct(col("src").as("node"), col("dst").as("nbr")),
+        struct(col("dst").as("node"), col("src").as("nbr")))).as("e"))
+      .select(col("e.node"), col("e.nbr"))
+      .unionByName(nodes.select(
+        col("doc_id").as("node"), col("doc_id").as("nbr")))
+      .persist()
+    nbrs.count() // eager: 5 consuming rounds must not race the cache
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += labels
+    for (_ <- 1 to LPA_ITERS) {
+      val votes = nbrs
+        .join(labels.select(col("doc_id").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("cnt").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("node").as("doc_id"), col("lbl"))
         .localCheckpoint()
-      for (_ <- 1 to LPA_ITERS) {
-        val votes = nbrs
-          .join(labels.select(col("doc_id").as("nbr"), col("lbl")), "nbr")
-          .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        labels = votes
-          .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
-            .orderBy(col("cnt").desc, col("lbl").asc)))
-          .filter(col("rn") === 1)
-          .select(col("node").as("doc_id"), col("lbl"))
-          .localCheckpoint()
-      }
-      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
-      val out = labels.join(sizes, "lbl")
-        .select(col("doc_id"), col("lbl").as("community"), col("csize"))
-      nbrs.unpersist()
-      out
-    },
-    Some {
-      val rounds = (1 to LPA_ITERS).map { i =>
-        s"""c$i AS (
-          SELECT b.node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
-          FROM nbrs b JOIN l${i - 1} l ON l.doc_id = b.nbr
-          GROUP BY b.node, l.lbl),
-        l$i AS (
-          SELECT node AS doc_id, lbl FROM (
-            SELECT node, lbl, row_number() OVER (
-              PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
-            FROM c$i) z
-          WHERE rn = 1)"""
-      }.mkString(",\n      ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      rounds += labels
+    }
+    nbrs.unpersist()
+    rounds.result()
+  }
+
+  /** The LPA recurrence (nbrs, l0..l5) as DuckDB CTE text — the shared
+    * oracle prefix of g3 and g3b. */
+  private def lpaDuckCtes: String = {
+    val rounds = (1 to LPA_ITERS).map { i =>
+      s"""c$i AS (
+        SELECT b.node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+        FROM nbrs b JOIN l${i - 1} l ON l.doc_id = b.nbr
+        GROUP BY b.node, l.lbl),
+      l$i AS (
+        SELECT node AS doc_id, lbl FROM (
+          SELECT node, lbl, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+          FROM c$i) z
+        WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
       nodes AS (
         SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
         FROM documents CROSS JOIN nn),
@@ -411,11 +485,56 @@ object Graph {
         UNION ALL SELECT dst AS node, src AS nbr FROM edges
         UNION ALL SELECT doc_id AS node, doc_id AS nbr FROM nodes),
       l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
-      $rounds
+      $rounds"""
+  }
+
+  val g3LabelProp = Q(
+    "g3_label_prop",
+    (s, d) => {
+      val labels = lpaRounds(s, d).last
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "lbl")
+        .select(col("doc_id"), col("lbl").as("community"), col("csize"))
+    },
+    Some(s"""WITH $lpaDuckCtes
       SELECT l.doc_id, l.lbl AS community, s.csize
       FROM l$LPA_ITERS l
       JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
-            FROM l$LPA_ITERS GROUP BY lbl) s ON s.lbl = l.lbl"""
+            FROM l$LPA_ITERS GROUP BY lbl) s ON s.lbl = l.lbl"""))
+
+  // ---------------------------------------------------------------------
+  // G3b: LPA convergence observability (VERDICT r15 #4) — one row per
+  // round: how many nodes CHANGED label this round (the convergence
+  // dial: 0 means fixpoint; a plateau at a non-zero value across
+  // consecutive rounds is the classic synchronous-LPA 2-cycle, now
+  // driver-visible instead of silently absorbed by the fixed
+  // LPA_ITERS) plus the surviving distinct-label count (community
+  // consolidation per round). Deltas join already-materialized rounds
+  // from lpaRounds; labels are BIGINTs so both engines agree exactly.
+  // ---------------------------------------------------------------------
+  val g3bLpaConverge = Q(
+    "g3b_lpa_converge",
+    (s, d) => {
+      val rounds = lpaRounds(s, d)
+      rounds.zip(rounds.tail).zipWithIndex.map { case ((p, c), i) =>
+        c.join(p.withColumnRenamed("lbl", "prv"), "doc_id")
+          .agg(
+            count(when(col("lbl") =!= col("prv"), 1)).as("changed"),
+            count_distinct(col("lbl")).as("n_labels"))
+          .select(lit((i + 1).toLong).as("round"), col("changed"),
+            col("n_labels"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val branches = (1 to LPA_ITERS).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+          CAST(count(CASE WHEN a.lbl <> b.lbl THEN 1 END) AS BIGINT)
+            AS changed,
+          CAST(count(DISTINCT a.lbl) AS BIGINT) AS n_labels
+        FROM l$i a JOIN l${i - 1} b ON a.doc_id = b.doc_id"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $lpaDuckCtes
+      $branches"""
     })
 
   /** The DENSE undirected substrate of g4 (k-core) and g5 (triangles):
@@ -553,45 +672,52 @@ object Graph {
   // localCheckpoint-truncated per round (it still feeds two stages —
   // the join and the next checkpoint — under parallel AQE).
   // ---------------------------------------------------------------------
-  val g4Kcore = Q(
-    "g4_kcore",
-    (s, d) => {
-      val nodes = nodesOf(s, d)
-      val nbrs = denseUndOf(nodes)
-        .select(explode(array(
-          struct(col("u").as("node"), col("v").as("nbr")),
-          struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
-        .select(col("e.node"), col("e.nbr"))
-        .persist()
-      nbrs.count() // eager: the peeling rounds must not race the cache
-      def aliveNbrCnt(alive: DataFrame): DataFrame =
-        nbrs
-          .join(alive.select(col("doc_id").as("nbr")), "nbr")
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      var alive = nodes.select(col("doc_id")).localCheckpoint()
-      for (_ <- 1 to KCORE_ITERS) {
-        alive = aliveNbrCnt(alive)
-          .filter(col("deg") >= KCORE_K)
-          .select(col("node").as("doc_id"))
-          .localCheckpoint()
-      }
-      val out = aliveNbrCnt(alive)
-        .join(alive.select(col("doc_id").as("node")), Seq("node"),
-          "left_semi")
-        .select(col("node").as("doc_id"), col("deg").as("core_deg"))
-      nbrs.unpersist()
-      out
-    },
-    Some {
-      val rounds = (1 to KCORE_ITERS).map { i =>
-        s"""d$i AS (
-          SELECT b.node, CAST(count(*) AS BIGINT) AS deg
-          FROM unbrs b
-          JOIN a${i - 1} x ON x.doc_id = b.nbr
-          GROUP BY b.node),
-        a$i AS (SELECT node AS doc_id FROM d$i WHERE deg >= $KCORE_K)"""
-      }.mkString(",\n      ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+  /** The a0..a[[KCORE_ITERS]] alive frames (plus the shared cached
+    * neighbor list's lifecycle), each localCheckpoint-pinned — shared
+    * by g4 (final core) and g4b (per-round peel counts). Returns the
+    * rounds and the aliveNbrCnt closure over the still-cached nbrs;
+    * callers must run their consuming plans before this session drops
+    * the cache (both callers materialize via the Q's single action). */
+  private def kcoreRounds(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame => DataFrame) = {
+    val nodes = nodesOf(s, d)
+    val nbrs = denseUndOf(nodes)
+      .select(explode(array(
+        struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node"), col("e.nbr"))
+      .persist()
+    nbrs.count() // eager: the peeling rounds must not race the cache
+    def aliveNbrCnt(alive: DataFrame): DataFrame =
+      nbrs
+        .join(alive.select(col("doc_id").as("nbr")), "nbr")
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var alive = nodes.select(col("doc_id")).localCheckpoint()
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += alive
+    for (_ <- 1 to KCORE_ITERS) {
+      alive = aliveNbrCnt(alive)
+        .filter(col("deg") >= KCORE_K)
+        .select(col("node").as("doc_id"))
+        .localCheckpoint()
+      rounds += alive
+    }
+    nbrs.unpersist()
+    (rounds.result(), aliveNbrCnt)
+  }
+
+  /** The peeling recurrence (und, unbrs, a0..a6) as DuckDB CTE text —
+    * the shared oracle prefix of g4 and g4b. */
+  private def kcoreDuckCtes: String = {
+    val rounds = (1 to KCORE_ITERS).map { i =>
+      s"""d$i AS (
+        SELECT b.node, CAST(count(*) AS BIGINT) AS deg
+        FROM unbrs b
+        JOIN a${i - 1} x ON x.doc_id = b.nbr
+        GROUP BY b.node),
+      a$i AS (SELECT node AS doc_id FROM d$i WHERE deg >= $KCORE_K)"""
+    }.mkString(",\n      ")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
       nodes AS (
         SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
         FROM documents CROSS JOIN nn),
@@ -603,14 +729,60 @@ object Graph {
         WHERE k < outdeg),
       $undNbrsCtesDuck,
       a0 AS (SELECT doc_id FROM nodes),
-      $rounds
+      $rounds"""
+  }
+
+  val g4Kcore = Q(
+    "g4_kcore",
+    (s, d) => {
+      val (rounds, aliveNbrCnt) = kcoreRounds(s, d)
+      val alive = rounds.last
+      aliveNbrCnt(alive)
+        .join(alive.select(col("doc_id").as("node")), Seq("node"),
+          "left_semi")
+        .select(col("node").as("doc_id"), col("deg").as("core_deg"))
+    },
+    Some(s"""WITH $kcoreDuckCtes
       SELECT d.node AS doc_id, d.deg AS core_deg
       FROM (SELECT b.node, CAST(count(*) AS BIGINT) AS deg
             FROM unbrs b
             JOIN a$KCORE_ITERS x ON x.doc_id = b.nbr
             GROUP BY b.node) d
       WHERE EXISTS (SELECT 1 FROM a$KCORE_ITERS y
-                    WHERE y.doc_id = d.node)"""
+                    WHERE y.doc_id = d.node)"""))
+
+  // ---------------------------------------------------------------------
+  // G4b: peeling convergence observability (VERDICT r15 #4) — one row
+  // per round: survivors and how many nodes PEELED this round. Peeling
+  // is monotone (alive sets only shrink), so "the final round peels
+  // zero" IS the fixpoint witness — previously asserted only in
+  // GraphSpec at sf0.01, now first-class query output: on a graph
+  // where KCORE_ITERS rounds don't reach the fixpoint, the last row's
+  // peeled column reads non-zero in production instead of silently
+  // reporting a non-core as the core. Each branch counts two
+  // already-materialized rounds (1-row aggs over localCheckpoint'd
+  // id frames).
+  // ---------------------------------------------------------------------
+  val g4bKcoreConverge = Q(
+    "g4b_kcore_converge",
+    (s, d) => {
+      val (rounds, _) = kcoreRounds(s, d)
+      rounds.zip(rounds.tail).zipWithIndex.map { case ((p, c), i) =>
+        p.agg(count(lit(1)).as("prev_n"))
+          .crossJoin(c.agg(count(lit(1)).as("alive")))
+          .select(lit((i + 1).toLong).as("round"), col("alive"),
+            (col("prev_n") - col("alive")).as("peeled"))
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val branches = (1 to KCORE_ITERS).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+          (SELECT CAST(count(*) AS BIGINT) FROM a$i) AS alive,
+          (SELECT CAST(count(*) AS BIGINT) FROM a${i - 1})
+            - (SELECT CAST(count(*) AS BIGINT) FROM a$i) AS peeled"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $kcoreDuckCtes
+      $branches"""
     })
 
   // ---------------------------------------------------------------------
@@ -713,5 +885,6 @@ object Graph {
       FROM deg d LEFT JOIN tri_cnt t ON t.x = d.x"""))
 
   def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits,
-    g3LabelProp, g4Kcore, g5Triangles)
+    g2bHitsConverge, g3LabelProp, g3bLpaConverge, g4Kcore,
+    g4bKcoreConverge, g5Triangles)
 }

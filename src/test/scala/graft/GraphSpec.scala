@@ -174,6 +174,65 @@ class GraphSpec extends SparkSuite {
       s"round ${Graph.PR_ITERS} delta ${deltas.last} still coarse")
   }
 
+  test("G2b: per-round HITS deltas equal the independent recompute " +
+      "and contract overall") {
+    // independent per-round recompute (the referenceHits loop, keeping
+    // every round): hub deltas for rounds 1..ITERS, auth deltas from
+    // round 2 (a1 has no predecessor — the query's NULL column)
+    val n = 24L
+    val edges = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u, (u * p + k + 1) % n)
+      }
+    }
+    def normalize(raw: Map[Long, Long]): Map[Long, Long] = {
+      val t = raw.values.sum
+      (0L until n).map(v => v -> raw.getOrElse(v, 0L) * Graph.HITS_NN /
+        math.max(1L, t / Graph.HITS_ND)).toMap
+    }
+    var h = (0L until n).map(u => u -> Graph.PR_SCALE / n).toMap
+    val hs = scala.collection.mutable.ArrayBuffer(h)
+    val as = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    for (_ <- 1 to Graph.HITS_ITERS) {
+      val a = normalize(edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => h(u) }.sum })
+      as += a
+      h = normalize(edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map { case (_, v) => a(v) }.sum })
+      hs += h
+    }
+    def l1(x: Map[Long, Long], y: Map[Long, Long]): Long =
+      (0L until n).map(u => math.abs(x(u) - y(u))).sum
+    val wantHub = (1 to Graph.HITS_ITERS)
+      .map(i => i.toLong -> l1(hs(i), hs(i - 1))).toMap
+    val wantAuth = (2 to Graph.HITS_ITERS)
+      .map(i => i.toLong -> l1(as(i - 1), as(i - 2))).toMap
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g2conv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Graph.g2bHitsConverge.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to Graph.HITS_ITERS.toLong),
+      "one delta row per round")
+    rows.foreach { case (i, hubL1, authL1) =>
+      assert(hubL1 === wantHub(i), s"hub delta diverges at round $i")
+      assert(authL1 === wantAuth.get(i),
+        s"auth delta diverges at round $i (round 1 must be NULL)")
+    }
+    // the fixpoint contracts: final deltas well under the early ones
+    // (HITS normalization makes per-step deltas near- but not provably
+    // strictly-monotone — assert the honest overall property)
+    assert(rows.last._2 * 2 < rows.head._2,
+      s"hub deltas did not contract: ${rows.map(_._2).mkString(", ")}")
+    assert(rows.last._3.get * 2 < rows(1)._3.get,
+      s"auth deltas did not contract")
+  }
+
   /** The g3 recurrence in plain Scala collections: symmetrized
     * neighbor MULTISET (multi-edges vote with multiplicity) plus a
     * self-loop per node; argmax by (count desc, label asc). */
@@ -222,6 +281,51 @@ class GraphSpec extends SparkSuite {
     val wantSizes =
       got.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
     assert(sizes === wantSizes, "csize must equal the community's row count")
+  }
+
+  test("G3b: per-round labels-changed counts equal the independent " +
+      "recompute and expose the convergence trajectory") {
+    val n = 30L
+    val edges = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u, (u * p + k + 1) % n)
+      }
+    }
+    val nbrs = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) } ++
+      (0L until n).map(v => (v, v))
+    var lbl = (0L until n).map(v => v -> v).toMap
+    val wantRows = (1 to Graph.LPA_ITERS).map { i =>
+      val prev = lbl
+      lbl = nbrs
+        .map { case (node, nbr) => node -> lbl(nbr) }
+        .groupBy(_._1)
+        .map { case (node, votes) =>
+          node -> votes.groupBy(_._2).map { case (l, vs) =>
+            (l, vs.size.toLong)
+          }.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      (i.toLong,
+        (0L until n).count(v => lbl(v) != prev(v)).toLong,
+        lbl.values.toSet.size.toLong)
+    }
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g3conv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Graph.g3bLpaConverge.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq === wantRows,
+      "per-round (changed, n_labels), bit for bit")
+    // the trajectory genuinely converges on this fixture: propagation
+    // happened (round 1 changed > 0) and settled (final round changed
+    // strictly below round 1 — a 2-cycle would plateau instead, which
+    // is exactly what this report exists to expose)
+    assert(rows.head._2 > 0L, "no label ever changed — vacuous fixture")
+    assert(rows.last._2 < rows.head._2,
+      s"changed counts did not contract: ${rows.map(_._2).mkString(", ")}")
   }
 
   /** Graph.h60 replayed on the driver: first 15 hex of md5. */
@@ -298,6 +402,39 @@ class GraphSpec extends SparkSuite {
       nbrs.getOrElse(u, Set.empty).count(alive).toLong >=
         Graph.KCORE_K).toSet
     assert(oneMore === alive, "peeling had not converged at KCORE_ITERS")
+  }
+
+  test("G4b: per-round peel counts equal the independent recompute and " +
+      "the final round peels zero (fixpoint witness as output)") {
+    val n = 53L
+    val nbrs = referenceUnd(n).toSeq
+      .flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    var alive = (0L until n).toSet
+    val wantRows = (1 to Graph.KCORE_ITERS).map { i =>
+      val prev = alive
+      alive = (0L until n).filter(u =>
+        nbrs.getOrElse(u, Set.empty).count(alive).toLong >=
+          Graph.KCORE_K).toSet
+      (i.toLong, alive.size.toLong, (prev.size - alive.size).toLong)
+    }
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g4conv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Graph.g4bKcoreConverge.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq === wantRows,
+      "per-round (alive, peeled), bit for bit")
+    // non-vacuity: something peeled, something survived, and the
+    // KCORE_ITERS-th round peels ZERO — the fixpoint witness that was
+    // previously a spec-only assert is now the query's own last row
+    assert(rows.head._3 > 0L, "nothing ever peeled — vacuous fixture")
+    assert(rows.last._2 > 0L, "core emptied — vacuous fixture")
+    assert(rows.last._3 === 0L,
+      s"final round still peeling: ${rows.map(_._3).mkString(", ")}")
   }
 
   /** Triangles by brute force over all id-ordered triples. */
