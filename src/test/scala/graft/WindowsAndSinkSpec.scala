@@ -37,6 +37,62 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(out.sorted.toSeq === Seq((1L, 1L), (1L, 3L), (2L, 1L)))
   }
 
+  test("W4: planted gaps fill by LOCF with exact provenance routing") {
+    // two resources, two days, gaps planted at every routing class:
+    //  - 'steps' day 1 observes minutes 00:01 (7.0) and 00:03 (9.0):
+    //    00:00 is an UNFILLED leading minute (nothing to carry, ever),
+    //    00:02 fills locf_same_day with 7.0, 00:04.. fill with 9.0;
+    //  - 'steps' day 2 has ONE obs at 00:05 (11.0): minutes 00:00-00:04
+    //    fill locf_prev_day with day 1's CLOSE (9.0), the rest same-day;
+    //  - 'hr' exists only on day 2 (no day-1 grid rows for it at all).
+    // Two same-minute events (4.0 + 5.0 at 00:03) must sum, not race.
+    val rows = Seq(
+      (0L, ts("2024-03-01 00:01:30"), 1L, "steps", 7.0, "{}"),
+      (1L, ts("2024-03-01 00:03:10"), 1L, "steps", 4.0, "{}"),
+      (2L, ts("2024-03-01 00:03:40"), 1L, "steps", 5.0, "{}"),
+      (3L, ts("2024-03-02 00:05:59"), 1L, "steps", 11.0, "{}"),
+      (4L, ts("2024-03-02 00:02:00"), 2L, "hr", 60.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("w4fix").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Windows.w4GapFill.fn(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)),
+        (if (r.isNullAt(2)) null else r.getDouble(2),
+          r.getString(3), r.getLong(4))))
+      .toMap
+    // exact grid accounting: 1440 minutes per (resource, observed day)
+    assert(got.size === 3 * 1440, "grid must be 3 resource-days")
+    assert(!got.keySet.exists { case (t, m) =>
+      t == "hr" && m.before(ts("2024-03-02 00:00:00")) },
+      "hr must have no day-1 grid (grid covers OBSERVED days only)")
+    def at(t: String, m: String) = got((t, ts(m)))
+    assert(at("steps", "2024-03-01 00:00:00") === ((null, "unfilled", 1438L)))
+    assert(at("steps", "2024-03-01 00:01:00") === ((7.0, "observed", 1438L)))
+    assert(at("steps", "2024-03-01 00:02:00") ===
+      ((7.0, "locf_same_day", 1438L)))
+    assert(at("steps", "2024-03-01 00:03:00") === ((9.0, "observed", 1438L)),
+      "same-minute events must aggregate before the fill")
+    assert(at("steps", "2024-03-01 23:59:00") ===
+      ((9.0, "locf_same_day", 1438L)))
+    assert(at("steps", "2024-03-02 00:00:00") ===
+      ((9.0, "locf_prev_day", 1439L)),
+      "day 2's leading gap must carry day 1's CLOSING value")
+    assert(at("steps", "2024-03-02 00:04:00") ===
+      ((9.0, "locf_prev_day", 1439L)))
+    assert(at("steps", "2024-03-02 00:05:00") ===
+      ((11.0, "observed", 1439L)))
+    assert(at("steps", "2024-03-02 00:06:00") ===
+      ((11.0, "locf_same_day", 1439L)))
+    assert(at("hr", "2024-03-02 00:00:00") === ((null, "unfilled", 1439L)),
+      "a resource's first-ever leading minutes have nothing to carry")
+    assert(at("hr", "2024-03-02 00:02:00") === ((60.0, "observed", 1439L)))
+    assert(at("hr", "2024-03-02 12:00:00") ===
+      ((60.0, "locf_same_day", 1439L)))
+    // provenance totals reconcile with the planted obs counts
+    val byStatus = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byStatus("observed") === 4, "3 steps-minutes + 1 hr-minute")
+  }
+
   test("K1: partition filter prunes the lake scan (plan-level)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = sources.Ingest.k1PartitionedSink.fn(spark, sf)
