@@ -490,6 +490,90 @@ object SqlFrontend {
     },
     operators.LlmOps.t19DsirWeights.oracle)
 
+  // BPE train-then-encode from SQL — t21's full lifecycle in one Spark
+  // SQL string. THE SHAPE IS THE POINT (the sql_g1 lesson, applied
+  // before measuring this time): the naive unrolled form needs each
+  // round to read s{i-1} twice (argmax CTE + apply CTE) and each
+  // encode step to read that round's merge CTE — Spark inlines both,
+  // 2^rounds copies of the corpus word-frequency scan. This form is
+  // STRICTLY LINEAR: the round's best pair is computed IN-FRAME (pair
+  // weights via a (sym, nxt)-partitioned window sum over the exploded
+  // vocab, the argmax via an unpartitioned min() over a struct whose
+  // field order (−weight, lhs, rhs) spells the (weight DESC, lhs ASC,
+  // rhs ASC) total order), applied in the same projection, and
+  // APPENDED to a `merges` array column that rides the chain — so
+  // s{i} references s{i-1} exactly once, and the encode reads the
+  // whole learned rule list from ONE terminal 1-row relation, applying
+  // all 6 merges as one 18-replace projection over the corpus.
+  // Windows run over the ≤256-word vocab (planner-sized); the final
+  // corpus-total window over the thin counts frame is the documented
+  // single-partition parity demonstration (the sql_g2 convention).
+  val sqlT21Bpe: Queries.Q = sqlQ(
+    "sql_t21_bpe_encode", {
+      import operators.LlmOps.{BPE_VOCAB_CAP, BPE_ROUNDS, BPE_REPLACE_PASSES}
+      def rp(seq: String, l: String, r: String): String =
+        (1 to BPE_REPLACE_PASSES).foldLeft(seq)((e, _) =>
+          s"replace($e, ' '||$l||' '||$r||' ', ' '||$l||$r||' ')")
+      val rounds = (1 to BPE_ROUNDS).map { i =>
+        s"""s$i AS (
+          SELECT word, freq,
+            ${rp("seq", "best.lhs", "best.rhs")} AS seq,
+            array_append(merges,
+              named_struct('lhs', best.lhs, 'rhs', best.rhs)) AS merges
+          FROM (
+            SELECT word, freq, seq, merges, ord,
+              min(CASE WHEN nxt IS NOT NULL THEN
+                named_struct('nw', -pw, 'lhs', sym, 'rhs', nxt) END)
+                OVER () AS best
+            FROM (
+              SELECT word, freq, seq, merges, ord, sym, nxt,
+                sum(freq) OVER (PARTITION BY sym, nxt) AS pw
+              FROM (
+                SELECT word, freq, seq, merges, ord, sym,
+                  lead(sym) OVER (PARTITION BY word ORDER BY ord) AS nxt
+                FROM (SELECT word, freq, seq, merges, ord, sym
+                      FROM s${i - 1}
+                      LATERAL VIEW posexplode(split(trim(seq), ' '))
+                        t AS ord, sym) e1) e2) e3
+          ) z
+          WHERE ord = 0)"""
+      }.mkString(",\n      ")
+      val encApplied = (1 to BPE_ROUNDS).foldLeft("seq") { (e, i) =>
+        rp(e, s"element_at(ms, $i).lhs", s"element_at(ms, $i).rhs")
+      }
+      s"""WITH wc AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT explode(split(lower(text), ' ')) AS word
+              FROM documents) t
+        WHERE word rlike '^[a-z]+${"$"}'
+        GROUP BY word ORDER BY freq DESC, word ASC LIMIT $BPE_VOCAB_CAP),
+      s0 AS (
+        SELECT word, freq,
+          regexp_replace(word, '(.)', ' ${"$"}1') || ' ' AS seq,
+          CAST(array() AS ARRAY<STRUCT<lhs: STRING, rhs: STRING>>)
+            AS merges
+        FROM wc),
+      $rounds,
+      mm AS (SELECT merges AS ms FROM s$BPE_ROUNDS LIMIT 1),
+      enc AS (
+        SELECT doc_id, $encApplied AS seq
+        FROM (SELECT doc_id, array_join(transform(
+            filter(split(lower(text), ' '), w -> w <> ''),
+            w -> CASE WHEN w rlike '^[a-z]+${"$"}'
+              THEN concat(regexp_replace(w, '(.)', ' ${"$"}1'), ' ')
+              ELSE ' 0 ' END), '') AS seq
+          FROM documents) d0
+        CROSS JOIN mm)
+      SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER () AS corpus_tokens
+      FROM (SELECT doc_id,
+          CASE WHEN trim(seq) = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(size(split(trim(seq), ' +')) AS BIGINT) END
+            AS n_tokens
+        FROM enc) z"""
+    },
+    operators.LlmOps.t21BpeEncode.oracle)
+
   // PageRank from SQL — g1's integer-exact fixpoint as ONE Spark SQL
   // string. THE SHAPE IS THE POINT: the naive unrolled form (each round
   // = a recv CTE joining r{i-1} PLUS a dang CTE aggregating r{i-1})
@@ -1686,7 +1770,7 @@ object SqlFrontend {
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
-      sqlD15LineDedup, sqlT19Dsir, sqlG1Pagerank, sqlG2Hits,
+      sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlG1Pagerank, sqlG2Hits,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum)
 }

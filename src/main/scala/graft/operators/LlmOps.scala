@@ -2806,74 +2806,81 @@ object LlmOps {
   private[graft] val BPE_ROUNDS = 6
   private[graft] val BPE_REPLACE_PASSES = 3
 
-  val t20BpeMerges = Q(
-    "t20_bpe_merges",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val words = documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("word").asc)
-        .limit(BPE_VOCAB_CAP)
-      var seq = words.select(col("word"), col("freq"),
-        concat(regexp_replace(col("word"), "(.)", " $1"), lit(" "))
-          .as("seq"))
+  /** The t20 learning loop, shared with t21 (which APPLIES the learned
+    * rules): one corpus word-freq pass, then [[BPE_ROUNDS]] argmax
+    * rounds over the capped vocab. Returns the per-round 1-row best
+    * frames (lhs, rhs, weight) in merge order, each localCheckpoint-
+    * pinned (every best feeds both its caller's output/apply and the
+    * next learning round). */
+  private def bpeLearnBests(s: SparkSession, d: String): Seq[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val words = documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(BPE_VOCAB_CAP)
+    var seq = words.select(col("word"), col("freq"),
+      concat(regexp_replace(col("word"), "(.)", " $1"), lit(" "))
+        .as("seq"))
+      .localCheckpoint()
+    val bests = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to BPE_ROUNDS) {
+      val best = seq
+        .select(col("word"), col("freq"),
+          posexplode(split(trim(col("seq")), " ")))
+        .withColumnRenamed("pos", "ord").withColumnRenamed("col", "sym")
+        .withColumn("r", lead(col("sym"), 1).over(
+          Window.partitionBy(col("word")).orderBy(col("ord"))))
+        .filter(col("r").isNotNull)
+        .groupBy(col("sym").as("lhs"), col("r").as("rhs"))
+        .agg(sum(col("freq")).as("weight"))
+        .orderBy(col("weight").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint() // 1 row; feeds BOTH the output and the apply
+      bests += best
+      seq = seq.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+        .select(col("word"), col("freq"),
+          bpeApplyMerge(col("seq")).as("seq"))
         .localCheckpoint()
-      val rows = Seq.newBuilder[DataFrame]
-      for (i <- 1 to BPE_ROUNDS) {
-        val best = seq
-          .select(col("word"), col("freq"),
-            posexplode(split(trim(col("seq")), " ")))
-          .withColumnRenamed("pos", "ord").withColumnRenamed("col", "sym")
-          .withColumn("r", lead(col("sym"), 1).over(
-            Window.partitionBy(col("word")).orderBy(col("ord"))))
-          .filter(col("r").isNotNull)
-          .groupBy(col("sym").as("lhs"), col("r").as("rhs"))
-          .agg(sum(col("freq")).as("weight"))
-          .orderBy(col("weight").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1)
-          .localCheckpoint() // 1 row; feeds BOTH the output and the apply
-        rows += best.select(lit(i.toLong).as("rnd"), col("lhs"),
-          col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
-          col("weight"))
-        val pat = concat(lit(" "), col("lhs"), lit(" "), col("rhs"),
-          lit(" "))
-        val rep = concat(lit(" "), col("lhs"), col("rhs"), lit(" "))
-        val applied = (1 to BPE_REPLACE_PASSES).foldLeft[Column](
-          col("seq"))((c, _) => replace(c, pat, rep))
-        seq = seq.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
-          .select(col("word"), col("freq"), applied.as("seq"))
-          .localCheckpoint()
-      }
-      rows.result().reduce(_ unionByName _)
-    },
-    Some {
-      val rounds = (1 to BPE_ROUNDS).map { i =>
-        val rp = (1 to BPE_REPLACE_PASSES).foldLeft("seq")((e, _) =>
-          s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
-        s"""px$i AS (
-          SELECT sym AS lhs, lead(sym) OVER (
-              PARTITION BY word ORDER BY ord) AS rhs, freq
-          FROM (SELECT word, freq, unnest(syms) AS sym,
-                  unnest(range(1, len(syms) + 1)) AS ord
-                FROM (SELECT word, freq,
-                    string_split(trim(seq), ' ') AS syms
-                  FROM s${i - 1}))),
-        m$i AS (
-          SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS weight
-          FROM px$i WHERE rhs IS NOT NULL
-          GROUP BY lhs, rhs
-          ORDER BY weight DESC, lhs ASC, rhs ASC LIMIT 1),
-        s$i AS (
-          SELECT word, freq, $rp AS seq
-          FROM s${i - 1} CROSS JOIN m$i)"""
-      }.mkString(",\n      ")
-      val out = (1 to BPE_ROUNDS).map { i =>
-        s"""SELECT CAST($i AS BIGINT) AS rnd, lhs, rhs,
-          lhs || rhs AS merged, weight FROM m$i"""
-      }.mkString(" UNION ALL ")
-      s"""WITH wc AS (
+    }
+    bests.result()
+  }
+
+  /** One merge application: replace(" lhs rhs " -> " lhsrhs ") run
+    * [[BPE_REPLACE_PASSES]] times over a delimited symbol string whose
+    * frame carries broadcast `lhs`/`rhs` columns. */
+  private def bpeApplyMerge(seqCol: Column): Column = {
+    val pat = concat(lit(" "), col("lhs"), lit(" "), col("rhs"), lit(" "))
+    val rep = concat(lit(" "), col("lhs"), col("rhs"), lit(" "))
+    (1 to BPE_REPLACE_PASSES).foldLeft(seqCol)((c, _) => replace(c, pat, rep))
+  }
+
+  /** The learning recurrence (wc, s0, px/m/s 1..6) as DuckDB CTE text —
+    * the shared oracle prefix of t20 (reports the rules) and t21
+    * (applies them to the corpus). */
+  private def bpeDuckCtes: String = {
+    val rounds = (1 to BPE_ROUNDS).map { i =>
+      val rp = (1 to BPE_REPLACE_PASSES).foldLeft("seq")((e, _) =>
+        s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
+      s"""px$i AS (
+        SELECT sym AS lhs, lead(sym) OVER (
+            PARTITION BY word ORDER BY ord) AS rhs, freq
+        FROM (SELECT word, freq, unnest(syms) AS sym,
+                unnest(range(1, len(syms) + 1)) AS ord
+              FROM (SELECT word, freq,
+                  string_split(trim(seq), ' ') AS syms
+                FROM s${i - 1}))),
+      m$i AS (
+        SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS weight
+        FROM px$i WHERE rhs IS NOT NULL
+        GROUP BY lhs, rhs
+        ORDER BY weight DESC, lhs ASC, rhs ASC LIMIT 1),
+      s$i AS (
+        SELECT word, freq, $rp AS seq
+        FROM s${i - 1} CROSS JOIN m$i)"""
+    }.mkString(",\n      ")
+    s"""wc AS (
         SELECT word, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
               FROM documents) t
@@ -2883,8 +2890,99 @@ object LlmOps {
         SELECT word, freq,
           regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS seq
         FROM wc),
-      $rounds
+      $rounds"""
+  }
+
+  val t20BpeMerges = Q(
+    "t20_bpe_merges",
+    (s, d) =>
+      bpeLearnBests(s, d).zipWithIndex.map { case (best, i) =>
+        best.select(lit((i + 1).toLong).as("rnd"), col("lhs"),
+          col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
+          col("weight"))
+      }.reduce(_ unionByName _),
+    Some {
+      val out = (1 to BPE_ROUNDS).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS rnd, lhs, rhs,
+          lhs || rhs AS merged, weight FROM m$i"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $bpeDuckCtes
       $out"""
+    })
+
+  // ---------------------------------------------------------------------
+  // T21: BPE encoding — the CONSUMER t20 was missing (VERDICT r15 #1,
+  // the train→apply asymmetry: every other trained artifact has a
+  // consumer — a8→a7b, t15's LM → c7). Tokenizing the corpus with the
+  // learned tokenizer IS the heavy pass of a training-data build, and
+  // its numbers (per-doc token counts, the corpus total) are what t9's
+  // sequence packing budgets against.
+  //
+  // Encoding: each document maps to ONE delimited symbol string — an
+  // alpha word contributes " c h a r s " (its space-delimited chars),
+  // any other whitespace token contributes the single non-mergeable
+  // symbol " 0 " (a byte-fallback stand-in: '0' ∉ [a-z] and every
+  // learned lhs/rhs IS [a-z]+, so it can never merge). Adjacent word
+  // strings concatenate to DOUBLE spaces at word boundaries, which the
+  // single-spaced " lhs rhs " patterns cannot span — word-boundary
+  // isolation with zero extra bookkeeping. The 6 learned merges then
+  // apply IN ORDER (each a 1-row broadcast crossJoin + the same
+  // 3-pass replace discipline BpeSpec pins), and a doc's token count
+  // is its final symbol count.
+  //
+  // Shape at scale: learning re-runs t20 (one corpus hash-agg + capped
+  // iteration); encoding is ONE corpus-sized projection pipeline — 6
+  // merges × 3 passes = 18 codegen'd replaces, no shuffle — and the
+  // count agg broadcasts back over the planner-thin counts frame. The
+  // corpus is scanned twice (freq pass, encode pass), the physical
+  // floor for train-then-apply in one query.
+  // ---------------------------------------------------------------------
+  val t21BpeEncode = Q(
+    "t21_bpe_encode",
+    (s, d) => {
+      val bests = bpeLearnBests(s, d)
+      val seqExpr = expr(
+        "array_join(transform(filter(split(lower(text), ' '), " +
+          "w -> w <> ''), w -> CASE WHEN w rlike '^[a-z]+$' " +
+          "THEN concat(regexp_replace(w, '(.)', ' $1'), ' ') " +
+          "ELSE ' 0 ' END), '')")
+      var enc = documents(s, d).select(col("doc_id"), seqExpr.as("seq"))
+      for (best <- bests)
+        enc = enc.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+          .select(col("doc_id"), bpeApplyMerge(col("seq")).as("seq"))
+      val counts = enc.select(col("doc_id"),
+        when(trim(col("seq")) === "", lit(0L))
+          .otherwise(size(split(trim(col("seq")), " +")).cast("long"))
+          .as("n_tokens"))
+        .localCheckpoint() // feeds the rows AND the corpus-total agg
+      counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_tokens")).as("corpus_tokens"))))
+        .select(col("doc_id"), col("n_tokens"), col("corpus_tokens"))
+    },
+    Some {
+      val encs = (1 to BPE_ROUNDS).map { i =>
+        val rp = (1 to BPE_REPLACE_PASSES).foldLeft("seq")((e, _) =>
+          s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
+        s"""enc$i AS (
+          SELECT doc_id, $rp AS seq
+          FROM enc${i - 1} CROSS JOIN m$i)"""
+      }.mkString(",\n      ")
+      s"""WITH $bpeDuckCtes,
+      enc0 AS (
+        SELECT doc_id, array_to_string(list_transform(
+          list_filter(string_split(lower(text), ' '), w -> w <> ''),
+          w -> CASE WHEN regexp_matches(w, '^[a-z]+${"$"}')
+            THEN regexp_replace(w, '(.)', ' \\1', 'g') || ' '
+            ELSE ' 0 ' END), '') AS seq
+        FROM documents),
+      $encs
+      SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER () AS BIGINT) AS corpus_tokens
+      FROM (SELECT doc_id,
+          CASE WHEN trim(seq) = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(string_split_regex(trim(seq), ' +'))
+              AS BIGINT) END AS n_tokens
+        FROM enc$BPE_ROUNDS) z"""
     })
 
   // ---------------------------------------------------------------------
@@ -4057,7 +4155,7 @@ object LlmOps {
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,
-    t19DsirWeights, t20BpeMerges,
+    t19DsirWeights, t20BpeMerges, t21BpeEncode,
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,

@@ -76,6 +76,72 @@ class BpeSpec extends SparkSuite {
       assert(r.getString(3) === r.getString(1) + r.getString(2)))
   }
 
+  /** t21's encoding in plain Scala: per doc, alpha words explode to
+    * char symbols, anything else becomes the non-mergeable '0', word
+    * strings concatenate (double-space boundaries), then every learned
+    * merge applies in order with the same bounded replace passes. */
+  private def referenceEncode(
+      text: String, merges: Seq[(String, String)]): Long = {
+    val seq0 = text.toLowerCase.split(" ").filter(_.nonEmpty).map { w =>
+      if (w.forall(c => c >= 'a' && c <= 'z'))
+        " " + w.map(c => s"$c ").mkString
+      else " 0 "
+    }.mkString
+    val enc = merges.foldLeft(seq0) { case (s, (l, r)) =>
+      (1 to LlmOps.BPE_REPLACE_PASSES).foldLeft(s)(
+        (acc, _) => acc.replace(s" $l $r ", s" $l$r "))
+    }
+    if (enc.trim.isEmpty) 0L else enc.trim.split(" +").length.toLong
+  }
+
+  test("T21: per-doc token counts equal the independent encode replay, " +
+    "merges stop at word boundaries, non-alpha tokens count as one") {
+    // the Sennrich vocabulary again, but now laid out so the ENCODING
+    // edge cases fire: 'newest lowest' must NOT merge across the word
+    // boundary even though 'st lo' could look adjacent in a flat
+    // single-space string; digits/punct count exactly 1 token each;
+    // and a doc of only separators counts 0
+    val texts = Seq(
+      Seq.fill(5)("low").mkString(" ") + " " +
+        Seq.fill(2)("lower").mkString(" "),
+      Seq.fill(6)("newest").mkString(" "),
+      Seq.fill(3)("widest").mkString(" "),
+      "newest lowest",
+      "pay 42 dollars, now!",
+      "   ")
+    val dir = writeDocs(texts)
+    // the learned rules, independently recomputed (referenceBpe) from
+    // the fixture's word-frequency table — t21 must apply THESE
+    val wordFreq = texts.flatMap(_.toLowerCase.split(" "))
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      .groupBy(identity).map { case (w, vs) => w -> vs.size.toLong }
+    val merges = referenceBpe(wordFreq).map(m => (m._2, m._3))
+    val got = LlmOps.t21BpeEncode.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val wantCounts = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> referenceEncode(t, merges)
+    }
+    assert(got.map(r => (r._1, r._2)).toSeq === wantCounts,
+      "every doc's token count, bit for bit vs the encode replay")
+    // corpus total is the same number on every row and sums the counts
+    val total = wantCounts.map(_._2).sum
+    assert(got.map(_._3).toSet === Set(total), "corpus_tokens must ride " +
+      "every row with the exact total")
+    // the planted edge cases did what the comment claims
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(5L) === 0L, "separator-only doc must count 0 tokens")
+    // 'pay 42 dollars, now!': 42 / 'dollars,' / 'now!' are single '0'
+    // symbols; 'pay' is alpha and segments by the learned merges
+    assert(byId(4L) === 3L + referenceEncode("pay", merges),
+      "each non-alpha whitespace token counts exactly one")
+    // word-boundary isolation: encoding 'newest lowest' equals the sum
+    // of encoding each word alone (no cross-word merge ever applies)
+    assert(byId(3L) === referenceEncode("newest", merges) +
+      referenceEncode("lowest", merges),
+      "merges must not span the double-space word boundary")
+  }
+
   test("T20: bounded replace passes resolve same-symbol runs <= 8") {
     // 'aaaaaaaa' (run of 8): one replace pass takes ' a a a a a a a a '
     // to ' aa aa aa aa ' only if the scanner re-used the trailing
