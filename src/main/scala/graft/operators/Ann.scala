@@ -1852,86 +1852,107 @@ object Ann {
       edges.count()
       nswSearchOver(s, d, edges)
     },
-    Some {
-      val hops = (1 to NSW_HOPS).map { k =>
-        s"""n$k AS (
-          SELECT f.probe_id, g.n AS vec_id
-          FROM f${k - 1} f JOIN edges g ON g.v = f.vec_id),
-        c$k AS (
-          SELECT probe_id, vec_id, sim FROM f${k - 1}
-          UNION
-          SELECT n.probe_id, n.vec_id,
-            round(list_inner_product(e.emb, p.p_emb)
-              / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
-          FROM n$k n JOIN e ON e.vec_id = n.vec_id
-          JOIN p ON p.probe_id = n.probe_id),
-        f$k AS (
-          SELECT probe_id, vec_id, sim FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY sim DESC, vec_id ASC) AS rn FROM c$k) t
-          WHERE rn <= $NSW_B)"""
-      }.mkString(",\n      ")
-      s"""WITH e AS (
+    Some(s"""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
-      nc AS (SELECT count(*) AS n FROM embeddings),
-      nb AS (SELECT ($nswNbitsDuck) AS nbits,
-          greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
-        FROM nc),
-      ${Seq(("a", NSW_OFF_A, NSW_MA), ("b", NSW_OFF_B, NSW_MB)).map {
-        case (t, off, m) =>
-          s"""b$t AS (SELECT vec_id,
+      ${nswBuildDuck("", "embeddings")},
+      ${nswSearchDuck("edges")}"""))
+
+  /** The flat NSW edge BUILD as DuckDB CTE text over any member
+    * relation `memberFrom` (must expose (vec_id, embedding); bucket
+    * sizing reads ITS count), CTE names prefixed `pre`, scoring via a
+    * prior `e` CTE (vec_id, emb, nrm — a superset of the members).
+    * Ends in `${pre}edges (v, n)`. Shared by a17's oracle (members =
+    * the whole corpus) and k8c's (members = a18's standing slice, so
+    * the served standing index and the delta replay provably size
+    * their buckets the same way). */
+  private[graft] def nswBuildDuck(pre: String, memberFrom: String)
+      : String = {
+    import graft.functions.Portable.h60Duck
+    val sign = Seq(("a", NSW_OFF_A, NSW_MA), ("b", NSW_OFF_B, NSW_MB))
+      .map { case (t, off, m) =>
+        s"""${pre}b$t AS (SELECT vec_id,
           CAST((${nswSignKeyDuck("embedding", off)}) % (1 << nbits)
             AS INT) AS b
-        FROM embeddings CROSS JOIN nb),
-      s$t AS (SELECT vec_id, b FROM (
+        FROM $memberFrom CROSS JOIN ${pre}nb),
+      ${pre}s$t AS (SELECT vec_id, b FROM (
           SELECT vec_id, b, row_number() OVER (PARTITION BY b ORDER BY
-            ${graft.functions.Portable
-            .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
-          FROM b$t) t WHERE srn <= $NSW_CAP),
-      ef$t AS (
+            ${h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
+          FROM ${pre}b$t) t WHERE srn <= $NSW_CAP),
+      ${pre}ef$t AS (
         SELECT v, n FROM (
           SELECT va.vec_id AS v, vb.vec_id AS n,
             row_number() OVER (PARTITION BY va.vec_id ORDER BY
               round(list_inner_product(ea.emb, eb.emb)
                 / nullif(ea.nrm * eb.nrm, 0.0), 6) DESC,
               vb.vec_id ASC) AS rn
-          FROM b$t va JOIN s$t vb ON va.b = vb.b
+          FROM ${pre}b$t va JOIN ${pre}s$t vb ON va.b = vb.b
             AND va.vec_id <> vb.vec_id
           JOIN e ea ON ea.vec_id = va.vec_id
           JOIN e eb ON eb.vec_id = vb.vec_id) t
         WHERE rn <= $m)"""
-      }.mkString(",\n      ")},
-      br AS (SELECT vec_id,
-          CAST(${graft.functions.Portable
-        .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
-        FROM embeddings CROSS JOIN nb),
-      sr AS (SELECT vec_id, b FROM (
+      }.mkString(",\n      ")
+    s"""${pre}nc AS (SELECT count(*) AS n FROM $memberFrom),
+      ${pre}nb AS (SELECT ($nswNbitsDuck) AS nbits,
+          greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
+        FROM ${pre}nc),
+      $sign,
+      ${pre}br AS (SELECT vec_id,
+          CAST(${h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2
+            AS INT) AS b
+        FROM $memberFrom CROSS JOIN ${pre}nb),
+      ${pre}sr AS (SELECT vec_id, b FROM (
           SELECT vec_id, b, row_number() OVER (PARTITION BY b ORDER BY
-            ${graft.functions.Portable
-        .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
-          FROM br) t WHERE srn <= $NSW_CAP),
-      efr AS (
+            ${h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
+          FROM ${pre}br) t WHERE srn <= $NSW_CAP),
+      ${pre}efr AS (
         SELECT v, n FROM (
           SELECT va.vec_id AS v, vb.vec_id AS n,
             row_number() OVER (PARTITION BY va.vec_id ORDER BY
-              ${graft.functions.Portable.h60Duck(
-        "concat(CAST(va.vec_id AS VARCHAR), '|', CAST(vb.vec_id AS VARCHAR))",
-        "nsw2|")} ASC,
+              ${h60Duck(
+      "concat(CAST(va.vec_id AS VARCHAR), '|', CAST(vb.vec_id AS VARCHAR))",
+      "nsw2|")} ASC,
               vb.vec_id ASC) AS rn
-          FROM br va JOIN sr vb ON va.b = vb.b
+          FROM ${pre}br va JOIN ${pre}sr vb ON va.b = vb.b
             AND va.vec_id <> vb.vec_id) t
         WHERE rn <= $NSW_MR),
-      edges AS (SELECT v, n FROM efa UNION SELECT v, n FROM efb
-        UNION SELECT v, n FROM efr),
-      p AS (
+      ${pre}edges AS (SELECT v, n FROM ${pre}efa
+        UNION SELECT v, n FROM ${pre}efb
+        UNION SELECT v, n FROM ${pre}efr)"""
+  }
+
+  /** The greedy-beam SEARCH as DuckDB CTE text + final SELECT over any
+    * (v, n) edge relation — the oracle twin of [[nswSearchOver]]:
+    * probes vec_id < 8, NSW_ENTRIES h60-spread entries from the full
+    * corpus, NSW_HOPS beam rounds, top-NSW_K. Requires a prior `e` CTE.
+    * Shared by a17 (in-memory edges) and k8c (standing ∪ delta). */
+  private[graft] def nswSearchDuck(edgesRel: String): String = {
+    val hops = (1 to NSW_HOPS).map { k =>
+      s"""n$k AS (
+        SELECT f.probe_id, g.n AS vec_id
+        FROM f${k - 1} f JOIN $edgesRel g ON g.v = f.vec_id),
+      c$k AS (
+        SELECT probe_id, vec_id, sim FROM f${k - 1}
+        UNION
+        SELECT n.probe_id, n.vec_id,
+          round(list_inner_product(e.emb, p.p_emb)
+            / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+        FROM n$k n JOIN e ON e.vec_id = n.vec_id
+        JOIN p ON p.probe_id = n.probe_id),
+      f$k AS (
+        SELECT probe_id, vec_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM c$k) t
+        WHERE rn <= $NSW_B)"""
+    }.mkString(",\n      ")
+    s"""p AS (
         SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
         FROM e WHERE vec_id < 8),
       ent AS (SELECT vec_id FROM embeddings ORDER BY
           ${graft.functions.Portable
-        .h60Duck("CAST(vec_id AS VARCHAR)", "nswe|")}, vec_id
+      .h60Duck("CAST(vec_id AS VARCHAR)", "nswe|")}, vec_id
         LIMIT $NSW_ENTRIES),
       f0 AS (
         SELECT p.probe_id, e.vec_id,
@@ -1944,7 +1965,7 @@ object Ann {
         SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY sim DESC, vec_id ASC) AS rn FROM f$NSW_HOPS) t
       WHERE rn <= $NSW_K"""
-    })
+  }
 
   // ---------------------------------------------------------------------
   // A18: incremental NSW graph maintenance — the a15/d10 lifecycle
@@ -1978,9 +1999,10 @@ object Ann {
   private[graft] val a18StandingSelect =
     "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0"
 
-  val a18GraphExtend = Q(
-    "a18_graph_extend",
-    (s, d) => {
+  /** a18's delta OUT-edge list (src=arrival, dst=standing, sim),
+    * distinct — split from the query so k8c can append exactly these
+    * edges (both directions) into the served index table. */
+  private[graft] def a18DeltaOut(s: SparkSession, d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.Portable
       val all0 = embeddings(s, d)
@@ -2029,15 +2051,30 @@ object Ann {
         .filter(col("rn") <= NSW_MR)
         .select(col("src"), col("dst"),
           round(cosine(s, "a_emb", "n_emb"), 6).as("sim"))
-      val out = signFam(NSW_OFF_A, NSW_MA)
+      signFam(NSW_OFF_A, NSW_MA)
         .union(signFam(NSW_OFF_B, NSW_MB))
         .union(randFam).distinct()
+  }
+
+  val a18GraphExtend = Q(
+    "a18_graph_extend",
+    (s, d) => {
+      val out = a18DeltaOut(s, d)
       out.withColumn("kind", lit("out"))
         .unionByName(out.select(col("dst").as("src"),
           col("src").as("dst"), col("sim"))
           .withColumn("kind", lit("back")))
     },
-    Some {
+    Some(s"""WITH $a18DeltaDuckCtes
+      SELECT src, dst, sim, 'out' AS kind FROM outs
+      UNION ALL
+      SELECT dst AS src, src AS dst, sim, 'back' AS kind FROM outs"""))
+
+  /** a18's delta recurrence (ea/es/eb sizing + the three candidate
+    * families, ending in `outs (src, dst, sim)`) as DuckDB CTE text —
+    * the shared oracle prefix of a18 (reports the delta) and k8c
+    * (appends it into the served index and re-searches). */
+  private[graft] def a18DeltaDuckCtes: String = {
       def keyDuck(off: Int) = nswSignKeyDuck("emb", off)
       def famCtes(tag: String, off: Int, m: Int) =
         s"""bs_$tag AS (SELECT vec_id, emb, nrm,
@@ -2063,7 +2100,7 @@ object Ann {
                 t.vec_id ASC) AS rn
             FROM qa_$tag q JOIN ss_$tag t ON q.b = t.b) x
           WHERE rn <= $m)"""
-      s"""WITH ea AS (
+      s"""ea AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
@@ -2106,11 +2143,8 @@ object Ann {
         SELECT DISTINCT src, dst, sim FROM (
           SELECT src, dst, sim FROM ef_a
           UNION ALL SELECT src, dst, sim FROM ef_b
-          UNION ALL SELECT src, dst, sim FROM ef_r) u)
-      SELECT src, dst, sim, 'out' AS kind FROM outs
-      UNION ALL
-      SELECT dst AS src, src AS dst, sim, 'back' AS kind FROM outs"""
-    })
+          UNION ALL SELECT src, dst, sim FROM ef_r) u)"""
+  }
 
   // ---------------------------------------------------------------------
   // A19: hierarchical layered graph search (HNSW-style) — the log-scale

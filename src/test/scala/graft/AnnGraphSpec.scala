@@ -150,6 +150,74 @@ class AnnGraphSpec extends SparkSuite {
       out.map(e => (e._1, e._2, e._3)).toSet)
   }
 
+  test("K8c: an appended arrival becomes reachable through the served " +
+      "index and changes the probe's top-K") {
+    import spark.implicits._
+    // the planted fixture: 8 baseline-linked clusters of standing
+    // vectors, one arrival that is an EXACT copy of probe 1's vector —
+    // the true nearest neighbor, reachable ONLY through a18's appended
+    // back-edges (it has no standing edges, and the fixture guard below
+    // keeps it out of the h60 entry set, so frontier0 never sees it)
+    def h60(s0: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s0.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val dim = 64 // nswSignKey requires >= 63 dims (the real table's 64)
+    def emb(g: Int, id: Long): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(g) = 1.0f
+      a(63) = 1.0f // shared baseline keeps the graph navigable
+      a(8 + g % 7) =
+        (0.1 + 0.5 * ((id % 13).toDouble / 13.0)).toFloat
+      a
+    }
+    val standingIds = (0L until 200L).filter(_ % 10 != 0)
+    val arrivalIds = (0L until 200L).filter(_ % 10 == 0)
+    val allIds = standingIds ++ arrivalIds
+    val entries = allIds.sortBy(id => (h60("nswe|" + id), id))
+      .take(operators.Ann.NSW_ENTRIES).toSet
+    val planted = arrivalIds.find(id => id >= 10 && !entries.contains(id))
+      .getOrElse(fail("no candidate arrival outside the entry set"))
+    val probeEmb = emb(1, 1L)
+    val rows = allIds.map { id =>
+      val e =
+        if (id == planted) probeEmb // cos(probe 1, planted) = 1.0 exact
+        else if (id % 10 == 0) emb(((id / 10) % 6 + 2).toInt, id) // 2..7
+        else emb((id % 8).toInt, id)
+      (id, e, (id % 8).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("k8cfix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // ground truth: the planted arrival IS probe 1's nearest neighbor
+    val truth1 = bruteTop(1, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(truth1(1L) === planted,
+      "fixture must make the arrival the true top-1 for probe 1")
+    // yesterday's index (standing members only): the arrival has no
+    // edges and is not an entry, so the served top-K cannot contain it
+    val standing = operators.Ann.a18Standing(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("emb")))
+    val before = operators.Ann.nswSearchOver(spark, dir,
+      operators.Ann.nswEdgesFrom(spark, standing))
+      .filter(col("probe_id") === 1L).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(!before.contains(planted),
+      "standing-only search must MISS the unappended arrival")
+    // the closed loop: build -> sink -> extend -> append -> re-search
+    val after = sources.Ingest.k8cIncrementalIndexSink.fn(spark, dir)
+      .filter(col("probe_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val hit = after.find(_._1 == planted)
+      .getOrElse(fail(s"arrival $planted unreachable after append: " +
+        s"top-K = ${after.mkString(", ")}"))
+    assert(hit._2 === 1.0, "served sim must read the exact-copy cosine")
+    assert(hit._3 <= 2L,
+      "the arrival must rank at the top (behind only the probe itself)")
+  }
+
   test("A17: greedy beam recall@5 vs exact brute force clears the floor") {
     val truth = bruteTop(5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
