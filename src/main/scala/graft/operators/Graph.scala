@@ -126,9 +126,9 @@ object Graph {
   }
 
   /** The full r0..r[[PR_ITERS]] recurrence as DuckDB CTE text — the
-    * shared oracle prefix of g1 (final ranks) and g1b (per-round
-    * deltas). */
-  private def prDuckCtes: String = {
+    * shared oracle prefix of g1 (final ranks), g1b (per-round deltas),
+    * and c11 (the rank-×-quality curation blend in LlmOps). */
+  private[graft] def prDuckCtes: String = {
     val rounds = (1 to PR_ITERS).map { i =>
       s"""recv$i AS (
         SELECT e.dst AS doc_id,

@@ -1860,6 +1860,86 @@ object LlmOps {
         ${Portable.h60Duck("CAST(doc_id AS VARCHAR)", "cur|")} AS ord
       FROM tok t JOIN st s USING (n_tok)"""))
 
+  // ---------------------------------------------------------------------
+  // C11: link-rank × content-quality curation (VERDICT r15 #5) — what a
+  // crawl pipeline actually does with its two independent priors: g1's
+  // PageRank (the link-centrality signal computed BEFORE content
+  // filters run) and t15's trained LM score (the content signal),
+  // blended into one per-language retention election. Neither signal
+  // alone is safe: link farms rank high and read as garbage, fresh
+  // high-quality pages rank low — so the blend keeps the top decile by
+  // COMBINED per-language standing, and every document's row reports
+  // which single-signal verdicts DISAGREED with each other ('rank_only'
+  // / 'lm_only' — the dashboard columns a curation team watches to
+  // re-weight the blend).
+  //
+  // Exactness: both signals convert to per-language INTEGER positions
+  // (row_number with total-order tie-breaks; the lm axis orders the
+  // same rounded avg_logp both engines already agree on bit-for-bit,
+  // NULLS LAST explicit — docs too short to score sort to the bottom,
+  // never dropped), and the blend is the sum of "better-than" counts —
+  // all BIGINTs. Shape at scale: two thin per-doc score tables (g1's
+  // rank frame, the LM agg) joined on doc_id, then per-language
+  // windows over (doc_id + 3 numbers) rows — the c1c election shape.
+  // ---------------------------------------------------------------------
+  val c11RankCuration = Q(
+    "c11_rank_curation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranks = graft.operators.Graph.g1Pagerank.fn(s, d)
+        .select(col("doc_id"), col("pr"))
+      val lm = lmScores(s, d, heldOutOnly = false)
+        .select(col("doc_id"), col("avg_logp"))
+      val cw = Window.partitionBy(col("lang"))
+      val base = documents(s, d).select(col("doc_id"), col("lang"))
+        .join(ranks, Seq("doc_id"))
+        .join(lm, Seq("doc_id"), "left")
+        .withColumn("rank_rn", row_number().over(
+          cw.orderBy(col("pr").desc, col("doc_id").asc)))
+        .withColumn("lm_rn", row_number().over(
+          cw.orderBy(col("avg_logp").desc_nulls_last, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(cw))
+      base
+        .withColumn("blend",
+          (col("n") - col("rank_rn")) + (col("n") - col("lm_rn")))
+        .withColumn("kept", row_number().over(
+          cw.orderBy(col("blend").desc, col("doc_id").asc))
+          <= expr("n div 10"))
+        .select(col("doc_id"), col("lang"), col("pr"),
+          col("rank_rn").cast("long").as("rank_rn"),
+          col("lm_rn").cast("long").as("lm_rn"),
+          col("blend").cast("long").as("blend"), col("kept"),
+          when(col("rank_rn") <= expr("n div 10") &&
+            col("lm_rn") > expr("n div 10"), "rank_only")
+            .when(col("lm_rn") <= expr("n div 10") &&
+              col("rank_rn") > expr("n div 10"), "lm_only")
+            .when(col("rank_rn") <= expr("n div 10"), "both")
+            .otherwise("neither").as("signal"))
+    },
+    Some(s"""WITH ${graft.operators.Graph.prDuckCtes},
+      ${lmScoreSql("TRUE")},
+      base AS (
+        SELECT d.doc_id, d.lang, r.pr,
+          CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY r.pr DESC, d.doc_id ASC) AS BIGINT) AS rank_rn,
+          CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY s.avg_logp DESC NULLS LAST, d.doc_id ASC)
+            AS BIGINT) AS lm_rn,
+          CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+        FROM documents d
+        JOIN r${graft.operators.Graph.PR_ITERS} r ON r.doc_id = d.doc_id
+        LEFT JOIN lmscore s ON s.doc_id = d.doc_id)
+      SELECT doc_id, lang, pr, rank_rn, lm_rn,
+        (n - rank_rn) + (n - lm_rn) AS blend,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY (n - rank_rn) + (n - lm_rn) DESC, doc_id ASC)
+          <= n // 10 AS kept,
+        CASE WHEN rank_rn <= n // 10 AND lm_rn > n // 10 THEN 'rank_only'
+             WHEN lm_rn <= n // 10 AND rank_rn > n // 10 THEN 'lm_only'
+             WHEN rank_rn <= n // 10 THEN 'both'
+             ELSE 'neither' END AS signal
+      FROM base"""))
+
   private val N_SHARDS = 16
   val c8ShardShuffle = Q(
     "c8_shard_shuffle",
@@ -4160,6 +4240,7 @@ object LlmOps {
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
     c7CcnetBuckets, c8ShardShuffle, c9EpochBudget, c10Curriculum,
+    c11RankCuration,
     e4LlmPipeline,
     d13CapReport)
 }

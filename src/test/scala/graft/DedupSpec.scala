@@ -320,6 +320,51 @@ class DedupSpec extends SparkSuite {
       "per-lang deciles exist at this sf; some loser must be dropped")
   }
 
+  test("C11: rank-x-quality blend routes a high-rank/low-quality doc " +
+      "to rank_only and the reverse to lm_only") {
+    import spark.implicits._
+    // ranks depend only on (N, doc_id) — g1's edge list is synthetic —
+    // so learn the rank order on a throwaway text assignment first,
+    // then plant texts on the TOP-rank doc (gibberish: worst LM score)
+    // and the BOTTOM-rank doc (the corpus's single best bigram: best
+    // LM score) and assert the disagreement routing
+    val n = 40L
+    def write(dir: String, textOf: Long => String): Unit =
+      (0L until n).map(id => (id, textOf(id), "en", "s1"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("c11fix").toString
+    write(dir, _ => "x")
+    val pr = operators.Graph.g1Pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    val plantedBad = pr.sortBy { case (id, p) => (-p, id) }.head._1
+    val plantedGood = pr.sortBy { case (id, p) => (p, id) }.head._1
+    assert(plantedBad !== plantedGood)
+    // filler docs carry one rare tail bigram, so their mean logp sits
+    // strictly below the lone (the, cat) bigram plantedGood scores
+    write(dir, id =>
+      if (id == plantedBad) "zq vx qj wk zz"
+      else if (id == plantedGood) "the cat"
+      else s"the cat sat qx${id % 7}")
+    val out = operators.LlmOps.c11RankCuration.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getBoolean(6), r.getString(7)))).toMap
+    assert(out.size === n.toInt, "every doc must report a row")
+    val (badRank, badLm, _, badSig) = out(plantedBad)
+    assert(badRank === 1L, "planted doc must top the rank axis")
+    assert(badLm === n, "gibberish must sort last on the lm axis")
+    assert(badSig === "rank_only",
+      s"high-rank/low-quality must read rank_only, got $badSig")
+    val (goodRank, goodLm, _, goodSig) = out(plantedGood)
+    assert(goodLm === 1L, "single best bigram must top the lm axis")
+    assert(goodRank > n / 10, "planted doc must miss the rank decile")
+    assert(goodSig === "lm_only",
+      s"low-rank/high-quality must read lm_only, got $goodSig")
+    // the blend election keeps exactly the per-language decile
+    assert(out.values.count(_._3) === (n / 10).toInt)
+  }
+
   test("C1b: near-dup election only ever removes survivors vs C1") {
     def counts(q: graft.Queries.Q): Map[(String, String), Long] =
       q.fn(spark, sf).collect()
