@@ -749,4 +749,25 @@ object StreamingJobs {
         (lit(15) - pmod(col("pk"), lit(16))).as("cell"),
         round(floor(col("pk") / 16) / 1e6, 6).as("csim"))
   }
+
+  /** Stateless rank scoring of an arriving doc stream against a STATIC
+    * g1 rank table — the graph family's streaming representative
+    * (VERDICT r15 #8). Link analysis itself recomputes in batch (an
+    * iterative fixpoint is not a streaming shape), but SERVING the
+    * resulting prior is exactly the a15/NSW arrival pattern: the rank
+    * frame broadcasts to every task, the join is stream-static and
+    * append-safe — no state, no watermark, constant work per arrival,
+    * shards freely. Arrivals the last crawl snapshot never ranked
+    * surface with pr NULL and ranked=false instead of dropping — the
+    * "how stale is the rank table" monitor column. StreamingSpec pins
+    * row-for-row parity with the identical batch join. */
+  def streamingRankScore(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      ranks: DataFrame): DataFrame =
+    arrivals
+      .join(broadcast(ranks.select(col("doc_id"), col("pr"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("pr"),
+        col("pr").isNotNull.as("ranked"))
 }

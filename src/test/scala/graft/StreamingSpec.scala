@@ -927,4 +927,48 @@ class StreamingSpec extends SparkSuite {
         "stream descent top-k must equal batch a19 row-for-row")
     } finally q.stop()
   }
+
+  test("streaming rank scoring matches the batch stream-static join " +
+      "row for row, unranked arrivals surfaced not dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    // the static prior: g1's ranks over the sf corpus, materialized
+    // once (the serving artifact a rank table IS)
+    val ranks = operators.Graph.g1Pagerank.fn(spark, sf)
+      .select(col("doc_id"), col("pr")).localCheckpoint()
+    val known = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // five arrivals the crawl snapshot never ranked — the ranked=false
+    // path must fire, not silently drop
+    val unseen = (0 until 5).map(i => (1000000L + i, 7L + i))
+    val arrivalsAll = (known ++ unseen).sortBy(_._1)
+    val input = MemoryStream[(Long, Long)]
+    val arrivals = input.toDF().toDF("doc_id", "n_chars")
+    val q = StreamingJobs.streamingRankScore(spark, arrivals, ranks)
+      .writeStream.format("memory").queryName("rankscore_test")
+      .outputMode("append").start()
+    try {
+      arrivalsAll.grouped(
+        math.max(1, arrivalsAll.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("rankscore_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3))).toSet
+      // batch truth: the identical stream-static join run as one batch
+      val batch = StreamingJobs.streamingRankScore(spark,
+        arrivalsAll.toSeq.toDF("doc_id", "n_chars"), ranks)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3))).toSet
+      assert(streamed === batch,
+        "stream scoring must equal the batch join row-for-row")
+      assert(streamed.count(!_._4) === unseen.size,
+        "every unranked arrival must surface with ranked=false")
+      assert(streamed.count(_._4) === known.length,
+        "every ranked arrival must carry its pr")
+    } finally q.stop()
+  }
 }
