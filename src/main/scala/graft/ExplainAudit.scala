@@ -87,7 +87,10 @@ object ExplainAudit {
       "c9_epoch_budget", "a23_mmr_rerank", "c10_curriculum",
       "x13_grouping_sets", "k10_write_audit_publish",
       "s13_binary_source", "e7_keyframe_dedup",
-      "sql_x13_grouping_sets", "sql_c10_curriculum")
+      "sql_x13_grouping_sets", "sql_c10_curriculum",
+      "w4_gap_fill", "t21_bpe_encode", "sql_t21_bpe_encode",
+      "k8c_incremental_index_sink", "c11_rank_curation",
+      "g2b_hits_converge", "g3b_lpa_converge", "g4b_kcore_converge")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
