@@ -3017,37 +3017,40 @@ object LlmOps {
   // corpus is scanned twice (freq pass, encode pass), the physical
   // floor for train-then-apply in one query.
   // ---------------------------------------------------------------------
-  val t21BpeEncode = Q(
-    "t21_bpe_encode",
-    (s, d) => {
-      val bests = bpeLearnBests(s, d)
-      val seqExpr = expr(
-        "array_join(transform(filter(split(lower(text), ' '), " +
-          "w -> w <> ''), w -> CASE WHEN w rlike '^[a-z]+$' " +
-          "THEN concat(regexp_replace(w, '(.)', ' $1'), ' ') " +
-          "ELSE ' 0 ' END), '')")
-      var enc = documents(s, d).select(col("doc_id"), seqExpr.as("seq"))
-      for (best <- bests)
-        enc = enc.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
-          .select(col("doc_id"), bpeApplyMerge(col("seq")).as("seq"))
-      val counts = enc.select(col("doc_id"),
-        when(trim(col("seq")) === "", lit(0L))
-          .otherwise(size(split(trim(col("seq")), " +")).cast("long"))
-          .as("n_tokens"))
-        .localCheckpoint() // feeds the rows AND the corpus-total agg
-      counts.crossJoin(broadcast(
-        counts.agg(sum(col("n_tokens")).as("corpus_tokens"))))
-        .select(col("doc_id"), col("n_tokens"), col("corpus_tokens"))
-    },
-    Some {
-      val encs = (1 to BPE_ROUNDS).map { i =>
-        val rp = (1 to BPE_REPLACE_PASSES).foldLeft("seq")((e, _) =>
-          s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
-        s"""enc$i AS (
-          SELECT doc_id, $rp AS seq
-          FROM enc${i - 1} CROSS JOIN m$i)"""
-      }.mkString(",\n      ")
-      s"""WITH $bpeDuckCtes,
+  /** (doc_id, n_tokens) under the LEARNED tokenizer — t21's encode,
+    * split out so t9b's packing can budget on REAL token counts.
+    * localCheckpoint-pinned: every caller reads it at least twice. */
+  private[graft] def bpeTokenCounts(s: SparkSession, d: String)
+      : DataFrame = {
+    val bests = bpeLearnBests(s, d)
+    val seqExpr = expr(
+      "array_join(transform(filter(split(lower(text), ' '), " +
+        "w -> w <> ''), w -> CASE WHEN w rlike '^[a-z]+$' " +
+        "THEN concat(regexp_replace(w, '(.)', ' $1'), ' ') " +
+        "ELSE ' 0 ' END), '')")
+    var enc = documents(s, d).select(col("doc_id"), seqExpr.as("seq"))
+    for (best <- bests)
+      enc = enc.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+        .select(col("doc_id"), bpeApplyMerge(col("seq")).as("seq"))
+    enc.select(col("doc_id"),
+      when(trim(col("seq")) === "", lit(0L))
+        .otherwise(size(split(trim(col("seq")), " +")).cast("long"))
+        .as("n_tokens"))
+      .localCheckpoint()
+  }
+
+  /** The encode chain as DuckDB CTE text ending in
+    * `btok (doc_id, n_tokens)` — [[bpeDuckCtes]] + enc0..enc6 + the
+    * count projection; the shared oracle prefix of t21 and t9b. */
+  private[graft] def bpeEncodeDuckCtes: String = {
+    val encs = (1 to BPE_ROUNDS).map { i =>
+      val rp = (1 to BPE_REPLACE_PASSES).foldLeft("seq")((e, _) =>
+        s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
+      s"""enc$i AS (
+        SELECT doc_id, $rp AS seq
+        FROM enc${i - 1} CROSS JOIN m$i)"""
+    }.mkString(",\n      ")
+    s"""$bpeDuckCtes,
       enc0 AS (
         SELECT doc_id, array_to_string(list_transform(
           list_filter(string_split(lower(text), ' '), w -> w <> ''),
@@ -3055,15 +3058,68 @@ object LlmOps {
             THEN regexp_replace(w, '(.)', ' \\1', 'g') || ' '
             ELSE ' 0 ' END), '') AS seq
         FROM documents),
-      $encs
-      SELECT doc_id, n_tokens,
-        CAST(sum(n_tokens) OVER () AS BIGINT) AS corpus_tokens
-      FROM (SELECT doc_id,
+      $encs,
+      btok AS (
+        SELECT doc_id,
           CASE WHEN trim(seq) = '' THEN CAST(0 AS BIGINT)
             ELSE CAST(len(string_split_regex(trim(seq), ' +'))
               AS BIGINT) END AS n_tokens
-        FROM enc$BPE_ROUNDS) z"""
-    })
+        FROM enc$BPE_ROUNDS)"""
+  }
+
+  val t21BpeEncode = Q(
+    "t21_bpe_encode",
+    (s, d) => {
+      val counts = bpeTokenCounts(s, d)
+      counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_tokens")).as("corpus_tokens"))))
+        .select(col("doc_id"), col("n_tokens"), col("corpus_tokens"))
+    },
+    Some(s"""WITH $bpeEncodeDuckCtes
+      SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER () AS BIGINT) AS corpus_tokens
+      FROM btok"""))
+
+  // ---------------------------------------------------------------------
+  // T9b: sequence packing on REAL token counts — t9's per-shard
+  // running-sum packing re-expressed over the LEARNED tokenizer's
+  // per-doc counts (t21) instead of the whitespace proxy, closing the
+  // last train→consume hop of the tokenizer lifecycle: learn (t20) →
+  // encode (t21) → budget the packs a trainer actually fills (this).
+  // The packing shape is t9's verbatim (per-source running sum →
+  // pack_id = floor(before/budget), offset rides along — one window
+  // per source shard, never a global sort); only the count column's
+  // provenance changed, which is exactly the point: a whitespace-count
+  // pack under-budgets by the subword blow-up factor and the trainer
+  // hits sequence-length overflows at load time.
+  // ---------------------------------------------------------------------
+  val t9bPackBpe = Q(
+    "t9b_pack_bpe",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      bpeTokenCounts(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / PACK_BUDGET)
+            .as("pack_id"),
+          (col("cum") - col("n_tokens") -
+            floor((col("cum") - col("n_tokens")) / PACK_BUDGET)
+              * PACK_BUDGET).as("pack_offset"))
+    },
+    Some(s"""WITH $bpeEncodeDuckCtes,
+      c AS (
+        SELECT b.doc_id, d.source, b.n_tokens,
+          sum(b.n_tokens) OVER (PARTITION BY d.source ORDER BY b.doc_id)
+            - b.n_tokens AS before_
+        FROM btok b JOIN documents d ON d.doc_id = b.doc_id)
+      SELECT doc_id, source, n_tokens,
+        CAST(floor(before_ / $PACK_BUDGET) AS BIGINT) AS pack_id,
+        CAST(before_ - CAST(floor(before_ / $PACK_BUDGET) AS BIGINT)
+          * $PACK_BUDGET AS BIGINT) AS pack_offset
+      FROM c"""))
 
   // ---------------------------------------------------------------------
   // T16: the Gopher quality-rule battery (Rae et al. 2021, "Scaling
@@ -4235,7 +4291,7 @@ object LlmOps {
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,
-    t19DsirWeights, t20BpeMerges, t21BpeEncode,
+    t19DsirWeights, t20BpeMerges, t21BpeEncode, t9bPackBpe,
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,

@@ -142,6 +142,44 @@ class BpeSpec extends SparkSuite {
       "merges must not span the double-space word boundary")
   }
 
+  test("T9b: packing budgets on the learned tokenizer's counts, " +
+    "replayed exactly") {
+    val texts = Seq(
+      Seq.fill(5)("low").mkString(" "),
+      Seq.fill(2)("lower").mkString(" "),
+      Seq.fill(6)("newest").mkString(" "),
+      Seq.fill(3)("widest").mkString(" "),
+      "pay 42 dollars, now!",
+      "newest lowest low lower widest")
+    val dir = writeDocs(texts)
+    val wordFreq = texts.flatMap(_.toLowerCase.split(" "))
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      .groupBy(identity).map { case (w, vs) => w -> vs.size.toLong }
+    val merges = referenceBpe(wordFreq).map(m => (m._2, m._3))
+    val counts = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> referenceEncode(t, merges) }
+    // the BPE counts genuinely differ from the whitespace proxy
+    // somewhere (otherwise this op proves nothing over t9)
+    val ws = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split(" ").count(_.nonEmpty).toLong }.toMap
+    assert(counts.exists { case (id, n) => n != ws(id) },
+      "fixture must expose the subword/whitespace count gap")
+    // driver-side packing replay: one source, doc_id order
+    val budget = operators.LlmOps.PACK_BUDGET
+    var cum = 0L
+    val want = counts.sortBy(_._1).map { case (id, n) =>
+      val before = cum; cum += n
+      (id, n, before / budget, before - (before / budget) * budget)
+    }
+    val got = operators.LlmOps.t9bPackBpe.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq === want, "pack assignment, bit for bit")
+    got.foreach { case (id, _, _, off) =>
+      assert(off >= 0 && off < budget, s"doc $id offset $off out of range")
+    }
+  }
+
   test("T20: bounded replace passes resolve same-symbol runs <= 8") {
     // 'aaaaaaaa' (run of 8): one replace pass takes ' a a a a a a a a '
     // to ' aa aa aa aa ' only if the scanner re-used the trailing
