@@ -613,8 +613,108 @@ object Extended {
       GROUP BY GROUPING SETS ((nation_name, yr), (priority, yr), (yr),
         ())"""))
 
+  // ---------------------------------------------------------------------
+  // X14: table statistics collection — the ANALYZE job every lakehouse
+  // runs so its CBO can order joins and pick broadcast sides: per
+  // column, row count, null count, min/max, and distinct-count via the
+  // portable HLL sketch (a9's register math factored by key — NDV is
+  // THE statistic that cannot be computed exactly at 100 TB without a
+  // full distinct shuffle per column; the sketch reduces each column to
+  // 256 register rows).
+  //
+  // Shape: ONE scan computes every typed min/max/null aggregate
+  // map-side (a 1-row result exploded back into per-column rows), and
+  // one more scan feeds the stacked (column, h60) hash stream whose
+  // register agg is map-side-combinable into 5×256 rows — no shuffle
+  // ever carries data rows. Values canonicalize to strings only at the
+  // output edge (BIGINT casts, yyyy-MM-dd for the date column), so
+  // min/max compare in their native types, never lexicographically.
+  // ---------------------------------------------------------------------
+  val x14TableStats = Q(
+    "x14_table_stats",
+    (s, d) => {
+      import graft.functions.Portable
+      val li = lineitem(s, d)
+      val canon: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        ("l_orderkey", col("l_orderkey").cast("string")),
+        ("l_partkey", col("l_partkey").cast("string")),
+        ("l_linenumber", col("l_linenumber").cast("string")),
+        ("l_returnflag", col("l_returnflag")),
+        ("l_shipdate", date_format(col("l_shipdate"), "yyyy-MM-dd")))
+      def nn(c: String) = count(when(col(c).isNull, 1)).as(s"nn_$c")
+      val stats = li
+        .agg(count(lit(1)).as("n_rows"),
+          Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
+            .flatMap(c => Seq(nn(c), min(col(c)).as(s"mn_$c"),
+              max(col(c)).as(s"mx_$c"))) ++ Seq(
+            nn("l_shipdate"),
+            date_format(min(col("l_shipdate")), "yyyy-MM-dd")
+              .as("mn_l_shipdate"),
+            date_format(max(col("l_shipdate")), "yyyy-MM-dd")
+              .as("mx_l_shipdate")): _*)
+        .select(col("n_rows"), explode(array(canon.map { case (c, _) =>
+          struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nulls"),
+            col(s"mn_$c").cast("string").as("min_val"),
+            col(s"mx_$c").cast("string").as("max_val"))
+        }: _*)).as("st"))
+        .select(col("st.col_name"), col("n_rows"), col("st.n_nulls"),
+          col("st.min_val"), col("st.max_val"))
+      val hashes = li
+        .select(explode(array(canon.map { case (c, v) =>
+          struct(lit(c).as("c"), Portable.h60(v, "st|").as("h"))
+        }: _*)).as("e"))
+        .select(col("e.c"), col("e.h"))
+        .filter(col("h").isNotNull) // NDV counts non-null values
+      stats
+        .join(graft.operators.LlmOps.hllByKey(hashes, "c"),
+          col("col_name") === col("c"), "left")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_val"), col("max_val"),
+          coalesce(col("n_hll"), lit(0.0)).as("ndv"))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      val cols = Seq(
+        ("l_orderkey", "CAST(l_orderkey AS VARCHAR)"),
+        ("l_partkey", "CAST(l_partkey AS VARCHAR)"),
+        ("l_linenumber", "CAST(l_linenumber AS VARCHAR)"),
+        ("l_returnflag", "l_returnflag"),
+        ("l_shipdate",
+          "strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d')"))
+      val aggSel = cols.map { case (c, _) =>
+        val mm =
+          if (c == "l_shipdate")
+            s"""strftime(min(CAST($c AS TIMESTAMP)), '%Y-%m-%d')
+                 AS mn_$c,
+               strftime(max(CAST($c AS TIMESTAMP)), '%Y-%m-%d')
+                 AS mx_$c"""
+          else s"CAST(min($c) AS VARCHAR) AS mn_$c, " +
+            s"CAST(max($c) AS VARCHAR) AS mx_$c"
+        s"CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) " +
+          s"AS nn_$c, $mm"
+      }.mkString(",\n          ")
+      val rows = cols.map { case (c, _) =>
+        s"""SELECT '$c' AS col_name, n_rows, nn_$c AS n_nulls,
+          mn_$c AS min_val, mx_$c AS max_val FROM st"""
+      }.mkString(" UNION ALL ")
+      val hsrc = cols.map { case (c, v) =>
+        s"""SELECT '$c' AS c, ${h60Duck(v, "st|")} AS h
+          FROM lineitem WHERE $c IS NOT NULL"""
+      }.mkString(" UNION ALL ")
+      s"""WITH st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          $aggSel
+        FROM lineitem),
+      srows AS ($rows),
+      hsrc AS ($hsrc),
+      ${graft.operators.LlmOps.hllByKeyDuck("c")}
+      SELECT r.col_name, r.n_rows, r.n_nulls, r.min_val, r.max_val,
+        coalesce(f.n_hll, CAST(0.0 AS DOUBLE)) AS ndv
+      FROM srows r LEFT JOIN hfin f ON f.c = r.col_name"""
+    })
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
-    x12WindowBattery, x13GroupingSets)
+    x12WindowBattery, x13GroupingSets, x14TableStats)
 }

@@ -3510,6 +3510,53 @@ object LlmOps {
   private val HLL_NUMC: Double =
     0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * math.pow(2, 53)
 
+  /** a9's relational HLL factored BY KEY: over a (key, h) frame of
+    * 60-bit hashes, returns (key, n_hll) — register max-agg, exact
+    * BIGINT harmonic sum, linear-counting small-range branch. Shared
+    * by a9 (key = lang over trigrams) and x14 (key = column name over
+    * column values). */
+  private[graft] def hllByKey(keyed: DataFrame, key: String): DataFrame = {
+    val reg = keyed
+      .select(col(key), expr(s"h div $HLL_WMASK").as("idx"),
+        (col("h") % HLL_WMASK).as("w"))
+      .select(col(key), col("idx"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(key), col("idx"))
+      .agg(max(col("rho")).as("m_rho"))
+    val z = reg.groupBy(col(key)).agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_rho AS INT))")) +
+        (lit(HLL_M.toLong) - count(lit(1))) * lit(1L << 53)).as("z_scaled"),
+      (lit(HLL_M.toLong) - count(lit(1))).as("v_zero"))
+    z.select(col(key), (lit(HLL_NUMC) / col("z_scaled")).as("raw"),
+        col("v_zero"))
+      .select(col(key),
+        when(col("raw") <= lit(2.5 * HLL_M) && col("v_zero") > 0,
+          round(lit(HLL_M.toDouble) *
+            log(lit(HLL_M.toDouble) / col("v_zero")), 4))
+          .otherwise(round(col("raw"), 4)).as("n_hll"))
+  }
+
+  /** [[hllByKey]] as DuckDB CTE text over a prior `hsrc` CTE exposing
+    * ($key, h); ends in `hfin ($key, n_hll)`. */
+  private[graft] def hllByKeyDuck(key: String): String = s"""hreg AS (
+        SELECT $key, h // $HLL_WMASK AS idx,
+          max(CASE WHEN h % $HLL_WMASK = 0 THEN 53
+              ELSE 53 - length(bin(h % $HLL_WMASK)) END) AS m_rho
+        FROM hsrc GROUP BY 1, 2),
+      hz AS (
+        SELECT $key,
+          sum(1::BIGINT << CAST(53 - m_rho AS INT)) +
+            ($HLL_M - count(*)) * (1::BIGINT << 53) AS z_scaled,
+          $HLL_M - count(*) AS v_zero
+        FROM hreg GROUP BY 1),
+      hfin AS (
+        SELECT $key, CASE WHEN raw <= ${2.5 * HLL_M} AND v_zero > 0
+            THEN round($HLL_M.0 * ln($HLL_M.0 / v_zero), 4)
+            ELSE round(raw, 4) END AS n_hll
+        FROM (SELECT $key, $HLL_NUMC / z_scaled AS raw, v_zero
+              FROM hz) t)"""
+
   /** Per-(lang) 3-gram stream with its 60-bit sketch hash — shared by
     * a9 (relational registers) and a9b (native aggregate). */
   private def hllGrams(s: SparkSession, d: String): DataFrame =
@@ -3546,31 +3593,10 @@ object LlmOps {
 
   val a9HllDistinct = Q(
     "a9_hll_distinct",
-    (s, d) => {
-      val grams = hllGrams(s, d)
-      val reg = grams
-        .select(col("lang"), Portable.h60(col("gram"), "hll|").as("h"))
-        .select(col("lang"), expr(s"h div $HLL_WMASK").as("idx"),
-          (col("h") % HLL_WMASK).as("w"))
-        .select(col("lang"), col("idx"),
-          when(col("w") === 0, lit(53))
-            .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
-        .groupBy(col("lang"), col("idx"))
-        .agg(max(col("rho")).as("m_rho"))
-      val z = reg.groupBy(col("lang")).agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_rho AS INT))")) +
-          (lit(HLL_M.toLong) - count(lit(1))) * lit(1L << 53)).as("z_scaled"),
-        (lit(HLL_M.toLong) - count(lit(1))).as("v_zero"))
-      val fin = z
-        .select(col("lang"), (lit(HLL_NUMC) / col("z_scaled")).as("raw"),
-          col("v_zero"))
-        .select(col("lang"),
-          when(col("raw") <= lit(2.5 * HLL_M) && col("v_zero") > 0,
-            round(lit(HLL_M.toDouble) *
-              log(lit(HLL_M.toDouble) / col("v_zero")), 4))
-            .otherwise(round(col("raw"), 4)).as("n_hll"))
-      fin.select(col("lang"), col("n_hll"))
-    },
+    (s, d) =>
+      hllByKey(hllGrams(s, d)
+        .select(col("lang"), Portable.h60(col("gram"), "hll|").as("h")),
+        "lang"),
     Some(hllOracleSql))
 
   // ---------------------------------------------------------------------

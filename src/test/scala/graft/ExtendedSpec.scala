@@ -197,6 +197,51 @@ class ExtendedSpec extends SparkSuite {
       s"the dim join must broadcast:\n$plan")
   }
 
+  test("X14: per-column stats are exact on planted nulls/extremes and " +
+      "the HLL NDV tracks the exact distinct count") {
+    import java.sql.Timestamp
+    // 400 rows: l_orderkey dense 0..399 (NDV 400), l_partkey cycles
+    // 0..19 (NDV 20) with 25 planted NULLs, l_linenumber constant
+    // (NDV 1), l_returnflag in {A,N,R}, l_shipdate spans a known range
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        if (i % 16 == 0) None else Some((i % 20).toLong),
+        1, Seq("A", "N", "R")(i % 3),
+        Timestamp.valueOf(f"2023-01-${1 + i % 28}%02d 00:00:00"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("x14fix").toString
+    rows.toDF("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag",
+        "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = operators.Extended.x14TableStats.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set("l_orderkey", "l_partkey", "l_linenumber",
+      "l_returnflag", "l_shipdate"))
+    out.values.foreach { case (n, _, _, _, _) => assert(n === 400L) }
+    val (_, okNulls, okMin, okMax, okNdv) = ("", out("l_orderkey")._2,
+      out("l_orderkey")._3, out("l_orderkey")._4, out("l_orderkey")._5)
+    assert(okNulls === 0L && okMin === "0" && okMax === "399")
+    // dense-400 through a 256-register sketch: within the ~1.04/sqrt(m)
+    // error envelope (HllAggSpec pins the estimator itself; this pins
+    // the per-column plumbing)
+    assert(math.abs(okNdv - 400.0) / 400.0 < 0.15, s"orderkey ndv $okNdv")
+    val pk = out("l_partkey")
+    assert(pk._1 === 400L && pk._2 === 25L,
+      s"planted null count must be exact: $pk")
+    assert(pk._3 === "0" && pk._4 === "19")
+    assert(math.abs(pk._5 - 20.0) < 2.0,
+      s"small-range NDV must hit linear counting: ${pk._5}")
+    // linear counting at V=255 empty registers: m·ln(m/255) ≈ 1.002
+    assert(math.abs(out("l_linenumber")._5 - 1.0) < 0.01,
+      s"constant column NDV ~1: ${out("l_linenumber")._5}")
+    val rf = out("l_returnflag")
+    assert(rf._3 === "A" && rf._4 === "R" && math.abs(rf._5 - 3.0) < 0.5)
+    val sd = out("l_shipdate")
+    assert(sd._3 === "2023-01-01" && sd._4 === "2023-01-28",
+      s"date min/max must canonicalize: $sd")
+  }
+
   test("X11: z-order buckets let a second-dimension predicate skip; linear ones don't") {
     // column order: bucket, n, pk_lo, pk_hi, sk_lo, sk_hi, variant
     val rows = operators.Extended.x11Zorder.fn(spark, sf).collect()
