@@ -490,6 +490,56 @@ object SqlFrontend {
     },
     operators.LlmOps.t19DsirWeights.oracle)
 
+  // Gap fill from SQL — w4's grid + LOCF chain as one Spark SQL string
+  // sharing w4's oracle: sequence/explode for the per-(resource, day)
+  // minute grid, max_by for the day close, lag for the cross-day
+  // carry, and the LOCF window via last_value IGNORE NULLS — dialect
+  // deltas from the DuckDB oracle are only LATERAL VIEW explode vs
+  // unnest(generate_series) and the IGNORE-NULLS spelling. Same
+  // (resource, DAY)-bounded window partitioning as the DSL.
+  val sqlW4GapFill: Queries.Q = sqlQ(
+    "sql_w4_gap_fill",
+    """WITH obs AS (
+        SELECT event_type, date_trunc('minute', ts) AS m,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val
+        FROM events GROUP BY 1, 2),
+      closes AS (
+        SELECT event_type, CAST(m AS DATE) AS day,
+          max_by(val, m) AS close_val
+        FROM obs GROUP BY 1, 2),
+      carry AS (
+        SELECT event_type, day,
+          lag(close_val) OVER (PARTITION BY event_type ORDER BY day)
+            AS carry
+        FROM closes),
+      grid AS (
+        SELECT event_type, day, carry, m
+        FROM carry
+        LATERAL VIEW explode(sequence(CAST(day AS TIMESTAMP),
+          CAST(day AS TIMESTAMP) + INTERVAL 23 HOURS 59 MINUTES,
+          INTERVAL 1 MINUTE)) t AS m),
+      joined AS (
+        SELECT g.event_type, g.day, g.carry, g.m, o.val
+        FROM grid g LEFT JOIN obs o
+          ON o.event_type = g.event_type AND o.m = g.m),
+      filled AS (
+        SELECT event_type, day, carry, m, val,
+          last_value(val) IGNORE NULLS OVER (
+            PARTITION BY event_type, day ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fday,
+          count(CASE WHEN val IS NULL THEN 1 END) OVER (
+            PARTITION BY event_type, day) AS n_missing_day
+        FROM joined)
+      SELECT event_type, m AS minute_ts,
+        coalesce(fday, carry) AS value,
+        CASE WHEN val IS NOT NULL THEN 'observed'
+             WHEN fday IS NOT NULL THEN 'locf_same_day'
+             WHEN carry IS NOT NULL THEN 'locf_prev_day'
+             ELSE 'unfilled' END AS status,
+        n_missing_day
+      FROM filled""",
+    operators.Windows.w4GapFill.oracle)
+
   // BPE train-then-encode from SQL — t21's full lifecycle in one Spark
   // SQL string. THE SHAPE IS THE POINT (the sql_g1 lesson, applied
   // before measuring this time): the naive unrolled form needs each
@@ -1766,6 +1816,7 @@ object SqlFrontend {
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
+      sqlW4GapFill,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,

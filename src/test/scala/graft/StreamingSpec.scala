@@ -928,6 +928,66 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming gap fill emits batch w4's rows up to each resource's " +
+      "final observation (LOCF as a stateful generator)") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    // the w4 spec fixture: gaps at every routing class + a same-minute
+    // aggregation + a resource absent on day 1
+    val events = Seq(
+      (0L, Timestamp.valueOf("2024-03-01 00:01:30"), 1L, "steps", 7.0, "{}"),
+      (1L, Timestamp.valueOf("2024-03-01 00:03:10"), 1L, "steps", 4.0, "{}"),
+      (2L, Timestamp.valueOf("2024-03-01 00:03:40"), 1L, "steps", 5.0, "{}"),
+      (3L, Timestamp.valueOf("2024-03-02 00:05:59"), 1L, "steps", 11.0, "{}"),
+      (4L, Timestamp.valueOf("2024-03-02 00:02:00"), 2L, "hr", 60.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("w4stream").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // batch truth, minus what a stream cannot know yet: each resource's
+    // final-day tail (no later arrival proves the day closed) and the
+    // day-close n_missing_day aggregate
+    val obs = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("m"),
+        col("value"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+        .as("val"))
+    val lastObs = obs.groupBy(col("event_type"))
+      .agg(max(col("m")).as("last_m")).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    val batch = operators.Windows.w4GapFill.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getString(3)))
+      .filter { case (et, m, _, _) => !m.after(lastObs(et)) }
+      .toSet
+    // stream the SAME per-minute observations, minute-ordered, three
+    // micro-batches (state carries across the day boundary)
+    val arrivals = obs.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(_._2.getTime)
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val q = StreamingJobs
+      .streamingGapFill(spark, input.toDF().toDF("event_type", "m", "val"))
+      .writeStream.format("memory").queryName("gapfill_test")
+      .outputMode("append").start()
+    try {
+      arrivals.grouped(2).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("gapfill_test").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getString(3))).toSet
+      assert(streamed === batch,
+        "streamed fill must equal batch w4 up to the final observation")
+      // the state machine genuinely exercised every routing class
+      val st = streamed.map(_._4)
+      assert(st === Set("observed", "locf_same_day", "locf_prev_day",
+        "unfilled"), s"missing routing class: $st")
+    } finally q.stop()
+  }
+
   test("streaming rank scoring matches the batch stream-static join " +
       "row for row, unranked arrivals surfaced not dropped") {
     implicit val sqlCtx = spark.sqlContext
