@@ -651,8 +651,9 @@ object SqlFrontend {
   // cores for the heavy generate+aggregate stage (re-probed 10×/30×
   // alongside the round's new queries; the chain stays strictly
   // linear, r{i-1} still referenced exactly once).
-  val sqlG1Pagerank: Queries.Q = sqlQ(
-    "sql_g1_pagerank", {
+  /** The g1 fixpoint (nn, r0, s/r 1..8) as SPARK SQL CTE text ending in
+    * r[[operators.Graph.PR_ITERS]] — shared by sql_g1 and sql_c11. */
+  private def sparkG1Ctes: String = {
       import operators.Graph.{PR_ITERS, PR_SCALE, PR_DAMP_PCT}
       val rounds = (1 to PR_ITERS).map { i =>
         s"""s$i AS (
@@ -681,15 +682,19 @@ object SqlFrontend {
                   + max(x.dang) div max(x.n))) div 100 AS pr
           FROM s$i GROUP BY x.node)"""
       }.mkString(",\n      ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      s"""nn AS (SELECT count(*) AS n FROM documents),
       r0 AS (
         SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg,
           $PR_SCALE div nn.n AS pr
         FROM documents CROSS JOIN nn),
-      $rounds
+      $rounds"""
+  }
+
+  val sqlG1Pagerank: Queries.Q = sqlQ(
+    "sql_g1_pagerank",
+    s"""WITH $sparkG1Ctes
       SELECT doc_id, outdeg, CAST(pr AS BIGINT) AS pr
-      FROM r$PR_ITERS"""
-    },
+      FROM r${operators.Graph.PR_ITERS}""",
     operators.Graph.g1Pagerank.oracle)
 
   // HITS from SQL — g2's strictly linear chain in Spark dialect: each
@@ -1154,9 +1159,11 @@ object SqlFrontend {
   // two count tables and the scored slice — the same three evaluations
   // the DSL's unpersisted lmScores performs, so SQL adds no plan cost
   // over its twin; SqlSurfaceSpec pins row equality).
-  val sqlC7Ccnet: Queries.Q = sqlQ(
-    "sql_c7_ccnet",
-    """WITH toks AS (
+  /** The Laplace-bigram LM chain (toks → hashed pairs → model counts →
+    * per-doc scores) as SPARK SQL CTE text ending in
+    * `lmscore (doc_id, n_bigrams, avg_logp)` — shared by sql_c7 and
+    * sql_c11. */
+  private val sparkLmCtes: String = """toks AS (
         SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
       pairs AS (
         SELECT doc_id,
@@ -1187,7 +1194,11 @@ object SqlFrontend {
       lmscore AS (
         SELECT doc_id, count(*) AS n_bigrams,
           round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
-        FROM scored GROUP BY doc_id),
+        FROM scored GROUP BY doc_id)"""
+
+  val sqlC7Ccnet: Queries.Q = sqlQ(
+    "sql_c7_ccnet",
+    s"""WITH $sparkLmCtes,
       sl AS (
         SELECT l.doc_id, l.avg_logp, d.lang
         FROM lmscore l JOIN documents d ON d.doc_id = l.doc_id),
@@ -1206,6 +1217,44 @@ object SqlFrontend {
         min(avg_logp) AS worst_logp
       FROM nt GROUP BY lang, bucket""",
     operators.LlmOps.c7CcnetBuckets.oracle)
+
+  // Rank-x-quality curation from SQL — c11's blend composed from the
+  // two Spark-dialect chains this file already carries: sparkG1Ctes
+  // (the strictly-linear 8-round PageRank) and sparkLmCtes (the
+  // Laplace-bigram LM). CTE namespaces are disjoint by construction
+  // (toks/pairs/c1/c2/vocab/scored/lmscore vs nn/r0../s1..); the blend
+  // itself is c11's oracle text with div for // — per-language integer
+  // positions, NULLS LAST explicit, BIGINT better-than sums. Shares
+  // c11's oracle: green proves SQL == DSL == DuckDB across the whole
+  // two-prior composition.
+  val sqlC11RankCuration: Queries.Q = sqlQ(
+    "sql_c11_rank_curation",
+    s"""WITH $sparkLmCtes,
+      $sparkG1Ctes,
+      base AS (
+        SELECT d.doc_id, d.lang, CAST(r.pr AS BIGINT) AS pr,
+          CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY r.pr DESC, d.doc_id ASC) AS BIGINT) AS rank_rn,
+          CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY s.avg_logp DESC NULLS LAST, d.doc_id ASC)
+            AS BIGINT) AS lm_rn,
+          CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+        FROM documents d
+        JOIN r${operators.Graph.PR_ITERS} r ON r.doc_id = d.doc_id
+        LEFT JOIN lmscore s ON s.doc_id = d.doc_id)
+      SELECT doc_id, lang, pr, rank_rn, lm_rn,
+        (n - rank_rn) + (n - lm_rn) AS blend,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY (n - rank_rn) + (n - lm_rn) DESC, doc_id ASC)
+          <= n div 10 AS kept,
+        CASE WHEN rank_rn <= n div 10 AND lm_rn > n div 10
+               THEN 'rank_only'
+             WHEN lm_rn <= n div 10 AND rank_rn > n div 10
+               THEN 'lm_only'
+             WHEN rank_rn <= n div 10 THEN 'both'
+             ELSE 'neither' END AS signal
+      FROM base""",
+    operators.LlmOps.c11RankCuration.oracle)
 
   // Graph-ANN through the SQL surface: a17's corpus-scaled two-family
   // edge build (r14 — sign-prefix buckets sized by integer thresholds,
@@ -1818,7 +1867,7 @@ object SqlFrontend {
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
       sqlW4GapFill,
       sqlT12bCountmin, sqlD1Dedup,
-      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlE4Pipeline, sqlA17Nsw,
+      sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
       sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlG1Pagerank, sqlG2Hits,
