@@ -1038,6 +1038,121 @@ object Ingest {
       FROM d GROUP BY event_date"""))
 
   // ---------------------------------------------------------------------
+  // K11: targeted delete — the GDPR/takedown pass every lake needs:
+  // erase a keyed row set from a partitioned parquet table while
+  // rewriting ONLY the partitions that contain a hit. Three-phase:
+  // (1) the affected-partition list (one filtered scan, distinct
+  // dates — partition METADATA, driver-held like k9's fs listings,
+  // bounded by |partitions| never by rows); (2) a dynamic-mode
+  // overwrite of survivors in exactly those partitions (untouched
+  // partitions stay byte-identical on disk — the fs file sets prove
+  // it); (3) the lakehouse gotcha handled EXPLICITLY: a partition
+  // whose every row is deleted produces no output rows, so dynamic
+  // overwrite never touches it and the stale files would survive — the
+  // fs diff detects affected-but-unchanged dirs and drops them. The
+  // report carries the delete's full accounting (rows deleted,
+  // partitions rewritten / dropped / preserved) — the d13 rule: a
+  // compliance job's blast radius is queryable output, not a log line.
+  // At 100 TB this is the nightly erasure job: cost scales with
+  // affected partitions, never table size.
+  // ---------------------------------------------------------------------
+  private[graft] val K11_DEL_MOD = 2003L
+
+  val k11TargetedDelete = Q(
+    "k11_targeted_delete",
+    (s, d) => {
+      val dir = freshDir("k11_lake")
+      val src = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), to_date(col("ts")).as("event_date"))
+      src.repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      def fileSets(): Map[String, Set[String]] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("event_date="))
+          .map(st => st.getPath.getName ->
+            fs.listStatus(st.getPath).map(_.getPath.getName)
+              .filter(_.startsWith("part-")).toSet)
+          .toMap
+      val before = fileSets()
+      val pred = col("event_id") % K11_DEL_MOD === 0
+      // phase 1: affected partitions — metadata-sized (bounded by the
+      // partition count, the same driver scale as the fs listings).
+      // Phases read from `src`, never the lake path being overwritten
+      // (Spark refuses a self-overlapping read/overwrite, and k9's
+      // repair reads its source the same way).
+      val affected = src.filter(pred)
+        .select(col("event_date")).distinct().collect()
+        .map(_.getDate(0).toString).toSet
+      val nDeleted = src.filter(pred).count()
+      // phase 2: survivors of affected partitions only, dynamic mode —
+      // the write never touches an unaffected partition
+      src
+        .filter(col("event_date").cast("string")
+          .isInCollection(affected) && !pred)
+        .repartition(col("event_date"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date").parquet(dir)
+      // phase 3: an affected partition the rewrite produced NO rows
+      // for keeps its stale files (dynamic overwrite only replaces
+      // written partitions) — detect via the fs diff and drop it
+      val after = fileSets()
+      val dropped = affected.filter { dt =>
+        val p = s"event_date=$dt"
+        before.get(p).exists(after.get(p).contains)
+      }
+      dropped.foreach(dt => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dir/event_date=$dt"), true))
+      val preserved = before.keys.count(p =>
+        !affected.contains(p.stripPrefix("event_date=")))
+      s.read.parquet(dir)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("n_deleted", lit(nDeleted))
+        .withColumn("n_partitions_rewritten",
+          lit((affected.size - dropped.size).toLong))
+        .withColumn("n_partitions_dropped", lit(dropped.size.toLong))
+        .withColumn("n_partitions_preserved", lit(preserved.toLong))
+    },
+    // the oracle replays the final lake from the source (survivor rows
+    // only — red if the delete missed a row, clobbered a bystander
+    // partition, or left a fully-deleted partition's stale files) and
+    // derives every accounting column from the same predicate
+    Some(s"""WITH d AS (
+        SELECT event_id, value, CAST(ts AS DATE) AS event_date
+        FROM events),
+      del AS (SELECT * FROM d WHERE event_id % $K11_DEL_MOD = 0),
+      surv AS (SELECT * FROM d WHERE event_id % $K11_DEL_MOD <> 0),
+      aff AS (SELECT DISTINCT event_date FROM del),
+      stats AS (
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_deleted,
+          (SELECT CAST(count(*) AS BIGINT) FROM aff a
+           WHERE EXISTS (SELECT 1 FROM surv s
+                         WHERE s.event_date = a.event_date))
+            AS n_partitions_rewritten,
+          (SELECT CAST(count(*) AS BIGINT) FROM aff a
+           WHERE NOT EXISTS (SELECT 1 FROM surv s
+                             WHERE s.event_date = a.event_date))
+            AS n_partitions_dropped,
+          (SELECT CAST(count(DISTINCT event_date) AS BIGINT) FROM d)
+            - (SELECT CAST(count(*) AS BIGINT) FROM aff)
+            AS n_partitions_preserved)
+      SELECT s.event_date, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(s.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        t.n_deleted, t.n_partitions_rewritten, t.n_partitions_dropped,
+        t.n_partitions_preserved
+      FROM surv s CROSS JOIN stats t
+      GROUP BY s.event_date, t.n_deleted, t.n_partitions_rewritten,
+        t.n_partitions_dropped, t.n_partitions_preserved"""))
+
+  // ---------------------------------------------------------------------
   // K10: write-audit-publish — the Iceberg/Netflix WAP commit protocol
   // on a plain parquet lake: every batch lands in an UNPUBLISHED
   // staging snapshot, a relational audit runs against the staged files
@@ -1737,7 +1852,7 @@ object Ingest {
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
     k8AnnIndexSink, k8bHnswIndexSink, k8cIncrementalIndexSink,
     k9PartitionOverwrite,
-    k10WriteAuditPublish,
+    k10WriteAuditPublish, k11TargetedDelete,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

@@ -223,6 +223,42 @@ class WindowsAndSinkSpec extends SparkSuite {
     }
   }
 
+  test("K11: targeted delete erases hits, drops a fully-deleted " +
+      "partition's stale files, and never touches bystanders") {
+    import java.sql.Timestamp
+    // three planted days: A holds ONLY delete hits (the dynamic-
+    // overwrite gotcha — no survivor rows means the rewrite never
+    // touches it, so the stale files must be explicitly dropped), B is
+    // a partial hit (rewritten), C has no hits (preserved)
+    val m = sources.Ingest.K11_DEL_MOD
+    val rows = Seq(
+      (m, Timestamp.valueOf("2024-05-01 01:00:00"), 1L, "view", 1.0, "{}"),
+      (2 * m, Timestamp.valueOf("2024-05-01 02:00:00"), 1L, "view", 2.0, "{}"),
+      (1L, Timestamp.valueOf("2024-05-02 01:00:00"), 1L, "view", 3.0, "{}"),
+      (2L, Timestamp.valueOf("2024-05-02 02:00:00"), 1L, "view", 4.0, "{}"),
+      (3 * m, Timestamp.valueOf("2024-05-02 03:00:00"), 1L, "view", 5.0, "{}"),
+      (3L, Timestamp.valueOf("2024-05-03 01:00:00"), 1L, "view", 6.0, "{}"),
+      (4L, Timestamp.valueOf("2024-05-03 02:00:00"), 1L, "view", 7.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("k11fix").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = sources.Ingest.k11TargetedDelete.fn(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // the fully-deleted day is GONE from the read-back (stale files
+    // would resurface here as a 2024-05-01 row with the old values)
+    assert(out.keySet === Set("2024-05-02", "2024-05-03"),
+      s"read-back partitions: ${out.keySet}")
+    val (bn, bs, nDel, nRewr, nDrop, nPres) = out("2024-05-02")
+    assert((bn, bs) === ((2L, 7.0)), "partial day keeps only survivors")
+    assert(out("2024-05-03")._1 === 2L &&
+      out("2024-05-03")._2 === 13.0, "bystander day unchanged")
+    assert(nDel === 3L, "three planted hits")
+    assert(nRewr === 1L && nDrop === 1L && nPres === 1L,
+      s"blast radius (rewritten=$nRewr dropped=$nDrop preserved=$nPres)")
+  }
+
   test("K10: failed audit quarantines the batch, pointer never moves, " +
     "published read stays poison-free") {
     val out = sources.Ingest.k10WriteAuditPublish.fn(spark, sf).collect()
