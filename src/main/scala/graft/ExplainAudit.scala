@@ -90,7 +90,9 @@ object ExplainAudit {
       "sql_x13_grouping_sets", "sql_c10_curriculum",
       "w4_gap_fill", "t21_bpe_encode", "sql_t21_bpe_encode",
       "k8c_incremental_index_sink", "c11_rank_curation",
-      "g2b_hits_converge", "g3b_lpa_converge", "g4b_kcore_converge")
+      "g2b_hits_converge", "g3b_lpa_converge", "g4b_kcore_converge",
+      "t9b_pack_bpe", "x14_table_stats", "sql_w4_gap_fill",
+      "sql_c11_rank_curation", "k11_targeted_delete")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
