@@ -1809,7 +1809,11 @@ object Ingest {
   // nightly index maintenance job: O(batch) new files joining the
   // table, zero rewrite of standing shards. AnnGraphSpec plants an
   // arrival whose absence/presence flips a probe's top-K — reachable
-  // ONLY through appended back-edges.
+  // ONLY through appended back-edges. Cap observability: the standing
+  // build's bucket families are the SAME capped surface d13_cap_report
+  // already accounts under its a18 standing-side rows (identical
+  // membership slice, identical frozen sizing), so a saturated
+  // standing bucket is driver-visible there.
   // ---------------------------------------------------------------------
   val k8cIncrementalIndexSink = Q(
     "k8c_incremental_index_sink",
