@@ -490,6 +490,20 @@ object SqlFrontend {
     },
     operators.LlmOps.t19DsirWeights.oracle)
 
+  // Sliding windows from SQL — w2 was the one windows-family op with
+  // no SQL surface (VERDICT r16 #7): GROUP BY window(ts, width, slide)
+  // is plain Spark SQL text, same single hash-aggregate plan as the
+  // DSL (each row projects into its width/slide = 2 windows before the
+  // shuffle, map-side partial agg applies). Shares w2's oracle, so a
+  // green row pins SQL == DSL == DuckDB's explicit 2-row offset cross
+  // join.
+  val sqlW2Sliding: Queries.Q = sqlQ(
+    "sql_w2_sliding",
+    """SELECT window.start AS w_start, count(*) AS n
+      FROM events
+      GROUP BY window(ts, '10 minutes', '5 minutes')""",
+    operators.Windows.w2Sliding.oracle)
+
   // Gap fill from SQL — w4's grid + LOCF chain as one Spark SQL string
   // sharing w4's oracle: sequence/explode for the per-(resource, day)
   // minute grid, max_by for the day close, lag for the cross-day
@@ -564,12 +578,20 @@ object SqlFrontend {
       def rp(seq: String, l: String, r: String): String =
         (1 to BPE_REPLACE_PASSES).foldLeft(seq)((e, _) =>
           s"replace($e, ' '||$l||' '||$r||' ', ' '||$l||$r||' ')")
+      // an exhausted vocabulary (no adjacent pair anywhere) makes the
+      // in-frame argmax NULL; without the guard the replace chain would
+      // null every seq and the twin would silently diverge from the
+      // DSL's empty-crossJoin passthrough (ADVICE r16 #3) — unreachable
+      // at BPE_ROUNDS=6 over the 256-word vocab, guarded anyway
       val rounds = (1 to BPE_ROUNDS).map { i =>
         s"""s$i AS (
           SELECT word, freq,
-            ${rp("seq", "best.lhs", "best.rhs")} AS seq,
-            array_append(merges,
-              named_struct('lhs', best.lhs, 'rhs', best.rhs)) AS merges
+            CASE WHEN best IS NULL THEN seq
+              ELSE ${rp("seq", "best.lhs", "best.rhs")} END AS seq,
+            CASE WHEN best IS NULL THEN merges
+              ELSE array_append(merges,
+                named_struct('lhs', best.lhs, 'rhs', best.rhs))
+            END AS merges
           FROM (
             SELECT word, freq, seq, merges, ord,
               min(CASE WHEN nxt IS NOT NULL THEN
@@ -589,7 +611,16 @@ object SqlFrontend {
           WHERE ord = 0)"""
       }.mkString(",\n      ")
       val encApplied = (1 to BPE_ROUNDS).foldLeft("seq") { (e, i) =>
-        rp(e, s"element_at(ms, $i).lhs", s"element_at(ms, $i).rhs")
+        // guard the accessor, not the chain: a CASE around the whole
+        // replace chain would nest the previous round's expression
+        // twice (2^rounds tree growth); a never-matching '~' sentinel
+        // needle (seqs hold only [a-z] symbols and the '0' non-word
+        // marker) keeps the fold linear when a guarded round appended
+        // no merge and the list is shorter than BPE_ROUNDS
+        def acc(f: String) =
+          s"coalesce(CASE WHEN size(ms) >= $i " +
+            s"THEN element_at(ms, $i).$f END, '~')"
+        rp(e, acc("lhs"), acc("rhs"))
       }
       s"""WITH wc AS (
         SELECT word, count(*) AS freq
@@ -1865,7 +1896,7 @@ object SqlFrontend {
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
-      sqlW4GapFill,
+      sqlW2Sliding, sqlW4GapFill,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,

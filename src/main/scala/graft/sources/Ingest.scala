@@ -1049,7 +1049,14 @@ object Ingest {
   // it); (3) the lakehouse gotcha handled EXPLICITLY: a partition
   // whose every row is deleted produces no output rows, so dynamic
   // overwrite never touches it and the stale files would survive — the
-  // fs diff detects affected-but-unchanged dirs and drops them. The
+  // DATA decides which (affected dates with zero survivor rows, one
+  // extra metadata-sized aggregate off the already-computed survivor
+  // frame; ADVICE r16 #2: inferring "no rewrite happened" from
+  // part-file NAME-set equality is safe only under UUID-named
+  // committers — a deterministic committer would make a rewritten
+  // partial partition look unchanged and get its survivors deleted),
+  // with the fs diff kept as a cross-check ASSERTION that the
+  // committer behaved. The
   // report carries the delete's full accounting (rows deleted,
   // partitions rewritten / dropped / preserved) — the d13 rule: a
   // compliance job's blast radius is queryable output, not a log line.
@@ -1090,21 +1097,35 @@ object Ingest {
       val nDeleted = src.filter(pred).count()
       // phase 2: survivors of affected partitions only, dynamic mode —
       // the write never touches an unaffected partition
-      src
+      val survivors = src
         .filter(col("event_date").cast("string")
           .isInCollection(affected) && !pred)
+      survivors
         .repartition(col("event_date"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date").parquet(dir)
       // phase 3: an affected partition the rewrite produced NO rows
       // for keeps its stale files (dynamic overwrite only replaces
-      // written partitions) — detect via the fs diff and drop it
+      // written partitions) — the DATA names them: affected dates
+      // minus dates with surviving rows (metadata-sized, bounded by
+      // the partition count like `affected` itself)
+      val survivorDates = survivors.select(col("event_date")).distinct()
+        .collect().map(_.getDate(0).toString).toSet
+      val dropped = affected -- survivorDates
+      // fs diff as a cross-check only (ADVICE r16 #2): with Spark's
+      // UUID-named committer an untouched dir keeps its exact file
+      // set; a mismatch here means the committer wrote deterministic
+      // names and the fs heuristic would have mis-detected
       val after = fileSets()
-      val dropped = affected.filter { dt =>
+      val fsUnchanged = affected.filter { dt =>
         val p = s"event_date=$dt"
         before.get(p).exists(after.get(p).contains)
       }
+      require(fsUnchanged == dropped,
+        s"k11: fs-diff dropped-partition set $fsUnchanged disagrees " +
+          s"with the data-derived set $dropped — committer naming " +
+          "assumption violated")
       dropped.foreach(dt => fs.delete(
         new org.apache.hadoop.fs.Path(s"$dir/event_date=$dt"), true))
       val preserved = before.keys.count(p =>

@@ -262,9 +262,17 @@ object StreamingJobs {
     * and only ever DECREASES as rows stream past, so at group end it is
     * min(state, min(batch ids)) whatever order the iterator delivered —
     * the within-batch election is now order-independent, and a
-    * reordered multi-batch stream converges state to the true min owner
-    * (a prior batch's already-emitted 'kept' cannot be retracted in
-    * Append mode; that cross-batch limit is the documented contract).
+    * reordered multi-batch stream converges state to the true min owner.
+    *
+    * Cross-batch contract (ADVICE r16 #1): at most ONE kept owner per
+    * key, EVER. If the state already existed at batch start, a prior
+    * batch already emitted this key's kept row (Append mode cannot
+    * retract it), so this batch's final pending rows route as dups even
+    * when they lowered the candidate — the state still converges to the
+    * true min so the standing table records the right owner; only the
+    * first batch to see the key emits keptStatus. StreamingSpec pins
+    * this with an out-of-order multi-batch fixture (a later batch
+    * delivering both a smaller id and an exact redelivery of the owner).
     * Memory: history rows and rows strictly above the candidate route
     * immediately; only rows TIED to the running minimum are held (at
     * most one document's repeats of the key), flushed as dups the
@@ -279,6 +287,7 @@ object StreamingJobs {
       emit: (A, String) => O,
       keptStatus: String, dupStatus: String): Iterator[O] =
     new Iterator[O] {
+      private val hadState = state.exists
       private var candidate = state.getOption.getOrElse(Long.MaxValue)
       private var pending = List.empty[A] // rows tied to candidate
       private val queue = scala.collection.mutable.Queue.empty[O]
@@ -301,7 +310,11 @@ object StreamingJobs {
         }
         if (queue.isEmpty && !rows.hasNext && !flushed) {
           flushed = true
-          pending.reverseIterator.foreach(p => queue += emit(p, keptStatus))
+          // a pre-existing state means a prior batch already emitted
+          // this key's kept owner — final pending rows are cross-batch
+          // dups, never a second kept (at-most-one-kept contract)
+          val finalStatus = if (hadState) dupStatus else keptStatus
+          pending.reverseIterator.foreach(p => queue += emit(p, finalStatus))
           if (candidate != Long.MaxValue) state.update(candidate)
         }
       }

@@ -540,6 +540,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cross-batch dedup emits at most one kept owner per key under " +
+      "out-of-order delivery (ADVICE r16: smaller ids and owner " +
+      "redeliveries in later batches are dups, state still converges)") {
+    implicit val sqlCtx = spark.sqlContext
+    // history owns 'gamma' only; keys 'alpha'/'beta' are stream-new
+    val history = graft.operators.LlmOps.fingerprintsOf(
+      Seq((100L, "gamma")).toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs
+      .streamingIncrementalDedup(spark,
+        input.toDF().toDF("doc_id", "text"), history)
+      .writeStream.format("memory").queryName("oo_dedup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 (id-ordered): 10 owns alpha, 20 owns beta
+      input.addData(Seq((10L, "alpha"), (20L, "beta")))
+      q.processAllAvailable()
+      // batch 2 (out of order): a SMALLER id for alpha, an exact
+      // redelivery of alpha's owner, a larger beta, and a history hit —
+      // none may mint a second kept owner
+      input.addData(Seq((3L, "alpha"), (10L, "alpha"), (25L, "beta"),
+        (30L, "gamma")))
+      q.processAllAvailable()
+      // batch 3: below even batch 2's converged state — still a dup
+      input.addData(Seq((1L, "alpha")))
+      q.processAllAvailable()
+      val routes = spark.table("oo_dedup_test").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+      val newOwners = routes.collect { case (id, "new") => id }.toSet
+      assert(newOwners === Set(10L, 20L),
+        s"exactly the first-batch owners may be kept, got $newOwners")
+      assert(routes.count(_._2 == "new") === 2,
+        "at most one kept owner per key across batches")
+      assert(routes.collect { case (id, "dup_in_batch") => id }.toSet
+        === Set(3L, 10L, 25L, 1L),
+        "later-batch smaller ids and owner redeliveries route as dups")
+      assert(routes.collect { case (id, "dup_of_history") => id }.toSet
+        === Set(30L), "the standing-table hit still routes to history")
+    } finally q.stop()
+  }
+
   test("file streams over drifted ts generations union into one canonical stream") {
     // the s11 scenario, streaming form: two landing directories written
     // by producers of different eras — one carries ts as epoch-nanos
@@ -939,7 +980,13 @@ class StreamingSpec extends SparkSuite {
       (1L, Timestamp.valueOf("2024-03-01 00:03:10"), 1L, "steps", 4.0, "{}"),
       (2L, Timestamp.valueOf("2024-03-01 00:03:40"), 1L, "steps", 5.0, "{}"),
       (3L, Timestamp.valueOf("2024-03-02 00:05:59"), 1L, "steps", 11.0, "{}"),
-      (4L, Timestamp.valueOf("2024-03-02 00:02:00"), 2L, "hr", 60.0, "{}")
+      (4L, Timestamp.valueOf("2024-03-02 00:02:00"), 2L, "hr", 60.0, "{}"),
+      // a 2+ day gap (03-03 wholly unobserved): batch w4 lags over
+      // OBSERVED days, so 03-04's leading minutes carry 03-02's close
+      // as locf_prev_day and 03-03 emits nothing — the streaming
+      // new-day branch must match that multi-day carry exactly
+      // (ADVICE r16 #4)
+      (5L, Timestamp.valueOf("2024-03-04 00:02:30"), 1L, "steps", 13.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val dir = java.nio.file.Files.createTempDirectory("w4stream").toString
     events.write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -985,6 +1032,15 @@ class StreamingSpec extends SparkSuite {
       val st = streamed.map(_._4)
       assert(st === Set("observed", "locf_same_day", "locf_prev_day",
         "unfilled"), s"missing routing class: $st")
+      // the multi-day-gap carry provably fired: 03-04's leading fill
+      // carries 03-02's close across the wholly-unobserved 03-03, and
+      // 03-03 itself emitted nothing
+      assert(streamed.contains(("steps",
+        Timestamp.valueOf("2024-03-04 00:00:00"), Some(11.0),
+        "locf_prev_day")), "multi-day carry must use the last " +
+        "OBSERVED day's close")
+      assert(!streamed.exists(_._2.toString.startsWith("2024-03-03")),
+        "a wholly-unobserved day emits nothing")
     } finally q.stop()
   }
 
