@@ -1037,6 +1037,145 @@ object Ingest {
           AS n_partitions_overwritten
       FROM d GROUP BY event_date"""))
 
+  // The k10/k12 batch-window bounds (k10's WAP audit and k12's
+  // time-travel publishes split the same source on them; both oracles
+  // interpolate them eagerly at object init, so they live above both).
+  private[graft] val K10_B1_FROM = "2024-01-21"
+  private[graft] val K10_B2_FROM = "2024-01-26"
+
+  // ---------------------------------------------------------------------
+  // K12: snapshot time travel + rollback — the missing half of k10's
+  // WAP commit story (VERDICT r16 #3; Iceberg/Delta both ship it):
+  // k10's `_CURRENT` pointer names the live snapshot set, but nothing
+  // read AS OF an older publish or rolled a bad one back. Here the
+  // lake additionally keeps `_HISTORY` (append-only, one line per
+  // publish = that version's full snapshot list — the Iceberg
+  // metadata-log shape reduced to its essence). Every version stays
+  // readable AS OF its history line forever, because snapshot dirs are
+  // immutable and a publish only ADDS a dir plus a history line; and
+  // ROLLBACK is a pointer flip to a prior history line — zero data
+  // files touched, which WindowsAndSinkSpec verifies physically (the
+  // rolled-back snapshot's part files survive byte-identical; only
+  // `_CURRENT` changes). The bad publish is the realistic kind: it
+  // PASSES k10's null audit (so it lands and goes live) and is caught
+  // only by a downstream signal (negative values) — exactly the moment
+  // time travel exists for, because the bad data is already serving.
+  //
+  // Report: one row per readable cut — v0/v1/v2 AS OF their history
+  // lines plus the post-rollback `current` — each with its aggregate
+  // and its badness signal (n_neg): v2 vs v1 is the s10 snapshot-diff
+  // discipline applied across VERSIONS, and current == v1 is the
+  // rollback proof in the result itself. At 100 TB everything here is
+  // metadata-sized: AS OF resolves one history line to a file list,
+  // rollback rewrites one pointer file, and no data file is ever
+  // copied or deleted.
+  // ---------------------------------------------------------------------
+  val k12TimeTravel = Q(
+    "k12_time_travel",
+    (s, d) => {
+      val lake = freshDir("k12_lake")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(lake), s.sparkContext.hadoopConfiguration)
+      def write(name: String, text: String): Unit = {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$lake/$name"), true)
+        out.write(text.getBytes("UTF-8")); out.close()
+      }
+      def read(name: String): String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$lake/$name"))
+        val b = new Array[Byte](4096); val n = in.read(b); in.close()
+        new String(b, 0, n, "UTF-8")
+      }
+      var history = Vector.empty[String]
+      def publish(snaps: String): Unit = {
+        history :+= snaps
+        write("_CURRENT", snaps)
+        write("_HISTORY", history.mkString("\n"))
+      }
+      val src = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date"))
+      def stage(snap: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$lake/$snap")
+      // three publishes, each audited with k10's null audit. Batch 2
+      // negates values (event_id % 11) but nulls nothing, so the null
+      // audit passes and the bad batch goes LIVE — the time-travel
+      // scenario, not the WAP one.
+      stage("snap-base",
+        src.filter(col("event_date") < lit(K10_B1_FROM)))
+      publish("snap-base")
+      stage("snap-001",
+        src.filter(col("event_date") >= lit(K10_B1_FROM) &&
+          col("event_date") < lit(K10_B2_FROM)))
+      publish("snap-base,snap-001")
+      stage("snap-002",
+        src.filter(col("event_date") >= lit(K10_B2_FROM))
+          .withColumn("value",
+            when(col("event_id") % 11 === 0, -col("value"))
+              .otherwise(col("value"))))
+      publish("snap-base,snap-001,snap-002")
+      // AS OF: any history line resolves to its immutable file list
+      def asOf(version: Int): DataFrame =
+        read("_HISTORY").split("\n")(version).split(",")
+          .map(p => s.read.parquet(s"$lake/$p"))
+          .reduce(_ unionByName _)
+      def cut(version: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"),
+            count(when(col("value") < 0, 1)).as("n_neg"))
+          .select(lit(version).as("version"), col("n"),
+            col("sum_value"), col("n_neg"))
+      // the downstream signal fires on the LIVE table → roll back by
+      // flipping the pointer to the prior history line; snap-002's
+      // files and its history line both survive (re-publishable after
+      // repair, auditable forever)
+      val bad = asOf(2).filter(col("value") < 0).limit(1).count() > 0
+      if (bad) write("_CURRENT", read("_HISTORY").split("\n")(1))
+      val current = read("_CURRENT").split(",")
+        .map(p => s.read.parquet(s"$lake/$p"))
+        .reduce(_ unionByName _)
+      cut("v0", asOf(0))
+        .unionByName(cut("v1", asOf(1)))
+        .unionByName(cut("v2", asOf(2)))
+        .unionByName(cut("current", current))
+        .withColumn("rolled_back", lit(bad))
+    },
+    // the oracle replays every cut from the source windows (re-poisons
+    // batch 2 exactly as staged) and derives the rollback decision from
+    // the same downstream predicate — current = v1 iff v2 holds a
+    // negative value, else v2 (k10's nothing-hardcoded discipline)
+    Some(s"""WITH d AS (
+        SELECT event_id, value, CAST(ts AS DATE) AS event_date
+        FROM events),
+      base AS (SELECT value FROM d
+               WHERE event_date < DATE '$K10_B1_FROM'),
+      b1 AS (SELECT value FROM d
+             WHERE event_date >= DATE '$K10_B1_FROM'
+               AND event_date < DATE '$K10_B2_FROM'),
+      b2p AS (
+        SELECT CASE WHEN event_id % 11 = 0 THEN -value ELSE value END
+          AS value
+        FROM d WHERE event_date >= DATE '$K10_B2_FROM'),
+      v1 AS (SELECT value FROM base UNION ALL SELECT value FROM b1),
+      v2 AS (SELECT value FROM v1 UNION ALL SELECT value FROM b2p),
+      bad AS (SELECT count(CASE WHEN value < 0 THEN 1 END) > 0 AS b
+              FROM v2),
+      cur AS (
+        SELECT value FROM v1 WHERE (SELECT b FROM bad)
+        UNION ALL
+        SELECT value FROM v2 WHERE NOT (SELECT b FROM bad)),
+      cuts AS (
+        SELECT 'v0' AS version, * FROM base
+        UNION ALL SELECT 'v1', * FROM v1
+        UNION ALL SELECT 'v2', * FROM v2
+        UNION ALL SELECT 'current', * FROM cur)
+      SELECT version, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_neg,
+        (SELECT b FROM bad) AS rolled_back
+      FROM cuts GROUP BY version"""))
+
   // ---------------------------------------------------------------------
   // K11: targeted delete — the GDPR/takedown pass every lake needs:
   // erase a keyed row set from a partitioned parquet table while
@@ -1192,8 +1331,9 @@ object Ingest {
   // Snapshot 2 here simulates the upstream bug WAP exists to catch:
   // nulled keys (id%7) and negated values (id%11) in the final window.
   // ---------------------------------------------------------------------
-  private[graft] val K10_B1_FROM = "2024-01-21"
-  private[graft] val K10_B2_FROM = "2024-01-26"
+  // (K10_B1_FROM / K10_B2_FROM are declared above k12, which also
+  // splits its publishes on them — object-init order: k12's oracle
+  // string interpolates them eagerly.)
 
   val k10WriteAuditPublish = Q(
     "k10_write_audit_publish",
@@ -1877,7 +2017,7 @@ object Ingest {
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
     k8AnnIndexSink, k8bHnswIndexSink, k8cIncrementalIndexSink,
     k9PartitionOverwrite,
-    k10WriteAuditPublish, k11TargetedDelete,
+    k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

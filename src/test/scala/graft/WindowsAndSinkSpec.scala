@@ -285,4 +285,43 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(staged.filter(col("value") < 0).count() ===
       out.head.getLong(6), "quarantined bounds must match the report")
   }
+
+  test("K12: rollback flips only the pointer — every snapshot's files " +
+    "and the full history survive, AS OF cuts nest exactly") {
+    val out = sources.Ingest.k12TimeTravel.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    // the bad batch is genuinely bad, genuinely published at v2, and
+    // the rollback genuinely fired
+    assert(out("v2")._2 > 0, "v2 must carry the downstream-bad rows")
+    assert(out("v0")._2 === 0 && out("v1")._2 === 0,
+      "earlier versions must be clean")
+    assert(out.values.forall(_._3), "rolled_back must report true")
+    // current == v1 (the rollback proof), v0 ⊂ v1 ⊂ v2 (cuts nest)
+    assert(out("current")._1 === out("v1")._1 &&
+      out("current")._2 === out("v1")._2,
+      "post-rollback current must equal v1's cut")
+    assert(out("v0")._1 < out("v1")._1 && out("v1")._1 < out("v2")._1,
+      "AS OF cuts must nest strictly")
+    // physical: pointer flipped to history line 1, history keeps all
+    // three lines, and the rolled-back snapshot's part files SURVIVE
+    val lake = s"${sources.Ingest.lakeRoot}/k12_lake"
+    def readf(n: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lake, n)), "UTF-8")
+    val hist = readf("_HISTORY").split("\n")
+    assert(hist.toSeq === Seq("snap-base", "snap-base,snap-001",
+      "snap-base,snap-001,snap-002"), s"history reads ${hist.toSeq}")
+    assert(readf("_CURRENT") === "snap-base,snap-001",
+      "rollback must flip the pointer to the prior history line")
+    val snap2 = new java.io.File(s"$lake/snap-002").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(snap2.nonEmpty,
+      "the rolled-back snapshot's data files must survive untouched")
+    // and v2 stays readable AS OF its history line after the rollback
+    val v2n = hist(2).split(",")
+      .map(p => spark.read.parquet(s"$lake/$p"))
+      .reduce(_ unionByName _).count()
+    assert(v2n === out("v2")._1,
+      "the rolled-back version must remain readable AS OF its line")
+  }
 }
