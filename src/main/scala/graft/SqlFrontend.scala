@@ -655,6 +655,92 @@ object SqlFrontend {
     },
     operators.LlmOps.t21BpeEncode.oracle)
 
+  // Trained quality classifier from SQL — t22's Bernoulli-NB lifecycle
+  // (gate-label, hash features, train, score WITH absence terms, route,
+  // precision/recall report) as one Spark SQL string sharing t22's
+  // oracle. Strictly linear (each CTE consumed once); the class ×
+  // 64-bucket grid and the priors are planner-sized relations AQE
+  // broadcasts, exactly like the DSL's explicit broadcast() hints.
+  val sqlT22Classifier: Queries.Q = sqlQ(
+    "sql_t22_classifier", {
+      import graft.functions.Portable
+      import operators.LlmOps.T22_NFEAT
+      s"""WITH docs AS (
+        SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
+      lab AS (
+        SELECT doc_id, t,
+          CASE WHEN size(t) >= 15
+            AND CAST(size(filter(t, x -> x IN ('the', 'a')))
+                AS DOUBLE) / size(t) <= 0.4
+          THEN 'curated' ELSE 'quarantined' END AS label
+        FROM docs),
+      feats AS (
+        SELECT DISTINCT doc_id,
+          pmod(${Portable.h60Sql("bg", "t22|")}, $T22_NFEAT) AS fh
+        FROM (
+          SELECT doc_id, explode(transform(sequence(0, size(t) - 2),
+            i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+          FROM lab WHERE size(t) >= 2) fx),
+      train AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 < 8),
+      nl AS (SELECT label, count(*) AS n_docs FROM train GROUP BY 1),
+      dfc AS (
+        SELECT tr.label, f.fh, count(*) AS df
+        FROM feats f JOIN train tr USING (doc_id) GROUP BY 1, 2),
+      grid AS (
+        SELECT nl.label AS p_label, g.fh,
+          round(ln((coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)), 6)
+            AS lp1,
+          round(ln(1.0 - (coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)),
+            6) AS lp0
+        FROM nl
+        CROSS JOIN (SELECT explode(sequence(0, ${T22_NFEAT - 1}))
+          AS fh) g
+        LEFT JOIN dfc ON dfc.label = nl.label AND dfc.fh = g.fh),
+      prior AS (
+        SELECT label AS p_label,
+          round(ln(n_docs / (SELECT count(*) FROM train)), 6)
+            AS logprior
+        FROM nl),
+      held AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 >= 8),
+      scored AS (
+        SELECT h.doc_id, g.p_label,
+          sum(CAST(CASE WHEN f.doc_id IS NOT NULL THEN g.lp1
+            ELSE g.lp0 END AS DECIMAL(20,6))) AS sum_lp
+        FROM held h CROSS JOIN grid g
+        LEFT JOIN feats f ON f.doc_id = h.doc_id AND f.fh = g.fh
+        GROUP BY 1, 2),
+      final AS (
+        SELECT s.doc_id, s.p_label,
+          s.sum_lp + CAST(pr.logprior AS DECIMAL(20,6)) AS score
+        FROM scored s JOIN prior pr ON pr.p_label = s.p_label),
+      guess AS (
+        SELECT doc_id, p_label AS guess FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, p_label ASC) AS rn FROM final) z
+        WHERE rn = 1),
+      cm AS (SELECT h.doc_id, h.label, g.guess
+             FROM held h JOIN guess g USING (doc_id)),
+      bt AS (SELECT label, count(*) AS n_true,
+               count(CASE WHEN guess = label THEN 1 END) AS n_correct
+             FROM cm GROUP BY 1),
+      bg AS (SELECT guess AS label, count(*) AS n_guessed
+             FROM cm GROUP BY 1)
+      SELECT label,
+        CAST(coalesce(bt.n_true, 0) AS BIGINT) AS n_true,
+        CAST(coalesce(bg.n_guessed, 0) AS BIGINT) AS n_guessed,
+        CAST(coalesce(bt.n_correct, 0) AS BIGINT) AS n_correct,
+        CASE WHEN coalesce(bg.n_guessed, 0) > 0 THEN
+          round(CAST(coalesce(bt.n_correct, 0) AS DOUBLE)
+            / bg.n_guessed, 6)
+        END AS prec,
+        CASE WHEN coalesce(bt.n_true, 0) > 0 THEN
+          round(CAST(coalesce(bt.n_correct, 0) AS DOUBLE)
+            / bt.n_true, 6)
+        END AS rec
+      FROM bt FULL OUTER JOIN bg USING (label)"""
+    },
+    operators.LlmOps.t22QualityClassifier.oracle)
+
   // PageRank from SQL — g1's integer-exact fixpoint as ONE Spark SQL
   // string. THE SHAPE IS THE POINT: the naive unrolled form (each round
   // = a recv CTE joining r{i-1} PLUS a dang CTE aggregating r{i-1})
@@ -1901,7 +1987,8 @@ object SqlFrontend {
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
-      sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlG1Pagerank, sqlG2Hits,
+      sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlT22Classifier,
+      sqlG1Pagerank, sqlG2Hits,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum)
 }

@@ -4307,6 +4307,181 @@ object LlmOps {
       branches.mkString(" UNION ALL ")
     })
 
+  // ---------------------------------------------------------------------
+  // T22: trained quality classifier (VERDICT r16 #4) — the fastText-style
+  // curated-vs-quarantined model every production pipeline trains: t19
+  // WEIGHS docs against a target distribution and c11 BLENDS existing
+  // priors, but nothing LEARNED a decision from labels. Labels come from
+  // c1's own quality gate (token count + stopword ratio — the gate IS
+  // the labeling function, so the classifier learns to predict the
+  // pipeline's own routing); features are hashed bigram PRESENCE bits
+  // over a 64-bucket space (the fastText hashing-trick shape); the model
+  // is t11's Bernoulli NB machinery with the one addition this feature
+  // space needs: the ABSENCE term. t11's languages split on disjoint
+  // token sets, so present-feature scoring sufficed; quality classes
+  // split on how MANY buckets a doc fills (length) — presence-only
+  // scoring would let the class with denser document-frequencies win
+  // every doc, and only sum_{f absent} ln(1-p(f|c)) penalizes a short
+  // doc under the curated model. With 64 buckets the full grid is 128
+  // rows: training is two hash-aggs, the model broadcasts at any corpus
+  // size, and scoring is (heldout × 128) map-side terms into one
+  // per-(doc, class) hash-agg — the same cost shape as t11.
+  //
+  // Consumer closure: the held-out 20% is scored and ROUTED, and the
+  // output is the deployment decision itself — per-class
+  // precision/recall of the learned router against the real gate (can
+  // the cheap model replace the exact gate on tomorrow's shard?).
+  // Parity: every log rounds to 6dp then sums as DECIMAL(20,6) (t11's
+  // argmax-stability discipline); ties break on class name.
+  // ---------------------------------------------------------------------
+  private[graft] val T22_NFEAT = 64
+
+  val t22QualityClassifier = Q(
+    "t22_quality_classifier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .withColumn("label",
+          when(size(col("t")) >= 15 &&
+            expr("size(filter(t, x -> x IN ('the', 'a')))")
+              .cast("double") / size(col("t")) <= 0.4, "curated")
+            .otherwise("quarantined"))
+      // Bernoulli presence features: distinct hashed-bigram buckets
+      val feats = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(ngramExpr(2))).as("bg"))
+        .select(col("doc_id"),
+          pmod(Portable.h60(col("bg"), "t22|"), lit(T22_NFEAT.toLong))
+            .as("fh"))
+        .distinct()
+      val train = docs.filter(col("doc_id") % 10 < 8)
+        .select("doc_id", "label")
+      val nl = train.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+      val dfC = feats.join(train, Seq("doc_id"))
+        .groupBy(col("label"), col("fh"))
+        .agg(count(lit(1)).as("df")) // feats is distinct per doc
+      // the FULL class × feature grid — absence scores too, see header
+      val grid = nl
+        .crossJoin(s.range(T22_NFEAT).select(col("id").as("fh")))
+        .join(dfC, Seq("label", "fh"), "left")
+        .select(col("label").as("p_label"), col("fh"),
+          round(log((coalesce(col("df"), lit(0L)) + lit(1.0)) /
+            (col("n_docs") + lit(2))), 6).as("lp1"),
+          round(log(lit(1.0) -
+            (coalesce(col("df"), lit(0L)) + lit(1.0)) /
+              (col("n_docs") + lit(2))), 6).as("lp0"))
+      val prior = nl
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("total"))))
+        .select(col("label").as("p_label"),
+          round(log(col("n_docs") / col("total")), 6).as("logprior"))
+      val held = docs.filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "label")
+      val scored = held.select("doc_id")
+        .crossJoin(broadcast(grid))
+        .join(feats.withColumn("present", lit(1)),
+          Seq("doc_id", "fh"), "left")
+        .select(col("doc_id"), col("p_label"),
+          when(col("present") === 1, col("lp1")).otherwise(col("lp0"))
+            .cast("decimal(20,6)").as("lp"))
+        .groupBy(col("doc_id"), col("p_label"))
+        .agg(sum(col("lp")).as("sum_lp"))
+        .join(broadcast(prior), Seq("p_label"))
+        .select(col("doc_id"), col("p_label"),
+          (col("sum_lp") + col("logprior").cast("decimal(20,6)"))
+            .as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("p_label").asc)
+      val guess = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("p_label").as("guess"))
+      val cm = held.join(guess, Seq("doc_id"))
+      val byTrue = cm.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_true"),
+          count(when(col("guess") === col("label"), 1)).as("n_correct"))
+      val byGuess = cm.groupBy(col("guess").as("label"))
+        .agg(count(lit(1)).as("n_guessed"))
+      byTrue.join(byGuess, Seq("label"), "full")
+        .select(col("label"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_guessed"), lit(0L)).as("n_guessed"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+        .withColumn("prec",
+          when(col("n_guessed") > 0,
+            round(col("n_correct").cast("double") / col("n_guessed"), 6)))
+        .withColumn("rec",
+          when(col("n_true") > 0,
+            round(col("n_correct").cast("double") / col("n_true"), 6)))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents),
+      lab AS (
+        SELECT doc_id, t,
+          CASE WHEN len(t) >= 15
+            AND CAST(len(list_filter(t, x -> x IN ('the', 'a')))
+                AS DOUBLE) / len(t) <= 0.4
+          THEN 'curated' ELSE 'quarantined' END AS label
+        FROM docs),
+      feats AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(2)})", "t22|")}
+            % $T22_NFEAT AS fh
+        FROM lab WHERE len(t) >= 2),
+      train AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 < 8),
+      nl AS (SELECT label, count(*) AS n_docs FROM train GROUP BY 1),
+      dfc AS (
+        SELECT tr.label, f.fh, count(*) AS df
+        FROM feats f JOIN train tr USING (doc_id) GROUP BY 1, 2),
+      grid AS (
+        SELECT nl.label AS p_label, g.fh,
+          round(ln((coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)), 6)
+            AS lp1,
+          round(ln(1.0 - (coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)),
+            6) AS lp0
+        FROM nl
+        CROSS JOIN (SELECT unnest(range($T22_NFEAT)) AS fh) g
+        LEFT JOIN dfc ON dfc.label = nl.label AND dfc.fh = g.fh),
+      prior AS (
+        SELECT label AS p_label,
+          round(ln(n_docs::DOUBLE / (SELECT count(*) FROM train)), 6)
+            AS logprior
+        FROM nl),
+      held AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 >= 8),
+      scored AS (
+        SELECT h.doc_id, g.p_label,
+          sum(CAST(CASE WHEN f.doc_id IS NOT NULL THEN g.lp1
+            ELSE g.lp0 END AS DECIMAL(20,6))) AS sum_lp
+        FROM held h CROSS JOIN grid g
+        LEFT JOIN feats f ON f.doc_id = h.doc_id AND f.fh = g.fh
+        GROUP BY 1, 2),
+      final AS (
+        SELECT s.doc_id, s.p_label,
+          s.sum_lp + CAST(pr.logprior AS DECIMAL(20,6)) AS score
+        FROM scored s JOIN prior pr USING (p_label)),
+      guess AS (
+        SELECT doc_id, p_label AS guess FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, p_label ASC) AS rn FROM final) z
+        WHERE rn = 1),
+      cm AS (SELECT h.doc_id, h.label, g.guess
+             FROM held h JOIN guess g USING (doc_id)),
+      bt AS (SELECT label, count(*) AS n_true,
+               count(CASE WHEN guess = label THEN 1 END) AS n_correct
+             FROM cm GROUP BY 1),
+      bg AS (SELECT guess AS label, count(*) AS n_guessed
+             FROM cm GROUP BY 1)
+      SELECT label,
+        CAST(coalesce(bt.n_true, 0) AS BIGINT) AS n_true,
+        CAST(coalesce(bg.n_guessed, 0) AS BIGINT) AS n_guessed,
+        CAST(coalesce(bt.n_correct, 0) AS BIGINT) AS n_correct,
+        CASE WHEN coalesce(bg.n_guessed, 0) > 0 THEN
+          round(coalesce(bt.n_correct, 0)::DOUBLE / bg.n_guessed, 6)
+        END AS prec,
+        CASE WHEN coalesce(bt.n_true, 0) > 0 THEN
+          round(coalesce(bt.n_correct, 0)::DOUBLE / bt.n_true, 6)
+        END AS rec
+      FROM bt FULL OUTER JOIN bg USING (label)"""))
+
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
@@ -4318,6 +4493,7 @@ object LlmOps {
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,
     t19DsirWeights, t20BpeMerges, t21BpeEncode, t9bPackBpe,
+    t22QualityClassifier,
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,

@@ -303,6 +303,26 @@ class DedupSpec extends SparkSuite {
       }
   }
 
+  test("T22: the learned router genuinely separates the gate's classes " +
+      "(no majority collapse; the minority class is caught)") {
+    // columns: label, n_true, n_guessed, n_correct, prec, rec
+    val rep = graft.operators.LlmOps.t22QualityClassifier.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(5)) 0.0 else r.getDouble(5)))).toMap
+    assert(rep.keySet === Set("curated", "quarantined"),
+      s"both gate classes must appear, got ${rep.keySet}")
+    // an oracle-green majority collapse would guess ONE class for
+    // everything — the r13 degenerate-operator trap, gated here
+    assert(rep.values.forall(_._2 > 0),
+      "both classes must be guessed at least once")
+    assert(rep.values.forall(_._3 > 0),
+      "both classes need correct routings, not just guesses")
+    assert(rep("quarantined")._4 >= 0.5,
+      "the minority (quarantined) class must be genuinely caught — " +
+        s"recall ${rep("quarantined")._4}")
+  }
+
   test("C1c: quality election removes the per-lang worst, never adds") {
     def counts(q: graft.Queries.Q): Map[(String, String), Long] =
       q.fn(spark, sf).collect()
