@@ -750,52 +750,39 @@ object Multimodal {
   // ---------------------------------------------------------------------
   private[graft] val ENERGY_WINDOW = 64
 
-  val m5AudioEnergy = Q(
-    "m5_audio_energy",
-    (s, d) => {
-      import s.implicits._
-      mediaFrame(s, d)
-        .select(col("doc_id"), col("payload"), col("mime"))
-        .as[MediaRow]
-        .mapPartitions { it =>
-          it.flatMap { r0 =>
-            if (r0.mime != "audio/wav") None
-            else {
-              val pcm = decodeWav(containerize(r0).payload).data
-              val nSamples = pcm.length / 2
-              val nWindows = nSamples / ENERGY_WINDOW
-              if (nWindows == 0) None
-              else {
-                def sample(i: Int): Int = {
-                  val v = (pcm(2 * i) & 0xff) + 256 * (pcm(2 * i + 1) & 0xff)
-                  if (v >= 32768) v - 65536 else v
-                }
-                val energies = (0 until nWindows).map { w =>
-                  var e = 0L
-                  var i = 0
-                  while (i < ENERGY_WINDOW) {
-                    val sv = sample(ENERGY_WINDOW * w + i)
-                    e += sv.toLong * sv
-                    i += 1
-                  }
-                  e
-                }
-                var clipped = 0L
-                var i = 0
-                while (i < ENERGY_WINDOW * nWindows) {
-                  val sv = sample(i)
-                  if (sv == 32767 || sv == -32768) clipped += 1
-                  i += 1
-                }
-                Some((r0.doc_id, nWindows.toLong, energies.max,
-                  energies.sum / nWindows, clipped))
-              }
-            }
-          }
-        }.toDF("doc_id", "n_windows", "peak_energy", "mean_energy",
-          "n_clipped")
-    },
-    Some(s"""WITH m AS (
+  /** Signed 16-bit little-endian PCM sample reader — the ONE definition
+    * of the sample arithmetic, shared by m5's energy/clip report and
+    * m7's fingerprint. */
+  private[graft] def pcmSample(pcm: Array[Byte], i: Int): Int = {
+    val v = (pcm(2 * i) & 0xff) + 256 * (pcm(2 * i + 1) & 0xff)
+    if (v >= 32768) v - 65536 else v
+  }
+
+  /** Per-window (ENERGY_WINDOW samples) energy sequence over a PCM byte
+    * payload — m5's window arithmetic factored so m7's fingerprint
+    * provably derives from the same energies (both oracles share the
+    * same DuckDB CTE prefix, [[audioEnergyDuckCtes]]). Empty when no
+    * full window exists. */
+  private[graft] def windowEnergies(pcm: Array[Byte]): Array[Long] = {
+    val nWindows = (pcm.length / 2) / ENERGY_WINDOW
+    Array.tabulate(nWindows) { w =>
+      var e = 0L
+      var i = 0
+      while (i < ENERGY_WINDOW) {
+        val sv = pcmSample(pcm, ENERGY_WINDOW * w + i)
+        e += sv.toLong * sv
+        i += 1
+      }
+      e
+    }
+  }
+
+  /** m5's decode-and-window chain as DuckDB CTE text (audio docs →
+    * signed samples `sv` → per-window energy list `es` + `n_windows` +
+    * clip count, ending in CTE `e`) — shared by m5's report and m7's
+    * fingerprint so the two queries cannot drift on the PCM
+    * arithmetic. */
+  private def audioEnergyDuckCtes: String = s"""m AS (
         SELECT doc_id, hex(encode(text)) AS h,
           octet_length(encode(text)) AS n
         FROM documents WHERE doc_id % 3 = 1),
@@ -818,12 +805,126 @@ object Multimodal {
           list_sum(list_transform(
             list_slice(sv, 1, $ENERGY_WINDOW * n_windows), x ->
               CAST(x = 32767 OR x = -32768 AS INT))) AS n_clipped
-        FROM sam)
+        FROM sam)"""
+
+  val m5AudioEnergy = Q(
+    "m5_audio_energy",
+    (s, d) => {
+      import s.implicits._
+      mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.flatMap { r0 =>
+            if (r0.mime != "audio/wav") None
+            else {
+              val pcm = decodeWav(containerize(r0).payload).data
+              val energies = windowEnergies(pcm)
+              val nWindows = energies.length
+              if (nWindows == 0) None
+              else {
+                var clipped = 0L
+                var i = 0
+                while (i < ENERGY_WINDOW * nWindows) {
+                  val sv = pcmSample(pcm, i)
+                  if (sv == 32767 || sv == -32768) clipped += 1
+                  i += 1
+                }
+                Some((r0.doc_id, nWindows.toLong, energies.max,
+                  energies.sum / nWindows, clipped))
+              }
+            }
+          }
+        }.toDF("doc_id", "n_windows", "peak_energy", "mean_energy",
+          "n_clipped")
+    },
+    Some(s"""WITH $audioEnergyDuckCtes
       SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
         CAST(list_max(es) AS BIGINT) AS peak_energy,
         CAST(list_sum(es) // n_windows AS BIGINT) AS mean_energy,
         CAST(n_clipped AS BIGINT) AS n_clipped
       FROM e"""))
+
+  // ---------------------------------------------------------------------
+  // M7: audio dedup — the modality matrix's last open cell (text d1/d2,
+  // image m4, video e7, audio: this). A coarse energy-contour
+  // fingerprint in the codebase's 16-bit portable-signature convention:
+  // m5's per-window energies, sampled at 17 evenly-spaced positions,
+  // adjacent strict-greater comparisons packed LSB-first (m4's phashOf
+  // lifted from raster bytes to the energy contour). Because only the
+  // decoded `data` chunk feeds the energies, a RE-ENCODED identical PCM
+  // (same samples, different RIFF chunk layout / ancillary chunks)
+  // lands in the same family — the property that makes it an audio
+  // fingerprint rather than a byte hash; MultimodalSpec plants exactly
+  // that pair plus a near-miss whose contour flips a bit. Election is
+  // d1's shape: one hash-agg on the 16-bit key (min doc_id owner +
+  // family size), one broadcastable join back — per-doc rows keep the
+  // yield visible (is_dup, n_family), and chance collisions of the
+  // coarse key surface as families a real pipeline would verify with
+  // m5's full profile (the d2→d5 candidate→verify discipline).
+  // Decode + fingerprint are per-partition map work fused with the
+  // scan; the ONLY shuffle is the 16-bit-key hash-agg — at 100 TB the
+  // key space widens (more samples), the plan stays identical.
+  // ---------------------------------------------------------------------
+
+  /** 16-bit energy-contour fingerprint over a decoded PCM payload:
+    * PHASH_SAMPLES evenly-spaced picks of [[windowEnergies]], adjacent
+    * strict-greater bits packed LSB-first. None when no full window
+    * exists (matches m5's eligibility exactly). */
+  private[graft] def audioFingerprint(pcm: Array[Byte]): Option[Long] = {
+    val energies = windowEnergies(pcm)
+    val nWindows = energies.length
+    if (nWindows == 0) None
+    else {
+      val s = (0 until PHASH_SAMPLES)
+        .map(j => energies((j.toLong * nWindows / PHASH_SAMPLES).toInt))
+      Some((0 until PHASH_SAMPLES - 1).foldLeft(0L) { (acc, i) =>
+        acc | (if (s(i + 1) > s(i)) 1L << i else 0L)
+      })
+    }
+  }
+
+  val m7AudioDedup = Q(
+    "m7_audio_dedup",
+    (s, d) => {
+      import s.implicits._
+      val fps = mediaFrame(s, d)
+        .select(col("doc_id"), col("payload"), col("mime"))
+        .as[MediaRow]
+        .mapPartitions { it =>
+          it.flatMap { r0 =>
+            if (r0.mime != "audio/wav") None
+            else audioFingerprint(decodeWav(containerize(r0).payload).data)
+              .map(fp => (r0.doc_id, fp))
+          }
+        }.toDF("doc_id", "fp")
+      val fam = fps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("owner_id"),
+          count(lit(1)).as("n_family"))
+      fps.join(fam, Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("owner_id"),
+          col("n_family"),
+          (col("doc_id") =!= col("owner_id")).as("is_dup"))
+    },
+    Some(s"""WITH $audioEnergyDuckCtes,
+      fps AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(${PHASH_SAMPLES - 1}),
+            i ->
+              CASE WHEN
+                es[CAST(((i + 1) * n_windows) // $PHASH_SAMPLES AS INT)
+                   + 1]
+                > es[CAST((i * n_windows) // $PHASH_SAMPLES AS INT) + 1]
+              THEN CAST(power(2, i) AS BIGINT) ELSE 0 END))
+            AS BIGINT) AS fp
+        FROM e),
+      fam AS (
+        SELECT fp, min(doc_id) AS owner_id, count(*) AS n_family
+        FROM fps GROUP BY 1)
+      SELECT f.doc_id, f.fp, fm.owner_id,
+        CAST(fm.n_family AS BIGINT) AS n_family,
+        f.doc_id <> fm.owner_id AS is_dup
+      FROM fps f JOIN fam fm USING (fp)"""))
 
   // ---------------------------------------------------------------------
   // M6: scene-change detection — the video-curation stage between m3's
@@ -1400,5 +1501,6 @@ object Multimodal {
 
   def all: Seq[Q] = Seq(m1MultimodalMeta, m2MultimodalDecode,
     m2bDecodeQuarantine, m3FrameSample, m4MediaPhash, m5AudioEnergy,
-    m6SceneCut, e5MediaPipeline, e6PairCuration, e7KeyframeDedup)
+    m6SceneCut, m7AudioDedup, e5MediaPipeline, e6PairCuration,
+    e7KeyframeDedup)
 }

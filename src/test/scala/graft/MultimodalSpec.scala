@@ -470,6 +470,58 @@ class MultimodalSpec extends SparkSuite {
       "an identical copy shares every keyframe")
   }
 
+  test("M7: audio fingerprint survives container re-encoding, breaks on " +
+      "a contour change, and elects min-doc owners per family") {
+    import spark.implicits._
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    // 8 windows of alternating energy (128 bytes = 64 samples each)
+    val textA = ("a" * 128 + "Z" * 128) * 4
+    // near-miss: the final low/high window pair swapped — the
+    // contour's tail comparisons flip (a flattened tail would NOT:
+    // strict-greater scores equal and less identically)
+    val textC = ("a" * 128 + "Z" * 128) * 3 + "Z" * 128 + "a" * 128
+    val pcm = textA.getBytes("UTF-8")
+    // re-encoding: same PCM data chunk, DIFFERENT container — an
+    // ancillary LIST chunk spliced before data (decoders skip unknown
+    // chunks; a byte hash of the file would split the pair)
+    val wav1 = Multimodal.wavContainer(pcm)
+    val fmtBody = java.util.Arrays.copyOfRange(wav1, 20, 20 + 16)
+    val body = ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ fmtBody ++
+      ascii("LIST") ++ le32(4) ++ ascii("INFO") ++
+      ascii("data") ++ le32(pcm.length) ++ pcm
+    val wav2 = ascii("RIFF") ++ le32(body.length) ++ body
+    assert(!wav1.sameElements(wav2), "the two encodings differ as bytes")
+    val fpA1 = Multimodal.audioFingerprint(Multimodal.decodeWav(wav1).data)
+    val fpA2 = Multimodal.audioFingerprint(Multimodal.decodeWav(wav2).data)
+    assert(fpA1.isDefined && fpA1 === fpA2,
+      "identical PCM must fingerprint identically across encodings")
+    val fpC = Multimodal.audioFingerprint(textC.getBytes("UTF-8"))
+    assert(fpC.isDefined && fpC != fpA1,
+      "a contour change must break the fingerprint")
+    // query-level election over a planted corpus: 1 and 4 share PCM
+    // (owner = min = 1), 7 is the near-miss, 3 is an image (excluded)
+    val docs = Seq((1L, textA), (4L, textA), (7L, textC), (3L, textA))
+      .map { case (id, t) => (id, t, "en", "s1") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("m7fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.m7AudioDedup.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 4L, 7L), "audio docs only")
+    assert(out(1L) === ((fpA1.get, 1L, 2L, false)),
+      "the oldest copy owns its family")
+    assert(out(4L) === ((fpA1.get, 1L, 2L, true)),
+      "the re-encoded twin is the dup, owned by the original")
+    assert(out(7L) === ((fpC.get, 7L, 1L, false)),
+      "the near-miss stays its own singleton family")
+  }
+
   test("E5: the media pipeline accounts for every document exactly once " +
       "and quarantines exactly the planted set") {
     import org.apache.spark.sql.functions._
