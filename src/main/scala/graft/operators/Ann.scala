@@ -2003,12 +2003,23 @@ object Ann {
     * distinct — split from the query so k8c can append exactly these
     * edges (both directions) into the served index table. */
   private[graft] def a18DeltaOut(s: SparkSession, d: String): DataFrame = {
+    val all0 = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    nswDeltaOutOver(s, a18Standing(all0),
+      all0.filter(col("vec_id") % 10 === 0))
+  }
+
+  /** The delta recurrence over ARBITRARY (vec_id, emb) standing/batch
+    * frames — a18's three candidate families with bucket sizing FROZEN
+    * from the STANDING count (the a15 discipline). Factored so a24 can
+    * run it once per HNSW layer (standing = the layer's standing
+    * members, batch = the layer's promoted arrivals) with the same
+    * geometry guarantees as the flat form. */
+  private[graft] def nswDeltaOutOver(
+      s: SparkSession, standing: DataFrame, batch: DataFrame)
+      : DataFrame = {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.Portable
-      val all0 = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("emb"))
-      val standing = a18Standing(all0)
-      val batch = all0.filter(col("vec_id") % 10 === 0)
       val sizes = standing.agg(count(lit(1)).as("n_corpus"))
       def withSize(df: DataFrame) = df.crossJoin(broadcast(sizes))
       def signB(df: DataFrame, off: Int): DataFrame =
@@ -2074,22 +2085,37 @@ object Ann {
     * families, ending in `outs (src, dst, sim)`) as DuckDB CTE text —
     * the shared oracle prefix of a18 (reports the delta) and k8c
     * (appends it into the served index and re-searches). */
-  private[graft] def a18DeltaDuckCtes: String = {
+  private[graft] def a18DeltaDuckCtes: String =
+    s"""ea AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      ${nswDeltaDuckCtesOver("", "vec_id % 10 <> 0", "vec_id % 10 = 0")}"""
+
+  /** [[nswDeltaOutOver]]'s oracle twin over arbitrary standing/batch
+    * member predicates (WHERE bodies against a prior `ea` CTE of
+    * (vec_id, emb, nrm) for the whole corpus); CTE names prefixed
+    * `pre`, ending in `${pre}outs (src, dst, sim)`. pre = "" keeps
+    * a18/k8c's oracle text byte-stable; a24/k8d instantiate it once
+    * per layer with level-draw predicates. */
+  private[graft] def nswDeltaDuckCtesOver(
+      pre: String, standingWhere: String, batchWhere: String): String = {
       def keyDuck(off: Int) = nswSignKeyDuck("emb", off)
       def famCtes(tag: String, off: Int, m: Int) =
-        s"""bs_$tag AS (SELECT vec_id, emb, nrm,
+        s"""${pre}bs_$tag AS (SELECT vec_id, emb, nrm,
             CAST((${keyDuck(off)}) % (1 << nbits) AS INT) AS b
-          FROM es CROSS JOIN nb),
-        ss_$tag AS (SELECT vec_id, emb, nrm, b FROM (
+          FROM ${pre}es CROSS JOIN ${pre}nb),
+        ${pre}ss_$tag AS (SELECT vec_id, emb, nrm, b FROM (
             SELECT vec_id, emb, nrm, b,
               row_number() OVER (PARTITION BY b ORDER BY
                 ${graft.functions.Portable
           .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
-            FROM bs_$tag) t WHERE srn <= $NSW_CAP),
-        qa_$tag AS (SELECT vec_id, emb, nrm,
+            FROM ${pre}bs_$tag) t WHERE srn <= $NSW_CAP),
+        ${pre}qa_$tag AS (SELECT vec_id, emb, nrm,
             CAST((${keyDuck(off)}) % (1 << nbits) AS INT) AS b
-          FROM eb CROSS JOIN nb),
-        ef_$tag AS (
+          FROM ${pre}eb CROSS JOIN ${pre}nb),
+        ${pre}ef_$tag AS (
           SELECT src, dst, sim FROM (
             SELECT q.vec_id AS src, t.vec_id AS dst,
               round(list_inner_product(q.emb, t.emb)
@@ -2098,36 +2124,31 @@ object Ann {
                 round(list_inner_product(q.emb, t.emb)
                   / nullif(q.nrm * t.nrm, 0.0), 6) DESC,
                 t.vec_id ASC) AS rn
-            FROM qa_$tag q JOIN ss_$tag t ON q.b = t.b) x
+            FROM ${pre}qa_$tag q JOIN ${pre}ss_$tag t ON q.b = t.b) x
           WHERE rn <= $m)"""
-      s"""ea AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings),
-      es AS (SELECT * FROM ea WHERE vec_id % 10 <> 0),
-      eb AS (SELECT * FROM ea WHERE vec_id % 10 = 0),
-      nc AS (SELECT count(*) AS n FROM es),
-      nb AS (SELECT ($nswNbitsDuck) AS nbits,
+      s"""${pre}es AS (SELECT * FROM ea WHERE $standingWhere),
+      ${pre}eb AS (SELECT * FROM ea WHERE $batchWhere),
+      ${pre}nc AS (SELECT count(*) AS n FROM ${pre}es),
+      ${pre}nb AS (SELECT ($nswNbitsDuck) AS nbits,
           greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
-        FROM nc),
+        FROM ${pre}nc),
       ${famCtes("a", NSW_OFF_A, NSW_MA)},
       ${famCtes("b", NSW_OFF_B, NSW_MB)},
-      bs_r AS (SELECT vec_id, emb, nrm,
+      ${pre}bs_r AS (SELECT vec_id, emb, nrm,
           CAST(${graft.functions.Portable
         .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
-        FROM es CROSS JOIN nb),
-      ss_r AS (SELECT vec_id, emb, nrm, b FROM (
+        FROM ${pre}es CROSS JOIN ${pre}nb),
+      ${pre}ss_r AS (SELECT vec_id, emb, nrm, b FROM (
           SELECT vec_id, emb, nrm, b,
             row_number() OVER (PARTITION BY b ORDER BY
               ${graft.functions.Portable
         .h60Duck("CAST(vec_id AS VARCHAR)", "nsws|")}, vec_id) AS srn
-          FROM bs_r) t WHERE srn <= $NSW_CAP),
-      qa_r AS (SELECT vec_id, emb, nrm,
+          FROM ${pre}bs_r) t WHERE srn <= $NSW_CAP),
+      ${pre}qa_r AS (SELECT vec_id, emb, nrm,
           CAST(${graft.functions.Portable
         .h60Duck("CAST(vec_id AS VARCHAR)", "nswr|")} % nb2 AS INT) AS b
-        FROM eb CROSS JOIN nb),
-      ef_r AS (
+        FROM ${pre}eb CROSS JOIN ${pre}nb),
+      ${pre}ef_r AS (
         SELECT src, dst, sim FROM (
           SELECT q.vec_id AS src, t.vec_id AS dst,
             round(list_inner_product(q.emb, t.emb)
@@ -2137,13 +2158,13 @@ object Ann {
         "concat(CAST(q.vec_id AS VARCHAR), '|', CAST(t.vec_id AS VARCHAR))",
         "nsw2|")} ASC,
               t.vec_id ASC) AS rn
-          FROM qa_r q JOIN ss_r t ON q.b = t.b) x
+          FROM ${pre}qa_r q JOIN ${pre}ss_r t ON q.b = t.b) x
         WHERE rn <= $NSW_MR),
-      outs AS (
+      ${pre}outs AS (
         SELECT DISTINCT src, dst, sim FROM (
-          SELECT src, dst, sim FROM ef_a
-          UNION ALL SELECT src, dst, sim FROM ef_b
-          UNION ALL SELECT src, dst, sim FROM ef_r) u)"""
+          SELECT src, dst, sim FROM ${pre}ef_a
+          UNION ALL SELECT src, dst, sim FROM ${pre}ef_b
+          UNION ALL SELECT src, dst, sim FROM ${pre}ef_r) u)"""
   }
 
   // ---------------------------------------------------------------------
@@ -2185,7 +2206,8 @@ object Ann {
     * long-range family, ending in `ledges<k>` — the oracle twin of
     * `nswEdgesFrom(el.filter(lvl >= k))`, text structure identical to
     * a17's single-layer oracle. */
-  private def hnswLayerEdgesDuck(k: Int): String = {
+  private[graft] def hnswLayerEdgesDuck(
+      k: Int, extraWhere: String = ""): String = {
     import graft.functions.Portable.h60Duck
     def sample(src: String, out: String) =
       s"""$out AS (SELECT vec_id, b FROM (
@@ -2213,7 +2235,7 @@ object Ann {
           WHERE rn <= $m)"""
       }.mkString(",\n      ")
     s"""me$k AS (SELECT em.vec_id, em.embedding FROM embeddings em
-          JOIN lv ON lv.vec_id = em.vec_id AND lv.lvl >= $k),
+          JOIN lv ON lv.vec_id = em.vec_id AND lv.lvl >= $k$extraWhere),
       ncl$k AS (SELECT count(*) AS n FROM me$k),
       nbl$k AS (SELECT ($nswNbitsDuck) AS nbits,
           greatest(1, CAST(floor(n / $NSW_RTARGET.0) AS BIGINT)) AS nb2
@@ -2272,13 +2294,19 @@ object Ann {
     * hierarchical index — the one that matters at 100 TB — was rebuilt
     * on every query). */
   private[graft] def hnswEdgesAll(s: SparkSession, d: String)
-      : DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding").as("emb"))
+      : DataFrame =
+    hnswEdgesAllFrom(s, embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb")))
+
+  /** The layered build over ANY (vec_id, emb) member frame — k8d sinks
+    * the STANDING slice's layers through this, so the served standing
+    * index and a24's delta replay size every layer's buckets from the
+    * same member counts (the a15 frozen-sizing discipline, per layer). */
+  private[graft] def hnswEdgesAllFrom(s: SparkSession, e: DataFrame)
+      : DataFrame =
     (0 to HNSW_MAXL).map { k =>
       nswEdgesFrom(s, hnswMembers(e, k)).withColumn("elvl", lit(k))
     }.reduce(_ unionByName _)
-  }
 
   /** a19's hierarchical descent over ANY (elvl, v, n) edge source —
     * entry at the top layer's h60-ranked members, HNSW_UHOPS/UBEAM
@@ -2338,27 +2366,20 @@ object Ann {
       hnswDescentOver(s, d, pinnedEdges)
     },
     Some {
-      import graft.functions.Portable.h60Duck
-      val lh = h60Duck("CAST(vec_id AS VARCHAR)", "lvl|")
-      val p1 = HNSW_PROMOTE.toLong
-      val layerEdges =
-        (0 to HNSW_MAXL).map(hnswLayerEdgesDuck).mkString(",\n      ")
-      val phases = new StringBuilder
-      var start = "f0c"
-      for (k <- HNSW_MAXL to 1 by -1) {
-        phases.append(duckBeamCtes(s"u$k", start, s"ledges$k",
-          HNSW_UHOPS, HNSW_UBEAM)).append(",\n      ")
-        phases.append(
-          s"""g$k AS (SELECT probe_id, vec_id, sim FROM (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY sim DESC, vec_id ASC) AS rn
-            FROM fu$k$HNSW_UHOPS) t
-          WHERE rn <= $HNSW_DESC)""").append(",\n      ")
-        start = s"g$k"
-      }
-      phases.append(duckBeamCtes("z", start, "ledges0", HNSW_BHOPS,
-        NSW_B))
-      s"""WITH e AS (
+      val layerEdges = (0 to HNSW_MAXL).map(k => hnswLayerEdgesDuck(k))
+        .mkString(",\n      ")
+      s"""WITH $hnswBaseDuckCtes,
+      $layerEdges,
+      ${hnswDescentDuckTail(k => s"ledges$k")}"""
+    })
+
+  /** The e + lv oracle prefix (full-corpus scored embeddings + the
+    * geometric level draw), shared by a19's and k8d's oracles. */
+  private[graft] def hnswBaseDuckCtes: String = {
+    import graft.functions.Portable.h60Duck
+    val lh = h60Duck("CAST(vec_id AS VARCHAR)", "lvl|")
+    val p1 = HNSW_PROMOTE.toLong
+    s"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
@@ -2366,9 +2387,34 @@ object Ann {
       lv AS (SELECT vec_id,
           CASE WHEN $lh % ${p1 * p1} = 0 THEN 2
                WHEN $lh % $p1 = 0 THEN 1 ELSE 0 END AS lvl
-        FROM embeddings),
-      $layerEdges,
-      p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+        FROM embeddings)"""
+  }
+
+  /** a19's oracle tail (probes, lvl-ranked entries, seed frontier,
+    * per-layer beam descent, final top-K) over any per-layer edge CTE
+    * naming; requires prior `e` and `lv` CTEs. Shared by a19/k8b
+    * (built layer edges) and k8d (standing ∪ appended delta edges) —
+    * the descent text is IDENTICAL, only the edge relations differ,
+    * so a green k8d proves the appended table serves the same search. */
+  private[graft] def hnswDescentDuckTail(edgesCte: Int => String)
+      : String = {
+    import graft.functions.Portable.h60Duck
+    val phases = new StringBuilder
+    var start = "f0c"
+    for (k <- HNSW_MAXL to 1 by -1) {
+      phases.append(duckBeamCtes(s"u$k", start, edgesCte(k),
+        HNSW_UHOPS, HNSW_UBEAM)).append(",\n      ")
+      phases.append(
+        s"""g$k AS (SELECT probe_id, vec_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn
+          FROM fu$k$HNSW_UHOPS) t
+        WHERE rn <= $HNSW_DESC)""").append(",\n      ")
+      start = s"g$k"
+    }
+    phases.append(duckBeamCtes("z", start, edgesCte(0), HNSW_BHOPS,
+      NSW_B))
+    s"""p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
         FROM e WHERE vec_id < 8),
       ent AS (SELECT vec_id FROM lv ORDER BY lvl DESC,
           ${h60Duck("CAST(vec_id AS VARCHAR)", "nswe|")} ASC, vec_id
@@ -2384,6 +2430,88 @@ object Ann {
         SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY sim DESC, vec_id ASC) AS rn FROM fz$HNSW_BHOPS) t
       WHERE rn <= $NSW_K"""
+  }
+
+  // ---------------------------------------------------------------------
+  // A24: hierarchical incremental insertion (VERDICT r16 #1) — a18
+  // extends only the FLAT NSW graph; the layered index (a19/k8b, the
+  // serving shape that matters at 100 TB) had no arrival path. An
+  // arrival draws its level from the SAME portable hash as the standing
+  // build (h60(vec_id,"lvl|") geometric promotion — a node's level is a
+  // pure function of its id, so the extended index is bit-identical to
+  // what a full rebuild would assign it), then for EVERY layer it
+  // belongs to (lvl >= k) runs a18's delta recurrence against that
+  // layer's STANDING members: top-M cosine per sign-family bucket + MR
+  // hash-random long-range picks, bucket sizing FROZEN from the
+  // standing layer's count (arrivals must not re-partition the layers
+  // they join). Output: per-layer delta edges both directions — the
+  // back-edges are what make a promoted arrival REACHABLE to an upper
+  // layer's descent. Cost: an arrival appears in layer k with
+  // probability 8^-k, so the expected per-arrival work is the flat
+  // a18 cost times Σ 8^-k ≈ 1.15 — corpus-size independent, layer
+  // membership never scanned beyond the sampled buckets.
+  // ---------------------------------------------------------------------
+
+  /** a24's per-layer delta OUT-edges (elvl, src, dst, sim) — split from
+    * the query so k8d can append exactly these edges (both directions,
+    * per layer) into k8b's layer-partitioned served table. */
+  private[graft] def a24DeltaOut(s: SparkSession, d: String): DataFrame = {
+    val all0 = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val standing = a18Standing(all0)
+    val batch = all0.filter(col("vec_id") % 10 === 0)
+    (0 to HNSW_MAXL).map { k =>
+      nswDeltaOutOver(s, hnswMembers(standing, k), hnswMembers(batch, k))
+        .withColumn("elvl", lit(k))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The per-layer member predicates as DuckDB WHERE bodies (lvl >= k
+    * ⟺ h60 % 8^k = 0 — the when-chain's algebraic twin), shared by
+    * a24's oracle and k8d's. */
+  private def a24LayerWhere(k: Int, standingSide: Boolean): String = {
+    val lh = graft.functions.Portable
+      .h60Duck("CAST(vec_id AS VARCHAR)", "lvl|")
+    val base = if (standingSide) "vec_id % 10 <> 0" else "vec_id % 10 = 0"
+    if (k == 0) base
+    else s"$base AND $lh % ${Seq.fill(k)(HNSW_PROMOTE.toLong).product} = 0"
+  }
+
+  /** The shared `ea` prefix + one delta chain per layer (prefixes l0..),
+    * each ending in `l<k>outs` — a24's and k8d's common oracle body. */
+  private[graft] def a24DeltaDuckLayers: String = {
+    val layers = (0 to HNSW_MAXL).map { k =>
+      nswDeltaDuckCtesOver(s"l$k",
+        a24LayerWhere(k, standingSide = true),
+        a24LayerWhere(k, standingSide = false))
+    }.mkString(",\n      ")
+    s"""ea AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      $layers"""
+  }
+
+  val a24HnswExtend = Q(
+    "a24_hnsw_extend",
+    (s, d) => {
+      val out = a24DeltaOut(s, d)
+      out.withColumn("kind", lit("out"))
+        .unionByName(out.select(col("dst").as("src"),
+          col("src").as("dst"), col("sim"), col("elvl"))
+          .withColumn("kind", lit("back")))
+    },
+    Some {
+      val sel = (0 to HNSW_MAXL).map { k =>
+        s"""SELECT src, dst, sim, $k AS elvl, 'out' AS kind
+          FROM l${k}outs
+        UNION ALL
+        SELECT dst AS src, src AS dst, sim, $k AS elvl, 'back' AS kind
+          FROM l${k}outs"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH $a24DeltaDuckLayers
+      $sel"""
     })
 
   // ---------------------------------------------------------------------
@@ -2899,5 +3027,5 @@ object Ann {
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
-      a21NprobeSweep, a22RangeSearch, a23MmrRerank)
+      a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend)
 }

@@ -2013,9 +2013,64 @@ object Ingest {
       ${Ann.nswSearchDuck("alledges")}"""
     })
 
+  // ---------------------------------------------------------------------
+  // K8d: the HIERARCHICAL incremental-serving loop closed (VERDICT r16
+  // #1) — k8c's build → sink → extend → append → re-search lifecycle on
+  // the index shape that matters at 100 TB: a19's layered graph. The
+  // standing slice's layers are built with per-layer frozen sizing
+  // (hnswEdgesAllFrom over the standing members), sunk as k8b's
+  // elvl-partitioned table, then a24's per-layer deltas append BOTH
+  // directions into the same partitions (an arrival promoted to layer
+  // k>0 gains upper-layer edges, so the DESCENT — not just the base
+  // beam — can route through it), and a19's descent re-runs over the
+  // read-back artifact. The oracle replays the whole loop: standing
+  // layer builds (same member predicate), a24's delta recurrences, the
+  // per-layer union, and the IDENTICAL descent text a19 uses — a green
+  // row proves the nightly layered-index maintenance job loses
+  // nothing. Append cost: O(batch · Σ 8^-k) new files per layer
+  // partition, zero rewrite of standing shards.
+  // ---------------------------------------------------------------------
+  val k8dHnswIncrementalSink = Q(
+    "k8d_hnsw_incremental_sink",
+    (s, d) => {
+      import graft.operators.Ann
+      val out = freshDir("k8d_index")
+      val standing = Ann.a18Standing(
+        graft.Tables.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("emb")))
+      Ann.hnswEdgesAllFrom(s, standing)
+        .repartition(8, col("elvl"), col("v"))
+        .write.mode("overwrite").partitionBy("elvl").parquet(out)
+      val delta = Ann.a24DeltaOut(s, d)
+      delta.select(col("elvl"), col("src").as("v"), col("dst").as("n"))
+        .unionByName(delta.select(col("elvl"), col("dst").as("v"),
+          col("src").as("n")))
+        .repartition(2, col("v"))
+        .write.mode("append").partitionBy("elvl").parquet(out)
+      Ann.hnswDescentOver(s, d, s.read.parquet(out))
+    },
+    Some {
+      import graft.operators.Ann
+      val standingLayers = (0 to Ann.HNSW_MAXL)
+        .map(k => Ann.hnswLayerEdgesDuck(k, " AND em.vec_id % 10 <> 0"))
+        .mkString(",\n      ")
+      val unions = (0 to Ann.HNSW_MAXL).map { k =>
+        s"""aledges$k AS (
+          SELECT v, n FROM ledges$k
+          UNION SELECT src AS v, dst AS n FROM l${k}outs
+          UNION SELECT dst AS v, src AS n FROM l${k}outs)"""
+      }.mkString(",\n      ")
+      s"""WITH ${Ann.hnswBaseDuckCtes},
+      $standingLayers,
+      ${Ann.a24DeltaDuckLayers},
+      $unions,
+      ${Ann.hnswDescentDuckTail(k => s"aledges$k")}"""
+    })
+
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
     k8AnnIndexSink, k8bHnswIndexSink, k8cIncrementalIndexSink,
+    k8dHnswIncrementalSink,
     k9PartitionOverwrite,
     k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
     e1IngestIncremental,

@@ -218,6 +218,96 @@ class AnnGraphSpec extends SparkSuite {
       "the arrival must rank at the top (behind only the probe itself)")
   }
 
+  test("A24/K8d: a PROMOTED arrival gains per-layer bidirectional " +
+      "edges, the standing layered descent misses it, the appended " +
+      "served index routes to it") {
+    import spark.implicits._
+    def h60(s0: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s0.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val dim = 64
+    def emb(g: Int, id: Long): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(g) = 1.0f
+      a(63) = 1.0f
+      a(8 + g % 7) =
+        (0.1 + 0.5 * ((id % 13).toDouble / 13.0)).toFloat
+      a
+    }
+    def lvl(id: Long): Int = {
+      val h = h60("lvl|" + id)
+      if (h % 64 == 0) 2 else if (h % 8 == 0) 1 else 0
+    }
+    val allIds = (0L until 400L).toVector
+    // the descent's seed set, replayed exactly: NSW_ENTRIES ranked by
+    // (lvl DESC, h60 spread, id) over the FULL corpus
+    val entries = allIds.sortBy(id => (-lvl(id), h60("nswe|" + id), id))
+      .take(operators.Ann.NSW_ENTRIES).toSet
+    // the plant: an arrival PROMOTED above the base layer, not a probe,
+    // not an entry — reachable only through appended per-layer edges
+    val planted = allIds.find(id => id % 10 == 0 && id >= 10 &&
+      lvl(id) >= 1 && !entries.contains(id))
+      .getOrElse(fail("no promoted arrival outside the entry set"))
+    val probeEmb = emb(1, 1L)
+    val rows = allIds.map { id =>
+      val e =
+        if (id == planted) probeEmb // cos(probe 1, planted) = 1.0
+        else if (id % 10 == 0) emb(((id / 10) % 6 + 2).toInt, id)
+        else emb((id % 8).toInt, id)
+      (id, e, (id % 8).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("k8dfix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val truth1 = bruteTop(1, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(truth1(1L) === planted,
+      "fixture must make the arrival the true top-1 for probe 1")
+    // a24 invariants: the promoted arrival carries edges on EVERY layer
+    // it belongs to; out targets standing, back mirrors out, degree
+    // bounded per layer
+    val delta = operators.Ann.a24HnswExtend.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getString(4)))
+    val out = delta.filter(_._5 == "out")
+    assert(out.filter(_._1 == planted).map(_._4).toSet ===
+      (0 to lvl(planted)).toSet,
+      s"arrival $planted (lvl ${lvl(planted)}) must gain out-edges on " +
+        "each of its layers")
+    assert(out.forall { case (s0, d0, _, _, _) =>
+      s0 % 10 == 0 && d0 % 10 != 0 },
+      "out edges run arrival -> standing only")
+    assert(out.groupBy(e => (e._4, e._1)).values.map(_.size).max <=
+      operators.Ann.NSW_DEG, "per-layer out-degree bounded")
+    assert(delta.filter(_._5 == "back")
+      .map(e => (e._2, e._1, e._3, e._4)).toSet ===
+      out.map(e => (e._1, e._2, e._3, e._4)).toSet,
+      "back edges mirror out edges per layer")
+    // yesterday's layered index (standing only) provably MISSES it
+    val standing = operators.Ann.a18Standing(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("emb")))
+    val before = operators.Ann.hnswDescentOver(spark, dir,
+      operators.Ann.hnswEdgesAllFrom(spark, standing))
+      .filter(col("probe_id") === 1L).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(!before.contains(planted),
+      "standing-only layered descent must MISS the unappended arrival")
+    // the closed hierarchical loop: build -> sink -> extend -> append
+    // -> re-descend through the read-back table
+    val after = sources.Ingest.k8dHnswIncrementalSink.fn(spark, dir)
+      .filter(col("probe_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val hit = after.find(_._1 == planted)
+      .getOrElse(fail(s"arrival $planted unreachable after append: " +
+        s"top-K = ${after.mkString(", ")}"))
+    assert(hit._2 === 1.0, "served sim must read the exact-copy cosine")
+    assert(hit._3 <= 2L,
+      "the arrival must rank at the top (behind only the probe itself)")
+  }
+
   test("A17: greedy beam recall@5 vs exact brute force clears the floor") {
     val truth = bruteTop(5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
