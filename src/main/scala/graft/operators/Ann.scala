@@ -2534,10 +2534,11 @@ object Ann {
   //     the row deficit is exactly the signal that decides when to
   //     fall back to prefilter or raise nprobe.
   // ---------------------------------------------------------------------
-  val a20FilteredAnn = Q(
-    "a20_filtered_ann",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+  /** a20's two strategies as one (probe_id, vec_id, sim, strategy)
+    * frame — the ONE definition, shared with a25's three-strategy
+    * report so the pre/post baselines cannot drift between the two. */
+  private[graft] def filteredAnnStrategies(
+      s: SparkSession, d: String): DataFrame = {
       val el = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"), col("label"))
       val cellsOf = kmeansAssign(s, d).select("vec_id", "cell")
@@ -2558,15 +2559,23 @@ object Ann {
         .select(col("probe_id"), col("vec_id"),
           round(cosine(s, "emb", "p_emb"), 6).as("sim"))
         .withColumn("strategy", lit("ivf_postfilter"))
-      val w = Window.partitionBy(col("probe_id"), col("strategy"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
       pre.unionByName(post)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("probe_id"), col("strategy"), col("vec_id"),
-          col("sim"), col("rn").cast("long").as("rank"))
-    },
-    Some(s"""$KMEANS_CTES,
+  }
+
+  /** The shared top-5-per-(probe, strategy) report edge of a20/a25. */
+  private[graft] def filteredTop5(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"), col("strategy"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("strategy"), col("vec_id"),
+        col("sim"), col("rn").cast("long").as("rank"))
+  }
+
+  /** a20's oracle CTE chain (kmeans cells, labels, probes, the two
+    * strategies, their union `u`) — shared prefix of a20 and a25. */
+  private[graft] def filteredAnnDuckCtes: String = s"""$KMEANS_CTES,
       lab AS (SELECT vec_id, label FROM embeddings),
       cells AS (
         SELECT e.vec_id, a2.cell, e.emb, e.nrm, l.label
@@ -2590,13 +2599,169 @@ object Ann {
           'ivf_postfilter' AS strategy
         FROM cells c JOIN p ON c.cell = p.p_cell
           AND c.label = p.p_label AND c.vec_id <> p.probe_id),
-      u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
-      SELECT probe_id, strategy, vec_id, sim,
+      u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)"""
+
+  private val filteredDuckReport: String =
+    """SELECT probe_id, strategy, vec_id, sim,
         CAST(rn AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (
           PARTITION BY probe_id, strategy
-          ORDER BY sim DESC, vec_id ASC) AS rn FROM u) t
-      WHERE rn <= 5"""))
+          ORDER BY sim DESC, vec_id ASC) AS rn FROM %s) t
+      WHERE rn <= 5"""
+
+  val a20FilteredAnn = Q(
+    "a20_filtered_ann",
+    (s, d) => filteredTop5(filteredAnnStrategies(s, d)),
+    Some(s"""$filteredAnnDuckCtes
+      ${filteredDuckReport.format("u")}"""))
+
+  // ---------------------------------------------------------------------
+  // A25: filtered GRAPH search (VERDICT r16 #2) — the production third
+  // strategy next to a20's two: a predicate-aware beam over a17's NSW
+  // graph that TRAVERSES through non-matching nodes (the frontier
+  // evolves exactly like the unfiltered a17 beam — filtering the
+  // frontier would disconnect the walk, the classic filtered-HNSW
+  // failure) but COLLECTS only matching ones: every candidate the beam
+  // ever scored is kept, filtered to the probe's label, top-5. One
+  // three-strategy report (prefilter / ivf_postfilter / graph_beam)
+  // with per-strategy shortfalls visible as missing ranks — the beam's
+  // matched-k can trail prefilter's (it only sees what the walk
+  // visited) while beating postfilter's cell-bound recall; WHERE each
+  // lands decides the serving strategy, and the report IS that
+  // decision input. Cost: the beam touches O(entries + hops·beam·deg)
+  // nodes per probe regardless of predicate selectivity — the property
+  // that makes it the right strategy when the label slice is too big
+  // to prefilter and too scattered for one cell.
+  // ---------------------------------------------------------------------
+
+  /** Every candidate a17's beam ever SCORES (probe_id, vec_id, sim),
+    * frontier evolution identical to [[beamPhase]] — per hop, the
+    * deduped (frontier ∪ scored neighbors) set is checkpointed once
+    * and feeds BOTH the next frontier (top-beam window) and the
+    * visited accumulator, so the decode chain stays linear in hops
+    * (the a17 lineage discipline). */
+  private[graft] def nswBeamVisited(
+      s: SparkSession, e: DataFrame, probes: DataFrame,
+      f0: DataFrame, edges: DataFrame, hops: Int, beam: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    var frontier = f0.localCheckpoint()
+    var visited = frontier
+    for (_ <- 1 to hops) {
+      val neighbors = frontier.select(col("probe_id"), col("vec_id"))
+        .join(edges, col("vec_id") === col("v"))
+        .select(col("probe_id"), col("n").as("vec_id"))
+        .join(e, Seq("vec_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val cands = frontier.unionByName(neighbors)
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(max(col("sim")).as("sim"))
+        .localCheckpoint()
+      frontier = cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select("probe_id", "vec_id", "sim")
+      visited = visited.unionByName(cands)
+    }
+    visited.groupBy(col("probe_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim"))
+  }
+
+  /** The visited-collecting beam as DuckDB CTE text over any (v, n)
+    * edge relation, ending in `visited (probe_id, vec_id, sim)` —
+    * [[nswBeamVisited]]'s oracle twin (hop shape identical to
+    * nswSearchDuck; the c<k> union-dedup IS the per-hop visited set,
+    * so `visited` is just the union of every c<k>). CTE names carry a
+    * v-prefix (vp, vent, vf/vn/vc) to avoid a20's `p`. Requires a
+    * prior `e` CTE. */
+  private[graft] def nswVisitedDuck(edgesRel: String): String = {
+    val hops = (1 to NSW_HOPS).map { k =>
+      s"""vn$k AS (
+        SELECT f.probe_id, g.n AS vec_id
+        FROM vf${k - 1} f JOIN $edgesRel g ON g.v = f.vec_id),
+      vc$k AS (
+        SELECT probe_id, vec_id, sim FROM vf${k - 1}
+        UNION
+        SELECT n.probe_id, n.vec_id,
+          round(list_inner_product(e.emb, vp.p_emb)
+            / nullif(e.nrm * vp.p_nrm, 0.0), 6) AS sim
+        FROM vn$k n JOIN e ON e.vec_id = n.vec_id
+        JOIN vp ON vp.probe_id = n.probe_id),
+      vf$k AS (
+        SELECT probe_id, vec_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM vc$k) t
+        WHERE rn <= $NSW_B)"""
+    }.mkString(",\n      ")
+    val unioned = (1 to NSW_HOPS)
+      .map(k => s"SELECT probe_id, vec_id, sim FROM vc$k")
+      .mkString("\n        UNION\n        ")
+    s"""vp AS (
+        SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+        FROM e WHERE vec_id < 8),
+      vent AS (SELECT vec_id FROM embeddings ORDER BY
+          ${graft.functions.Portable
+      .h60Duck("CAST(vec_id AS VARCHAR)", "nswe|")}, vec_id
+        LIMIT $NSW_ENTRIES),
+      vf0 AS (
+        SELECT vp.probe_id, e.vec_id,
+          round(list_inner_product(e.emb, vp.p_emb)
+            / nullif(e.nrm * vp.p_nrm, 0.0), 6) AS sim
+        FROM vp CROSS JOIN e
+        WHERE e.vec_id IN (SELECT vec_id FROM vent)),
+      $hops,
+      visited AS (
+        $unioned)"""
+  }
+
+  val a25FilteredNsw = Q(
+    "a25_filtered_nsw",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val pLabels = labels.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"),
+          col("label").as("p_label"))
+      // a17's graph, a17's pin key — within one session the index is
+      // built once and shared across a17/k8/a25
+      val edges = LlmOps.pinFrame(
+        s"a17|${s.sparkContext.applicationId}|$d", nswEdges(s, d))
+      edges.count()
+      val entry = e
+        .withColumn("ek", graft.functions.Portable
+          .h60(col("vec_id").cast("string"), "nswe|"))
+        .orderBy(col("ek").asc, col("vec_id").asc)
+        .limit(NSW_ENTRIES)
+        .select("vec_id", "emb")
+      val f0 = probes.crossJoin(broadcast(entry))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val gb = nswBeamVisited(s, e, probes, f0, edges, NSW_HOPS, NSW_B)
+        .join(labels, Seq("vec_id"))
+        .join(broadcast(pLabels), Seq("probe_id"))
+        .filter(col("label") === col("p_label") &&
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("sim"))
+        .withColumn("strategy", lit("graph_beam"))
+      filteredTop5(filteredAnnStrategies(s, d).unionByName(gb))
+    },
+    Some(s"""$filteredAnnDuckCtes,
+      ${nswBuildDuck("", "embeddings")},
+      ${nswVisitedDuck("edges")},
+      gb AS (
+        SELECT v.probe_id, v.vec_id, v.sim, 'graph_beam' AS strategy
+        FROM visited v
+        JOIN lab l ON l.vec_id = v.vec_id
+        JOIN p ON p.probe_id = v.probe_id
+        WHERE l.label = p.p_label AND v.vec_id <> v.probe_id),
+      uall AS (SELECT * FROM u UNION ALL SELECT * FROM gb)
+      ${filteredDuckReport.format("uall")}"""))
 
   // ---------------------------------------------------------------------
   // A21: the nprobe tuning sweep — multi-cell IVF routing plus the
@@ -3027,5 +3192,6 @@ object Ann {
       d4EmbedNeardup, d4bNeardupRecall, d12SemanticDedup,
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
-      a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend)
+      a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend,
+      a25FilteredNsw)
 }

@@ -308,6 +308,68 @@ class AnnGraphSpec extends SparkSuite {
       "the arrival must rank at the top (behind only the probe itself)")
   }
 
+  test("A25: the predicate-aware beam reaches a rare label THROUGH " +
+      "non-matching hops and reports per-strategy matched-k honestly") {
+    import spark.implicits._
+    def h60(s0: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s0.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val dim = 64
+    def emb(g: Int, id: Long): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(g) = 1.0f
+      a(63) = 1.0f
+      a(8 + g % 7) =
+        (0.1 + 0.5 * ((id % 13).toDouble / 13.0)).toFloat
+      a
+    }
+    val allIds = (0L until 400L).toVector
+    // a17's entry set (h60 spread over the full corpus), replayed
+    val entries = allIds.sortBy(id => (h60("nswe|" + id), id))
+      .take(operators.Ann.NSW_ENTRIES).toSet
+    val planted = allIds.find(id => id >= 10 && !entries.contains(id))
+      .getOrElse(fail("no candidate outside the entry set"))
+    // labels: id % 8 everywhere EXCEPT probe 1 and the planted node,
+    // which share the rare label 99 — so every beam route from the
+    // entries to the planted node passes ONLY through non-matching
+    // nodes, the exact traversal filtered-HNSW must allow
+    val rows = allIds.map { id =>
+      val e = if (id == planted) emb(1, 1L) else emb((id % 8).toInt, id)
+      val lab = if (id == 1L || id == planted) 99 else (id % 8).toInt
+      (id, e, lab)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("a25fix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val truth1 = bruteTop(1, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(truth1(1L) === planted,
+      "fixture must make the rare-label twin the true top-1")
+    val out = operators.Ann.a25FilteredNsw.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val gb1 = out.filter(e => e._1 == 1L && e._2 == "graph_beam")
+    val hit = gb1.find(_._3 == planted)
+      .getOrElse(fail("the beam must COLLECT the rare-label node it " +
+        s"traversed non-matching hops to reach; got ${gb1.mkString(", ")}"))
+    assert(hit._4 === 1.0 && hit._5 === 1L,
+      "the planted twin must top the filtered beam result")
+    // honest shortfall: the rare label has exactly ONE retrievable
+    // member, so every strategy reports matched-k = 1, not padding
+    for (strat <- Seq("prefilter", "ivf_postfilter", "graph_beam")) {
+      val rowsS = out.filter(e => e._1 == 1L && e._2 == strat)
+      assert(rowsS.map(_._3).toSet === Set(planted),
+        s"$strat must return exactly the rare-label member, " +
+          s"got ${rowsS.mkString(", ")}")
+    }
+    // and common labels fill all 5 ranks — the shortfall is the rare
+    // label's property, not a global truncation
+    assert(out.count(e => e._2 == "graph_beam" && e._5 == 5L) > 0,
+      "common-label probes must still fill their top-5")
+  }
+
   test("A17: greedy beam recall@5 vs exact brute force clears the floor") {
     val truth = bruteTop(5).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
