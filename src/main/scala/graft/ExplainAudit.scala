@@ -92,7 +92,10 @@ object ExplainAudit {
       "k8c_incremental_index_sink", "c11_rank_curation",
       "g2b_hits_converge", "g3b_lpa_converge", "g4b_kcore_converge",
       "t9b_pack_bpe", "x14_table_stats", "sql_w4_gap_fill",
-      "sql_c11_rank_curation", "k11_targeted_delete")
+      "sql_c11_rank_curation", "k11_targeted_delete",
+      "k12_time_travel", "t22_quality_classifier", "sql_t22_classifier",
+      "m7_audio_dedup", "a24_hnsw_extend", "k8d_hnsw_incremental_sink",
+      "a25_filtered_nsw", "sql_w2_sliding")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
