@@ -1225,33 +1225,36 @@ object Ingest {
           .toMap
       val before = fileSets()
       val pred = col("event_id") % K11_DEL_MOD === 0
-      // phase 1: affected partitions — metadata-sized (bounded by the
-      // partition count, the same driver scale as the fs listings).
-      // Phases read from `src`, never the lake path being overwritten
-      // (Spark refuses a self-overlapping read/overwrite, and k9's
-      // repair reads its source the same way).
-      val affected = src.filter(pred)
-        .select(col("event_date")).distinct().collect()
-        .map(_.getDate(0).toString).toSet
-      val nDeleted = src.filter(pred).count()
+      // phase 1: ONE metadata-sized per-date accounting scan (bounded
+      // by the partition count, the same driver scale as the fs
+      // listings) yields the affected list, the deleted-row count, AND
+      // the fully-deleted (zero-survivor) dates the rewrite cannot
+      // touch — the r16 form ran two scans for the first two and
+      // inferred the third from part-file name equality, which is only
+      // safe under UUID-named committers (ADVICE r16 #2). Phases read
+      // from `src`, never the lake path being overwritten (Spark
+      // refuses a self-overlapping read/overwrite, and k9's repair
+      // reads its source the same way).
+      val acct = src.groupBy(col("event_date"))
+        .agg(count(when(pred, 1)).as("n_del"),
+          count(when(!pred, 1)).as("n_keep"))
+        .filter(col("n_del") > 0).collect()
+      val affected = acct.map(_.getDate(0).toString).toSet
+      val nDeleted = acct.map(_.getLong(1)).sum
+      val dropped =
+        acct.filter(_.getLong(2) == 0L).map(_.getDate(0).toString).toSet
       // phase 2: survivors of affected partitions only, dynamic mode —
       // the write never touches an unaffected partition
-      val survivors = src
+      src
         .filter(col("event_date").cast("string")
           .isInCollection(affected) && !pred)
-      survivors
         .repartition(col("event_date"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date").parquet(dir)
-      // phase 3: an affected partition the rewrite produced NO rows
-      // for keeps its stale files (dynamic overwrite only replaces
-      // written partitions) — the DATA names them: affected dates
-      // minus dates with surviving rows (metadata-sized, bounded by
-      // the partition count like `affected` itself)
-      val survivorDates = survivors.select(col("event_date")).distinct()
-        .collect().map(_.getDate(0).toString).toSet
-      val dropped = affected -- survivorDates
+      // phase 3: the zero-survivor dates keep their stale files
+      // (dynamic overwrite only replaces written partitions) — drop
+      // exactly the data-named set
       // fs diff as a cross-check only (ADVICE r16 #2): with Spark's
       // UUID-named committer an untouched dir keeps its exact file
       // set; a mismatch here means the committer wrote deterministic
