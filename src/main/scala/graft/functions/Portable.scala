@@ -28,4 +28,15 @@ object Portable {
   /** Matching DuckDB fragment, for oracle SQL construction. */
   def h60Duck(inner: String, seed: String): String =
     s"CAST(concat('0x', substring(md5(concat('$seed', $inner)), 1, 15)) AS BIGINT)"
+
+  /** The same hash computed JVM-side (seed pre-concatenated by the
+    * caller) — for serving paths that score single rows in a task
+    * closure (StreamingJobs.streamingQualityRoute) and for spec
+    * replays; bit-identical to [[h60]]/[[h60Duck]] because md5 of the
+    * UTF-8 bytes is md5 of the UTF-8 bytes. */
+  def h60Jvm(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(15), 16)
 }

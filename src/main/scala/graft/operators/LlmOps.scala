@@ -4336,44 +4336,66 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private[graft] val T22_NFEAT = 64
 
-  val t22QualityClassifier = Q(
-    "t22_quality_classifier",
-    (s, d) => {
+  /** t22's gate-labeled token frame (doc_id, t, label) — c1's quality
+    * gate as the labeling function, ONE definition shared by the query
+    * and the streaming scorer's parity spec. */
+  private[graft] def t22Docs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .withColumn("label",
+        when(size(col("t")) >= 15 &&
+          expr("size(filter(t, x -> x IN ('the', 'a')))")
+            .cast("double") / size(col("t")) <= 0.4, "curated")
+          .otherwise("quarantined"))
+
+  /** Bernoulli presence features: distinct hashed-bigram buckets. */
+  private[graft] def t22Feats(docs: DataFrame): DataFrame =
+    docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(ngramExpr(2))).as("bg"))
+      .select(col("doc_id"),
+        pmod(Portable.h60(col("bg"), "t22|"), lit(T22_NFEAT.toLong))
+          .as("fh"))
+      .distinct()
+
+  /** t22's trained model: the FULL class × T22_NFEAT Bernoulli grid
+    * (p_label, fh, lp1, lp0 — absence scores too, see the query
+    * header) and the class priors (p_label, logprior). Planner-sized
+    * at any corpus scale, which is what lets the streaming scorer
+    * serve it from a task closure. */
+  private[graft] def t22Model(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t22Docs(s, d)
+    val feats = t22Feats(docs)
+    val train = docs.filter(col("doc_id") % 10 < 8)
+      .select("doc_id", "label")
+    val nl = train.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+    val dfC = feats.join(train, Seq("doc_id"))
+      .groupBy(col("label"), col("fh"))
+      .agg(count(lit(1)).as("df")) // feats is distinct per doc
+    val grid = nl
+      .crossJoin(s.range(T22_NFEAT).select(col("id").as("fh")))
+      .join(dfC, Seq("label", "fh"), "left")
+      .select(col("label").as("p_label"), col("fh"),
+        round(log((coalesce(col("df"), lit(0L)) + lit(1.0)) /
+          (col("n_docs") + lit(2))), 6).as("lp1"),
+        round(log(lit(1.0) -
+          (coalesce(col("df"), lit(0L)) + lit(1.0)) /
+            (col("n_docs") + lit(2))), 6).as("lp0"))
+    val prior = nl
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("total"))))
+      .select(col("label").as("p_label"),
+        round(log(col("n_docs") / col("total")), 6).as("logprior"))
+    (grid, prior)
+  }
+
+  /** t22's held-out routing (doc_id, guess) — the scorer itself,
+    * factored so StreamingSpec can pin the streaming model-serving
+    * path guess-for-guess against the batch router. */
+  private[graft] def t22Guesses(s: SparkSession, d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val docs = documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-        .withColumn("label",
-          when(size(col("t")) >= 15 &&
-            expr("size(filter(t, x -> x IN ('the', 'a')))")
-              .cast("double") / size(col("t")) <= 0.4, "curated")
-            .otherwise("quarantined"))
-      // Bernoulli presence features: distinct hashed-bigram buckets
-      val feats = docs.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(ngramExpr(2))).as("bg"))
-        .select(col("doc_id"),
-          pmod(Portable.h60(col("bg"), "t22|"), lit(T22_NFEAT.toLong))
-            .as("fh"))
-        .distinct()
-      val train = docs.filter(col("doc_id") % 10 < 8)
-        .select("doc_id", "label")
-      val nl = train.groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
-      val dfC = feats.join(train, Seq("doc_id"))
-        .groupBy(col("label"), col("fh"))
-        .agg(count(lit(1)).as("df")) // feats is distinct per doc
-      // the FULL class × feature grid — absence scores too, see header
-      val grid = nl
-        .crossJoin(s.range(T22_NFEAT).select(col("id").as("fh")))
-        .join(dfC, Seq("label", "fh"), "left")
-        .select(col("label").as("p_label"), col("fh"),
-          round(log((coalesce(col("df"), lit(0L)) + lit(1.0)) /
-            (col("n_docs") + lit(2))), 6).as("lp1"),
-          round(log(lit(1.0) -
-            (coalesce(col("df"), lit(0L)) + lit(1.0)) /
-              (col("n_docs") + lit(2))), 6).as("lp0"))
-      val prior = nl
-        .crossJoin(broadcast(train.agg(count(lit(1)).as("total"))))
-        .select(col("label").as("p_label"),
-          round(log(col("n_docs") / col("total")), 6).as("logprior"))
+      val docs = t22Docs(s, d)
+      val feats = t22Feats(docs)
+      val (grid, prior) = t22Model(s, d)
       val held = docs.filter(col("doc_id") % 10 >= 8)
         .select("doc_id", "label")
       val scored = held.select("doc_id")
@@ -4391,10 +4413,17 @@ object LlmOps {
             .as("score"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("p_label").asc)
-      val guess = scored.withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("p_label").as("guess"))
-      val cm = held.join(guess, Seq("doc_id"))
+  }
+
+  val t22QualityClassifier = Q(
+    "t22_quality_classifier",
+    (s, d) => {
+      val held = t22Docs(s, d).filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "label")
+      val cm = held.join(t22Guesses(s, d), Seq("doc_id"))
       val byTrue = cm.groupBy(col("label"))
         .agg(count(lit(1)).as("n_true"),
           count(when(col("guess") === col("label"), 1)).as("n_correct"))

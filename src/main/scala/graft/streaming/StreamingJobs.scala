@@ -855,4 +855,59 @@ object StreamingJobs {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"), col("pr"),
         col("pr").isNotNull.as("ranked"))
+
+  /** Streaming quality routing — t22's trained Bernoulli-NB model
+    * SERVED: the grid (class × 64-bucket lp1/lp0) and priors are
+    * model-sized whatever the corpus, so they ride the task closure
+    * (the production model-serving shape: train in batch, score every
+    * arrival statelessly). Per arrival: tokenize with t22's exact
+    * feature derivation (lowercase split, bigrams, h60 % 64, distinct),
+    * then argmax over classes of Σ_f (present ? lp1 : lp0) + logprior —
+    * the 6-dp model values summed as BigDecimal, t11's decimal-exact
+    * discipline, so the streamed guess is bit-identical to the batch
+    * router's. No state, no watermark, append-safe, constant work per
+    * arrival (|classes| × 64 terms). StreamingSpec pins guess-for-guess
+    * parity with batch t22 on the held-out slice.
+    *
+    * Model rows arrive COLLECTED (grid: (p_label, fh, lp1, lp0);
+    * priors: (p_label, logprior)) — the caller collects the two
+    * planner-sized frames once; a 100 TB deployment broadcasts the
+    * same few KB. */
+  final case class QualityRoute(doc_id: Long, guess: String)
+  def streamingQualityRoute(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      grid: Array[(String, Long, Double, Double)],
+      priors: Array[(String, Double)]): org.apache.spark.sql.Dataset[QualityRoute] = {
+    import spark.implicits._
+    val nfeat = graft.operators.LlmOps.T22_NFEAT
+    // (class, fh) -> (lp1, lp0), plus per-class prior — immutable maps
+    // serialized into the task closure
+    val lp = grid.map { case (c, f, l1, l0) => (c, f) -> ((l1, l0)) }.toMap
+    val pri = priors.toMap
+    val classes = priors.map(_._1).sorted
+    arrivals.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split(" ", -1)
+        val present: Set[Long] =
+          if (toks.length < 2) Set.empty
+          else (0 until toks.length - 1).map { i =>
+            graft.functions.Portable
+              .h60Jvm(s"t22|${toks(i)} ${toks(i + 1)}") % nfeat
+          }.toSet
+        // argmax (score DESC, class ASC) — the batch window's order
+        val guess = classes.map { c =>
+          var sum = BigDecimal(0)
+          var f = 0L
+          while (f < nfeat) {
+            val (l1, l0) = lp((c, f))
+            sum += BigDecimal(if (present(f)) l1 else l0)
+            f += 1
+          }
+          (sum + BigDecimal(pri(c)), c)
+        }.sortBy { case (score, c) => (-score, c) }.head._2
+        QualityRoute(id, guess)
+      }
+  }
 }

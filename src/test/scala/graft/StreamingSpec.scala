@@ -1087,4 +1087,41 @@ class StreamingSpec extends SparkSuite {
         "every ranked arrival must carry its pr")
     } finally q.stop()
   }
+
+  test("streaming quality routing serves t22's trained model " +
+      "guess-for-guess (stateless model-serving parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the trained model, collected once — planner-sized by design
+    val (gridDf, priorDf) = operators.LlmOps.t22Model(spark, sf)
+    val grid = gridDf.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val priors = priorDf.collect().map(r =>
+      (r.getString(0), r.getDouble(1)))
+    // batch truth: the relational router's held-out guesses
+    val batch = operators.LlmOps.t22Guesses(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val heldDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs
+      .streamingQualityRoute(spark,
+        input.toDF().toDF("doc_id", "text"), grid, priors)
+      .writeStream.format("memory").queryName("qroute_test")
+      .outputMode("append").start()
+    try {
+      heldDocs.grouped(math.max(1, heldDocs.length / 3 + 1)).foreach {
+        chunk => input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("qroute_test").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.size === batch.size,
+        "every arrival must be routed exactly once")
+      assert(streamed === batch,
+        "streamed routing must equal the batch router guess-for-guess")
+      assert(streamed.values.toSet.size === 2,
+        "the fixture must exercise both routes")
+    } finally q.stop()
+  }
 }
