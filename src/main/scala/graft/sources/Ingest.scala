@@ -1177,6 +1177,136 @@ object Ingest {
       FROM cuts GROUP BY version"""))
 
   // ---------------------------------------------------------------------
+  // K13: MERGE upsert — the lakehouse primitive that completes the
+  // commit family (k9 repairs, k10 publishes, k11 erases, k12 travels,
+  // THIS upserts; Iceberg/Delta ship it as MERGE INTO): an arriving
+  // batch of UPDATES (matched keys with refreshed values) and INSERTS
+  // (new keys, half landing in a brand-new date partition) merges into
+  // the partitioned lake by rewriting ONLY the partitions the batch
+  // touches — survivors of affected partitions rewrite with updates
+  // applied, inserts append into their (possibly new) partitions via
+  // the same dynamic overwrite, untouched partitions stay byte-
+  // identical on disk (k11's mechanism). Accounting is k13's ONE
+  // metadata-sized aggregate over the batch (update/insert counts per
+  // date) plus the partition-name listing; the report carries the full
+  // blast radius (rows updated/inserted, partitions rewritten/created/
+  // preserved). The oracle replays the merged lake from the source and
+  // derives every accounting column from the same predicates. At
+  // 100 TB this is the hourly CDC-apply job: cost scales with the
+  // batch's partition footprint, never table size.
+  // ---------------------------------------------------------------------
+  private[graft] val K13_UPD_MOD = 503L
+  private[graft] val K13_INS_MOD = 701L
+  private[graft] val K13_INS_OFFSET = 100000000L
+
+  val k13MergeUpsert = Q(
+    "k13_merge_upsert",
+    (s, d) => {
+      val dir = freshDir("k13_lake")
+      val src = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date"))
+      src.repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      val existing = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("event_date="))
+        .map(_.getPath.getName.stripPrefix("event_date=")).toSet
+      // the arriving batch: updates keep their key and date, inserts
+      // take offset keys and half land 40 days out (a new partition)
+      val updates = src.filter(col("event_id") % K13_UPD_MOD === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      val inserts = src.filter(col("event_id") % K13_INS_MOD === 0)
+        .select((col("event_id") + K13_INS_OFFSET).as("event_id"),
+          col("event_type"),
+          (col("value") + lit(5.0)).as("value"),
+          when(col("event_id") % (2 * K13_INS_MOD) === 0,
+            date_add(col("event_date"), 40))
+            .otherwise(col("event_date")).as("event_date"))
+      val batch = updates.unionByName(inserts)
+      // ONE metadata-sized accounting pass (the k11 r17 discipline):
+      // per-date update/insert counts name the affected partitions
+      val acct = batch.groupBy(col("event_date"))
+        .agg(count(when(col("event_id") < K13_INS_OFFSET, 1))
+            .as("n_upd"),
+          count(when(col("event_id") >= K13_INS_OFFSET, 1))
+            .as("n_ins")).collect()
+      val affected = acct.map(_.getDate(0).toString).toSet
+      val nUpdated = acct.map(_.getLong(1)).sum
+      val nInserted = acct.map(_.getLong(2)).sum
+      val created = affected -- existing
+      val rewritten = affected & existing
+      val preserved = existing -- affected
+      // the MERGE: affected partitions' survivors + applied updates +
+      // inserts, dynamic overwrite (untouched partitions never written;
+      // phases read from src, never the lake being overwritten — the
+      // k9/k11 self-overlap rule)
+      src
+        .filter(col("event_date").cast("string")
+          .isInCollection(affected) &&
+          col("event_id") % K13_UPD_MOD =!= 0)
+        .unionByName(batch)
+        .repartition(col("event_date"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("n_updated", lit(nUpdated))
+        .withColumn("n_inserted", lit(nInserted))
+        .withColumn("n_parts_rewritten", lit(rewritten.size.toLong))
+        .withColumn("n_parts_created", lit(created.size.toLong))
+        .withColumn("n_parts_preserved", lit(preserved.size.toLong))
+    },
+    // the oracle replays the merged lake from the source — red if an
+    // update was missed, an insert dropped or double-applied, or a
+    // bystander clobbered — and derives every accounting column from
+    // the same predicates
+    Some(s"""WITH d AS (
+        SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+        FROM events),
+      upd AS (
+        SELECT event_id, value + 1000.0 AS value, event_date
+        FROM d WHERE event_id % $K13_UPD_MOD = 0),
+      ins AS (
+        SELECT event_id + $K13_INS_OFFSET AS event_id,
+          value + 5.0 AS value,
+          CASE WHEN event_id % ${2 * K13_INS_MOD} = 0
+            THEN event_date + 40 ELSE event_date END AS event_date
+        FROM d WHERE event_id % $K13_INS_MOD = 0),
+      final AS (
+        SELECT value, event_date FROM d
+        WHERE event_id % $K13_UPD_MOD <> 0
+        UNION ALL SELECT value, event_date FROM upd
+        UNION ALL SELECT value, event_date FROM ins),
+      aff AS (SELECT DISTINCT event_date FROM (
+          SELECT event_date FROM upd
+          UNION ALL SELECT event_date FROM ins) u),
+      ex AS (SELECT DISTINCT event_date FROM d),
+      acct AS (SELECT
+        (SELECT count(*) FROM upd) AS n_updated,
+        (SELECT count(*) FROM ins) AS n_inserted,
+        (SELECT count(*) FROM aff
+          WHERE event_date IN (SELECT event_date FROM ex)) AS n_rw,
+        (SELECT count(*) FROM aff
+          WHERE event_date NOT IN (SELECT event_date FROM ex)) AS n_cr,
+        (SELECT count(*) FROM ex
+          WHERE event_date NOT IN (SELECT event_date FROM aff)) AS n_pr)
+      SELECT event_date, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        (SELECT CAST(n_updated AS BIGINT) FROM acct) AS n_updated,
+        (SELECT CAST(n_inserted AS BIGINT) FROM acct) AS n_inserted,
+        (SELECT CAST(n_rw AS BIGINT) FROM acct) AS n_parts_rewritten,
+        (SELECT CAST(n_cr AS BIGINT) FROM acct) AS n_parts_created,
+        (SELECT CAST(n_pr AS BIGINT) FROM acct) AS n_parts_preserved
+      FROM final GROUP BY event_date"""))
+
+  // ---------------------------------------------------------------------
   // K11: targeted delete — the GDPR/takedown pass every lake needs:
   // erase a keyed row set from a partitioned parquet table while
   // rewriting ONLY the partitions that contain a hit. Three-phase:
@@ -2076,6 +2206,7 @@ object Ingest {
     k8dHnswIncrementalSink,
     k9PartitionOverwrite,
     k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
+    k13MergeUpsert,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

@@ -286,6 +286,72 @@ class WindowsAndSinkSpec extends SparkSuite {
       out.head.getLong(6), "quarantined bounds must match the report")
   }
 
+  test("K13: merge applies updates in place, routes inserts (including " +
+      "a NEW partition), and leaves bystander partitions' content intact") {
+    val out = sources.Ingest.k13MergeUpsert.fn(spark, sf).collect()
+    val byDate = out.map(r => r.getDate(0).toString ->
+      ((r.getLong(1), r.getDouble(2)))).toMap
+    val rep = out.head
+    val (nUpd, nIns, nRw, nCr, nPr) = (rep.getLong(3), rep.getLong(4),
+      rep.getLong(5), rep.getLong(6), rep.getLong(7))
+    assert(nUpd > 0 && nIns > 0 && nCr > 0 && nPr > 0,
+      s"fixture must exercise every path: upd=$nUpd ins=$nIns " +
+        s"created=$nCr preserved=$nPr")
+    val lake = s"${sources.Ingest.lakeRoot}/k13_lake"
+    val lakeDf = spark.read.parquet(lake)
+    val src = Tables.events(spark, sf)
+      .select(col("event_id"), col("value"),
+        to_date(col("ts")).as("event_date"))
+    // a matched key reads its refreshed value IN PLACE (same date)
+    val upd = src.filter(col("event_id") % sources.Ingest.K13_UPD_MOD
+      === 0).limit(1).collect().head
+    val got = lakeDf.filter(col("event_id") === upd.getLong(0))
+      .collect()
+    assert(got.length === 1, "a matched key appears exactly once")
+    assert(got.head.getAs[Double]("value") === upd.getDouble(1) + 1000.0,
+      "the update must be applied in place")
+    // every insert lands under its offset key, the even half 40 days out
+    val insSrc = src.filter(col("event_id") % sources.Ingest.K13_INS_MOD
+      === 0).collect()
+    val insLake = lakeDf.filter(col("event_id") >=
+      sources.Ingest.K13_INS_OFFSET).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        r.getAs[java.sql.Date]("event_date")).toMap
+    assert(insLake.size === insSrc.length, "every insert must land")
+    insSrc.foreach { r =>
+      val want =
+        if (r.getLong(0) % (2 * sources.Ingest.K13_INS_MOD) == 0)
+          java.sql.Date.valueOf(
+            r.getDate(2).toLocalDate.plusDays(40))
+        else r.getDate(2)
+      assert(insLake(r.getLong(0) + sources.Ingest.K13_INS_OFFSET)
+        === want, s"insert ${r.getLong(0)} routed to the wrong date")
+    }
+    // partition arithmetic closes: rewritten + preserved = existing
+    val existing = src.select(col("event_date")).distinct().count()
+    assert(nRw + nPr === existing,
+      "every pre-existing partition is either rewritten or preserved")
+    // a bystander (preserved) date's content equals the source exactly
+    val affectedDates = out.map(_.getDate(0).toString).toSet
+    val srcByDate = src.collect()
+      .groupBy(_.getDate(2).toString)
+    val preservedDate = srcByDate.keys
+      .find(dt => lakeDf.filter(col("event_date") === dt)
+        .filter(col("event_id") % sources.Ingest.K13_UPD_MOD === 0)
+        .isEmpty && !srcByDate(dt).exists(r =>
+          r.getLong(0) % sources.Ingest.K13_INS_MOD == 0 &&
+            r.getLong(0) % (2 * sources.Ingest.K13_INS_MOD) != 0))
+    preservedDate.foreach { dt =>
+      val lakeRows = lakeDf.filter(col("event_date") === dt)
+        .select(col("event_id"), col("value")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val srcRows = srcByDate(dt)
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(lakeRows === srcRows,
+        s"bystander partition $dt must be untouched")
+    }
+  }
+
   test("K12: rollback flips only the pointer — every snapshot's files " +
     "and the full history survive, AS OF cuts nest exactly") {
     val out = sources.Ingest.k12TimeTravel.fn(spark, sf).collect()
