@@ -210,6 +210,108 @@ object Graph {
       $branches"""
     })
 
+  // ---------------------------------------------------------------------
+  // G6: personalized PageRank — the crawl-frontier/recommendation form
+  // of g1: teleport mass restarts ONLY at a seed set (here the
+  // doc_id % 97 slice — a "trusted pages" list), so ranks measure
+  // proximity to the seeds rather than global centrality (TrustRank /
+  // seeded crawl prioritization — the two-prior curation c11 blends
+  // would use exactly this when the quality signal is a SEED LIST
+  // rather than a global score). Same integer-exact discipline as g1
+  // (PR_SCALE fixed-point, div truncation replayed by DuckDB's //),
+  // same graph (nodesOf/edgesOf — one definition), same per-round
+  // localCheckpoint lineage hygiene; the two deltas are r0 (mass
+  // SCALE/|S| on seeds, zero elsewhere) and the restart+dangling terms
+  // landing on seeds only. Non-seed nodes earn rank exclusively
+  // through in-links from seed-reachable mass — GraphSpec pins that a
+  // node outside the seeds' forward closure holds pr = 0 through every
+  // round while reachable non-seeds earn strictly positive rank.
+  // ---------------------------------------------------------------------
+  private[graft] val PPR_SEED_MOD = 97L
+
+  val g6Ppr = Q(
+    "g6_personalized_pagerank",
+    (s, d) => {
+      val nodes0 = nodesOf(s, d)
+        .withColumn("is_seed", col("doc_id") % PPR_SEED_MOD === 0)
+      val nodes = nodes0.crossJoin(broadcast(
+        nodes0.filter(col("is_seed")).agg(count(lit(1)).as("ns"))))
+      val edges = edgesOf(nodes0).persist()
+      edges.count() // eager: the consuming rounds must not race the cache
+      val seedTele =
+        expr(s"CASE WHEN is_seed THEN 15L * ($PR_SCALE div ns) div 100 " +
+          "ELSE 0L END")
+      var r = nodes
+        .select(col("doc_id"), col("ns"), col("outdeg"), col("is_seed"),
+          expr(s"CASE WHEN is_seed THEN $PR_SCALE div ns ELSE 0L END")
+            .as("pr"))
+        .localCheckpoint()
+      for (_ <- 1 to PR_ITERS) {
+        val recv = edges
+          .join(r.select(col("doc_id").as("src"), col("pr")), "src")
+          .select(col("dst").as("doc_id"),
+            expr("pr div outdeg").as("c"))
+          .groupBy(col("doc_id")).agg(sum(col("c")).as("recv"))
+        val dang = r.filter(col("outdeg") === 0L)
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+        r = nodes
+          .select(col("doc_id"), col("ns"), col("outdeg"),
+            col("is_seed"))
+          .join(recv, Seq("doc_id"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("doc_id"), col("ns"), col("outdeg"),
+            col("is_seed"),
+            (seedTele +
+              expr(s"$PR_DAMP_PCT * (coalesce(recv, 0L) + " +
+                "CASE WHEN is_seed THEN dang div ns ELSE 0L END) " +
+                "div 100")).as("pr"))
+          .localCheckpoint()
+      }
+      edges.unpersist()
+      r.select(col("doc_id"), col("is_seed"), col("pr"))
+    },
+    Some {
+      val rounds = (1 to PR_ITERS).map { i =>
+        s"""recv$i AS (
+          SELECT e.dst AS doc_id,
+            CAST(sum(r.pr // e.outdeg) AS BIGINT) AS recv
+          FROM edges e JOIN p${i - 1} r ON r.doc_id = e.src
+          GROUP BY e.dst),
+        dang$i AS (
+          SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+          FROM p${i - 1} WHERE outdeg = 0),
+        p$i AS (
+          SELECT nd.doc_id, nd.outdeg, nd.is_seed,
+            (CASE WHEN nd.is_seed
+              THEN (15 * ($PR_SCALE // q.ns)) // 100 ELSE 0 END)
+            + ($PR_DAMP_PCT * (coalesce(v.recv, 0)
+                + CASE WHEN nd.is_seed THEN dg.dang // q.ns
+                  ELSE 0 END)) // 100 AS pr
+          FROM nodes nd CROSS JOIN nsq q
+          LEFT JOIN recv$i v ON v.doc_id = nd.doc_id
+          CROSS JOIN dang$i dg)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nodes AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg,
+          doc_id % $PPR_SEED_MOD = 0 AS is_seed
+        FROM documents CROSS JOIN nn),
+      nsq AS (SELECT count(*) AS ns FROM nodes WHERE is_seed),
+      edges AS (
+        SELECT doc_id AS src, outdeg,
+          (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
+            ELSE 29 END) + k + 1) % n AS dst
+        FROM nodes, unnest([0, 1, 2]) AS t(k)
+        WHERE k < outdeg),
+      p0 AS (
+        SELECT nd.doc_id, nd.outdeg, nd.is_seed,
+          CASE WHEN nd.is_seed THEN $PR_SCALE // q.ns ELSE 0 END AS pr
+        FROM nodes nd CROSS JOIN nsq q),
+      $rounds
+      SELECT doc_id, is_seed, CAST(pr AS BIGINT) AS pr
+      FROM p$PR_ITERS"""
+    })
+
   /** HITS iterations (6 move the ring-graph scores past ordering
     * stabilization; GraphSpec recomputes the same fixpoint). */
   private[graft] val HITS_ITERS = 6
@@ -886,5 +988,5 @@ object Graph {
 
   def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits,
     g2bHitsConverge, g3LabelProp, g3bLpaConverge, g4Kcore,
-    g4bKcoreConverge, g5Triangles)
+    g4bKcoreConverge, g5Triangles, g6Ppr)
 }

@@ -456,6 +456,56 @@ class GraphSpec extends SparkSuite {
     deg.map { case (u, _) => u -> tri(u) }
   }
 
+  test("G6: personalized rank reaches exactly the seeds' forward " +
+      "closure — zero mass outside, positive mass on reached non-seeds, " +
+      "restart floor on seeds, mass conserved up to truncation") {
+    // 200 nodes: seeds {0, 97, 194}; the deterministic edge rule leaves
+    // a provably non-empty outside-closure set (157 nodes simulated)
+    val n = 200L
+    val docs = (0L until n).map(id => (id, s"doc $id", "en", "s1", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("g6fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def edgesOf(u: Long): Seq[Long] =
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u * p + k + 1) % n
+      }
+    val seeds = (0L until n).filter(_ % Graph.PPR_SEED_MOD == 0)
+    // forward closure, driver-side BFS over the SAME edge rule
+    var closure = seeds.toSet
+    var frontier = seeds.toSet
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(edgesOf) -- closure
+      closure ++= frontier
+    }
+    assert(closure.size < n,
+      "fixture must leave nodes OUTSIDE the seeds' closure")
+    val out = Graph.g6Ppr.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out.size === n, "one row per node")
+    // no mass can reach outside the forward closure
+    val outside = (0L until n).filterNot(closure)
+    assert(outside.forall(out(_)._2 == 0L),
+      "a node unreachable from the seeds must hold zero rank")
+    // reached non-seeds genuinely earn rank (non-vacuous personalization)
+    val reachedNonSeeds = closure -- seeds
+    assert(reachedNonSeeds.nonEmpty &&
+      reachedNonSeeds.count(out(_)._2 > 0L) > 0,
+      "reachable non-seeds must earn positive rank")
+    // every seed keeps at least its restart share
+    val ns = seeds.size
+    val floor = 15L * (Graph.PR_SCALE / ns) / 100L
+    seeds.foreach(sd => assert(out(sd)._2 >= floor,
+      s"seed $sd below its restart floor"))
+    assert(seeds.forall(out(_)._1) && outside.forall(!out(_)._1),
+      "is_seed column must mark exactly the seed slice")
+    // integer truncation only sheds bounded mass
+    val total = out.values.map(_._2).sum
+    assert(total <= Graph.PR_SCALE && total >= Graph.PR_SCALE * 95 / 100,
+      s"mass $total outside the conservation band")
+  }
+
   test("G5: oriented wedge-closure equals brute-force triangle counts") {
     // 53: simulated 120 triangles, 4 fringe nodes peeled, converged
     val n = 53L
