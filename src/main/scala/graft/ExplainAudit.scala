@@ -95,7 +95,8 @@ object ExplainAudit {
       "sql_c11_rank_curation", "k11_targeted_delete",
       "k12_time_travel", "t22_quality_classifier", "sql_t22_classifier",
       "m7_audio_dedup", "a24_hnsw_extend", "k8d_hnsw_incremental_sink",
-      "a25_filtered_nsw", "sql_w2_sliding")
+      "a25_filtered_nsw", "sql_w2_sliding",
+      "k13_merge_upsert", "g6_personalized_pagerank", "sql_g6_ppr")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

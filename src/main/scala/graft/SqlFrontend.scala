@@ -814,6 +814,63 @@ object SqlFrontend {
       FROM r${operators.Graph.PR_ITERS}""",
     operators.Graph.g1Pagerank.oracle)
 
+  // Personalized PageRank from SQL — g6's seeded fixpoint in sql_g1's
+  // strictly-linear shape: each round's frame explodes into its
+  // self-record plus its contributions (edges inlined into the
+  // projection), one hash-agg rebuilds the next round, DISTRIBUTE BY
+  // breaks the unpartitioned dangling window's single-partition tail
+  // (the sql_g1 lesson), and the PPR deltas ride as pure functions of
+  // the group key (node % SEED_MOD decides seed-ness, the leaf `nsq`
+  // count joins broadcast per round). Shares g6's oracle.
+  val sqlG6Ppr: Queries.Q = sqlQ(
+    "sql_g6_ppr", {
+      import operators.Graph.{PR_ITERS, PR_SCALE, PR_DAMP_PCT,
+        PPR_SEED_MOD}
+      val rounds = (1 to PR_ITERS).map { i =>
+        s"""s$i AS (
+          SELECT explode(concat(
+            array(named_struct('node', doc_id, 'n', n, 'outdeg', outdeg,
+              'dang', dang, 'contrib', CAST(NULL AS BIGINT))),
+            transform(filter(array(0L, 1L, 2L), k -> k < outdeg), k ->
+              named_struct(
+                'node', (doc_id * (CASE WHEN k = 0 THEN 7
+                  WHEN k = 1 THEN 13 ELSE 29 END) + k + 1) % n,
+                'n', CAST(NULL AS BIGINT),
+                'outdeg', CAST(NULL AS BIGINT),
+                'dang', CAST(NULL AS BIGINT),
+                'contrib', pr div outdeg)))) AS x
+          FROM (SELECT doc_id, n, outdeg, pr, dang
+            FROM (SELECT doc_id, n, outdeg, pr,
+                coalesce(sum(CASE WHEN outdeg = 0 THEN pr END) OVER (),
+                  0L) AS dang
+              FROM p${i - 1}) w
+            DISTRIBUTE BY doc_id)),
+        p$i AS (
+          SELECT x.node AS doc_id, max(x.n) AS n,
+            max(x.outdeg) AS outdeg,
+            (CASE WHEN x.node % $PPR_SEED_MOD = 0
+              THEN (15 * ($PR_SCALE div q.ns)) div 100 ELSE 0L END)
+            + ($PR_DAMP_PCT * (coalesce(sum(x.contrib), 0L)
+                + CASE WHEN x.node % $PPR_SEED_MOD = 0
+                  THEN max(x.dang) div q.ns ELSE 0L END)) div 100 AS pr
+          FROM s$i CROSS JOIN nsq q
+          GROUP BY x.node, q.ns)"""
+      }.mkString(",\n      ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      nsq AS (SELECT count(*) AS ns FROM documents
+        WHERE doc_id % $PPR_SEED_MOD = 0),
+      p0 AS (
+        SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg,
+          CASE WHEN doc_id % $PPR_SEED_MOD = 0
+            THEN $PR_SCALE div nsq.ns ELSE 0L END AS pr
+        FROM documents CROSS JOIN nn CROSS JOIN nsq),
+      $rounds
+      SELECT doc_id, doc_id % $PPR_SEED_MOD = 0 AS is_seed,
+        CAST(pr AS BIGINT) AS pr
+      FROM p$PR_ITERS"""
+    },
+    operators.Graph.g6Ppr.oracle)
+
   // HITS from SQL — g2's strictly linear chain in Spark dialect: each
   // iterated score frame is referenced exactly once (raw sums via the
   // edge join, normalization via an unpartitioned window total over
@@ -1988,7 +2045,7 @@ object SqlFrontend {
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
       sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlT22Classifier,
-      sqlG1Pagerank, sqlG2Hits,
+      sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum)
 }
