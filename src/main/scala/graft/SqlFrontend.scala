@@ -1997,7 +1997,17 @@ object SqlFrontend {
         Seq(
           stats("a18_sign_a", "sample", NSW_CAP, "qa18_ba", "b"),
           stats("a18_sign_b", "sample", NSW_CAP, "qa18_bb", "b"),
-          stats("a18_rand", "sample", NSW_CAP, "qa18_br", "b")) :+
+          stats("a18_rand", "sample", NSW_CAP, "qa18_br", "b")) ++
+        // a24's per-layer arrival surfaces (r17)
+        (1 to operators.Ann.HNSW_MAXL).flatMap { k =>
+          Seq(
+            stats(s"a24_l${k}_sign_a", "sample", NSW_CAP,
+              s"qa24l${k}_ba", "b"),
+            stats(s"a24_l${k}_sign_b", "sample", NSW_CAP,
+              s"qa24l${k}_bb", "b"),
+            stats(s"a24_l${k}_rand", "sample", NSW_CAP,
+              s"qa24l${k}_br", "b"))
+        } :+
         stats("a22_band", "sample", operators.Ann.A22_CAP,
           "qa22_bands", "tbl, bkey") :+ {
           // t20's global top-K vocab cap — rank form, as the oracle
@@ -2030,6 +2040,10 @@ object SqlFrontend {
       qa22_bands AS (${operators.Ann.d12BandsSparkSelects}),
       ${operators.Ann.nswBucketsSparkCtes},
       $layerCtes,
+      ${(1 to operators.Ann.HNSW_MAXL).map { k =>
+        operators.Ann.nswBucketsSparkCtesOver(s"qa24l$k",
+          s"${operators.Ann.hnswMemberSql(k)} AND vec_id % 10 <> 0")
+      }.mkString(",\n      ")},
       ${operators.Ann.nswBucketsSparkCtesOver("qa18",
         operators.Ann.a18StandingSelect)}
       ${branches.mkString(" UNION ALL ")}"""

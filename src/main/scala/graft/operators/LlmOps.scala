@@ -4193,6 +4193,18 @@ object LlmOps {
           capStats(s"a18_${nm.stripPrefix("nsw_")}", "sample", bf,
             Seq("b"), Ann.NSW_CAP)
         } ++
+        // a24's per-layer arrival surfaces (r17): a PROMOTED arrival
+        // samples its STANDING layer's buckets with frozen per-layer
+        // sizing — layer 0 IS the a18 rows above; layers 1..MAXL are
+        // new capped surfaces, reported the round the hierarchical
+        // insertion shipped (the a19-coverage rule)
+        (1 to Ann.HNSW_MAXL).flatMap { k =>
+          Ann.nswBucketFrames(Ann.hnswMembers(Ann.a18Standing(e), k))
+            .map { case (nm, bf) =>
+              capStats(s"a24_l${k}_${nm.stripPrefix("nsw_")}", "sample",
+                bf, Seq("b"), Ann.NSW_CAP)
+            }
+        } ++
         // a22's radius-search bands: sampled, bucket population grows
         // with the corpus by design — the report row IS the recall
         // alarm (rows_affected = neighbor pool a query never sees)
@@ -4283,6 +4295,15 @@ object LlmOps {
             stats(s"a18_${nm.stripPrefix("nsw_")}", "sample",
               Ann.NSW_CAP,
               s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
+        } ++
+        (1 to Ann.HNSW_MAXL).flatMap { k =>
+          Ann.nswBucketsDuckOver(
+            s"${Ann.hnswMemberDuck(k)} AND vec_id % 10 <> 0").map {
+            case (nm, q) =>
+              stats(s"a24_l${k}_${nm.stripPrefix("nsw_")}", "sample",
+                Ann.NSW_CAP,
+                s"SELECT count(*) AS c FROM ($q) bb GROUP BY b")
+          }
         } :+
         stats("a22_band", "sample", Ann.A22_CAP,
           s"WITH $eCte, bands AS (${Ann.d12BandsDuckSelects}) " +

@@ -75,12 +75,16 @@ class CapReportSpec extends SparkSuite {
       "d5_anchor", "d12b_banded", "nsw_sign_a", "nsw_sign_b", "nsw_rand",
       "a19_l1_sign_a", "a19_l1_sign_b", "a19_l1_rand",
       "a19_l2_sign_a", "a19_l2_sign_b", "a19_l2_rand",
-      "a18_sign_a", "a18_sign_b", "a18_rand", "a22_band", "t20_vocab"))
+      "a18_sign_a", "a18_sign_b", "a18_rand",
+      "a24_l1_sign_a", "a24_l1_sign_b", "a24_l1_rand",
+      "a24_l2_sign_a", "a24_l2_sign_b", "a24_l2_rand",
+      "a22_band", "t20_vocab"))
     for (r <- rows) {
       // a19 layer slices may be legitimately empty at tiny fixture
       // sizes (the 1-in-64 draw over 20 vectors); everything else must
       // carry rows
-      if (!r.getString(0).startsWith("a19_"))
+      if (!r.getString(0).startsWith("a19_") &&
+          !r.getString(0).startsWith("a24_"))
         assert(r.getLong(5) > 0L, s"${r.getString(0)}: empty band table")
       // affected ≤ total, and over-cap bucket count consistent with rows
       assert(r.getLong(6) <= r.getLong(5), r.getString(0))
@@ -90,6 +94,7 @@ class CapReportSpec extends SparkSuite {
     val byIdx = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     def graphRow(n: String) = n.startsWith("nsw") ||
       n.startsWith("a19_") || n.startsWith("a18_") ||
+      n.startsWith("a24_") ||
       n == "a22_band" // sampled for the same reason: pool grows with corpus
     assert(byIdx.filter(kv => graphRow(kv._1)).values.toSet ===
       Set("sample"))
@@ -108,6 +113,17 @@ class CapReportSpec extends SparkSuite {
         val r = rows.find(_.getString(0) == s"a19_l${k}_$fam").get
         assert(r.getLong(5) === m,
           s"a19_l${k}_$fam rows_total ${r.getLong(5)} != members $m")
+      }
+    }
+    // a24's per-layer surfaces cover exactly the STANDING layer slice
+    for (k <- 1 to operators.Ann.HNSW_MAXL) {
+      val m = operators.Ann
+        .hnswMembers(operators.Ann.a18Standing(e), k).count()
+      for (fam <- Seq("sign_a", "sign_b", "rand")) {
+        val r = rows.find(_.getString(0) == s"a24_l${k}_$fam").get
+        assert(r.getLong(5) === m,
+          s"a24_l${k}_$fam rows_total ${r.getLong(5)} != standing " +
+            s"layer members $m")
       }
     }
     // a18's accounting covers exactly the standing corpus per family
