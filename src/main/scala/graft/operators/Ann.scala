@@ -3186,6 +3186,186 @@ object Ann {
       FROM ($unionAll) u"""
     })
 
+  // ---------------------------------------------------------------------
+  // A26: hybrid retrieval with reciprocal-rank fusion — the production
+  // RAG serving shape no single-arm operator covers: a dense candidate
+  // list (a5's brute cosine, the exact arm a7/a14 approximate) and a
+  // sparse candidate list (t18's BM25, the probe DOC's own top terms as
+  // the query — "more like this" retrieval) fused by RRF
+  // (Cormack/Clarke/Buettcher 2009: score = Σ 1/(C + rank), C = 60),
+  // which needs no score calibration between arms — exactly why
+  // production stores (Elastic, Vespa, OpenSearch) ship it as the
+  // default hybrid combiner. Output keeps BOTH per-arm ranks next to
+  // the fused rank, so "which arm surfaced this hit" is driver-visible
+  // per row (a doc null on one arm was found by the other alone).
+  //
+  // Shape at scale: the probe set broadcasts everywhere; the dense arm
+  // is ONE corpus scan (a5's shape); the sparse arm tokenizes the
+  // corpus once into tf/dl, derives ≤ PROBES·QTERMS query terms, and
+  // df is computed ONLY for those terms (tokens pass pre-filtered by a
+  // broadcast semi-join — never a corpus-wide df table); fusion is a
+  // full-outer join of two ≤ PROBES·K-row lists. No stage ever carries
+  // the corpus on both sides.
+  //
+  // Parity: dense sims round 6 (a5's discipline); BM25 replays t18's
+  // exact rounding (ln-term round 6, term product round 6, DECIMAL sum
+  // → DOUBLE); RRF terms are 1.0/(60+rank) from BIGINT ranks summed in
+  // fixed textual order, round 9 — every rank boundary deterministic.
+  // ---------------------------------------------------------------------
+  private[graft] val RRF_PROBES = 6 // query docs (doc_id == vec_id < 6)
+  private[graft] val RRF_KDENSE = 20 // dense candidate list depth
+  private[graft] val RRF_KSPARSE = 20 // sparse candidate list depth
+  private[graft] val RRF_QTERMS = 8 // query terms per probe doc
+  private[graft] val RRF_MINLEN = 5 // content-token length floor (t18's)
+  private[graft] val RRF_C = 60 // the RRF smoothing constant
+  private[graft] val RRF_TOPK = 10
+
+  val a26HybridRrf = Q(
+    "a26_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val probes = e.filter(col("vec_id") < RRF_PROBES)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val wD = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("doc_id").asc)
+      val dense = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("doc_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        .withColumn("dense_rk", row_number().over(wD).cast("long"))
+        .filter(col("dense_rk") <= RRF_KDENSE)
+        .select("probe_id", "doc_id", "dense_rk")
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val wQ = Window.partitionBy(col("probe_id"))
+        .orderBy(col("qtf").desc, col("tok").asc)
+      val qterms = tf
+        .filter(col("doc_id") < RRF_PROBES &&
+          length(col("tok")) >= RRF_MINLEN)
+        .select(col("doc_id").as("probe_id"), col("tok"),
+          col("tf").as("qtf"))
+        .withColumn("qrn", row_number().over(wQ))
+        .filter(col("qrn") <= RRF_QTERMS)
+        .select("probe_id", "tok")
+      val dfq = toks
+        .join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(qterms), Seq("tok"))
+        .filter(col("doc_id") =!= col("probe_id"))
+        .join(broadcast(dfq), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("probe_id"), col("doc_id"),
+          round(
+            round(log((col("n") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5)) + lit(1.0)), 6) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))),
+            6).as("term_score"))
+      val wS = Window.partitionBy(col("probe_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val sparse = scored.groupBy(col("probe_id"), col("doc_id"))
+        .agg(sum(col("term_score").cast("decimal(20,6)"))
+          .cast("double").as("bm25"))
+        .withColumn("sparse_rk", row_number().over(wS).cast("long"))
+        .filter(col("sparse_rk") <= RRF_KSPARSE)
+        .select("probe_id", "doc_id", "sparse_rk")
+      val fused = dense
+        .join(sparse, Seq("probe_id", "doc_id"), "full_outer")
+        .select(col("probe_id"), col("doc_id"),
+          col("dense_rk"), col("sparse_rk"),
+          round(
+            coalesce(lit(1.0) / (lit(RRF_C) + col("dense_rk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RRF_C) + col("sparse_rk")),
+                lit(0.0)), 9).as("rrf"))
+      val wF = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      fused.withColumn("fused_rk", row_number().over(wF).cast("long"))
+        .filter(col("fused_rk") <= RRF_TOPK)
+        .select("probe_id", "doc_id", "dense_rk", "sparse_rk",
+          "rrf", "fused_rk")
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+            FROM e WHERE vec_id < $RRF_PROBES),
+      dense AS (
+        SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS dense_rk FROM (
+          SELECT probe_id, vec_id AS doc_id, row_number() OVER (
+              PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rn
+          FROM (SELECT p.probe_id, e.vec_id,
+              round(list_inner_product(e.emb, p.p_emb)
+                / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+            FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) s) t
+        WHERE rn <= $RRF_KDENSE),
+      toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qterms AS (
+        SELECT probe_id, tok FROM (
+          SELECT doc_id AS probe_id, tok, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tf DESC, tok ASC) AS qrn
+          FROM tf
+          WHERE doc_id < $RRF_PROBES AND length(tok) >= $RRF_MINLEN) t
+        WHERE qrn <= $RRF_QTERMS),
+      dfq AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN (SELECT tok FROM qterms) GROUP BY 1),
+      scored AS (
+        SELECT q.probe_id, t.doc_id,
+          round(round(ln((s.n - f.df + CAST(0.5 AS DOUBLE)) /
+                (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6)
+            * (t.tf * CAST(2.2 AS DOUBLE))
+            / (t.tf + CAST(1.2 AS DOUBLE) *
+               (CAST(0.25 AS DOUBLE) +
+                CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl))), 6)
+            AS term_score
+        FROM tf t JOIN qterms q USING (tok)
+        JOIN dfq f ON f.tok = t.tok
+        JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s
+        WHERE t.doc_id <> q.probe_id),
+      sparse AS (
+        SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS sparse_rk FROM (
+          SELECT probe_id, doc_id, row_number() OVER (
+              PARTITION BY probe_id ORDER BY bm25 DESC, doc_id ASC) AS rn
+          FROM (SELECT probe_id, doc_id,
+              CAST(sum(CAST(term_score AS DECIMAL(20,6))) AS DOUBLE)
+                AS bm25
+            FROM scored GROUP BY 1, 2) pd) t
+        WHERE rn <= $RRF_KSPARSE),
+      fused AS (
+        SELECT coalesce(dn.probe_id, sp.probe_id) AS probe_id,
+               coalesce(dn.doc_id, sp.doc_id) AS doc_id,
+               dn.dense_rk, sp.sparse_rk,
+               round(coalesce(CAST(1.0 AS DOUBLE) / ($RRF_C + dn.dense_rk),
+                   CAST(0.0 AS DOUBLE))
+                 + coalesce(CAST(1.0 AS DOUBLE) / ($RRF_C + sp.sparse_rk),
+                   CAST(0.0 AS DOUBLE)), 9) AS rrf
+        FROM dense dn FULL OUTER JOIN sparse sp
+          ON sp.probe_id = dn.probe_id AND sp.doc_id = dn.doc_id)
+      SELECT probe_id, doc_id, dense_rk, sparse_rk, rrf,
+        CAST(rn AS BIGINT) AS fused_rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused) t
+      WHERE rn <= $RRF_TOPK"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
@@ -3193,5 +3373,5 @@ object Ann {
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
       a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend,
-      a25FilteredNsw)
+      a25FilteredNsw, a26HybridRrf)
 }
