@@ -2050,6 +2050,85 @@ object SqlFrontend {
     },
     operators.LlmOps.d13CapReport.oracle)
 
+  // Hybrid dense+sparse retrieval with reciprocal-rank fusion as pure
+  // SQL text: the dense arm through the injected cosine_sim expression
+  // (sql_a5's kernel), the sparse arm t18's BM25 with the probe doc's
+  // own top terms as the query, RRF = 1/(60+rank) summed per arm.
+  // Shares a26's oracle, so SQL text == DSL == DuckDB on the fused
+  // ranking including the per-arm null semantics of the outer join.
+  val sqlA26Hybrid: Queries.Q = sqlQ(
+    "sql_a26_hybrid",
+    s"""WITH p AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb
+        FROM embeddings WHERE vec_id < ${operators.Ann.RRF_PROBES}),
+      dense AS (
+        SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS dense_rk FROM (
+          SELECT probe_id, vec_id AS doc_id, row_number() OVER (
+              PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rn
+          FROM (SELECT p.probe_id, e.vec_id,
+              round(cosine_sim(e.embedding, p.p_emb), 6) AS sim
+            FROM embeddings e CROSS JOIN p
+            WHERE e.vec_id <> p.probe_id) s) t
+        WHERE rn <= ${operators.Ann.RRF_KDENSE}),
+      toks AS (
+        SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qterms AS (
+        SELECT probe_id, tok FROM (
+          SELECT doc_id AS probe_id, tok, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tf DESC, tok ASC) AS qrn
+          FROM tf
+          WHERE doc_id < ${operators.Ann.RRF_PROBES}
+            AND length(tok) >= ${operators.Ann.RRF_MINLEN}) t
+        WHERE qrn <= ${operators.Ann.RRF_QTERMS}),
+      dfq AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+        WHERE tok IN (SELECT tok FROM qterms) GROUP BY 1),
+      scored AS (
+        SELECT q.probe_id, t.doc_id,
+          round(round(ln((s.n - f.df + CAST(0.5 AS DOUBLE)) /
+                (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6)
+            * (t.tf * CAST(2.2 AS DOUBLE))
+            / (t.tf + CAST(1.2 AS DOUBLE) *
+               (CAST(0.25 AS DOUBLE) +
+                CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl))), 6)
+            AS term_score
+        FROM tf t JOIN qterms q USING (tok)
+        JOIN dfq f ON f.tok = t.tok
+        JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s
+        WHERE t.doc_id <> q.probe_id),
+      sparse AS (
+        SELECT probe_id, doc_id, CAST(rn AS BIGINT) AS sparse_rk FROM (
+          SELECT probe_id, doc_id, row_number() OVER (
+              PARTITION BY probe_id ORDER BY bm25 DESC, doc_id ASC) AS rn
+          FROM (SELECT probe_id, doc_id,
+              CAST(sum(CAST(term_score AS DECIMAL(20,6))) AS DOUBLE)
+                AS bm25
+            FROM scored GROUP BY 1, 2) pd) t
+        WHERE rn <= ${operators.Ann.RRF_KSPARSE}),
+      fused AS (
+        SELECT coalesce(dn.probe_id, sp.probe_id) AS probe_id,
+               coalesce(dn.doc_id, sp.doc_id) AS doc_id,
+               dn.dense_rk, sp.sparse_rk,
+               round(coalesce(CAST(1.0 AS DOUBLE)
+                   / (${operators.Ann.RRF_C} + dn.dense_rk),
+                   CAST(0.0 AS DOUBLE))
+                 + coalesce(CAST(1.0 AS DOUBLE)
+                   / (${operators.Ann.RRF_C} + sp.sparse_rk),
+                   CAST(0.0 AS DOUBLE)), 9) AS rrf
+        FROM dense dn FULL OUTER JOIN sparse sp
+          ON sp.probe_id = dn.probe_id AND sp.doc_id = dn.doc_id)
+      SELECT probe_id, doc_id, dense_rk, sparse_rk, rrf,
+        CAST(rn AS BIGINT) AS fused_rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused) t
+      WHERE rn <= ${operators.Ann.RRF_TOPK}""",
+    operators.Ann.a26HybridRrf.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
@@ -2061,5 +2140,5 @@ object SqlFrontend {
       sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlT22Classifier,
       sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
-      sqlC10Curriculum)
+      sqlC10Curriculum, sqlA26Hybrid)
 }

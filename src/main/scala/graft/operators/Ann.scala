@@ -3220,12 +3220,13 @@ object Ann {
   private[graft] val RRF_C = 60 // the RRF smoothing constant
   private[graft] val RRF_TOPK = 10
 
-  val a26HybridRrf = Q(
-    "a26_hybrid_rrf",
-    (s, d) => {
+  /** The full hybrid pipeline over any (vec_id, emb) + (doc_id, text)
+    * pair of frames (ids aligned 1:1) — split from the Q so
+    * HybridRrfSpec can plant a dense-only and a sparse-only relevant
+    * doc and prove fusion surfaces both. */
+  private[graft] def hybridRrfOver(
+      s: SparkSession, e: DataFrame, docs: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("emb"))
       val probes = e.filter(col("vec_id") < RRF_PROBES)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
       val wD = Window.partitionBy(col("probe_id"))
@@ -3237,7 +3238,7 @@ object Ann {
         .withColumn("dense_rk", row_number().over(wD).cast("long"))
         .filter(col("dense_rk") <= RRF_KDENSE)
         .select("probe_id", "doc_id", "dense_rk")
-      val toks = documents(s, d)
+      val toks = docs
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok"))
@@ -3294,7 +3295,13 @@ object Ann {
         .filter(col("fused_rk") <= RRF_TOPK)
         .select("probe_id", "doc_id", "dense_rk", "sparse_rk",
           "rrf", "fused_rk")
-    },
+  }
+
+  val a26HybridRrf = Q(
+    "a26_hybrid_rrf",
+    (s, d) => hybridRrfOver(s,
+      embeddings(s, d).select(col("vec_id"), col("embedding").as("emb")),
+      documents(s, d).select(col("doc_id"), col("text"))),
     Some(s"""WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
