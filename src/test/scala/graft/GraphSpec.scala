@@ -527,4 +527,88 @@ class GraphSpec extends SparkSuite {
       .groupBy(identity).map { case (u, xs) => u -> xs.size.toLong }
     assert(gotDeg === wantDeg, "deg column must be the undirected degree")
   }
+
+  /** The merged-graph (g7) recurrence in plain Scala from any init. */
+  private def g7Rounds(n: Long, init: Map[Long, Long], iters: Int)
+      : Seq[Map[Long, Long]] = {
+    val outdeg = (0L until n)
+      .map(u => u -> (u % 4 + (if (u % 50 == 0) 1L else 0L))).toMap
+    val edges = (0L until n).flatMap { u =>
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u, (u * p + k + 1) % n)
+      }
+    } ++ (0L until n).filter(_ % 50 == 0).map(u => (u, (u * 37 + 3) % n))
+    var pr = init
+    val out = Seq.newBuilder[Map[Long, Long]]
+    out += pr
+    for (_ <- 1 to iters) {
+      val recv = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / outdeg(u) }.sum
+      }
+      val dang = (0L until n).filter(outdeg(_) == 0L).map(pr).sum
+      pr = (0L until n).map { v =>
+        v -> (15L * (Graph.PR_SCALE / n) / 100L +
+          Graph.PR_DAMP_PCT * (recv.getOrElse(v, 0L) + dang / n) / 100L)
+      }.toMap
+      out += pr
+    }
+    out.result()
+  }
+
+  test("G7: warm/cold reports equal the independent recompute; warm " +
+    "start is provably closer every round") {
+    // 20-node fixture: exactly ONE delta node (doc 0), which is also
+    // DANGLING in the base graph (0 % 4 == 0) — the arrival flips it
+    // to outdeg 1, exercising both stale-outdeg and stale-dangling
+    // corrections in one case
+    val n = 20L
+    val docs = (0L until n).map(id => (id, "x", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("g7fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Graph.g7DeltaPagerank.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.toString.toLong), r.getLong(3)))
+      .toMap
+    // independent recompute: base fixpoint feeds warm init; cold from
+    // uniform; both on the merged graph
+    val base = referencePr(n) // g1's base-graph fixpoint (same helper)
+    val uniform = (0L until n).map(v => v -> Graph.PR_SCALE / n).toMap
+    val cold = g7Rounds(n, uniform, Graph.PR_ITERS)
+    val warm = g7Rounds(n, base, Graph.G7_WARM)
+    val fin = cold.last
+    def l1(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.map { case (v, p) => math.abs(p - b(v)) }.sum
+    def check(phase: String, rounds: Seq[Map[Long, Long]]): Unit =
+      rounds.zipWithIndex.foreach { case (cur, i) =>
+        val (gl1, gdist) = got((phase, i.toLong))
+        assert(gdist == l1(cur, fin),
+          s"$phase round $i dist_to_final")
+        if (i == 0) assert(gl1.isEmpty, s"$phase round 0 l1 null")
+        else assert(gl1.contains(l1(cur, rounds(i - 1))),
+          s"$phase round $i l1_delta")
+      }
+    check("cold", cold)
+    check("warm", warm)
+    // the incremental claim, as numbers: the warm start opens closer
+    // to the fixpoint than uniform and stays at least as close at
+    // every shared round index
+    (0 to Graph.G7_WARM).foreach { i =>
+      val w = got(("warm", i.toLong))._2
+      val c = got(("cold", i.toLong))._2
+      assert(w <= c, s"warm round $i ($w) must not trail cold ($c)")
+    }
+    // (on real-corpus sizes the margin is ~4x — sf0.01 verify reads
+    // warm0 68e9 vs cold0 256e9; on this 20-node fixture the single
+    // delta node is 5% of the graph and flips global dangling mass,
+    // so only strict improvement is stable)
+    assert(got(("warm", 0L))._2 < got(("cold", 0L))._2,
+      "warm start must open closer than uniform")
+    // and the delta genuinely moved the fixpoint (otherwise the test
+    // is vacuous: warm0 == 0 would pass everything above)
+    assert(got(("warm", 0L))._2 > 0L,
+      "base fixpoint must differ from merged fixpoint — delta vacuous")
+  }
 }
