@@ -1800,10 +1800,22 @@ object Ann {
     * written-then-read parquet index (build once, search many, proven
     * by a shared oracle rather than asserted in a comment). */
   private[graft] def nswSearchOver(
-      s: SparkSession, d: String, edges: DataFrame): DataFrame = {
+      s: SparkSession, d: String, edges: DataFrame): DataFrame =
+    nswSearchOverMasked(s,
+      embeddings(s, d).select(col("vec_id"), col("embedding").as("emb")),
+      edges, None)
+
+  /** [[nswSearchOver]] generalized for the k14 erasure lifecycle: the
+    * corpus frame (vec_id, emb) is a parameter (a compacted store has
+    * physically dropped erased vectors — entries and scoring rows come
+    * only from survivors), and `tombstoned`, when set, excludes
+    * matching ids from the FINAL top-K while the beam still traverses
+    * and ranks them — the production tombstone semantics (a logically
+    * deleted node keeps carrying connectivity until compaction). */
+  private[graft] def nswSearchOverMasked(
+      s: SparkSession, e: DataFrame, edges: DataFrame,
+      tombstoned: Option[org.apache.spark.sql.Column]): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("emb"))
       val probes = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
       // NSW_ENTRIES h60-spread entry points — TakeOrderedAndProject
@@ -1821,7 +1833,8 @@ object Ann {
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
       val beam = beamPhase(s, e, probes, f0, edges, NSW_HOPS, NSW_B)
-      beam.withColumn("rn", row_number().over(w))
+      val masked = tombstoned.fold(beam)(t => beam.filter(!t))
+      masked.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= NSW_K)
         .select(col("probe_id"), col("vec_id"), col("sim"),
           col("rn").cast("long").as("rank"))
@@ -1965,6 +1978,59 @@ object Ann {
         SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY sim DESC, vec_id ASC) AS rn FROM f$NSW_HOPS) t
       WHERE rn <= $NSW_K"""
+  }
+
+  /** [[nswSearchDuck]] as REUSABLE tagged CTE text (ends in
+    * `${tag}res(probe_id, vec_id, sim, rank)` instead of a final
+    * SELECT) over a parameterized corpus relation and an optional
+    * tombstone mask applied to the final top-K only — the oracle twin
+    * of [[nswSearchOverMasked]], instantiable three times in one query
+    * (k14's before/tombstoned/compacted phases). Per-hop frontiers are
+    * MATERIALIZED: each f$k is referenced twice (expansion + union),
+    * so inlining is 2^hops copies of the whole build subtree (the g7
+    * lesson — DuckDB 1.0 inlines CTEs by default). */
+  private[graft] def nswSearchDuckCtes(
+      tag: String, edgesRel: String, corpusRel: String,
+      tombstonedSql: Option[String]): String = {
+    val hops = (1 to NSW_HOPS).map { k =>
+      s"""${tag}n$k AS (
+        SELECT f.probe_id, g.n AS vec_id
+        FROM ${tag}f${k - 1} f JOIN $edgesRel g ON g.v = f.vec_id),
+      ${tag}c$k AS (
+        SELECT probe_id, vec_id, sim FROM ${tag}f${k - 1}
+        UNION
+        SELECT n.probe_id, n.vec_id,
+          round(list_inner_product(e.emb, p.p_emb)
+            / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+        FROM ${tag}n$k n JOIN $corpusRel e ON e.vec_id = n.vec_id
+        JOIN ${tag}p p ON p.probe_id = n.probe_id),
+      ${tag}f$k AS MATERIALIZED (
+        SELECT probe_id, vec_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM ${tag}c$k) t
+        WHERE rn <= $NSW_B)"""
+    }.mkString(",\n      ")
+    val mask = tombstonedSql.map(m => s"WHERE NOT ($m)").getOrElse("")
+    s"""${tag}p AS (
+        SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+        FROM $corpusRel WHERE vec_id < 8),
+      ${tag}ent AS (SELECT vec_id FROM $corpusRel ORDER BY
+          ${graft.functions.Portable
+      .h60Duck("CAST(vec_id AS VARCHAR)", "nswe|")}, vec_id
+        LIMIT $NSW_ENTRIES),
+      ${tag}f0 AS MATERIALIZED (
+        SELECT p.probe_id, e.vec_id,
+          round(list_inner_product(e.emb, p.p_emb)
+            / nullif(e.nrm * p.p_nrm, 0.0), 6) AS sim
+        FROM ${tag}p p CROSS JOIN $corpusRel e
+        WHERE e.vec_id IN (SELECT vec_id FROM ${tag}ent)),
+      $hops,
+      ${tag}res AS (
+        SELECT probe_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn
+          FROM (SELECT * FROM ${tag}f$NSW_HOPS $mask) z) t
+        WHERE rn <= $NSW_K)"""
   }
 
   // ---------------------------------------------------------------------

@@ -2200,10 +2200,97 @@ object Ingest {
       ${Ann.hnswDescentDuckTail(k => s"aledges$k")}"""
     })
 
+  // ---------------------------------------------------------------------
+  // K14: erasure from the SERVED vector index — the other half of the
+  // GDPR story k11 tells for the lake table: when a user's vectors must
+  // go, the search tier can't wait for a rebuild. Production stores do
+  // it in two steps, both run here against the same parquet artifact k8
+  // serves:
+  //   TOMBSTONE (logical, instant): erased ids are masked from the
+  //   final top-K but the beam still traverses THROUGH them — deleting
+  //   their connectivity immediately would orphan whatever was
+  //   reachable only via them (the spec plants exactly that node);
+  //   COMPACT (physical, batched): the edge table is rewritten without
+  //   any edge touching an erased id, and the corpus frame drops the
+  //   erased vectors, so entries/scoring can't see them either. The
+  //   rewrite is O(index), not O(corpus·dim), and amortizes across the
+  //   tombstone batch — exactly the nightly-maintenance shape.
+  // Output: the SAME probe set searched in all three states (phase
+  // before|tombstoned|compacted) plus the compaction's edge accounting,
+  // so "what did erasure cost in recall" is driver-visible per probe:
+  // a result present before and gone after compaction was reachable
+  // only through erased connectivity. Oracle replays all three
+  // searches (the tagged nswSearchDuckCtes) over the replayed build.
+  // ---------------------------------------------------------------------
+  val k14IndexErasure = Q(
+    "k14_index_erasure",
+    (s, d) => {
+      import graft.operators.Ann
+      def del(c: org.apache.spark.sql.Column) = c % 9 === 8
+      val out = freshDir("k14_index")
+      Ann.nswEdges(s, d)
+        .repartition(8, col("v"))
+        .write.mode("overwrite").parquet(out)
+      val served = s.read.parquet(out).select("v", "n")
+      val corpus = graft.Tables.table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val before = Ann.nswSearchOverMasked(s, corpus, served, None)
+        .select(lit("before").as("phase"), col("probe_id"),
+          col("vec_id"), col("sim"), col("rank"),
+          lit(0L).as("edges_dropped"))
+      val tomb = Ann
+        .nswSearchOverMasked(s, corpus, served, Some(del(col("vec_id"))))
+        .select(lit("tombstoned").as("phase"), col("probe_id"),
+          col("vec_id"), col("sim"), col("rank"),
+          lit(0L).as("edges_dropped"))
+      val out2 = freshDir("k14_compacted")
+      served.filter(!(del(col("v")) || del(col("n"))))
+        .repartition(8, col("v"))
+        .write.mode("overwrite").parquet(out2)
+      val cedges = s.read.parquet(out2).select("v", "n")
+      val dropped = served
+        .agg(sum(when(del(col("v")) || del(col("n")), lit(1L))
+          .otherwise(lit(0L))).as("edges_dropped"))
+      val comp = Ann
+        .nswSearchOverMasked(s, corpus.filter(!del(col("vec_id"))),
+          cedges, None)
+        .crossJoin(broadcast(dropped))
+        .select(lit("compacted").as("phase"), col("probe_id"),
+          col("vec_id"), col("sim"), col("rank"), col("edges_dropped"))
+      before.unionByName(tomb).unionByName(comp)
+    },
+    Some {
+      import graft.operators.Ann
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      ${Ann.nswBuildDuck("", "embeddings")},
+      bedges AS MATERIALIZED (SELECT v, n FROM edges),
+      ${Ann.nswSearchDuckCtes("b", "bedges", "e", None)},
+      ${Ann.nswSearchDuckCtes("t", "bedges", "e",
+        Some("vec_id % 9 = 8"))},
+      cedges AS MATERIALIZED (
+        SELECT v, n FROM bedges WHERE v % 9 <> 8 AND n % 9 <> 8),
+      ce AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 9 <> 8),
+      ${Ann.nswSearchDuckCtes("c", "cedges", "ce", None)},
+      dropped AS (SELECT CAST(count(*) AS BIGINT) AS edges_dropped
+        FROM bedges WHERE v % 9 = 8 OR n % 9 = 8)
+      SELECT 'before' AS phase, probe_id, vec_id, sim, rank,
+        CAST(0 AS BIGINT) AS edges_dropped FROM bres
+      UNION ALL
+      SELECT 'tombstoned', probe_id, vec_id, sim, rank, CAST(0 AS BIGINT)
+      FROM tres
+      UNION ALL
+      SELECT 'compacted', probe_id, vec_id, sim, rank, d.edges_dropped
+      FROM cres CROSS JOIN dropped d"""
+    })
+
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
     k8AnnIndexSink, k8bHnswIndexSink, k8cIncrementalIndexSink,
-    k8dHnswIncrementalSink,
+    k8dHnswIncrementalSink, k14IndexErasure,
     k9PartitionOverwrite,
     k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
     k13MergeUpsert,

@@ -485,4 +485,83 @@ class AnnGraphSpec extends SparkSuite {
         r.getLong(3))).toSet
     assert(rows === mem, "served descent != in-memory descent")
   }
+
+  test("K14: truth reachable only THROUGH an erased node survives the " +
+    "tombstone but not the compaction") {
+    import spark.implicits._
+    // hand-built graph (the build is covered by the a17 invariants;
+    // this pins the ERASURE semantics): the only chain to the probe's
+    // true nearest T runs through hub H — entries → H → T. Erasing H:
+    //   tombstoned: H masked from results, but the beam still routes
+    //   THROUGH it, so T survives;
+    //   compacted: every edge touching H is gone and so is its vector —
+    //   T becomes unreachable, the honest recall cost of physical
+    //   erasure (k14's report makes it visible; this pins it).
+    // ids 0..7 are probes (vec_id < 8); only probe 0 is asserted on.
+    // H and T must not be entry points, and entries are the
+    // NSW_ENTRIES lowest h60("nswe|" || id) — replay the pick JVM-side
+    // over the id range and take H, T from the two HIGHEST hashes
+    // among the non-probe ids (provably off the entry list).
+    val ids = (0L to 19L)
+    val byHash = ids
+      .sortBy(id => (functions.Portable.h60Jvm(s"nswe|$id"), id))
+    val entries = byHash.take(operators.Ann.NSW_ENTRIES)
+    val Seq(t2, t1) = byHash.filter(_ >= 8L).takeRight(2)
+    val H = t1
+    val T = t2
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    // Fillers (every other non-probe id) sit on a foreign axis
+    // (sim 0 to probe 0).
+    val rows = Seq((0L, v(1, 0, 0, 0))) ++
+      (1L to 7L).map(i => (i, v(0, 0, 1, 0))) ++
+      ids.filter(i => i >= 8L && i != H && i != T)
+        .map(i => (i, v(0, 1, 0, 0))) ++
+      Seq((H, v(0.6, 0, 0, 0.8)), (T, v(0.99, 0, 0, 0.141)))
+    val corpus = rows.toDF("vec_id", "emb")
+    // wire every entry to H so the chain exists whichever ids hash
+    // lowest; filler edges never touch T
+    val fillerIds = ids.filter(i => i >= 8L && i != H && i != T)
+    val edges = (entries.map(e => (e, H)) ++ Seq((H, T)) ++
+      fillerIds.zip(fillerIds.tail).map { case (a, b) => (a, b) })
+      .toDF("v", "n")
+    def res(e: org.apache.spark.sql.DataFrame,
+        adj: org.apache.spark.sql.DataFrame,
+        mask: Option[org.apache.spark.sql.Column]) =
+      operators.Ann.nswSearchOverMasked(spark, e, adj, mask)
+        .filter(col("probe_id") === 0L)
+        .collect().map(r => r.getLong(1)).toSet
+    val before = res(corpus, edges, None)
+    assert(before.contains(T) && before.contains(H),
+      s"before erasure both H and T rank for probe 0: $before")
+    val tomb = res(corpus, edges, Some(col("vec_id") === H))
+    assert(tomb.contains(T), s"tombstone must route THROUGH H: $tomb")
+    assert(!tomb.contains(H), s"tombstoned H leaked into results: $tomb")
+    val comp = res(corpus.filter(col("vec_id") =!= H),
+      edges.filter(col("v") =!= H && col("n") =!= H), None)
+    assert(!comp.contains(H) && !comp.contains(T),
+      s"compaction severs the only chain to T: $comp")
+  }
+
+  test("K14: erased ids are gone from results and from the compacted " +
+    "table on disk") {
+    val out = sources.Ingest.k14IndexErasure.fn(spark, sf).collect()
+    val byPhase = out.groupBy(_.getString(0))
+    assert(byPhase.keySet === Set("before", "tombstoned", "compacted"))
+    // erased ids absent from every post-erasure phase
+    for (p <- Seq("tombstoned", "compacted"); r <- byPhase(p))
+      assert(r.getLong(2) % 9 != 8, s"erased id in $p: ${r.getLong(2)}")
+    // accounting: only the compacted phase carries the rewrite cost
+    assert(byPhase("compacted").forall(_.getLong(5) > 0L),
+      "compaction dropped no edges — erased set missed the index")
+    assert((byPhase("before") ++ byPhase("tombstoned"))
+      .forall(_.getLong(5) == 0L))
+    // physical erasure: the served compacted table holds no edge
+    // touching an erased id (the on-disk artifact, not just the query)
+    val compacted = spark.read
+      .parquet(s"${sources.Ingest.lakeRoot}/k14_compacted")
+    assert(compacted
+      .filter(col("v") % 9 === 8 || col("n") % 9 === 8)
+      .count() == 0L, "erased endpoints survive on disk")
+  }
 }
