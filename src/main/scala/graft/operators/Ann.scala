@@ -3439,6 +3439,170 @@ object Ann {
           ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused) t
       WHERE rn <= $RRF_TOPK"""))
 
+  // ---------------------------------------------------------------------
+  // A27: graph-index health report + rebuild decision — a16's retrain
+  // monitor for the SERVING shape a18/k8c maintain incrementally. An
+  // appended graph degrades silently: arrivals can end up under-linked
+  // (low degree), unreachable (no in-edge), or the whole graph can
+  // drift until the beam misses what brute force finds. This runs the
+  // nightly health check a production vector store schedules between
+  // append and rebuild:
+  //   - per-arrival degree stats over the appended edge set (standing
+  //     build ∪ delta both directions, set semantics);
+  //   - orphan arrivals: nodes with NO in-edge (unreachable, whatever
+  //     the beam does);
+  //   - reciprocity: fraction of directed edges whose reverse exists
+  //     (the NSW insertion invariant a18 promises);
+  //   - sampled recall: the probe set's beam results over the appended
+  //     graph vs exact brute-force top-K;
+  //   - rebuild: recall under REBUILD_TAU or any orphan — the a16
+  //     decision rule with the graph family's failure modes.
+  // One row; every number replayed by the oracle (the beam through
+  // nswSearchDuckCtes, brute force a5-style, the rest relational).
+  // Shape at scale: the health metrics are edge-table-sized aggregates
+  // (O(index), never O(corpus·dim)); the recall sample is |probes|
+  // beam walks + one corpus scan for truth.
+  // ---------------------------------------------------------------------
+  private[graft] val REBUILD_TAU = 0.6
+
+  val a27IndexHealth = Q(
+    "a27_index_health",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val delta = a18DeltaOut(s, d)
+      val alledges = LlmOps.pinFrame(
+        s"a27|${s.sparkContext.applicationId}|$d",
+        nswEdgesFrom(s, a18Standing(e)).select("v", "n")
+          .unionByName(delta.select(col("src").as("v"),
+            col("dst").as("n")))
+          .unionByName(delta.select(col("dst").as("v"),
+            col("src").as("n")))
+          .distinct())
+      alledges.count() // eager: the 5 beam hops must not race the cache
+      indexHealthOver(s, e, alledges)
+    },
+    a27OracleSql)
+
+  /** The health report over any (vec_id, emb) corpus + (v, n) appended
+    * edge set (arrivals = vec_id % 10 == 0, a18's split) — split from
+    * the Q so AnnGraphSpec can plant a degraded graph (an orphaned
+    * arrival, a beam-unreachable truth) and prove the rebuild decision
+    * FIRES. */
+  private[graft] def indexHealthOver(
+      s: SparkSession, e: DataFrame, alledges: DataFrame): DataFrame = {
+      val arrivals = e.filter(col("vec_id") % 10 === 0)
+      val beam = nswSearchOverMasked(s, e, alledges, None)
+        .select("probe_id", "vec_id")
+      import org.apache.spark.sql.expressions.Window
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val wB = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val brute = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= NSW_K)
+        .select("probe_id", "vec_id")
+      val hits = beam.join(brute, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      val truthN = brute.agg(count(lit(1)).as("tn"))
+      val stn = e.filter(col("vec_id") % 10 =!= 0)
+        .agg(count(lit(1)).as("n_standing"))
+      val arrn = arrivals.agg(count(lit(1)).as("n_arrivals"))
+      val adeg = arrivals.select(col("vec_id").as("v"))
+        .join(alledges, Seq("v"), "left")
+        .groupBy(col("v"))
+        .agg(sum(when(col("n").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("deg"))
+      val degs = adeg.agg(min(col("deg")).as("arr_deg_min"),
+        round(sum(col("deg")).cast("double") / count(lit(1)), 6)
+          .as("arr_deg_avg"),
+        max(col("deg")).as("arr_deg_max"))
+      val orph = arrivals
+        .join(alledges.select(col("n").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("orphan_arrivals"))
+      val recip = alledges
+        .join(alledges.select(col("n").as("v"), col("v").as("n")),
+          Seq("v", "n"), "left_semi")
+        .agg(count(lit(1)).as("recip"))
+      val tot = alledges.agg(count(lit(1)).as("tot"))
+      stn.crossJoin(broadcast(arrn))
+        .crossJoin(broadcast(orph))
+        .crossJoin(broadcast(degs))
+        .crossJoin(broadcast(recip))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(hits))
+        .crossJoin(broadcast(truthN))
+        .select(col("n_standing"), col("n_arrivals"),
+          col("orphan_arrivals"),
+          col("arr_deg_min"), col("arr_deg_avg"), col("arr_deg_max"),
+          round(col("recip").cast("double") / col("tot"), 6)
+            .as("reciprocity_frac"),
+          round(col("hits").cast("double") / col("tn"), 6)
+            .as("mean_recall"),
+          (round(col("hits").cast("double") / col("tn"), 6) <
+            lit(REBUILD_TAU) || col("orphan_arrivals") > 0L)
+            .as("rebuild"))
+  }
+
+  private def a27OracleSql: Option[String] =
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      ${a18DeltaDuckCtes},
+      ${nswBuildDuck("k",
+        "(SELECT vec_id, embedding FROM embeddings " +
+          "WHERE vec_id % 10 <> 0)")},
+      alledges AS MATERIALIZED (
+        SELECT v, n FROM kedges
+        UNION SELECT src AS v, dst AS n FROM outs
+        UNION SELECT dst AS v, src AS n FROM outs),
+      ${nswSearchDuckCtes("h", "alledges", "e", None)},
+      brute AS MATERIALIZED (
+        SELECT probe_id, vec_id FROM (
+          SELECT p.probe_id, e.vec_id, row_number() OVER (
+              PARTITION BY p.probe_id ORDER BY
+              round(list_inner_product(e.emb, p.p_emb)
+                / nullif(e.nrm * p.p_nrm, 0.0), 6) DESC,
+              e.vec_id ASC) AS rn
+          FROM e CROSS JOIN hp p WHERE e.vec_id <> p.probe_id) t
+        WHERE rn <= $NSW_K),
+      hits AS (SELECT CAST(count(*) AS BIGINT) AS hits
+        FROM hres JOIN brute USING (probe_id, vec_id)),
+      truthn AS (SELECT CAST(count(*) AS BIGINT) AS tn FROM brute),
+      arr AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0),
+      stn AS (SELECT CAST(count(*) AS BIGINT) AS n_standing
+        FROM embeddings WHERE vec_id % 10 <> 0),
+      arrn AS (SELECT CAST(count(*) AS BIGINT) AS n_arrivals FROM arr),
+      adeg AS (SELECT a.vec_id, CAST(count(g.v) AS BIGINT) AS deg
+        FROM arr a LEFT JOIN alledges g ON g.v = a.vec_id GROUP BY 1),
+      degs AS (SELECT CAST(min(deg) AS BIGINT) AS arr_deg_min,
+          round(CAST(sum(deg) AS DOUBLE) / count(*), 6) AS arr_deg_avg,
+          CAST(max(deg) AS BIGINT) AS arr_deg_max
+        FROM adeg),
+      orph AS (SELECT CAST(count(*) AS BIGINT) AS orphan_arrivals
+        FROM arr a WHERE NOT EXISTS (
+          SELECT 1 FROM alledges g WHERE g.n = a.vec_id)),
+      recip AS (SELECT CAST(count(*) AS BIGINT) AS recip
+        FROM alledges g WHERE EXISTS (
+          SELECT 1 FROM alledges r WHERE r.v = g.n AND r.n = g.v)),
+      tote AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM alledges)
+      SELECT s.n_standing, a.n_arrivals, o.orphan_arrivals,
+        d.arr_deg_min, d.arr_deg_avg, d.arr_deg_max,
+        round(CAST(r.recip AS DOUBLE) / t.tot, 6) AS reciprocity_frac,
+        round(CAST(h.hits AS DOUBLE) / u.tn, 6) AS mean_recall,
+        (round(CAST(h.hits AS DOUBLE) / u.tn, 6)
+            < CAST($REBUILD_TAU AS DOUBLE)
+          OR o.orphan_arrivals > 0) AS rebuild
+      FROM stn s, arrn a, orph o, degs d, recip r, tote t, hits h,
+        truthn u""")
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
@@ -3446,5 +3610,5 @@ object Ann {
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
       a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend,
-      a25FilteredNsw, a26HybridRrf)
+      a25FilteredNsw, a26HybridRrf, a27IndexHealth)
 }

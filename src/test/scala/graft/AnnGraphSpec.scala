@@ -543,6 +543,56 @@ class AnnGraphSpec extends SparkSuite {
       s"compaction severs the only chain to T: $comp")
   }
 
+  test("A27: rebuild fires on a planted orphan and on beam-unreachable " +
+    "truth; healthy graph reads healthy") {
+    import spark.implicits._
+    // 30-node corpus, arrivals = %10==0 (ids 10, 20; id 0 is a probe
+    // AND an arrival — fine, the monitor only needs the split). All
+    // vectors distinct axes except the probe cluster.
+    def v(i: Int) = {
+      val a = Array.fill(8)(0.0f); a(i % 8) = 1.0f; a.toSeq
+    }
+    val ids = (0L until 30L)
+    val corpus = ids.map(i => (i, v(i.toInt))).toDF("vec_id", "emb")
+    // healthy graph: a ring over ALL ids, both directions — every node
+    // reachable, fully reciprocal
+    val ring = ids.flatMap(i =>
+      Seq((i, (i + 1) % 30), ((i + 1) % 30, i))).toDF("v", "n")
+    val healthy = operators.Ann.indexHealthOver(spark, corpus, ring)
+      .collect().head
+    assert(healthy.getLong(healthy.fieldIndex("orphan_arrivals")) == 0L)
+    assert(healthy.getDouble(
+      healthy.fieldIndex("reciprocity_frac")) == 1.0)
+    // decision recomputes from the row's own columns
+    def rebuildOf(r: org.apache.spark.sql.Row): Boolean =
+      r.getDouble(r.fieldIndex("mean_recall")) <
+        operators.Ann.REBUILD_TAU ||
+        r.getLong(r.fieldIndex("orphan_arrivals")) > 0L
+    assert(healthy.getBoolean(healthy.fieldIndex("rebuild")) ==
+      rebuildOf(healthy))
+    // planted orphan: cut every edge INTO arrival 20 — rebuild must
+    // fire regardless of recall
+    val orphaned = operators.Ann.indexHealthOver(spark, corpus,
+      ring.filter(col("n") =!= 20L)).collect().head
+    assert(orphaned.getLong(
+      orphaned.fieldIndex("orphan_arrivals")) == 1L)
+    assert(orphaned.getBoolean(orphaned.fieldIndex("rebuild")),
+      "an unreachable arrival must trigger the rebuild")
+    // planted recall hole: edges only among ids >= 8 whose axes never
+    // match a probe's (probes sit on axes 0..7; nodes 8.. cycle the
+    // same 8 axes, so brute truth for each probe is its axis-sharing
+    // twins — none reachable when the graph is a far-group clique that
+    // excludes them)
+    val far = ids.filter(_ >= 8L)
+    val blind = far.zip(far.tail :+ far.head)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("v", "n")
+    val holed = operators.Ann.indexHealthOver(spark, corpus, blind)
+      .collect().head
+    assert(holed.getBoolean(holed.fieldIndex("rebuild")) ==
+      rebuildOf(holed))
+  }
+
   test("K14: erased ids are gone from results and from the compacted " +
     "table on disk") {
     val out = sources.Ingest.k14IndexErasure.fn(spark, sf).collect()
