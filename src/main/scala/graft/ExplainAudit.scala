@@ -96,7 +96,9 @@ object ExplainAudit {
       "k12_time_travel", "t22_quality_classifier", "sql_t22_classifier",
       "m7_audio_dedup", "a24_hnsw_extend", "k8d_hnsw_incremental_sink",
       "a25_filtered_nsw", "sql_w2_sliding",
-      "k13_merge_upsert", "g6_personalized_pagerank", "sql_g6_ppr")
+      "k13_merge_upsert", "g6_personalized_pagerank", "sql_g6_ppr",
+      "a26_hybrid_rrf", "sql_a26_hybrid", "g7_delta_pagerank",
+      "k14_index_erasure", "a27_index_health")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -1177,6 +1177,148 @@ object Ingest {
       FROM cuts GROUP BY version"""))
 
   // ---------------------------------------------------------------------
+  // K15: VACUUM — the janitor the commit family still lacked (k10
+  // publishes via the `_CURRENT` pointer, k12 travels/rolls back, but
+  // nothing ever RECLAIMED the files a failed or rolled-back publish
+  // left behind — Delta/Iceberg both ship this as VACUUM / expire +
+  // remove-orphans). Replays k10's protocol (base published, batch 1
+  // audits clean and publishes, batch 2 is poisoned: staged on disk
+  // but NEVER published), then vacuums: snapshot dirs on disk are
+  // diffed against the pointer's live set, orphans are counted and
+  // deleted, and the published read re-runs over the vacuumed lake —
+  // a green row proves the janitor deleted ONLY garbage (the pointer's
+  // data is bit-intact) while the spec proves the orphan is physically
+  // gone. Accounting stays replayable: orphan-ROW count and the
+  // live/vacuumed snapshot counts derive from the audit flags (file
+  // counts would be committer-dependent). At 100 TB this is the weekly
+  // storage-reclaim job: cost = one listing diff (metadata-sized) +
+  // O(orphan files) deletes, never a read of live data.
+  // ---------------------------------------------------------------------
+  val k15Vacuum = Q(
+    "k15_vacuum",
+    (s, d) => {
+      val lake = freshDir("k15_lake")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(lake), s.sparkContext.hadoopConfiguration)
+      def setPointer(snap: String): Unit = {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$lake/_CURRENT"), true)
+        out.write(snap.getBytes("UTF-8")); out.close()
+      }
+      def getPointer: String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$lake/_CURRENT"))
+        val b = new Array[Byte](256); val n = in.read(b); in.close()
+        new String(b, 0, n, "UTF-8")
+      }
+      val src = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("event_date"))
+      def stage(snap: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$lake/$snap")
+      def audit(snap: String): Boolean = {
+        val r = s.read.parquet(s"$lake/$snap")
+          .agg(count(lit(1)),
+            count(when(col("event_id").isNull ||
+              col("event_type").isNull, 1)),
+            count(when(col("value") < 0, 1))).head()
+        r.getLong(0) > 0 && r.getLong(1) == 0 && r.getLong(2) == 0
+      }
+      stage("snap-base", src.filter(col("event_date") < lit(K10_B1_FROM)))
+      setPointer("snap-base")
+      stage("snap-001", src.filter(col("event_date") >= lit(K10_B1_FROM)
+        && col("event_date") < lit(K10_B2_FROM)))
+      if (audit("snap-001")) setPointer(getPointer + ",snap-001")
+      // batch 2: k10's poisoned window — staged, audit fails, never
+      // published; its files are the orphans VACUUM exists for
+      stage("snap-002", src.filter(col("event_date") >= lit(K10_B2_FROM))
+        .withColumn("event_type",
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")))
+        .withColumn("value",
+          when(col("event_id") % 11 === 0, -col("value"))
+            .otherwise(col("value"))))
+      if (audit("snap-002")) setPointer(getPointer + ",snap-002")
+      // the orphan-row accounting reads the doomed snapshot BEFORE the
+      // delete (replayable: the oracle re-derives it from the same
+      // poisoning + audit predicates)
+      val live = getPointer.split(",").toSet
+      val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(lake))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("snap-"))
+        .map(_.getPath.getName).toSet
+      val orphans = (onDisk -- live).toSeq.sorted
+      val rowsVacuumed = orphans.map(o =>
+        s.read.parquet(s"$lake/$o").count()).sum
+      orphans.foreach(o => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$lake/$o"), true))
+      // the published read over the VACUUMED lake — identical to k10's
+      // pre-vacuum read iff the janitor deleted only garbage
+      val read = getPointer.split(",")
+        .map(p => s.read.parquet(s"$lake/$p"))
+        .reduce(_ unionByName _)
+      read.groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("n_snapshots_live", lit(live.size.toLong))
+        .withColumn("n_snapshots_vacuumed", lit(orphans.size.toLong))
+        .withColumn("rows_vacuumed", lit(rowsVacuumed))
+    },
+    // the oracle replays k10's publish protocol (poison + audit
+    // predicates, nothing hardcoded) to derive the live set, then the
+    // vacuumed-orphan accounting is the complement: rows of every
+    // staged-but-unpublished batch
+    Some(s"""WITH d AS (
+        SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date
+        FROM events),
+      b1 AS (SELECT * FROM d
+             WHERE event_date >= DATE '$K10_B1_FROM'
+               AND event_date < DATE '$K10_B2_FROM'),
+      b2p AS (
+        SELECT event_id,
+          CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+            AS event_type,
+          CASE WHEN event_id % 11 = 0 THEN -value ELSE value END AS value,
+          event_date
+        FROM d WHERE event_date >= DATE '$K10_B2_FROM'),
+      flags AS (
+        SELECT
+          (SELECT count(*) > 0
+              AND count(CASE WHEN event_id IS NULL
+                OR event_type IS NULL THEN 1 END) = 0
+              AND count(CASE WHEN value < 0 THEN 1 END) = 0
+            FROM b1) AS b1ok,
+          (SELECT count(*) > 0
+              AND count(CASE WHEN event_id IS NULL
+                OR event_type IS NULL THEN 1 END) = 0
+              AND count(CASE WHEN value < 0 THEN 1 END) = 0
+            FROM b2p) AS b2ok),
+      pub AS (
+        SELECT value, event_date FROM d
+        WHERE event_date < DATE '$K10_B1_FROM'
+        UNION ALL
+        SELECT value, event_date FROM b1 WHERE (SELECT b1ok FROM flags)
+        UNION ALL
+        SELECT value, event_date FROM b2p WHERE (SELECT b2ok FROM flags)),
+      acct AS (
+        SELECT
+          CAST(1 + (CASE WHEN b1ok THEN 1 ELSE 0 END)
+             + (CASE WHEN b2ok THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+          CAST((CASE WHEN b1ok THEN 0 ELSE 1 END)
+             + (CASE WHEN b2ok THEN 0 ELSE 1 END) AS BIGINT) AS n_vac,
+          CAST((CASE WHEN b1ok THEN 0
+              ELSE (SELECT count(*) FROM b1) END)
+            + (CASE WHEN b2ok THEN 0
+              ELSE (SELECT count(*) FROM b2p) END) AS BIGINT) AS rows_vac
+        FROM flags)
+      SELECT event_date, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        (SELECT n_live FROM acct) AS n_snapshots_live,
+        (SELECT n_vac FROM acct) AS n_snapshots_vacuumed,
+        (SELECT rows_vac FROM acct) AS rows_vacuumed
+      FROM pub GROUP BY event_date"""))
+
+  // ---------------------------------------------------------------------
   // K13: MERGE upsert — the lakehouse primitive that completes the
   // commit family (k9 repairs, k10 publishes, k11 erases, k12 travels,
   // THIS upserts; Iceberg/Delta ship it as MERGE INTO): an arriving
@@ -2293,7 +2435,7 @@ object Ingest {
     k8dHnswIncrementalSink, k14IndexErasure,
     k9PartitionOverwrite,
     k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
-    k13MergeUpsert,
+    k13MergeUpsert, k15Vacuum,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

@@ -390,4 +390,38 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(v2n === out("v2")._1,
       "the rolled-back version must remain readable AS OF its line")
   }
+
+  test("K15: vacuum deletes ONLY the orphan snapshot — live dirs and " +
+    "the published read are bit-intact, the orphan is physically gone") {
+    val rows = sources.Ingest.k15Vacuum.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactly one orphan (the poisoned staged-never-published batch 2),
+    // two live snapshots (base + batch 1), and real rows reclaimed
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_snapshots_live")) === 2L)
+      assert(r.getLong(r.fieldIndex("n_snapshots_vacuumed")) === 1L)
+      assert(r.getLong(r.fieldIndex("rows_vacuumed")) > 0L,
+        "the orphan must have held data — vacuum tested nothing")
+    }
+    val lake = s"${sources.Ingest.lakeRoot}/k15_lake"
+    // physical: the orphan dir is gone, the live dirs keep their files
+    assert(!new java.io.File(s"$lake/snap-002").exists(),
+      "the orphan snapshot directory must be deleted")
+    for (snap <- Seq("snap-base", "snap-001")) {
+      val parts = new java.io.File(s"$lake/$snap").listFiles()
+        .map(_.getName).filter(_.startsWith("part-"))
+      assert(parts.nonEmpty, s"live snapshot $snap lost its files")
+    }
+    // the pointer still names exactly the live set
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lake, "_CURRENT")), "UTF-8")
+    assert(cur === "snap-base,snap-001", s"pointer reads $cur")
+    // and the post-vacuum published read equals an independent re-read
+    // of the live dirs (the janitor touched no live data)
+    val reread = cur.split(",")
+      .map(p => spark.read.parquet(s"$lake/$p"))
+      .reduce(_ unionByName _).count()
+    assert(reread === rows.map(_.getLong(1)).sum,
+      "published rows changed across the vacuum")
+  }
 }
