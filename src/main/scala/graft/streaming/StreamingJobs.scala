@@ -910,4 +910,100 @@ object StreamingJobs {
         QualityRoute(id, guess)
       }
   }
+
+  /** Match thresholds for [[streamingHybridMatch]] — alerting dials,
+    * driver-visible in the output next to the raw arm scores. */
+  private[graft] val HYBRID_TAU_DENSE = 0.5
+  private[graft] val HYBRID_TAU_BM25 = 2.0
+
+  /** The standing-query index for [[streamingHybridMatch]], collapsed
+    * to ONE broadcastable row: a26's query side frozen at build time —
+    * the probe embeddings, each probe doc's top terms (a26's exact
+    * derivation), the df of those <= PROBES·QTERMS terms, and the
+    * corpus n/avgdl. A 100 TB corpus still collapses to a few KB here:
+    * everything is query-sized or scalar, never corpus-sized. */
+  def hybridStandingIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      e: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Ann
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val wQ = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qtf").desc, col("tok").asc)
+    val qterms = tf
+      .filter(col("doc_id") < Ann.RRF_PROBES &&
+        length(col("tok")) >= Ann.RRF_MINLEN)
+      .select(col("doc_id").as("probe_id"), col("tok"),
+        col("tf").as("qtf"))
+      .withColumn("qrn", row_number().over(wQ))
+      .filter(col("qrn") <= Ann.RRF_QTERMS)
+      .select("probe_id", "tok")
+    val dfm = toks
+      .join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(map_from_entries(collect_list(
+        struct(col("tok"), col("df")))).as("dfm"))
+    val qarr = e.filter(col("vec_id") < Ann.RRF_PROBES)
+      .join(qterms.groupBy(col("probe_id"))
+          .agg(sort_array(collect_list(col("tok"))).as("qtoks")),
+        col("vec_id") === col("probe_id"), "left")
+      .select(struct(col("vec_id").as("probe_id"),
+        col("emb").as("p_emb"),
+        coalesce(col("qtoks"), array().cast("array<string>"))
+          .as("qtoks")).as("q"))
+      .agg(array_sort(collect_list(col("q"))).as("queries"))
+    qarr.crossJoin(broadcast(dfm)).crossJoin(broadcast(stats))
+  }
+
+  /** Streaming standing-query hybrid matching — a26's two retrieval
+    * arms SERVED in the alerting direction: the standing QUERY set
+    * broadcasts (one row, [[hybridStandingIndex]]) and every arriving
+    * doc is scored against every standing query on BOTH arms
+    * statelessly — dense cosine on the batch kernel, BM25 with the
+    * frozen df/avgdl and the per-term tf computed in-row by
+    * higher-order functions (per-term scores rounded 6 then summed as
+    * DECIMAL, so the sum is order-independent and bit-equal to a
+    * relational explode+groupBy recompute — StreamingSpec pins it).
+    * matched = either arm over its threshold; no state, no watermark,
+    * append-safe, constant work per arrival (|queries| × qterms).
+    * Corpus-rank-based fusion (a26's RRF) needs the corpus and stays
+    * batch; THIS is the per-arrival face: which standing queries does
+    * the new doc light up. */
+  def streamingHybridMatch(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      index: DataFrame): DataFrame = {
+    import graft.operators.Ann
+    val cos = Ann.cosineSql(spark, "q.p_emb", "emb")
+    val term =
+      """aggregate(q.qtoks, CAST(0.0 AS DECIMAL(20,6)), (acc, tk) ->
+         CAST(acc + CAST(
+           CASE WHEN size(filter(tks, x -> x = tk)) = 0
+                  OR dfm[tk] IS NULL THEN 0.0
+           ELSE round(round(ln((n - dfm[tk] + 0.5D) / (dfm[tk] + 0.5D)
+               + 1.0D), 6)
+             * (size(filter(tks, x -> x = tk)) * 2.2D)
+             / (size(filter(tks, x -> x = tk)) + 1.2D *
+                (0.25D + 0.75D * (dl / avgdl))), 6)
+           END AS DECIMAL(20,6)) AS DECIMAL(20,6)))"""
+    arrivals.crossJoin(broadcast(index))
+      .withColumn("tks", split(lower(col("text")), " "))
+      .withColumn("dl", size(col("tks")).cast("double"))
+      .select(col("doc_id"), col("emb"), col("tks"), col("dl"),
+        col("dfm"), col("n"), col("avgdl"),
+        explode(col("queries")).as("q"))
+      .select(col("doc_id"), col("q.probe_id").as("probe_id"),
+        expr(s"round($cos, 6)").as("dense_sim"),
+        expr(term).cast("double").as("bm25"))
+      .withColumn("matched",
+        col("dense_sim") >= lit(HYBRID_TAU_DENSE) ||
+          col("bm25") >= lit(HYBRID_TAU_BM25))
+  }
 }

@@ -1124,4 +1124,118 @@ class StreamingSpec extends SparkSuite {
         "the fixture must exercise both routes")
     } finally q.stop()
   }
+
+  test("streaming hybrid standing-query matching equals an independent " +
+      "relational recompute of both arms, score for score") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the standing-query index, collapsed to one broadcastable row
+    val index = StreamingJobs.hybridStandingIndex(spark, e, docs)
+      .localCheckpoint()
+    // arrivals: the %10 slice with text + embedding
+    val arrivalRows = docs.filter(col("doc_id") % 10 === 0)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Float](2)))
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    val arrivals = input.toDF().toDF("doc_id", "text", "emb")
+    val q = StreamingJobs.streamingHybridMatch(spark, arrivals, index)
+      .writeStream.format("memory").queryName("hybridmatch_test")
+      .outputMode("append").start()
+    try {
+      arrivalRows.grouped(
+        math.max(1, arrivalRows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("hybridmatch_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      // INDEPENDENT relational recompute (explode + groupBy + joins —
+      // nothing shared with the HOF serving path except the constants):
+      val adf = arrivalRows.toSeq.toDF("doc_id", "text", "emb")
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val corpusDl = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"))
+      val stats = corpusDl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("qtf").desc, col("tok").asc)
+      val qterms = tf
+        .filter(col("doc_id") < Ann.RRF_PROBES &&
+          length(col("tok")) >= Ann.RRF_MINLEN)
+        .select(col("doc_id").as("probe_id"), col("tok"),
+          col("tf").as("qtf"))
+        .withColumn("qrn", row_number().over(wQ))
+        .filter(col("qrn") <= Ann.RRF_QTERMS)
+        .select("probe_id", "tok")
+      val dfq = toks
+        .join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val atoks = adf.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      val atf = atoks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val adl = adf.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("dl"))
+      val sparseScores = qterms.join(atf, Seq("tok"))
+        .join(broadcast(dfq), Seq("tok"))
+        .join(adl, Seq("doc_id")).crossJoin(broadcast(stats))
+        .select(col("probe_id"), col("doc_id"),
+          round(
+            round(log((col("n") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5)) + lit(1.0)), 6) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))),
+            6).as("term_score"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(sum(col("term_score").cast("decimal(20,6)"))
+          .cast("double").as("bm25"))
+      val probes = e.filter(col("vec_id") < Ann.RRF_PROBES)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val dot = "aggregate(zip_with(emb, p_emb, (x, y) -> " +
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+        "(a, v) -> a + v)"
+      def nrm(c: String) = s"sqrt(aggregate(zip_with($c, $c, (x, y) -> " +
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+        "(a, v) -> a + v))"
+      val batch = adf.crossJoin(broadcast(probes))
+        .select(col("doc_id"), col("probe_id"),
+          round(expr(
+            s"$dot / nullif(${nrm("emb")} * ${nrm("p_emb")}, 0.0)"), 6)
+            .as("dense_sim"))
+        .join(sparseScores, Seq("probe_id", "doc_id"), "left")
+        .select(col("doc_id"), col("probe_id"), col("dense_sim"),
+          coalesce(col("bm25"), lit(0.0)).as("bm25"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      assert(streamed.keySet === batch.keySet,
+        "every (arrival, standing query) pair scored exactly once")
+      streamed.foreach { case (k, (ds, bs, m)) =>
+        val (bd, bb) = batch(k)
+        assert(ds == bd, s"dense mismatch at $k: $ds vs $bd")
+        assert(bs == bb, s"bm25 mismatch at $k: $bs vs $bb")
+        assert(m == (ds >= StreamingJobs.HYBRID_TAU_DENSE ||
+          bs >= StreamingJobs.HYBRID_TAU_BM25),
+          s"matched flag inconsistent at $k")
+      }
+      // non-vacuity: both matched states and both arms exercised
+      assert(streamed.values.exists(_._3) &&
+        streamed.values.exists(!_._3),
+        "fixture must produce matched AND unmatched pairs")
+      assert(streamed.values.exists(v => v._2 > 0.0),
+        "fixture must exercise the sparse arm")
+    } finally q.stop()
+  }
 }
