@@ -98,7 +98,8 @@ object ExplainAudit {
       "a25_filtered_nsw", "sql_w2_sliding",
       "k13_merge_upsert", "g6_personalized_pagerank", "sql_g6_ppr",
       "a26_hybrid_rrf", "sql_a26_hybrid", "g7_delta_pagerank",
-      "k14_index_erasure", "a27_index_health", "k15_vacuum")
+      "k14_index_erasure", "a27_index_health", "k15_vacuum",
+      "sql_g7_delta")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

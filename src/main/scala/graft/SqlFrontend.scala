@@ -2050,6 +2050,117 @@ object SqlFrontend {
     },
     operators.LlmOps.d13CapReport.oracle)
 
+  /** The g7 MERGED-graph recurrence (base edges + the %50 delta link,
+    * bumped out-degrees, shrunken dangling set) in sql_g1's strictly-
+    * linear explode shape — base out-degree and delta membership are
+    * pure functions of doc_id, so round frames carry only
+    * (doc_id, n, pr) and the edges inline into the explode. */
+  private def sparkPrMergedRounds(tag: String, iters: Int): String = {
+    import operators.Graph.{PR_SCALE, PR_DAMP_PCT}
+    (1 to iters).map { i =>
+      s"""${tag}s$i AS (
+        SELECT explode(concat(
+          array(named_struct('node', doc_id, 'n', n,
+            'dang', dang, 'hist', hist,
+            'contrib', CAST(NULL AS BIGINT))),
+          transform(filter(array(0L, 1L, 2L), k -> k < doc_id % 4), k ->
+            named_struct(
+              'node', (doc_id * (CASE WHEN k = 0 THEN 7
+                WHEN k = 1 THEN 13 ELSE 29 END) + k + 1) % n,
+              'n', CAST(NULL AS BIGINT),
+              'dang', CAST(NULL AS BIGINT),
+              'hist', CAST(NULL AS ARRAY<BIGINT>),
+              'contrib', pr div (doc_id % 4 +
+                CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END))),
+          CASE WHEN doc_id % 50 = 0 THEN array(named_struct(
+              'node', (doc_id * 37 + 3) % n,
+              'n', CAST(NULL AS BIGINT),
+              'dang', CAST(NULL AS BIGINT),
+              'hist', CAST(NULL AS ARRAY<BIGINT>),
+              'contrib', pr div (doc_id % 4 + 1)))
+            ELSE CAST(array() AS ARRAY<STRUCT<node: BIGINT, n: BIGINT,
+              dang: BIGINT, hist: ARRAY<BIGINT>,
+              contrib: BIGINT>>) END)) AS x
+        FROM (SELECT doc_id, n, pr, dang, hist
+          FROM (SELECT doc_id, n, pr, hist,
+              coalesce(sum(CASE WHEN doc_id % 4 = 0
+                  AND doc_id % 50 <> 0 THEN pr END) OVER (), 0L) AS dang
+            FROM $tag${i - 1}) w
+          DISTRIBUTE BY doc_id)),
+      $tag$i AS (
+        SELECT doc_id, n, pr, array_append(hist, pr) AS hist FROM (
+          SELECT x.node AS doc_id, max(x.n) AS n,
+            (15 * ($PR_SCALE div max(x.n))) div 100
+              + ($PR_DAMP_PCT * (coalesce(sum(x.contrib), 0L)
+                  + max(x.dang) div max(x.n))) div 100 AS pr,
+            max(x.hist) AS hist
+          FROM ${tag}s$i GROUP BY x.node) z)"""
+    }.mkString(",\n      ")
+  }
+
+  // Incremental warm-start PageRank from SQL — g7's three fixpoints
+  // (base, cold-on-merged, warm-on-merged) as one SQL string: the base
+  // chain is sparkG1Ctes verbatim, the merged chains inline the delta
+  // edge + bumped out-degree as pure functions of doc_id (so round
+  // frames stay (doc_id, n, pr) and the recurrence stays strictly
+  // linear — one reference to the previous round), and the 14 report
+  // branches join round frames whose identical subtree text AQE
+  // collapses to reused stages. Shares g7's oracle, so a green row
+  // pins SQL == DSL == DuckDB on the whole warm-vs-cold trajectory.
+  // NOTE: three unrolled fixpoints = 34 chained CTEs + 14 report
+  // branches, which exceeds the analyzer's default 100-iteration
+  // fixed-point budget (a DIAL for deep plans, not a semantic knob) —
+  // the wrapper raises it session-wide before parsing; harmless for
+  // every other plan (the limit only binds on pathological depth).
+  val sqlG7Delta: Queries.Q = {
+    import operators.Graph.{PR_ITERS, PR_SCALE, G7_WARM}
+    // report from the carried histories: ONE join (cold ⋈ warm), then
+    // per-node round records explode off the arrays — no round frame
+    // is ever referenced twice (the t21 merges-array lesson; the
+    // branch-join form re-evaluated round subtrees and read 3x the
+    // DSL; this form reads at DSL-parity cost structure)
+    val report =
+      s"""joined AS (
+        SELECT c.doc_id, c.hist AS ch, w.hist AS wh,
+          element_at(c.hist, ${PR_ITERS + 1}) AS fin
+        FROM c$PR_ITERS c JOIN w$G7_WARM w ON w.doc_id = c.doc_id),
+      expl AS (
+        SELECT explode(concat(
+          transform(sequence(0, $PR_ITERS), i -> named_struct(
+            'phase', 'cold', 'round', CAST(i AS BIGINT),
+            'l1', CASE WHEN i = 0 THEN CAST(NULL AS BIGINT)
+              ELSE abs(element_at(ch, i + 1) - element_at(ch, i)) END,
+            'dist', abs(element_at(ch, i + 1) - fin))),
+          transform(sequence(0, $G7_WARM), i -> named_struct(
+            'phase', 'warm', 'round', CAST(i AS BIGINT),
+            'l1', CASE WHEN i = 0 THEN CAST(NULL AS BIGINT)
+              ELSE abs(element_at(wh, i + 1) - element_at(wh, i)) END,
+            'dist', abs(element_at(wh, i + 1) - fin))))) AS x
+        FROM joined)
+      SELECT x.phase AS phase, x.round AS round,
+        CAST(sum(x.l1) AS BIGINT) AS l1_delta,
+        CAST(sum(x.dist) AS BIGINT) AS dist_to_final
+      FROM expl GROUP BY x.phase, x.round"""
+    val text = s"""WITH $sparkG1Ctes,
+      c0 AS (
+        SELECT doc_id, nn.n, $PR_SCALE div nn.n AS pr,
+          array($PR_SCALE div nn.n) AS hist
+        FROM documents CROSS JOIN nn),
+      ${sparkPrMergedRounds("c", PR_ITERS)},
+      w0 AS (SELECT doc_id, n, pr, array(pr) AS hist FROM r$PR_ITERS),
+      ${sparkPrMergedRounds("w", G7_WARM)},
+      $report"""
+    Queries.Q("sql_g7_delta",
+      (s, d) => {
+        registerViews(s, d)
+        if (s.conf.get("spark.sql.analyzer.maxIterations", "100")
+            .toInt < 400)
+          s.conf.set("spark.sql.analyzer.maxIterations", "400")
+        s.sql(text)
+      },
+      operators.Graph.g7DeltaPagerank.oracle)
+  }
+
   // Hybrid dense+sparse retrieval with reciprocal-rank fusion as pure
   // SQL text: the dense arm through the injected cosine_sim expression
   // (sql_a5's kernel), the sparse arm t18's BM25 with the probe doc's
@@ -2140,5 +2251,5 @@ object SqlFrontend {
       sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlT22Classifier,
       sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
-      sqlC10Curriculum, sqlA26Hybrid)
+      sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta)
 }
