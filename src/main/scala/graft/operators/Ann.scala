@@ -3603,6 +3603,241 @@ object Ann {
       FROM stn s, arrn a, orph o, degs d, recip r, tote t, hits h,
         truthn u""")
 
+  // ---------------------------------------------------------------------
+  // A28: binary quantization + Hamming prefilter + exact rerank — the
+  // third quantization family next to a10's int8 SQ (4×) and a12's PQ
+  // (128×): ONE BIT per dimension (32× vs float32; 64 dims pack into two
+  // 32-bit signature words), which is what Lucene/Elasticsearch-class
+  // stores ship for first-pass candidate generation because Hamming
+  // distance over packed words costs 2 XOR + 2 popcount per pair — no
+  // float math touches the corpus until the rerank. Threshold is the
+  // per-dimension corpus MEAN (the standard BQ centering; a zero
+  // threshold would waste bits on biased dimensions). Search = Hamming
+  // top-BQ_CAND candidates per probe, then exact-cosine rerank to top-k,
+  // with the exact brute-force top-k joined in as an `exact_hit` column
+  // so the report is self-evaluating (the a11/a20 discipline: the
+  // shortfall of the cheap prefilter is visible in the output, never
+  // silent).
+  //
+  // Scale shape: the codebook is 64 mean rows (broadcast); signatures
+  // are a per-vector hash-agg (map-side combinable sums of disjoint bit
+  // words); the Hamming scan is the a5 broadcast-probe corpus pass but
+  // touching 16 BYTES per vector, and its rank filter compiles to
+  // WindowGroupLimit, so each task forwards ≤ BQ_CAND rows per probe —
+  // the rerank's float work is O(probes × BQ_CAND), corpus-size-
+  // independent. At 100 TB the signature scan composes with a7/a14's
+  // cells (scan only the probed cells' signatures); two 32-bit words
+  // per signature (not one 64-bit word) keeps every shift < 32 — exact
+  // on both engines with no sign-bit overflow cases to adjudicate.
+  // Parity: bit j is set iff x_j > mean_j with the mean accumulated in
+  // DECIMAL and rounded to 6dp; signature words are exact integer sums
+  // of distinct powers of two, so any cross-engine bit flip breaks the
+  // hash outright rather than hiding in a rounded distance.
+  // ---------------------------------------------------------------------
+  private val BQ_CAND = 20 // Hamming candidates reranked per probe
+  private val BQ_K = 5 // final top-k
+
+  val a28BinaryQuant = Q(
+    "a28_binary_quant",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val dims = e.select(col("vec_id"), posexplode(col("emb")))
+        .select(col("vec_id"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+      val mu = dims.groupBy(col("dim"))
+        .agg(round(sum(round(col("x"), 6).cast("decimal(20,6)"))
+          .cast("double") / count(lit(1)), 6).as("mn"))
+      val bits = dims.join(broadcast(mu), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          when(col("x") > col("mn"),
+            expr("shiftleft(CAST(1 AS BIGINT), dim % 32)"))
+            .otherwise(lit(0L)).as("b"))
+        .groupBy(col("vec_id"))
+        .agg(sum(when(col("dim") < 32, col("b")).otherwise(lit(0L)))
+          .as("lo"),
+          sum(when(col("dim") >= 32, col("b")).otherwise(lit(0L)))
+            .as("hi"))
+      val sigs = e.join(bits, Seq("vec_id"))
+      val probes = sigs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("lo").as("p_lo"), col("hi").as("p_hi"))
+      val ham = sigs.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("emb"), col("p_emb"),
+          expr("CAST(bit_count(lo ^ p_lo) + bit_count(hi ^ p_hi) " +
+            "AS BIGINT)").as("hamming"))
+      val wH = Window.partitionBy(col("probe_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      val cand = ham.withColumn("rn", row_number().over(wH))
+        .filter(col("rn") <= BQ_CAND)
+        .select(col("probe_id"), col("vec_id"), col("hamming"),
+          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val wS = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val topk = cand.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= BQ_K)
+        .select("probe_id", "vec_id", "hamming", "sim")
+      val exact = e.crossJoin(broadcast(
+          probes.select(col("probe_id"), col("p_emb"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("es"))
+      val wE = Window.partitionBy(col("probe_id"))
+        .orderBy(col("es").desc, col("vec_id").asc)
+      val truth = exact.withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= BQ_K)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      topk.join(truth, Seq("probe_id", "vec_id"), "left")
+        .select(col("probe_id"), col("vec_id"), col("hamming"),
+          col("sim"), coalesce(col("hit"), lit(0L)).as("exact_hit"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      dims AS (
+        SELECT vec_id, dim, emb[dim + 1] AS x
+        FROM e CROSS JOIN (SELECT unnest(range(64)) AS dim) g),
+      mu AS (
+        SELECT dim,
+          round(CAST(sum(CAST(round(x, 6) AS DECIMAL(20,6))) AS DOUBLE)
+            / count(*), 6) AS mn
+        FROM dims GROUP BY 1),
+      bits AS (
+        SELECT vec_id,
+          CAST(sum(CASE WHEN x > mn AND dim < 32
+            THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE 0 END)
+            AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN x > mn AND dim >= 32
+            THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE 0 END)
+            AS BIGINT) AS hi
+        FROM dims JOIN mu USING (dim) GROUP BY 1),
+      sigs AS (
+        SELECT e.vec_id, e.emb, e.nrm, b.lo, b.hi
+        FROM e JOIN bits b USING (vec_id)),
+      probes AS (
+        SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm,
+          lo AS p_lo, hi AS p_hi
+        FROM sigs WHERE vec_id < 20),
+      ham AS (
+        SELECT p.probe_id, s.vec_id, s.emb, s.nrm, p.p_emb, p.p_nrm,
+          CAST(bit_count(xor(s.lo, p.p_lo)) +
+               bit_count(xor(s.hi, p.p_hi)) AS BIGINT) AS hamming
+        FROM sigs s CROSS JOIN probes p WHERE s.vec_id <> p.probe_id),
+      cand AS (
+        SELECT probe_id, vec_id, hamming,
+          round(list_inner_product(emb, p_emb)
+            / nullif(nrm * p_nrm, 0.0), 6) AS sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY hamming ASC, vec_id ASC) AS rn FROM ham) t
+        WHERE rn <= $BQ_CAND),
+      topk AS (
+        SELECT probe_id, vec_id, hamming, sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM cand) t
+        WHERE rn <= $BQ_K),
+      ex AS (
+        SELECT p.probe_id, e.vec_id,
+          round(list_inner_product(e.emb, p.p_emb)
+            / nullif(e.nrm * p.p_nrm, 0.0), 6) AS es
+        FROM e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id),
+      truth AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY es DESC, vec_id ASC) AS rn FROM ex) t
+        WHERE rn <= $BQ_K)
+      SELECT k.probe_id, k.vec_id, k.hamming, k.sim,
+        CAST(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS exact_hit
+      FROM topk k LEFT JOIN truth t
+        ON t.probe_id = k.probe_id AND t.vec_id = k.vec_id"""))
+
+  // ---------------------------------------------------------------------
+  // A29: matryoshka dimension-truncation recall — the serving-dimension
+  // decision for MRL-style embeddings: production stores serve a PREFIX
+  // of each vector (64 → 32 → 16 dims) to cut index memory and scan
+  // bytes linearly, and the question that decides the cut is exactly
+  // this report — recall@k of prefix-cosine search against the
+  // full-dimension ground truth, per prefix width. Same broadcast-probe
+  // corpus-pass shape as a5/a11; truncation is a pure projection
+  // (slice), so it composes unchanged with ANY index family here (the
+  // IVF cells, the NSW beam, a28's signatures) — this query measures
+  // the quality side of that trade so the width choice is data-driven,
+  // not folklore. Output: (dims, probe_id, k, n_hits, recall), exact
+  // integer hit counts against the full-width top-k (the a11 recall
+  // discipline — both sets are size k, so the intersection count is
+  // direction-independent).
+  // ---------------------------------------------------------------------
+  private val MRL_DIMS = Seq(16, 32)
+  private val MRL_K = 5
+
+  val a29MatryoshkaRecall = Q(
+    "a29_matryoshka_recall",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      def topk(m: Int): DataFrame = {
+        val sims = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("se", slice(col("emb"), 1, m))
+          .withColumn("pe", slice(col("p_emb"), 1, m))
+          .select(col("probe_id"), col("vec_id"),
+            round(cosine(s, "se", "pe"), 6).as("sim"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        sims.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= MRL_K).select("probe_id", "vec_id")
+      }
+      val truth = topk(64)
+      MRL_DIMS.map { m =>
+        truth
+          .join(topk(m).withColumn("hit", lit(1)),
+            Seq("probe_id", "vec_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(col("hit")).as("n_hits"))
+          .select(lit(m.toLong).as("dims"), col("probe_id"),
+            lit(MRL_K.toLong).as("k"), col("n_hits"),
+            round(col("n_hits").cast("double") / MRL_K, 6).as("recall"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      def simCtes(m: Int, tag: String) = s"""sims_$tag AS (
+        SELECT p.probe_id, e.vec_id,
+          round(list_inner_product(e.emb[1:$m], p.p_emb[1:$m])
+            / nullif(sqrt(list_inner_product(e.emb[1:$m], e.emb[1:$m]))
+              * sqrt(list_inner_product(p.p_emb[1:$m], p.p_emb[1:$m])),
+              0.0), 6) AS sim
+        FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+      top_$tag AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY sim DESC, vec_id ASC) AS rn FROM sims_$tag) t
+        WHERE rn <= $MRL_K)"""
+      val reports = MRL_DIMS.map { m =>
+        s"""SELECT CAST($m AS BIGINT) AS dims, t.probe_id,
+          CAST($MRL_K AS BIGINT) AS k,
+          CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+          round(CAST(count(a.vec_id) AS DOUBLE) / $MRL_K, 6) AS recall
+        FROM top_64 t LEFT JOIN top_$m a
+          ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+        GROUP BY t.probe_id"""
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, emb AS p_emb
+            FROM e WHERE vec_id < 20),
+      ${(MRL_DIMS :+ 64).map(m => simCtes(m, m.toString))
+        .mkString(",\n      ")}
+      $reports"""
+    })
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
@@ -3610,5 +3845,6 @@ object Ann {
       d12bSemanticRecall, a15IncrementalIndex, a16RetrainDecision,
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
       a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend,
-      a25FilteredNsw, a26HybridRrf, a27IndexHealth)
+      a25FilteredNsw, a26HybridRrf, a27IndexHealth, a28BinaryQuant,
+      a29MatryoshkaRecall)
 }

@@ -713,8 +713,107 @@ object Extended {
       FROM srows r LEFT JOIN hfin f ON f.c = r.col_name"""
     })
 
+  // ---------------------------------------------------------------------
+  // X15: equi-height column histograms — the range-selectivity half of
+  // the CBO feed (x14 collects row counts / min-max / NDV; range
+  // predicates additionally need the DISTRIBUTION, which is what
+  // ANALYZE ... FOR COLUMNS histograms store). Built the way production
+  // engines build them at scale: from a FIXED-SIZE deterministic sample
+  // — each row ranks by a portable hash of its primary key and only the
+  // lowest HIST_SAMPLE hashes per column survive (a uniform fixed-size
+  // sample that any engine replays exactly; the rank filter compiles to
+  // WindowGroupLimit, so every task forwards at most HIST_SAMPLE rows
+  // per column and no stage ever sorts the full table — the x11 lesson:
+  // a global ntile over raw rows is the single-partition trap). The
+  // surviving sample (planner-sized by construction) is cut into
+  // HIST_BINS equi-height bins by ntile over the total order (value,
+  // hash), and each bin reports its bounds, sample count, and the
+  // estimated table rows it represents — the number a planner multiplies
+  // a range predicate against. Duplicate-heavy columns (l_quantity: 50
+  // distinct values) split a value across bins; the distinct-value
+  // variant is x14's NDV sketch — the two reports together are the
+  // stats a CBO consumes.
+  // ---------------------------------------------------------------------
+  private val HIST_SAMPLE = 4096
+  private val HIST_BINS = 8
+
+  val x15HistogramStats = Q(
+    "x15_histogram_stats",
+    (s, d) => {
+      import graft.functions.Portable
+      import org.apache.spark.sql.expressions.Window
+      val li = lineitem(s, d)
+      val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      val stacked = li
+        .select(explode(array(
+          struct(lit("l_quantity").as("col_name"),
+            col("l_quantity").cast("double").as("val"),
+            Portable.h60(key, "x15|q|").as("h")),
+          struct(lit("l_extendedprice").as("col_name"),
+            col("l_extendedprice").cast("double").as("val"),
+            Portable.h60(key, "x15|p|").as("h")))).as("e"))
+        .select(col("e.col_name"), col("e.val"), col("e.h"))
+      val wS = Window.partitionBy(col("col_name"))
+        .orderBy(col("h").asc, col("val").asc)
+      val sample = stacked.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= HIST_SAMPLE)
+      val wB = Window.partitionBy(col("col_name"))
+        .orderBy(col("val").asc, col("h").asc)
+      val bins = sample
+        .withColumn("bin", ntile(HIST_BINS).over(wB).cast("long"))
+        .groupBy(col("col_name"), col("bin"))
+        .agg(count(lit(1)).as("n_sample"), min(col("val")).as("lo"),
+          max(col("val")).as("hi"))
+      val sampleTotals = sample.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_in_sample"))
+      bins
+        .join(broadcast(sampleTotals), Seq("col_name"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
+        .select(col("col_name"), col("bin"), col("n_sample"),
+          col("lo"), col("hi"),
+          round(col("n_rows").cast("double") * col("n_sample") /
+            col("n_in_sample"), 2).as("est_rows"))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      val key = "CAST(l_orderkey AS VARCHAR) || '|' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      s"""WITH stacked AS (
+        SELECT 'l_quantity' AS col_name,
+          CAST(l_quantity AS DOUBLE) AS val,
+          ${h60Duck(key, "x15|q|")} AS h
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+          ${h60Duck(key, "x15|p|")}
+        FROM lineitem),
+      sample AS (
+        SELECT col_name, val, h FROM (
+          SELECT *, row_number() OVER (PARTITION BY col_name
+            ORDER BY h ASC, val ASC) AS rn
+          FROM stacked) t
+        WHERE rn <= $HIST_SAMPLE),
+      binned AS (
+        SELECT col_name, val,
+          CAST(ntile($HIST_BINS) OVER (PARTITION BY col_name
+            ORDER BY val ASC, h ASC) AS BIGINT) AS bin
+        FROM sample),
+      bins AS (
+        SELECT col_name, bin, CAST(count(*) AS BIGINT) AS n_sample,
+          min(val) AS lo, max(val) AS hi
+        FROM binned GROUP BY 1, 2),
+      tot AS (
+        SELECT col_name, CAST(count(*) AS BIGINT) AS n_in_sample
+        FROM sample GROUP BY 1),
+      nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+      SELECT b.col_name, b.bin, b.n_sample, b.lo, b.hi,
+        round(CAST(nr.n_rows AS DOUBLE) * b.n_sample / t.n_in_sample, 2)
+          AS est_rows
+      FROM bins b JOIN tot t USING (col_name) CROSS JOIN nr"""
+    })
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
-    x12WindowBattery, x13GroupingSets, x14TableStats)
+    x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats)
 }

@@ -4357,6 +4357,59 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private[graft] val T22_NFEAT = 64
 
+  /** t22's whole train-and-score derivation as DuckDB CTEs ending in
+    * `final` (doc_id, p_label, score DECIMAL; plus `held` with true
+    * labels) — no leading WITH, no trailing SELECT. The ONE oracle
+    * definition of [[t22Docs]]+[[t22Feats]]+[[t22Model]]+[[t22Scores]],
+    * shared by t22's router report and t23's calibration bins so the
+    * two replays can't drift. */
+  private def t22CtesDuck: String = s"""docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents),
+      lab AS (
+        SELECT doc_id, t,
+          CASE WHEN len(t) >= 15
+            AND CAST(len(list_filter(t, x -> x IN ('the', 'a')))
+                AS DOUBLE) / len(t) <= 0.4
+          THEN 'curated' ELSE 'quarantined' END AS label
+        FROM docs),
+      feats AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(2)})", "t22|")}
+            % $T22_NFEAT AS fh
+        FROM lab WHERE len(t) >= 2),
+      train AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 < 8),
+      nl AS (SELECT label, count(*) AS n_docs FROM train GROUP BY 1),
+      dfc AS (
+        SELECT tr.label, f.fh, count(*) AS df
+        FROM feats f JOIN train tr USING (doc_id) GROUP BY 1, 2),
+      grid AS (
+        SELECT nl.label AS p_label, g.fh,
+          round(ln((coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)), 6)
+            AS lp1,
+          round(ln(1.0 - (coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)),
+            6) AS lp0
+        FROM nl
+        CROSS JOIN (SELECT unnest(range($T22_NFEAT)) AS fh) g
+        LEFT JOIN dfc ON dfc.label = nl.label AND dfc.fh = g.fh),
+      prior AS (
+        SELECT label AS p_label,
+          round(ln(n_docs::DOUBLE / (SELECT count(*) FROM train)), 6)
+            AS logprior
+        FROM nl),
+      held AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 >= 8),
+      scored AS (
+        SELECT h.doc_id, g.p_label,
+          sum(CAST(CASE WHEN f.doc_id IS NOT NULL THEN g.lp1
+            ELSE g.lp0 END AS DECIMAL(20,6))) AS sum_lp
+        FROM held h CROSS JOIN grid g
+        LEFT JOIN feats f ON f.doc_id = h.doc_id AND f.fh = g.fh
+        GROUP BY 1, 2),
+      final AS (
+        SELECT s.doc_id, s.p_label,
+          s.sum_lp + CAST(pr.logprior AS DECIMAL(20,6)) AS score
+        FROM scored s JOIN prior pr USING (p_label))"""
+
   /** t22's gate-labeled token frame (doc_id, t, label) — c1's quality
     * gate as the labeling function, ONE definition shared by the query
     * and the streaming scorer's parity spec. */
@@ -4409,32 +4462,37 @@ object LlmOps {
     (grid, prior)
   }
 
+  /** t22's held-out per-(doc, class) posterior log-scores — the scorer's
+    * exact-decimal core, factored so t22's argmax router and t23's
+    * calibration margins share ONE definition. */
+  private[graft] def t22Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = t22Docs(s, d)
+    val feats = t22Feats(docs)
+    val (grid, prior) = t22Model(s, d)
+    docs.filter(col("doc_id") % 10 >= 8)
+      .select("doc_id")
+      .crossJoin(broadcast(grid))
+      .join(feats.withColumn("present", lit(1)),
+        Seq("doc_id", "fh"), "left")
+      .select(col("doc_id"), col("p_label"),
+        when(col("present") === 1, col("lp1")).otherwise(col("lp0"))
+          .cast("decimal(20,6)").as("lp"))
+      .groupBy(col("doc_id"), col("p_label"))
+      .agg(sum(col("lp")).as("sum_lp"))
+      .join(broadcast(prior), Seq("p_label"))
+      .select(col("doc_id"), col("p_label"),
+        (col("sum_lp") + col("logprior").cast("decimal(20,6)"))
+          .as("score"))
+  }
+
   /** t22's held-out routing (doc_id, guess) — the scorer itself,
     * factored so StreamingSpec can pin the streaming model-serving
     * path guess-for-guess against the batch router. */
   private[graft] def t22Guesses(s: SparkSession, d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val docs = t22Docs(s, d)
-      val feats = t22Feats(docs)
-      val (grid, prior) = t22Model(s, d)
-      val held = docs.filter(col("doc_id") % 10 >= 8)
-        .select("doc_id", "label")
-      val scored = held.select("doc_id")
-        .crossJoin(broadcast(grid))
-        .join(feats.withColumn("present", lit(1)),
-          Seq("doc_id", "fh"), "left")
-        .select(col("doc_id"), col("p_label"),
-          when(col("present") === 1, col("lp1")).otherwise(col("lp0"))
-            .cast("decimal(20,6)").as("lp"))
-        .groupBy(col("doc_id"), col("p_label"))
-        .agg(sum(col("lp")).as("sum_lp"))
-        .join(broadcast(prior), Seq("p_label"))
-        .select(col("doc_id"), col("p_label"),
-          (col("sum_lp") + col("logprior").cast("decimal(20,6)"))
-            .as("score"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("p_label").asc)
-      scored.withColumn("rn", row_number().over(w))
+      t22Scores(s, d).withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("p_label").as("guess"))
   }
@@ -4462,52 +4520,7 @@ object LlmOps {
           when(col("n_true") > 0,
             round(col("n_correct").cast("double") / col("n_true"), 6)))
     },
-    Some(s"""WITH docs AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS t
-        FROM documents),
-      lab AS (
-        SELECT doc_id, t,
-          CASE WHEN len(t) >= 15
-            AND CAST(len(list_filter(t, x -> x IN ('the', 'a')))
-                AS DOUBLE) / len(t) <= 0.4
-          THEN 'curated' ELSE 'quarantined' END AS label
-        FROM docs),
-      feats AS (
-        SELECT DISTINCT doc_id,
-          ${Portable.h60Duck(s"unnest(${ngramDuck(2)})", "t22|")}
-            % $T22_NFEAT AS fh
-        FROM lab WHERE len(t) >= 2),
-      train AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 < 8),
-      nl AS (SELECT label, count(*) AS n_docs FROM train GROUP BY 1),
-      dfc AS (
-        SELECT tr.label, f.fh, count(*) AS df
-        FROM feats f JOIN train tr USING (doc_id) GROUP BY 1, 2),
-      grid AS (
-        SELECT nl.label AS p_label, g.fh,
-          round(ln((coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)), 6)
-            AS lp1,
-          round(ln(1.0 - (coalesce(dfc.df, 0) + 1.0) / (nl.n_docs + 2)),
-            6) AS lp0
-        FROM nl
-        CROSS JOIN (SELECT unnest(range($T22_NFEAT)) AS fh) g
-        LEFT JOIN dfc ON dfc.label = nl.label AND dfc.fh = g.fh),
-      prior AS (
-        SELECT label AS p_label,
-          round(ln(n_docs::DOUBLE / (SELECT count(*) FROM train)), 6)
-            AS logprior
-        FROM nl),
-      held AS (SELECT doc_id, label FROM lab WHERE doc_id % 10 >= 8),
-      scored AS (
-        SELECT h.doc_id, g.p_label,
-          sum(CAST(CASE WHEN f.doc_id IS NOT NULL THEN g.lp1
-            ELSE g.lp0 END AS DECIMAL(20,6))) AS sum_lp
-        FROM held h CROSS JOIN grid g
-        LEFT JOIN feats f ON f.doc_id = h.doc_id AND f.fh = g.fh
-        GROUP BY 1, 2),
-      final AS (
-        SELECT s.doc_id, s.p_label,
-          s.sum_lp + CAST(pr.logprior AS DECIMAL(20,6)) AS score
-        FROM scored s JOIN prior pr USING (p_label)),
+    Some(s"""WITH $t22CtesDuck,
       guess AS (
         SELECT doc_id, p_label AS guess FROM (
           SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -4532,6 +4545,68 @@ object LlmOps {
         END AS rec
       FROM bt FULL OUTER JOIN bg USING (label)"""))
 
+  // ---------------------------------------------------------------------
+  // T23: classifier calibration — the reliability check that decides
+  // whether t22's scores can be THRESHOLDED (kept-if-margin>τ curation,
+  // the fastText deployment mode) rather than only argmax-routed: bin
+  // the held-out docs by their curated-vs-quarantined log-odds margin
+  // (score_curated − score_quarantined, an EXACT decimal — binning in
+  // logit space instead of sigmoid probabilities keeps the whole report
+  // free of cross-engine exp() last-ulp adjudication) and report each
+  // bin's empirical curated rate next to its mean margin. A calibrated
+  // model shows pos_rate rising monotonically with avg_margin and
+  // crossing 0.5 near margin 0; a miscalibrated one tells the operator
+  // the threshold must be fit per-bin, not read off the model. Bins are
+  // width-5 logits clamped to [-4, 3] so the tails stay non-empty and
+  // the output is a fixed ≤8-row frame at any corpus size; everything
+  // before the final rounding is exact integer/decimal arithmetic on
+  // both engines.
+  // ---------------------------------------------------------------------
+  val t23Calibration = Q(
+    "t23_calibration",
+    (s, d) => {
+      val margins = t22Scores(s, d)
+        .groupBy(col("doc_id"))
+        .agg((max(when(col("p_label") === "curated", col("score"))) -
+          max(when(col("p_label") === "quarantined", col("score"))))
+          .as("margin"))
+      val held = t22Docs(s, d).filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "label")
+      margins.join(held, Seq("doc_id"))
+        .select(
+          greatest(least(floor(col("margin").cast("double") / 5.0)
+            .cast("long"), lit(3L)), lit(-4L)).as("bin"),
+          col("margin"), col("label"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("label") === "curated", 1)).as("n_curated"),
+          round(sum(col("margin")).cast("double") / count(lit(1)), 6)
+            .as("avg_margin"))
+        .select(col("bin"), col("n"), col("n_curated"),
+          round(col("n_curated").cast("double") / col("n"), 6)
+            .as("curated_rate"),
+          col("avg_margin"))
+    },
+    Some(s"""WITH $t22CtesDuck,
+      margins AS (
+        SELECT doc_id,
+          max(CASE WHEN p_label = 'curated' THEN score END) -
+          max(CASE WHEN p_label = 'quarantined' THEN score END)
+            AS margin
+        FROM final GROUP BY 1),
+      binned AS (
+        SELECT greatest(least(CAST(floor(CAST(m.margin AS DOUBLE) / 5.0)
+              AS BIGINT), 3), -4) AS bin,
+          m.margin, h.label
+        FROM margins m JOIN held h USING (doc_id))
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(CASE WHEN label = 'curated' THEN 1 END) AS BIGINT)
+          AS n_curated,
+        round(CAST(count(CASE WHEN label = 'curated' THEN 1 END)
+          AS DOUBLE) / count(*), 6) AS curated_rate,
+        round(CAST(sum(margin) AS DOUBLE) / count(*), 6) AS avg_margin
+      FROM binned GROUP BY 1"""))
+
   def all: Seq[Q] = Seq(
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
@@ -4543,7 +4618,7 @@ object LlmOps {
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,
     t19DsirWeights, t20BpeMerges, t21BpeEncode, t9bPackBpe,
-    t22QualityClassifier,
+    t22QualityClassifier, t23Calibration,
     a9HllDistinct, a9bHllNative,
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,

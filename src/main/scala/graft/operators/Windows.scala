@@ -187,6 +187,142 @@ object Windows {
         n_missing_day
       FROM filled"""))
 
+  // ---------------------------------------------------------------------
+  // W5: ordered conversion funnel — the product-analytics staple over an
+  // event stream: per user, the first 'view', the first 'click' STRICTLY
+  // AFTER it, the first 'purchase' strictly after that, rolled up into a
+  // per-step report (users reached, conversion from the previous step,
+  // mean seconds to convert). The strict-sequence semantics (each step's
+  // anchor is the previous step's FIRST qualifying event, not any
+  // event) is the standard funnel definition; a bounded conversion
+  // window is one extra ts filter on each join.
+  //
+  // Scale shape: three hash-aggregates keyed by user_id (map-side
+  // combinable min) and two user-keyed joins — the per-step frames
+  // shrink monotonically, so every join's right side is smaller than
+  // the last; no window function ever sees more than one user's rows,
+  // and the final 3-row rollup is planner-sized. Parity: durations sum
+  // as exact epoch-microsecond integers (unix_micros/epoch_us) and
+  // divide to double only at the output edge; step counts are exact.
+  // ---------------------------------------------------------------------
+  val w5Funnel = Q(
+    "w5_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id"), col("t2")).agg(min(col("ts")).as("t3"))
+      val steps = v
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step"), lit("view").as("step_name"),
+          col("n_users"), lit(null).cast("long").as("sum_us"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"),
+            sum(expr("unix_micros(t2) - unix_micros(t1)")).as("sum_us"))
+          .select(lit(2).as("step"), lit("click").as("step_name"),
+            col("n_users"), col("sum_us")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"),
+            sum(expr("unix_micros(t3) - unix_micros(t2)")).as("sum_us"))
+          .select(lit(3).as("step"), lit("purchase").as("step_name"),
+            col("n_users"), col("sum_us")))
+      steps
+        .withColumn("conv_from_prev",
+          round(col("n_users").cast("double") /
+            lag(col("n_users"), 1).over(Window.orderBy(col("step"))), 6))
+        .select(col("step"), col("step_name"), col("n_users"),
+          col("conv_from_prev"),
+          round(col("sum_us").cast("double") / col("n_users") / 1e6, 6)
+            .as("avg_secs_to_step"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events),
+      v AS (SELECT user_id, min(ts) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, v.t1, min(e.ts) AS t2
+            FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY 1, 2),
+      p AS (SELECT e.user_id, c.t2, min(e.ts) AS t3
+            FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      steps AS (
+        SELECT 1 AS step, 'view' AS step_name,
+          CAST(count(*) AS BIGINT) AS n_users,
+          CAST(NULL AS BIGINT) AS sum_us
+        FROM v
+        UNION ALL
+        SELECT 2, 'click', CAST(count(*) AS BIGINT),
+          CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+        FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+          CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT)
+        FROM p)
+      SELECT step, step_name, n_users,
+        round(CAST(n_users AS DOUBLE) /
+          lag(n_users) OVER (ORDER BY step), 6) AS conv_from_prev,
+        round(CAST(sum_us AS DOUBLE) / n_users / 1e6, 6)
+          AS avg_secs_to_step
+      FROM steps"""))
+
+  // ---------------------------------------------------------------------
+  // W6: cohort retention — the other analytics staple: users cohorted by
+  // their first-activity day, and for each (cohort, day-offset) the
+  // count and fraction of the cohort active that day. Shape: one
+  // distinct on (user, day) — the only shuffle that sees event-scale
+  // data, keyed wide enough to never hot-spot — then a user-keyed min
+  // (the cohort assignment, map-side combinable), a user-keyed join,
+  // and a (cohort, offset) hash-agg; cohort sizes are a per-day frame
+  // (≤ #days rows) joined back broadcast-style. All counts exact;
+  // retention is the only double and is an exact integer ratio rounded
+  // at the edge.
+  // ---------------------------------------------------------------------
+  val w6Cohort = Q(
+    "w6_cohort",
+    (s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val first = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_cohort"))
+      days.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("offset_days"))
+        .agg(count(lit(1)).as("n_active")) // (user, day) already distinct
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("offset_days"), col("n_active"),
+          col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+    },
+    Some("""WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          AS day
+        FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+      cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+             FROM f GROUP BY 1)
+      SELECT f.cohort_day,
+        CAST(d.day - f.cohort_day AS BIGINT) AS offset_days,
+        CAST(count(*) AS BIGINT) AS n_active,
+        any_value(cs.n_cohort) AS n_cohort,
+        round(CAST(count(*) AS DOUBLE) / any_value(cs.n_cohort), 6)
+          AS retention
+      FROM days d
+      JOIN f ON f.user_id = d.user_id
+      JOIN cs ON cs.cohort_day = f.cohort_day
+      GROUP BY 1, 2"""))
+
   /** All event-time window queries, registration order. */
-  def all: Seq[Q] = Seq(w1Tumbling, w2Sliding, w3Session, w4GapFill)
+  def all: Seq[Q] =
+    Seq(w1Tumbling, w2Sliding, w3Session, w4GapFill, w5Funnel, w6Cohort)
 }

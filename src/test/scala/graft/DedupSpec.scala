@@ -323,6 +323,50 @@ class DedupSpec extends SparkSuite {
         s"recall ${rep("quarantined")._4}")
   }
 
+  test("T23: calibration bins partition the held-out set exactly, and " +
+      "the margins they bin agree with t22's argmax router") {
+    import org.apache.spark.sql.functions._
+    val held = graft.operators.LlmOps.t22Docs(spark, sf)
+      .filter(col("doc_id") % 10 >= 8).select("doc_id", "label")
+    val nHeld = held.count()
+    val nCurated = held.filter(col("label") === "curated").count()
+    val bins = graft.operators.LlmOps.t23Calibration.fn(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(bins.keySet.forall(b => b >= -4 && b <= 3), "clamped bins")
+    assert(bins.values.map(_._1).sum === nHeld,
+      "every held-out doc lands in exactly one bin")
+    assert(bins.values.map(_._2).sum === nCurated,
+      "binned positives must reconcile with the gate's own labels")
+    bins.foreach { case (b, (n, nc, rate, _)) =>
+      val want = BigDecimal(nc.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate === want, s"bin $b rate is not its own exact ratio")
+    }
+    // the report's margins and t22's router are the same decision:
+    // sign-of-margin (ties → 'curated', the router's asc tie-break)
+    // must reproduce every argmax guess
+    val margins = graft.operators.LlmOps.t22Scores(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg((max(when(col("p_label") === "curated", col("score"))) -
+        max(when(col("p_label") === "quarantined", col("score"))))
+        .as("m"))
+    val viaSign = margins
+      .select(col("doc_id"),
+        when(col("m") >= 0, "curated").otherwise("quarantined")
+          .as("guess"))
+    val router = graft.operators.LlmOps.t22Guesses(spark, sf)
+    val disagrees = viaSign.as("a")
+      .join(router.as("b"), Seq("doc_id"))
+      .filter(col("a.guess") =!= col("b.guess")).count()
+    assert(disagrees === 0L,
+      "sign-of-margin must reproduce the argmax routing exactly")
+    // calibration non-vacuity: both sides of the decision boundary are
+    // populated (an all-one-bin report can't inform a threshold)
+    assert(bins.size >= 2, "at least two margin bins must be occupied")
+  }
+
   test("C1c: quality election removes the per-lang worst, never adds") {
     def counts(q: graft.Queries.Q): Map[(String, String), Long] =
       q.fn(spark, sf).collect()

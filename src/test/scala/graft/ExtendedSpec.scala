@@ -265,4 +265,43 @@ class ExtendedSpec extends SparkSuite {
     val sizes = rows.groupBy(_.getString(6)).view.mapValues(_.map(_.getLong(1)).sum)
     assert(sizes("zorder") === sizes("linear"))
   }
+
+  test("X15: equi-height histogram bins tile each column in order, " +
+      "sample and estimate totals reconcile, and the sample is " +
+      "deterministic") {
+    val nRows = Tables.lineitem(spark, sf).count()
+    def run() = operators.Extended.x15HistogramStats.fn(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    val got = run().toMap
+    val byCol = got.groupBy(_._1._1)
+    assert(byCol.keySet === Set("l_quantity", "l_extendedprice"))
+    byCol.foreach { case (c, cells) =>
+      val bins = cells.toSeq.sortBy(_._1._2)
+      assert(bins.map(_._1._2) === (1L to 8L), s"$c: 8 contiguous bins")
+      val sampleTotal = bins.map(_._2._1).sum
+      assert(sampleTotal === math.min(4096L, nRows),
+        s"$c: fixed-size sample")
+      // ntile balance: heights differ by at most 1
+      val hs = bins.map(_._2._1)
+      assert(hs.max - hs.min <= 1, s"$c: equi-height violated: $hs")
+      // bins tile the domain in order (a value split across adjacent
+      // bins makes hi(k) == lo(k+1); inversion is a bug)
+      bins.foreach { case ((_, b), (_, lo, hi, _)) =>
+        assert(lo <= hi, s"$c bin $b: lo > hi") }
+      bins.sliding(2).foreach {
+        case Seq((_, (_, _, hi1, _)), ((_, b2), (_, lo2, _, _))) =>
+          assert(hi1 <= lo2, s"$c: bin ${b2 - 1} hi must be <= bin $b2 lo")
+        case _ => ()
+      }
+      // the per-bin row estimates add back up to the table (each bin is
+      // rounded to 2dp, so allow the accumulated rounding only)
+      val est = bins.map(_._2._4).sum
+      assert(math.abs(est - nRows) <= 0.01 * 8,
+        s"$c: estimates must reconcile to n_rows ($est vs $nRows)")
+    }
+    // the hash-ranked sample (and so the whole report) is deterministic
+    assert(run().toMap === got, "re-run must reproduce bit-identically")
+  }
 }

@@ -93,6 +93,63 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(byStatus("observed") === 4, "3 steps-minutes + 1 hr-minute")
   }
 
+  test("W5: funnel honors STRICT step ordering — a click before the " +
+      "first view never converts, steps/durations are exact") {
+    // user 1: full funnel (view 00:00 → click 00:10 → purchase 00:30);
+    // user 2: click BEFORE its first view, purchase after the view —
+    //   a has-all-three-types or min-per-type funnel would count it at
+    //   step 2/3; strict sequencing stops it at step 1;
+    // user 3: view → click, never purchases (stops at step 2);
+    // user 4: purchase only (never enters the funnel at all).
+    val rows = Seq(
+      (0L, ts("2024-03-01 00:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-03-01 00:10:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-03-01 00:30:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-03-01 00:01:00"), 2L, "click", 1.0, "{}"),
+      (4L, ts("2024-03-01 00:05:00"), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-03-01 00:06:00"), 2L, "purchase", 1.0, "{}"),
+      (6L, ts("2024-03-01 00:00:00"), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-03-01 00:05:00"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-03-01 00:02:00"), 4L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("w5fix").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Windows.w5Funnel.fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(got(1) === (("view", 3L, null, null)))
+    assert(got(2) === (("click", 2L, 0.666667, 450.0)),
+      "user 2's pre-view click must NOT convert; durations avg " +
+        "(600 + 300) / 2")
+    assert(got(3) === (("purchase", 1L, 0.5, 1200.0)))
+  }
+
+  test("W6: cohorts anchor on each user's first-ever day; retention " +
+      "counts distinct active users per offset, exactly") {
+    // cohort Mar-1: users 1 (active d0, d2 twice — distinct must not
+    // double-count) and 2 (d0 only); cohort Mar-2: user 3 (d0, d1).
+    val rows = Seq(
+      (0L, ts("2024-03-01 08:00:00"), 1L, "view", 1.0, "{}"),
+      (1L, ts("2024-03-03 09:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-03-03 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-03-01 12:00:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-03-02 07:00:00"), 3L, "view", 1.0, "{}"),
+      (5L, ts("2024-03-03 07:00:00"), 3L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("w6fix").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Windows.w6Cohort.fn(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size === 4, s"exactly 4 (cohort, offset) cells, got $got")
+    assert(got(("2024-03-01", 0L)) === ((2L, 2L, 1.0)))
+    assert(got(("2024-03-01", 2L)) === ((1L, 2L, 0.5)),
+      "user 1's two Mar-3 events must count once (distinct user-days)")
+    assert(got(("2024-03-02", 0L)) === ((1L, 1L, 1.0)))
+    assert(got(("2024-03-02", 1L)) === ((1L, 1L, 1.0)))
+  }
+
   test("K1: partition filter prunes the lake scan (plan-level)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = sources.Ingest.k1PartitionedSink.fn(spark, sf)
