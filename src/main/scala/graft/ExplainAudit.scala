@@ -99,7 +99,10 @@ object ExplainAudit {
       "k13_merge_upsert", "g6_personalized_pagerank", "sql_g6_ppr",
       "a26_hybrid_rrf", "sql_a26_hybrid", "g7_delta_pagerank",
       "k14_index_erasure", "a27_index_health", "k15_vacuum",
-      "sql_g7_delta")
+      "sql_g7_delta",
+      "a28_binary_quant", "a29_matryoshka_recall", "w5_funnel",
+      "w6_cohort", "t23_calibration", "x15_histogram_stats",
+      "sql_w5_funnel", "sql_w6_cohort", "sql_x15_histogram")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

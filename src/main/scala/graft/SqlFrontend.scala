@@ -554,6 +554,115 @@ object SqlFrontend {
       FROM filled""",
     operators.Windows.w4GapFill.oracle)
 
+  // Conversion funnel from SQL — w5's strict-sequence semantics as one
+  // Spark SQL string sharing w5's oracle. The text IS the oracle's
+  // modulo one dialect delta: epoch microseconds spell unix_micros()
+  // here vs DuckDB's epoch_us(). Same three user-keyed min-aggregates
+  // and monotone-shrinking joins as the DSL; the 3-row rollup window is
+  // planner-sized.
+  val sqlW5Funnel: Queries.Q = sqlQ(
+    "sql_w5_funnel",
+    """WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events),
+      v AS (SELECT user_id, min(ts) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, v.t1, min(e.ts) AS t2
+            FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY 1, 2),
+      p AS (SELECT e.user_id, c.t2, min(e.ts) AS t3
+            FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      steps AS (
+        SELECT 1 AS step, 'view' AS step_name,
+          CAST(count(*) AS BIGINT) AS n_users,
+          CAST(NULL AS BIGINT) AS sum_us
+        FROM v
+        UNION ALL
+        SELECT 2, 'click', CAST(count(*) AS BIGINT),
+          CAST(sum(unix_micros(t2) - unix_micros(t1)) AS BIGINT)
+        FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+          CAST(sum(unix_micros(t3) - unix_micros(t2)) AS BIGINT)
+        FROM p)
+      SELECT step, step_name, n_users,
+        round(CAST(n_users AS DOUBLE) /
+          lag(n_users) OVER (ORDER BY step), 6) AS conv_from_prev,
+        round(CAST(sum_us AS DOUBLE) / n_users / 1e6, 6)
+          AS avg_secs_to_step
+      FROM steps""",
+    operators.Windows.w5Funnel.oracle)
+
+  // Cohort retention from SQL — w6's first-day cohorts sharing w6's
+  // oracle. Dialect deltas: datediff(end, start) vs DuckDB's date
+  // subtraction, and Spark's any_value carries the (functionally
+  // determined) cohort size through the group.
+  val sqlW6Cohort: Queries.Q = sqlQ(
+    "sql_w6_cohort",
+    """WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          AS day
+        FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+      cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+             FROM f GROUP BY 1)
+      SELECT f.cohort_day,
+        CAST(datediff(d.day, f.cohort_day) AS BIGINT) AS offset_days,
+        CAST(count(*) AS BIGINT) AS n_active,
+        any_value(cs.n_cohort) AS n_cohort,
+        round(CAST(count(*) AS DOUBLE) / any_value(cs.n_cohort), 6)
+          AS retention
+      FROM days d
+      JOIN f ON f.user_id = d.user_id
+      JOIN cs ON cs.cohort_day = f.cohort_day
+      GROUP BY 1, 2""",
+    operators.Windows.w6Cohort.oracle)
+
+  // Equi-height histograms from SQL — x15's fixed-size hash-ranked
+  // sample + ntile cut sharing x15's oracle; the only dialect delta is
+  // the portable-hash spelling (conv-md5 here, 0x-md5 in DuckDB). Both
+  // rank filters compile to WindowGroupLimit exactly as the DSL's.
+  val sqlX15Histogram: Queries.Q = {
+    import graft.functions.Portable.h60Sql
+    val key = "concat_ws('|', l_orderkey, l_linenumber)"
+    sqlQ(
+      "sql_x15_histogram",
+      s"""WITH stacked AS (
+        SELECT 'l_quantity' AS col_name,
+          CAST(l_quantity AS DOUBLE) AS val,
+          ${h60Sql(key, "x15|q|")} AS h
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+          ${h60Sql(key, "x15|p|")}
+        FROM lineitem),
+      sample AS (
+        SELECT col_name, val, h FROM (
+          SELECT *, row_number() OVER (PARTITION BY col_name
+            ORDER BY h ASC, val ASC) AS rn
+          FROM stacked) t
+        WHERE rn <= 4096),
+      binned AS (
+        SELECT col_name, val,
+          CAST(ntile(8) OVER (PARTITION BY col_name
+            ORDER BY val ASC, h ASC) AS BIGINT) AS bin
+        FROM sample),
+      bins AS (
+        SELECT col_name, bin, CAST(count(*) AS BIGINT) AS n_sample,
+          min(val) AS lo, max(val) AS hi
+        FROM binned GROUP BY 1, 2),
+      tot AS (
+        SELECT col_name, CAST(count(*) AS BIGINT) AS n_in_sample
+        FROM sample GROUP BY 1),
+      nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+      SELECT b.col_name, b.bin, b.n_sample, b.lo, b.hi,
+        round(CAST(nr.n_rows AS DOUBLE) * b.n_sample / t.n_in_sample, 2)
+          AS est_rows
+      FROM bins b JOIN tot t USING (col_name) CROSS JOIN nr""",
+      operators.Extended.x15HistogramStats.oracle)
+  }
+
   // BPE train-then-encode from SQL — t21's full lifecycle in one Spark
   // SQL string. THE SHAPE IS THE POINT (the sql_g1 lesson, applied
   // before measuring this time): the naive unrolled form needs each
@@ -2243,7 +2352,8 @@ object SqlFrontend {
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
-      sqlW2Sliding, sqlW4GapFill,
+      sqlW2Sliding, sqlW4GapFill, sqlW5Funnel, sqlW6Cohort,
+      sqlX15Histogram,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,

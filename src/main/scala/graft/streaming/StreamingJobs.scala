@@ -1006,4 +1006,86 @@ object StreamingJobs {
         col("dense_sim") >= lit(HYBRID_TAU_DENSE) ||
           col("bm25") >= lit(HYBRID_TAU_BM25))
   }
+
+  /** Per-user funnel anchors for [[streamingFunnel]] — epoch micros,
+    * -1 = step not yet reached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelProgress(
+      user_id: Long, step_reached: Int, t1_us: Long, t2_us: Long,
+      t3_us: Long)
+
+  /** Streaming funnel — w5's strict-sequence conversion tracker run
+    * continuously: per user, GroupState holds the three step anchors
+    * (first view; first click strictly after it; first purchase
+    * strictly after that) and every micro-batch emits the user's
+    * refreshed progress — the live funnel dashboard face of the batch
+    * report.
+    *
+    * Cross-batch contract (the minOwnerRoutes discipline, stated
+    * rather than implied): each anchor refines MONOTONICALLY DOWNWARD
+    * while the step above it is still open, and FREEZES the moment
+    * that step anchors — so in-order (or even reordered-within-batch)
+    * delivery reproduces batch w5 exactly, while a late-arriving
+    * earlier event can only improve steps whose successors haven't
+    * fired yet. Two honest divergences from the replayable batch
+    * truth, both pinned by StreamingSpec: (1) a step candidate that
+    * arrived before its predecessor anchored in a PRIOR batch is gone
+    * (the stream holds anchors, never event history); (2) once t2
+    * anchors, a later-arriving earlier view cannot re-open it. The
+    * batch query is the truth; the stream is the monitoring face.
+    *
+    * Memory: one 24-byte state per user, plus — within a single
+    * batch — the user's distinct click/purchase timestamps (TreeSets,
+    * needed because the view anchor is only final at group end and the
+    * "first click AFTER t1" successor query cannot be answered
+    * one-sided mid-pass); views fold to a single running min. Bounded
+    * by the user's per-batch event count, never by stream history. */
+  def streamingFunnel(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    arrivals
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout) { case (user, rows, state) =>
+        val st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+        var minView = Long.MaxValue
+        val clicks = scala.collection.mutable.TreeSet.empty[Long]
+        val purchases = scala.collection.mutable.TreeSet.empty[Long]
+        rows.foreach { case (_, typ, us) =>
+          typ match {
+            case "view" => if (us < minView) minView = us
+            case "click" => clicks += us
+            case "purchase" => purchases += us
+            case _ => ()
+          }
+        }
+        // anchors resolve bottom-up at group end; each refines downward
+        // only while the NEXT step is still open (freeze-on-anchor)
+        val t1 =
+          if (st.t2 >= 0) st.t1
+          else Seq(st.t1, minView).filter(_ >= 0)
+            .filter(_ != Long.MaxValue).sorted.headOption.getOrElse(-1L)
+        def succ(s: scala.collection.mutable.TreeSet[Long],
+            after: Long): Long =
+          if (after < 0) -1L
+          else s.rangeFrom(after + 1).headOption.getOrElse(-1L)
+        val t2 =
+          if (st.t3 >= 0) st.t2
+          else Seq(st.t2, succ(clicks, t1)).filter(_ >= 0)
+            .sorted.headOption.getOrElse(-1L)
+        // t3 has no successor step, so it refines downward forever
+        val t3 = Seq(st.t3, succ(purchases, t2)).filter(_ >= 0)
+          .sorted.headOption.getOrElse(-1L)
+        val next = FunnelState(t1, t2, t3)
+        state.update(next)
+        FunnelProgress(user,
+          if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0,
+          t1, t2, t3)
+      }
+  }
 }

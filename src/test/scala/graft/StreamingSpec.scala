@@ -1238,4 +1238,72 @@ class StreamingSpec extends SparkSuite {
         "fixture must exercise the sparse arm")
     } finally q.stop()
   }
+
+  test("streaming funnel: in-order parity with batch w5, monotone " +
+      "refinement, freeze-on-anchor, and the documented lost-candidate " +
+      "divergence") {
+    implicit val sqlCtx = spark.sqlContext
+    def us(s: String) = ts(s).getTime * 1000L
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    val q = StreamingJobs.streamingFunnel(spark, events)
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("update").start()
+    try {
+      // batch 1: the w5 planted fixture delivered in-order — users 1
+      // (full funnel), 2 (click precedes first view: stops at 1), 3
+      // (no purchase: stops at 2), 4 (purchase only: step 0); plus the
+      // cross-batch users' openers
+      input.addData(
+        (1L, "view", ts("2024-03-01 00:00:00")),
+        (1L, "click", ts("2024-03-01 00:10:00")),
+        (1L, "purchase", ts("2024-03-01 00:30:00")),
+        (2L, "click", ts("2024-03-01 00:01:00")),
+        (2L, "view", ts("2024-03-01 00:05:00")),
+        (2L, "purchase", ts("2024-03-01 00:06:00")),
+        (3L, "view", ts("2024-03-01 00:00:00")),
+        (3L, "click", ts("2024-03-01 00:05:00")),
+        (4L, "purchase", ts("2024-03-01 00:02:00")),
+        (11L, "click", ts("2024-03-01 00:20:00")),
+        (12L, "view", ts("2024-03-01 00:10:00")),
+        (12L, "click", ts("2024-03-01 00:20:00")),
+        (13L, "view", ts("2024-03-01 00:01:00")),
+        (13L, "click", ts("2024-03-01 00:02:00")),
+        (13L, "purchase", ts("2024-03-01 00:10:00")))
+      q.processAllAvailable()
+      def rows() = spark.table("funnel_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val b1 = rows().map(r => r._1 -> r).toMap
+      // in-order single-batch delivery == batch w5's strict sequencing
+      assert(b1(1L) === ((1L, 3, us("2024-03-01 00:00:00"),
+        us("2024-03-01 00:10:00"), us("2024-03-01 00:30:00"))))
+      assert(b1(2L)._2 === 1, "pre-view click must not convert")
+      assert(b1(3L)._2 === 2)
+      assert(b1(4L)._2 === 0)
+      // batch 2: the cross-batch contracts
+      input.addData(
+        // user 11: its click arrived BEFORE any view anchored and is
+        // gone — the documented lost-candidate divergence (batch truth
+        // would say step 2)
+        (11L, "view", ts("2024-03-01 00:10:00")),
+        // user 12: t2 already anchored — an earlier view cannot
+        // re-open it (t1 frozen)
+        (12L, "view", ts("2024-03-01 00:05:00")),
+        // user 13: a late purchase still after t2 refines t3 downward
+        (13L, "purchase", ts("2024-03-01 00:05:00")))
+      q.processAllAvailable()
+      val all = rows()
+      val b2 = all.groupBy(_._1).view
+        .mapValues(_.maxBy(r => (r._2, -r._5))).toMap
+      assert(b2(11L)._2 === 1,
+        "lost pre-anchor candidate: stream stays at step 1 by contract")
+      assert(all.filter(_._1 === 12L).forall(
+        _._3 === us("2024-03-01 00:10:00")),
+        "t1 must stay frozen once t2 anchored")
+      assert(all.filter(_._1 === 13L).map(_._5).min ===
+        us("2024-03-01 00:05:00"),
+        "a later-arriving earlier purchase (still after t2) refines t3")
+    } finally q.stop()
+  }
 }
