@@ -102,7 +102,9 @@ object ExplainAudit {
       "sql_g7_delta",
       "a28_binary_quant", "a29_matryoshka_recall", "w5_funnel",
       "w6_cohort", "t23_calibration", "x15_histogram_stats",
-      "sql_w5_funnel", "sql_w6_cohort", "sql_x15_histogram")
+      "sql_w5_funnel", "sql_w6_cohort", "sql_x15_histogram",
+      "x16_data_quality", "c12_importance_resample",
+      "k16_expire_snapshots")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -812,8 +812,140 @@ object Extended {
       FROM bins b JOIN tot t USING (col_name) CROSS JOIN nr"""
     })
 
+  // ---------------------------------------------------------------------
+  // X16: declarative data-quality constraint suite — the dbt-test /
+  // Deequ half of the stats story (x14 describes the data, x15 its
+  // distribution; THIS one asserts the contracts a lake consumer relies
+  // on): primary-key uniqueness, referential integrity, non-null,
+  // value-range, accepted-values, and no-future-timestamps, each
+  // reported as (check, target, n_checked, n_violations, passed) so a
+  // scheduler can gate a publish on `bool_and(passed)` — the k10 audit
+  // discipline generalized from one batch to the whole lake.
+  //
+  // Shape at scale: every per-row predicate check rides ONE conditional
+  // aggregate over its table's single scan (orders' three checks share
+  // one scan; lineitem's range check shares the PK scan); the only wide
+  // stages are the two a lake cannot avoid — the PK distinct (keyed on
+  // the key being asserted, map-side partial) and the FK existence
+  // probe (a key-only left join against the distinct parent keys; at
+  // 100 TB both sides shuffle on the join key and the probe carries 8
+  // bytes per row). Violation COUNTS, not just flags: the report tells
+  // the operator how broken, and zero rows are never silently green
+  // (n_checked is part of the contract).
+  // ---------------------------------------------------------------------
+  val x16DataQuality = Q(
+    "x16_data_quality",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val o = orders(s, d)
+      val ev = graft.Tables.events(s, d)
+      // lineitem: PK uniqueness + quantity range off one scan-and-agg
+      val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"),
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .as("v_range"))
+      val liChecks = liAgg.select(explode(array(
+        struct(lit("pk_unique").as("check_name"),
+          lit("lineitem(l_orderkey,l_linenumber)").as("target"),
+          col("n").as("n_checked"), (col("n") - col("nd"))
+            .as("n_violations")),
+        struct(lit("value_range").as("check_name"),
+          lit("lineitem.l_quantity in [1,50]").as("target"),
+          col("n").as("n_checked"), col("v_range").as("n_violations"))))
+        .as("c")).select("c.*")
+      // FK: every lineitem names an existing order (key-only probe)
+      val fk = li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          count(when(col("o_orderkey").isNull, 1)).as("n_violations"))
+        .select(lit("fk_exists").as("check_name"),
+          lit("lineitem.l_orderkey -> orders").as("target"),
+          col("n_checked"), col("n_violations"))
+      // orders: three contracts off one scan
+      val oAgg = o.agg(count(lit(1)).as("n"),
+        count(when(col("o_orderdate").isNull, 1)).as("v_null"),
+        count(when(col("o_totalprice") < 0, 1)).as("v_neg"),
+        count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+          .as("v_dom"))
+      val oChecks = oAgg.select(explode(array(
+        struct(lit("not_null").as("check_name"),
+          lit("orders.o_orderdate").as("target"),
+          col("n").as("n_checked"), col("v_null").as("n_violations")),
+        struct(lit("value_range").as("check_name"),
+          lit("orders.o_totalprice >= 0").as("target"),
+          col("n").as("n_checked"), col("v_neg").as("n_violations")),
+        struct(lit("accepted_values").as("check_name"),
+          lit("orders.o_orderstatus in (O,F,P)").as("target"),
+          col("n").as("n_checked"), col("v_dom").as("n_violations"))))
+        .as("c")).select("c.*")
+      // events: no timestamps from the future (data-anchored bound, so
+      // the check replays — never wall clock)
+      val evCheck = ev.agg(count(lit(1)).as("n_checked"),
+        count(when(col("ts") > lit("2030-01-01").cast("timestamp"), 1))
+          .as("n_violations"))
+        .select(lit("no_future_ts").as("check_name"),
+          lit("events.ts < 2030-01-01").as("target"),
+          col("n_checked"), col("n_violations"))
+      liChecks.unionAll(fk).unionAll(oChecks).unionAll(evCheck)
+        .withColumn("passed", col("n_violations") === 0)
+    },
+    Some("""WITH li AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+            AS nd,
+          CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+            THEN 1 END) AS BIGINT) AS v_range
+        FROM lineitem),
+      fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+            AS BIGINT) AS v
+        FROM lineitem l LEFT JOIN
+          (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey),
+      od AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END)
+            AS BIGINT) AS v_null,
+          CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT)
+            AS v_neg,
+          CAST(count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+            THEN 1 END) AS BIGINT) AS v_dom
+        FROM orders),
+      evc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN CAST(ts AS TIMESTAMP) >
+            TIMESTAMP '2030-01-01 00:00:00' THEN 1 END) AS BIGINT) AS v
+        FROM events),
+      checks AS (
+        SELECT 'pk_unique' AS check_name,
+          'lineitem(l_orderkey,l_linenumber)' AS target,
+          n AS n_checked, n - nd AS n_violations FROM li
+        UNION ALL
+        SELECT 'value_range', 'lineitem.l_quantity in [1,50]', n,
+          v_range FROM li
+        UNION ALL
+        SELECT 'fk_exists', 'lineitem.l_orderkey -> orders', n, v
+        FROM fk
+        UNION ALL
+        SELECT 'not_null', 'orders.o_orderdate', n, v_null FROM od
+        UNION ALL
+        SELECT 'value_range', 'orders.o_totalprice >= 0', n, v_neg
+        FROM od
+        UNION ALL
+        SELECT 'accepted_values', 'orders.o_orderstatus in (O,F,P)', n,
+          v_dom FROM od
+        UNION ALL
+        SELECT 'no_future_ts', 'events.ts < 2030-01-01', n, v FROM evc)
+      SELECT check_name, target, n_checked, n_violations,
+        n_violations = 0 AS passed
+      FROM checks"""))
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
-    x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats)
+    x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats,
+    x16DataQuality)
 }

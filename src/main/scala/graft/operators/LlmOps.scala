@@ -2784,38 +2784,13 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private[graft] val DSIR_BUCKETS = 1024L
 
-  val t19DsirWeights = Q(
-    "t19_dsir_weights",
-    (s, d) => {
-      val docs = documents(s, d)
-      val feats = wordNgramHashesOf(docs, 1, "dsir|", dedup = false)
-        .union(wordNgramHashesOf(docs, 2, "dsir|", dedup = false))
-        .select(col("doc_id"), (col("gh") % DSIR_BUCKETS).as("f"),
-          (col("doc_id") % 20 === 0).as("is_t"))
-      val cnts = feats.groupBy(col("f"))
-        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
-          sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r"))
-      val tots = cnts.agg(sum(col("cnt_t")).as("tot_t"),
-        sum(col("cnt_r")).as("tot_r"))
-      val lw = cnts.crossJoin(broadcast(tots))
-        .select(col("f"),
-          round(log(
-            ((col("cnt_t") + lit(1L)) * (col("tot_r") + lit(DSIR_BUCKETS)))
-              .cast("double") /
-            ((col("cnt_r") + lit(1L)) * (col("tot_t") + lit(DSIR_BUCKETS)))
-              .cast("double")), 6).as("lw"))
-      val scored = feats.filter(!col("is_t"))
-        .join(broadcast(lw), Seq("f"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"),
-          sum(col("lw").cast("decimal(28,6)")).as("w"))
-      scored.select(col("doc_id"), col("n_feats"),
-        col("w").cast("double").as("logw"),
-        (col("w") > 0).as("selected"))
-    },
-    Some {
-      val b = DSIR_BUCKETS
-      s"""WITH toks AS (
+  /** t19's whole feature→weight→score derivation as DuckDB CTEs ending
+    * in `scored` (doc_id, n_feats, w DECIMAL) — no leading WITH, no
+    * trailing SELECT; shared by t19's weight report and c12's
+    * resampling so the two replays can't drift. */
+  private def dsirCtesDuck: String = {
+    val b = DSIR_BUCKETS
+    s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t
         FROM documents),
       feats AS (
@@ -2847,11 +2822,84 @@ object LlmOps {
           sum(CAST(lw.lw AS DECIMAL(28,6))) AS w
         FROM feats fe JOIN lw ON lw.f = fe.f
         WHERE NOT fe.is_t
-        GROUP BY fe.doc_id)
+        GROUP BY fe.doc_id)"""
+  }
+
+  val t19DsirWeights = Q(
+    "t19_dsir_weights",
+    (s, d) => {
+      val docs = documents(s, d)
+      val feats = wordNgramHashesOf(docs, 1, "dsir|", dedup = false)
+        .union(wordNgramHashesOf(docs, 2, "dsir|", dedup = false))
+        .select(col("doc_id"), (col("gh") % DSIR_BUCKETS).as("f"),
+          (col("doc_id") % 20 === 0).as("is_t"))
+      val cnts = feats.groupBy(col("f"))
+        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+          sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r"))
+      val tots = cnts.agg(sum(col("cnt_t")).as("tot_t"),
+        sum(col("cnt_r")).as("tot_r"))
+      val lw = cnts.crossJoin(broadcast(tots))
+        .select(col("f"),
+          round(log(
+            ((col("cnt_t") + lit(1L)) * (col("tot_r") + lit(DSIR_BUCKETS)))
+              .cast("double") /
+            ((col("cnt_r") + lit(1L)) * (col("tot_t") + lit(DSIR_BUCKETS)))
+              .cast("double")), 6).as("lw"))
+      val scored = feats.filter(!col("is_t"))
+        .join(broadcast(lw), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum(col("lw").cast("decimal(28,6)")).as("w"))
+      scored.select(col("doc_id"), col("n_feats"),
+        col("w").cast("double").as("logw"),
+        (col("w") > 0).as("selected"))
+    },
+    Some(s"""WITH $dsirCtesDuck
       SELECT doc_id, n_feats, CAST(w AS DOUBLE) AS logw,
         w > 0 AS selected
-      FROM scored"""
-    })
+      FROM scored"""))
+
+  // ---------------------------------------------------------------------
+  // C12: importance RESAMPLING — t19's missing consumer and the second
+  // half of the DSIR paper's name: t19 emits log-importance weights and
+  // a hard selected-vs-not cut, but the paper's estimator RESAMPLES raw
+  // docs with probability ∝ min(1, w) so moderately-target-like docs
+  // survive proportionally instead of dying at the threshold. The
+  // Bernoulli draw is replayable on any engine without exp(): accept
+  // iff round(ln(u), 6) < min(logw, 0), where u = (h60(doc) mod 10^6
+  // + 0.5) / 10^6 — ln(u) < 0 always, so w ≥ 1 docs always survive and
+  // w < 1 docs survive with probability e^logw = w, using only the
+  // round(ln, 6) libm rule every LM-score op here already relies on
+  // (never exp, whose cross-engine last-ulp would sit directly on the
+  // accept boundary). Output keeps the whole decision audit per doc:
+  // the weight, the draw, and the verdict — the d13 rule applied to
+  // sampling (how much was dropped and WHY is first-class output).
+  // Shape: t19's scored frame (one hash-agg over the broadcast-joined
+  // feature stream) plus one hash-free projection — the draw adds zero
+  // exchanges; at 100 TB the resample is a filter at scan speed over
+  // the weight table.
+  // ---------------------------------------------------------------------
+  val c12ImportanceResample = Q(
+    "c12_importance_resample",
+    (s, d) => {
+      val u = (pmod(Portable.h60(col("doc_id").cast("string"), "c12|"),
+        lit(1000000L)).cast("double") + lit(0.5)) / 1000000.0
+      t19DsirWeights.fn(s, d)
+        .select(col("doc_id"), col("logw"),
+          round(log(u), 6).as("log_u"))
+        .withColumn("accepted",
+          col("log_u") < least(col("logw"), lit(0.0)))
+    },
+    Some(s"""WITH $dsirCtesDuck,
+      drawn AS (
+        SELECT doc_id, CAST(w AS DOUBLE) AS logw,
+          round(ln((CAST(${Portable.h60Duck(
+            "CAST(doc_id AS VARCHAR)", "c12|")} % 1000000 AS DOUBLE)
+            + 0.5) / 1000000.0), 6) AS log_u
+        FROM scored)
+      SELECT doc_id, logw, log_u,
+        log_u < least(logw, CAST(0.0 AS DOUBLE)) AS accepted
+      FROM drawn"""))
 
   // ---------------------------------------------------------------------
   // T20: BPE merge learning (Sennrich et al. 2016, "Neural Machine
@@ -4623,7 +4671,7 @@ object LlmOps {
     c1CurateCorpus, c1bCurateNeardup, c1cCurateQuality,
     c2SplitAssign, c3StratifiedSample, c4DecontSplit, c5TemperatureMix,
     c7CcnetBuckets, c8ShardShuffle, c9EpochBudget, c10Curriculum,
-    c11RankCuration,
+    c11RankCuration, c12ImportanceResample,
     e4LlmPipeline,
     d13CapReport)
 }

@@ -1319,6 +1319,149 @@ object Ingest {
       FROM pub GROUP BY event_date"""))
 
   // ---------------------------------------------------------------------
+  // K16: EXPIRE SNAPSHOTS — the retention half of the janitor pair
+  // (k15 reclaims staged-but-never-published orphans; THIS retires
+  // formerly-LIVE versions per policy — Iceberg's expire_snapshots /
+  // Delta's log retention): `_HISTORY` keeps every publish readable
+  // forever (k12), which at 100 TB means unbounded metadata AND
+  // unbounded storage pinned by old version lines. Expiry keeps the
+  // last K16_RETAIN history lines (plus whatever `_CURRENT` names),
+  // trims `_HISTORY` to them, and deletes exactly the snapshot dirs no
+  // SURVIVING line references. The load-bearing subtlety this scenario
+  // exercises: a dir introduced by an EXPIRED line but still referenced
+  // by a surviving one (snap-base, carried forward across publishes)
+  // MUST survive — reference-counting by introducing-version instead of
+  // by surviving-line reachability is the classic expire bug that eats
+  // live data. The protocol plants both cases in one run: a partial
+  // compaction rewrites only snap-001 into snap-compact01, so after
+  // RETAIN=2 of four versions, snap-001 is reclaimed (referenced only
+  // by expired lines) while snap-base survives (shared with retained
+  // lines); the current read re-runs over the expired lake and its
+  // accounting columns prove live data is untouched. At 100 TB: one
+  // history-file rewrite + a set-difference over dir names + O(expired
+  // files) deletes — metadata-sized except the unavoidable deletes.
+  // ---------------------------------------------------------------------
+  private[graft] val K16_RETAIN = 2
+
+  val k16ExpireSnapshots = Q(
+    "k16_expire_snapshots",
+    (s, d) => {
+      val lake = freshDir("k16_lake")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(lake), s.sparkContext.hadoopConfiguration)
+      def write(name: String, text: String): Unit = {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$lake/$name"), true)
+        out.write(text.getBytes("UTF-8")); out.close()
+      }
+      def read(name: String): String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$lake/$name"))
+        val b = new Array[Byte](4096); val n = in.read(b); in.close()
+        new String(b, 0, n, "UTF-8")
+      }
+      var history = Vector.empty[String]
+      def publish(snaps: String): Unit = {
+        history :+= snaps
+        write("_CURRENT", snaps)
+        write("_HISTORY", history.mkString("\n"))
+      }
+      val src = events(s, d)
+        .select(col("event_id"), col("value"),
+          to_date(col("ts")).as("event_date"))
+      def stage(snap: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$lake/$snap")
+      // v0: base; v1: base+001; v2: base+compact01 (001 REWRITTEN into
+      // a new dir, base carried forward as-is — partial compaction);
+      // v3: base+compact01+002
+      stage("snap-base",
+        src.filter(col("event_date") < lit(K10_B1_FROM)))
+      publish("snap-base")
+      val w1 = src.filter(col("event_date") >= lit(K10_B1_FROM) &&
+        col("event_date") < lit(K10_B2_FROM))
+      stage("snap-001", w1)
+      publish("snap-base,snap-001")
+      stage("snap-compact01", s.read.parquet(s"$lake/snap-001"))
+      publish("snap-base,snap-compact01")
+      stage("snap-002",
+        src.filter(col("event_date") >= lit(K10_B2_FROM)))
+      publish("snap-base,snap-compact01,snap-002")
+      // expire: retain the last K16_RETAIN lines ∪ the current line
+      val all = read("_HISTORY").split("\n").toVector
+      val retained = (all.takeRight(K16_RETAIN) :+ read("_CURRENT"))
+        .distinct
+      val expired = all.filterNot(retained.contains)
+      val referenced = retained.flatMap(_.split(",")).toSet
+      val expiredRefs = expired.flatMap(_.split(",")).toSet
+      val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(lake))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("snap-"))
+        .map(_.getPath.getName).toSet
+      val doomed = (onDisk -- referenced).toSeq.sorted
+      doomed.foreach(p => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$lake/$p"), true))
+      write("_HISTORY", retained.mkString("\n"))
+      // the current read over the EXPIRED lake — identical to the
+      // pre-expiry read iff only unreachable dirs died
+      val cur = read("_CURRENT").split(",")
+        .map(p => s.read.parquet(s"$lake/$p"))
+        .reduce(_ unionByName _)
+        .agg(count(lit(1)).as("current_n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("current_sum"))
+      val dirs = Seq("snap-base", "snap-001", "snap-compact01",
+        "snap-002")
+      val perDir = dirs.map { p =>
+        val n =
+          if (doomed.contains(p)) -1L // reclaimed: rows gone by design
+          else s.read.parquet(s"$lake/$p").count()
+        (p, n, expiredRefs.contains(p), referenced.contains(p),
+          doomed.contains(p))
+      }
+      import s.implicits._
+      perDir
+        .toDF("snapshot", "n_rows", "in_expired_line",
+          "in_retained_line", "reclaimed")
+        .crossJoin(broadcast(cur))
+        .withColumn("versions_before", lit(all.size.toLong))
+        .withColumn("versions_after", lit(retained.size.toLong))
+    },
+    // the oracle replays the four publish lines' reachability algebra
+    // and derives every row count from the same source windows — the
+    // reclaimed dir reports -1 (its rows are gone BY DESIGN; the
+    // surviving copy of that data is snap-compact01's count)
+    Some(s"""WITH d AS (
+        SELECT event_id, value, CAST(ts AS DATE) AS event_date
+        FROM events),
+      base AS (SELECT * FROM d WHERE event_date < DATE '$K10_B1_FROM'),
+      w1 AS (SELECT * FROM d
+             WHERE event_date >= DATE '$K10_B1_FROM'
+               AND event_date < DATE '$K10_B2_FROM'),
+      w2 AS (SELECT * FROM d WHERE event_date >= DATE '$K10_B2_FROM'),
+      cur AS (
+        SELECT CAST(count(*) AS BIGINT) AS current_n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            AS current_sum
+        FROM d),
+      dirs AS (
+        SELECT 'snap-base' AS snapshot,
+          (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows,
+          true AS in_expired_line, true AS in_retained_line,
+          false AS reclaimed
+        UNION ALL
+        SELECT 'snap-001', CAST(-1 AS BIGINT), true, false, true
+        UNION ALL
+        SELECT 'snap-compact01',
+          (SELECT CAST(count(*) AS BIGINT) FROM w1), false, true, false
+        UNION ALL
+        SELECT 'snap-002',
+          (SELECT CAST(count(*) AS BIGINT) FROM w2), false, true, false)
+      SELECT snapshot, n_rows, in_expired_line, in_retained_line,
+        reclaimed, cur.current_n, cur.current_sum,
+        CAST(4 AS BIGINT) AS versions_before,
+        CAST(2 AS BIGINT) AS versions_after
+      FROM dirs CROSS JOIN cur"""))
+
+  // ---------------------------------------------------------------------
   // K13: MERGE upsert — the lakehouse primitive that completes the
   // commit family (k9 repairs, k10 publishes, k11 erases, k12 travels,
   // THIS upserts; Iceberg/Delta ship it as MERGE INTO): an arriving
@@ -2435,7 +2578,7 @@ object Ingest {
     k8dHnswIncrementalSink, k14IndexErasure,
     k9PartitionOverwrite,
     k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
-    k13MergeUpsert, k15Vacuum,
+    k13MergeUpsert, k15Vacuum, k16ExpireSnapshots,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

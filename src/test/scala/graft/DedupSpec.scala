@@ -367,6 +367,31 @@ class DedupSpec extends SparkSuite {
     assert(bins.size >= 2, "at least two margin bins must be occupied")
   }
 
+  test("C12: the resampling draw replays exactly per doc (ln-space " +
+      "Bernoulli), weights >= 1 always survive, and both verdicts occur") {
+    val rows = graft.operators.LlmOps.c12ImportanceResample
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, logw, logU, accepted) =>
+      val u = (java.lang.Math.floorMod(
+        graft.functions.Portable.h60Jvm(s"c12|$id"), 1000000L)
+        .toDouble + 0.5) / 1000000.0
+      val want = BigDecimal(math.log(u))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(logU === want, s"doc $id draw mismatch")
+      assert(accepted === (logU < math.min(logw, 0.0)),
+        s"doc $id verdict must be the declared ln-space rule")
+      if (logw >= 0) assert(accepted, s"doc $id: w >= 1 must survive")
+    }
+    // the resample must genuinely thin the tail AND keep some of it —
+    // a draw that accepts or rejects everything tested nothing
+    val neg = rows.filter(_._2 < 0)
+    assert(neg.exists(_._4) && neg.exists(!_._4),
+      "sub-threshold docs must split into survivors and casualties")
+  }
+
   test("C1c: quality election removes the per-lang worst, never adds") {
     def counts(q: graft.Queries.Q): Map[(String, String), Long] =
       q.fn(spark, sf).collect()

@@ -304,4 +304,61 @@ class ExtendedSpec extends SparkSuite {
     // the hash-ranked sample (and so the whole report) is deterministic
     assert(run().toMap === got, "re-run must reproduce bit-identically")
   }
+
+  test("X16: every constraint fires on a planted broken lake with " +
+      "exact violation counts, and the real lake passes clean") {
+    import java.sql.{Date => SqlDate, Timestamp}
+    // broken lake: dup PK (2 extra copies), 1 orphan FK row, 1 null
+    // date, 1 negative price, 1 bad status, 1 future event
+    val dir = java.nio.file.Files.createTempDirectory("x16fix").toString
+    Seq(
+      (1L, 1, 5.0), (1L, 1, 5.0), (1L, 1, 5.0), // PK triplicate
+      (1L, 2, 99.0), // quantity out of range
+      (777L, 1, 3.0) // orphan orderkey
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(
+      (1L, SqlDate.valueOf("2024-01-01"), 10.0, "O"),
+      (2L, null.asInstanceOf[SqlDate], 20.0, "F"),
+      (3L, SqlDate.valueOf("2024-01-03"), -1.0, "X")
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0,
+        "{}"),
+      (1L, Timestamp.valueOf("2031-06-01 00:00:00"), 1L, "view", 1.0,
+        "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = operators.Extended.x16DataQuality.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size === 7, "all seven checks must report")
+    assert(got(("pk_unique", "lineitem(l_orderkey,l_linenumber)")) ===
+      ((5L, 2L, false)), "3 copies of one key = 2 violations")
+    assert(got(("value_range", "lineitem.l_quantity in [1,50]")) ===
+      ((5L, 1L, false)))
+    assert(got(("fk_exists", "lineitem.l_orderkey -> orders")) ===
+      ((5L, 1L, false)))
+    assert(got(("not_null", "orders.o_orderdate")) === ((3L, 1L, false)))
+    assert(got(("value_range", "orders.o_totalprice >= 0")) ===
+      ((3L, 1L, false)))
+    assert(got(("accepted_values", "orders.o_orderstatus in (O,F,P)"))
+      === ((3L, 1L, false)))
+    assert(got(("no_future_ts", "events.ts < 2030-01-01")) ===
+      ((2L, 1L, false)))
+    // the real testdata lake: the generator draws l_linenumber at
+    // random, so the TPC-H PK contract GENUINELY fails there — the
+    // suite's value is that it says so with an exact count — while the
+    // other six contracts hold
+    val real = operators.Extended.x16DataQuality.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4))))
+    assert(real.length === 7)
+    val (pk, rest) = real.partition(_._1 == "pk_unique")
+    assert(pk.head._2._1 > 0L && !pk.head._2._2,
+      "the generated lineitem has duplicate (orderkey, linenumber) " +
+        "pairs — the check must report them, not rubber-stamp")
+    assert(rest.forall { case (_, (v, p)) => p && v === 0L },
+      "every other contract holds on the generated lake")
+  }
 }

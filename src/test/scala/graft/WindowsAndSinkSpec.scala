@@ -481,4 +481,39 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(reread === rows.map(_.getLong(1)).sum,
       "published rows changed across the vacuum")
   }
+
+  test("K16: expire reclaims ONLY dirs unreachable from retained " +
+      "lines — a dir shared with an expired line survives, history " +
+      "trims, and the current read is untouched") {
+    val out = sources.Ingest.k16ExpireSnapshots.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lake = s"${sources.Ingest.lakeRoot}/k16_lake"
+    // snap-001 was referenced only by expired lines v0/v1 → reclaimed
+    assert(out("snap-001").getBoolean(4) === true)
+    assert(!new java.io.File(s"$lake/snap-001").exists(),
+      "the unreachable snapshot directory must be physically deleted")
+    // snap-base appears in expired AND retained lines → MUST survive
+    // (the reference-count-by-introducing-version bug would eat it)
+    assert(out("snap-base").getBoolean(2) === true, "in an expired line")
+    assert(out("snap-base").getBoolean(4) === false)
+    assert(new java.io.File(s"$lake/snap-base").listFiles()
+      .exists(_.getName.startsWith("part-")),
+      "shared snapshot lost its files")
+    // history trimmed to exactly the retained lines, newest last
+    val hist = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lake, "_HISTORY")), "UTF-8").split("\n")
+    assert(hist.toSeq === Seq("snap-base,snap-compact01",
+      "snap-base,snap-compact01,snap-002"))
+    // AS OF the oldest retained line still reads; the current read
+    // over the expired lake equals the full source
+    val asOfV2 = hist.head.split(",")
+      .map(p => spark.read.parquet(s"$lake/$p"))
+      .reduce(_ unionByName _).count()
+    assert(asOfV2 > 0)
+    val total = Tables.events(spark, sf).count()
+    out.values.foreach { r =>
+      assert(r.getLong(r.fieldIndex("current_n")) === total,
+        "expiry must not change the live row count")
+    }
+  }
 }
