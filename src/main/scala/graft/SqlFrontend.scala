@@ -628,38 +628,45 @@ object SqlFrontend {
     val key = "concat_ws('|', l_orderkey, l_linenumber)"
     sqlQ(
       "sql_x15_histogram",
-      s"""WITH stacked AS (
+      s"""WITH nr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+      survivors AS (
+        SELECT l_quantity, l_extendedprice,
+          ${h60Sql(key, "x15|")} AS h, nr.n_rows
+        FROM lineitem CROSS JOIN nr
+        WHERE ${h60Sql(key, "x15|")} <
+          CAST(floor(8192.0 * 1152921504606846976.0 / nr.n_rows)
+            AS BIGINT)),
+      stacked AS (
         SELECT 'l_quantity' AS col_name,
-          CAST(l_quantity AS DOUBLE) AS val,
-          ${h60Sql(key, "x15|q|")} AS h
-        FROM lineitem
+          CAST(l_quantity AS DOUBLE) AS val, h, n_rows
+        FROM survivors
         UNION ALL
-        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
-          ${h60Sql(key, "x15|p|")}
-        FROM lineitem),
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE), h,
+          n_rows
+        FROM survivors),
       sample AS (
-        SELECT col_name, val, h FROM (
+        SELECT col_name, val, h, n_rows FROM (
           SELECT *, row_number() OVER (PARTITION BY col_name
             ORDER BY h ASC, val ASC) AS rn
           FROM stacked) t
         WHERE rn <= 4096),
       binned AS (
-        SELECT col_name, val,
+        SELECT col_name, val, n_rows,
           CAST(ntile(8) OVER (PARTITION BY col_name
             ORDER BY val ASC, h ASC) AS BIGINT) AS bin
         FROM sample),
       bins AS (
         SELECT col_name, bin, CAST(count(*) AS BIGINT) AS n_sample,
-          min(val) AS lo, max(val) AS hi
+          min(val) AS lo, max(val) AS hi, first(n_rows) AS n_rows
         FROM binned GROUP BY 1, 2),
       tot AS (
         SELECT col_name, CAST(count(*) AS BIGINT) AS n_in_sample
-        FROM sample GROUP BY 1),
-      nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        FROM sample GROUP BY 1)
       SELECT b.col_name, b.bin, b.n_sample, b.lo, b.hi,
-        round(CAST(nr.n_rows AS DOUBLE) * b.n_sample / t.n_in_sample, 2)
+        round(CAST(b.n_rows AS DOUBLE) * b.n_sample / t.n_in_sample, 2)
           AS est_rows
-      FROM bins b JOIN tot t USING (col_name) CROSS JOIN nr""",
+      FROM bins b JOIN tot t USING (col_name)""",
       operators.Extended.x15HistogramStats.oracle)
   }
 

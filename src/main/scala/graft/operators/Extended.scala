@@ -743,16 +743,33 @@ object Extended {
       import graft.functions.Portable
       import org.apache.spark.sql.expressions.Window
       val li = lineitem(s, d)
+      // keep-threshold from the row count: only rows whose hash falls
+      // in the smallest ~2×HIST_SAMPLE/n fraction of hash space reach
+      // the rank filter, so the window (and every sort anywhere in the
+      // plan) sees a few-thousand-row frame whatever the table size.
+      // The first form ranked ALL rows and paid a full local sort per
+      // task — 3.6× per 3× data at the r19 30× probe; this form is
+      // scan + one md5 + a codegen'd filter, then planner-sized work.
+      // 2·HIST_SAMPLE·2^60 is a power-of-two-scaled integer, exact in
+      // a double on both engines; P(survivors < HIST_SAMPLE) is
+      // Chernoff-negligible at the 2× oversample.
+      val nr = li.agg(count(lit(1)).as("n_rows"))
       val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
-      val stacked = li
-        .select(explode(array(
+      val thresh = expr(s"CAST(floor(${2.0 * HIST_SAMPLE} * " +
+        s"1152921504606846976.0 / n_rows) AS BIGINT)")
+      val survivors = li
+        .select(col("l_quantity"), col("l_extendedprice"),
+          Portable.h60(key, "x15|").as("h"))
+        .crossJoin(broadcast(nr))
+        .filter(col("h") < thresh)
+      val stacked = survivors
+        .select(col("h"), col("n_rows"), explode(array(
           struct(lit("l_quantity").as("col_name"),
-            col("l_quantity").cast("double").as("val"),
-            Portable.h60(key, "x15|q|").as("h")),
+            col("l_quantity").cast("double").as("val")),
           struct(lit("l_extendedprice").as("col_name"),
-            col("l_extendedprice").cast("double").as("val"),
-            Portable.h60(key, "x15|p|").as("h")))).as("e"))
-        .select(col("e.col_name"), col("e.val"), col("e.h"))
+            col("l_extendedprice").cast("double").as("val")))).as("e"))
+        .select(col("e.col_name"), col("e.val"), col("h"),
+          col("n_rows"))
       val wS = Window.partitionBy(col("col_name"))
         .orderBy(col("h").asc, col("val").asc)
       val sample = stacked.withColumn("rn", row_number().over(wS))
@@ -763,12 +780,11 @@ object Extended {
         .withColumn("bin", ntile(HIST_BINS).over(wB).cast("long"))
         .groupBy(col("col_name"), col("bin"))
         .agg(count(lit(1)).as("n_sample"), min(col("val")).as("lo"),
-          max(col("val")).as("hi"))
+          max(col("val")).as("hi"), first(col("n_rows")).as("n_rows"))
       val sampleTotals = sample.groupBy(col("col_name"))
         .agg(count(lit(1)).as("n_in_sample"))
       bins
         .join(broadcast(sampleTotals), Seq("col_name"))
-        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
         .select(col("col_name"), col("bin"), col("n_sample"),
           col("lo"), col("hi"),
           round(col("n_rows").cast("double") * col("n_sample") /
@@ -778,17 +794,25 @@ object Extended {
       import graft.functions.Portable.h60Duck
       val key = "CAST(l_orderkey AS VARCHAR) || '|' || " +
         "CAST(l_linenumber AS VARCHAR)"
-      s"""WITH stacked AS (
+      s"""WITH nr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+      survivors AS (
+        SELECT l_quantity, l_extendedprice,
+          ${h60Duck(key, "x15|")} AS h, nr.n_rows
+        FROM lineitem CROSS JOIN nr
+        WHERE ${h60Duck(key, "x15|")} <
+          CAST(floor(${2.0 * HIST_SAMPLE} * 1152921504606846976.0
+            / nr.n_rows) AS BIGINT)),
+      stacked AS (
         SELECT 'l_quantity' AS col_name,
-          CAST(l_quantity AS DOUBLE) AS val,
-          ${h60Duck(key, "x15|q|")} AS h
-        FROM lineitem
+          CAST(l_quantity AS DOUBLE) AS val, h, n_rows
+        FROM survivors
         UNION ALL
-        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
-          ${h60Duck(key, "x15|p|")}
-        FROM lineitem),
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE), h,
+          n_rows
+        FROM survivors),
       sample AS (
-        SELECT col_name, val, h FROM (
+        SELECT col_name, val, h, n_rows FROM (
           SELECT *, row_number() OVER (PARTITION BY col_name
             ORDER BY h ASC, val ASC) AS rn
           FROM stacked) t
@@ -804,8 +828,7 @@ object Extended {
         FROM binned GROUP BY 1, 2),
       tot AS (
         SELECT col_name, CAST(count(*) AS BIGINT) AS n_in_sample
-        FROM sample GROUP BY 1),
-      nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        FROM sample GROUP BY 1)
       SELECT b.col_name, b.bin, b.n_sample, b.lo, b.hi,
         round(CAST(nr.n_rows AS DOUBLE) * b.n_sample / t.n_in_sample, 2)
           AS est_rows
