@@ -104,7 +104,9 @@ object ExplainAudit {
       "w6_cohort", "t23_calibration", "x15_histogram_stats",
       "sql_w5_funnel", "sql_w6_cohort", "sql_x15_histogram",
       "x16_data_quality", "c12_importance_resample",
-      "k16_expire_snapshots")
+      "k16_expire_snapshots",
+      "w7_attribution", "sql_w7_attribution", "x17_incremental_stats",
+      "a30_ivf_bq", "g8_random_walks")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

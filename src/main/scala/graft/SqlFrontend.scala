@@ -619,6 +619,46 @@ object SqlFrontend {
       GROUP BY 1, 2""",
     operators.Windows.w6Cohort.oracle)
 
+  // Touch attribution from SQL — w7's two attribution models sharing
+  // w7's oracle; the one dialect delta is unix_micros vs epoch_us, and
+  // Spark's IGNORE NULLS spelling sits after the argument list exactly
+  // as DuckDB's does here.
+  val sqlW7Attribution: Queries.Q = sqlQ(
+    "sql_w7_attribution",
+    """WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+          event_id, value
+        FROM events),
+      run AS (
+        SELECT *,
+          last_value(CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END) IGNORE NULLS OVER w AS lt,
+          last_value(CASE WHEN event_type IN ('view', 'click')
+              THEN ts END) IGNORE NULLS OVER w AS lt_ts,
+          first_value(CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END) IGNORE NULLS OVER w AS ft
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      att AS (
+        SELECT value,
+          CASE WHEN lt IS NOT NULL
+                 AND unix_micros(ts) - unix_micros(lt_ts)
+                   <= 604800000000
+               THEN lt ELSE 'none' END AS last_touch,
+          coalesce(ft, 'none') AS first_touch
+        FROM run WHERE event_type = 'purchase')
+      SELECT 'last_touch' AS model, last_touch AS channel,
+        CAST(count(*) AS BIGINT) AS n_purchases,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+          AS revenue
+      FROM att GROUP BY 2
+      UNION ALL
+      SELECT 'first_touch', first_touch, CAST(count(*) AS BIGINT),
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      FROM att GROUP BY 2""",
+    operators.Windows.w7Attribution.oracle)
+
   // Equi-height histograms from SQL — x15's fixed-size hash-ranked
   // sample + ntile cut sharing x15's oracle; the only dialect delta is
   // the portable-hash spelling (conv-md5 here, 0x-md5 in DuckDB). Both
@@ -2360,7 +2400,7 @@ object SqlFrontend {
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
       sqlW2Sliding, sqlW4GapFill, sqlW5Funnel, sqlW6Cohort,
-      sqlX15Histogram,
+      sqlW7Attribution, sqlX15Histogram,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,

@@ -3637,29 +3637,58 @@ object Ann {
   private val BQ_CAND = 20 // Hamming candidates reranked per probe
   private val BQ_K = 5 // final top-k
 
+  /** BQ signature frame (vec_id, lo, hi) — the per-vector two-word
+    * sign pack over the mean-centered corpus, factored from a28 so
+    * a30 composes the SAME signatures inside the trained IVF cells. */
+  private def bqSigs(s: SparkSession, d: String): DataFrame = {
+    val dims = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        col("col").cast("double").as("x"))
+    val mu = dims.groupBy(col("dim"))
+      .agg(round(sum(round(col("x"), 6).cast("decimal(20,6)"))
+        .cast("double") / count(lit(1)), 6).as("mn"))
+    dims.join(broadcast(mu), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("x") > col("mn"),
+          expr("shiftleft(CAST(1 AS BIGINT), dim % 32)"))
+          .otherwise(lit(0L)).as("b"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dim") < 32, col("b")).otherwise(lit(0L)))
+        .as("lo"),
+        sum(when(col("dim") >= 32, col("b")).otherwise(lit(0L)))
+          .as("hi"))
+  }
+
+  /** The bits derivation as DuckDB CTEs ending in `bits (vec_id, lo,
+    * hi)`, over an e-CTE exposing (vec_id, emb DOUBLE[]); prefix `p`
+    * keeps names disjoint when composed with the k-means chain. */
+  private def bqCtesDuck(e: String, p: String = ""): String =
+    s"""${p}dims AS (
+        SELECT vec_id, dim, emb[dim + 1] AS x
+        FROM $e CROSS JOIN (SELECT unnest(range(64)) AS dim) ${p}g),
+      ${p}mu AS (
+        SELECT dim,
+          round(CAST(sum(CAST(round(x, 6) AS DECIMAL(20,6))) AS DOUBLE)
+            / count(*), 6) AS mn
+        FROM ${p}dims GROUP BY 1),
+      ${p}bits AS (
+        SELECT vec_id,
+          CAST(sum(CASE WHEN x > mn AND dim < 32
+            THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE 0 END)
+            AS BIGINT) AS lo,
+          CAST(sum(CASE WHEN x > mn AND dim >= 32
+            THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE 0 END)
+            AS BIGINT) AS hi
+        FROM ${p}dims JOIN ${p}mu USING (dim) GROUP BY 1)"""
+
   val a28BinaryQuant = Q(
     "a28_binary_quant",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-      val dims = e.select(col("vec_id"), posexplode(col("emb")))
-        .select(col("vec_id"), col("pos").as("dim"),
-          col("col").cast("double").as("x"))
-      val mu = dims.groupBy(col("dim"))
-        .agg(round(sum(round(col("x"), 6).cast("decimal(20,6)"))
-          .cast("double") / count(lit(1)), 6).as("mn"))
-      val bits = dims.join(broadcast(mu), Seq("dim"))
-        .select(col("vec_id"), col("dim"),
-          when(col("x") > col("mn"),
-            expr("shiftleft(CAST(1 AS BIGINT), dim % 32)"))
-            .otherwise(lit(0L)).as("b"))
-        .groupBy(col("vec_id"))
-        .agg(sum(when(col("dim") < 32, col("b")).otherwise(lit(0L)))
-          .as("lo"),
-          sum(when(col("dim") >= 32, col("b")).otherwise(lit(0L)))
-            .as("hi"))
-      val sigs = e.join(bits, Seq("vec_id"))
+      val sigs = e.join(bqSigs(s, d), Seq("vec_id"))
       val probes = sigs.filter(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("lo").as("p_lo"), col("hi").as("p_hi"))
@@ -3698,23 +3727,7 @@ object Ann {
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
-      dims AS (
-        SELECT vec_id, dim, emb[dim + 1] AS x
-        FROM e CROSS JOIN (SELECT unnest(range(64)) AS dim) g),
-      mu AS (
-        SELECT dim,
-          round(CAST(sum(CAST(round(x, 6) AS DECIMAL(20,6))) AS DOUBLE)
-            / count(*), 6) AS mn
-        FROM dims GROUP BY 1),
-      bits AS (
-        SELECT vec_id,
-          CAST(sum(CASE WHEN x > mn AND dim < 32
-            THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE 0 END)
-            AS BIGINT) AS lo,
-          CAST(sum(CASE WHEN x > mn AND dim >= 32
-            THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE 0 END)
-            AS BIGINT) AS hi
-        FROM dims JOIN mu USING (dim) GROUP BY 1),
+      ${bqCtesDuck("e")},
       sigs AS (
         SELECT e.vec_id, e.emb, e.nrm, b.lo, b.hi
         FROM e JOIN bits b USING (vec_id)),
@@ -3838,6 +3851,117 @@ object Ann {
       $reports"""
     })
 
+  // ---------------------------------------------------------------------
+  // A30: IVF × BQ composed — a28's noted scale path made real: at
+  // 100 TB nobody Hamming-scans the whole corpus; the trained coarse
+  // quantizer (a8's cells) routes each probe to its own partition and
+  // the binary signatures do the cheap first pass INSIDE the cell —
+  // 16 bytes per candidate over |corpus|/k rows, then the exact-cosine
+  // rerank touches only the Hamming top-10. This is the BQ analog of
+  // a14's IVF-PQ (codes inside cells), completing the quantization ×
+  // partition matrix: SQ stores, PQ scores by table lookup, BQ
+  // prefilters by popcount. Self-evaluation against the CELL-exhaustive
+  // exact top-5 — isolating the signatures' loss from the cell
+  // routing's (a11/a21's subject): exact_hit reads 1 where the two-word
+  // prefilter kept what a full float scan of the same cell would.
+  // Probes share a7b's set so the three in-cell searches (float, PQ,
+  // BQ) are comparable row-for-row.
+  // ---------------------------------------------------------------------
+  private val IVFBQ_CAND = 10
+
+  val a30IvfBq = Q(
+    "a30_ivf_bq",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val cells = kmeansAssign(s, d).select("vec_id", "cell")
+      val sigs = e.join(bqSigs(s, d), Seq("vec_id"))
+        .join(cells, Seq("vec_id"))
+      val probes = sigs
+        .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("probe_id"), col("cell"),
+          col("emb").as("p_emb"), col("lo").as("p_lo"),
+          col("hi").as("p_hi"))
+      val ham = sigs.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("cell"), col("vec_id"), col("emb"),
+          col("p_emb"),
+          expr("CAST(bit_count(lo ^ p_lo) + bit_count(hi ^ p_hi) " +
+            "AS BIGINT)").as("hamming"))
+      val wH = Window.partitionBy(col("probe_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      val cand = ham.withColumn("rn", row_number().over(wH))
+        .filter(col("rn") <= IVFBQ_CAND)
+        .select(col("probe_id"), col("cell"), col("vec_id"),
+          col("hamming"), round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      val wS = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val topk = cand.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= BQ_K)
+        .select("probe_id", "cell", "vec_id", "hamming", "sim")
+      val cellExact = sigs.select(col("cell"), col("vec_id"), col("emb"))
+        .join(broadcast(probes.select(col("probe_id"), col("cell"),
+          col("p_emb"))), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s, "emb", "p_emb"), 6).as("es"))
+      val wE = Window.partitionBy(col("probe_id"))
+        .orderBy(col("es").desc, col("vec_id").asc)
+      val truth = cellExact.withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= BQ_K)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      topk.join(truth, Seq("probe_id", "vec_id"), "left")
+        .select(col("probe_id"), col("cell"), col("vec_id"),
+          col("hamming"), col("sim"),
+          coalesce(col("hit"), lit(0L)).as("exact_hit"))
+    },
+    Some(s"""$KMEANS_CTES,
+      ${bqCtesDuck("e", "q")},
+      sigs AS (
+        SELECT e.vec_id, a2.cell, e.emb, e.nrm, b.lo, b.hi
+        FROM e JOIN a2 ON a2.vec_id = e.vec_id
+        JOIN qbits b ON b.vec_id = e.vec_id),
+      probes AS (
+        SELECT vec_id AS probe_id, cell, emb AS p_emb, nrm AS p_nrm,
+          lo AS p_lo, hi AS p_hi
+        FROM sigs WHERE vec_id >= 100 AND vec_id < 110),
+      ham AS (
+        SELECT p.probe_id, s.cell, s.vec_id, s.emb, s.nrm, p.p_emb,
+          p.p_nrm,
+          CAST(bit_count(xor(s.lo, p.p_lo)) +
+               bit_count(xor(s.hi, p.p_hi)) AS BIGINT) AS hamming
+        FROM sigs s JOIN probes p USING (cell)
+        WHERE s.vec_id <> p.probe_id),
+      cand AS (
+        SELECT probe_id, cell, vec_id, hamming,
+          round(list_inner_product(emb, p_emb)
+            / nullif(nrm * p_nrm, 0.0), 6) AS sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY hamming ASC, vec_id ASC) AS rn FROM ham) t
+        WHERE rn <= $IVFBQ_CAND),
+      topk AS (
+        SELECT probe_id, cell, vec_id, hamming, sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY sim DESC, vec_id ASC) AS rn FROM cand) t
+        WHERE rn <= $BQ_K),
+      ex AS (
+        SELECT p.probe_id, s.vec_id,
+          round(list_inner_product(s.emb, p.p_emb)
+            / nullif(s.nrm * p.p_nrm, 0.0), 6) AS es
+        FROM sigs s JOIN probes p USING (cell)
+        WHERE s.vec_id <> p.probe_id),
+      truth AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY es DESC, vec_id ASC) AS rn FROM ex) t
+        WHERE rn <= $BQ_K)
+      SELECT k.probe_id, k.cell, k.vec_id, k.hamming, k.sim,
+        CAST(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS exact_hit
+      FROM topk k LEFT JOIN truth t
+        ON t.probe_id = k.probe_id AND t.vec_id = k.vec_id"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
@@ -3846,5 +3970,5 @@ object Ann {
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
       a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend,
       a25FilteredNsw, a26HybridRrf, a27IndexHealth, a28BinaryQuant,
-      a29MatryoshkaRecall)
+      a29MatryoshkaRecall, a30IvfBq)
 }

@@ -966,9 +966,100 @@ object Extended {
         n_violations = 0 AS passed
       FROM checks"""))
 
+  // ---------------------------------------------------------------------
+  // X17: incremental statistics maintenance — the lifecycle closure for
+  // the stats family (x14 collects, x15 distributes, x16 asserts; THIS
+  // one MAINTAINS): a nightly ANALYZE that rescans the standing table
+  // is a full corpus pass at 100 TB, but HLL registers are MERGEABLE —
+  // registers(A ∪ B) = per-cell max of A's and B's registers — so the
+  // standing table's NDV artifact (256 register rows per column, the
+  // d10/a15 maintained-artifact discipline applied to statistics)
+  // absorbs an arriving batch by ONE register-level max against the
+  // batch's own registers, touching standing history only through the
+  // artifact. The report carries all three estimates per column
+  // (standing, batch, merged) next to the exact additive row counts,
+  // so the merge algebra is driver-visible: a disjoint-values batch
+  // (l_partkey's shifted keys under replication) pushes merged toward
+  // the sum, an overlapping one (l_returnflag's 3 flags) leaves it at
+  // the standing estimate. Exact same register math as x14/a9 —
+  // hllRegsByKey/hllFinalize factored from hllByKey so the three paths
+  // cannot drift.
+  // ---------------------------------------------------------------------
+  val x17IncrementalStats = Q(
+    "x17_incremental_stats",
+    (s, d) => {
+      import graft.functions.Portable
+      import graft.operators.LlmOps
+      val li = lineitem(s, d)
+      def hashes(split: DataFrame): DataFrame = split
+        .select(explode(array(
+          struct(lit("l_returnflag").as("c"),
+            Portable.h60(col("l_returnflag"), "x17|").as("h")),
+          struct(lit("l_partkey").as("c"),
+            Portable.h60(col("l_partkey").cast("string"), "x17|")
+              .as("h")))).as("e"))
+        .select(col("e.c"), col("e.h"))
+      val standing = li.filter(col("l_orderkey") % 4 =!= 0)
+      val batch = li.filter(col("l_orderkey") % 4 === 0)
+      val regsS = LlmOps.hllRegsByKey(hashes(standing), "c")
+      val regsB = LlmOps.hllRegsByKey(hashes(batch), "c")
+      val regsM = regsS.unionAll(regsB)
+        .groupBy(col("c"), col("idx")).agg(max(col("m_rho")).as("m_rho"))
+      val est = LlmOps.hllFinalize(regsS, "c")
+        .withColumnRenamed("n_hll", "ndv_standing")
+        .join(LlmOps.hllFinalize(regsB, "c")
+          .withColumnRenamed("n_hll", "ndv_batch"), Seq("c"))
+        .join(LlmOps.hllFinalize(regsM, "c")
+          .withColumnRenamed("n_hll", "ndv_merged"), Seq("c"))
+      val counts = standing.agg(count(lit(1)).as("n_standing"))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      est.crossJoin(broadcast(counts))
+        .select(col("c").as("col_name"), col("n_standing"),
+          col("n_batch"),
+          (col("n_standing") + col("n_batch")).as("n_merged"),
+          col("ndv_standing"), col("ndv_batch"), col("ndv_merged"))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      import graft.operators.LlmOps.{hllRegsDuck, hllFinalizeDuck}
+      def src(cond: String) =
+        s"""SELECT 'l_returnflag' AS c,
+          ${h60Duck("l_returnflag", "x17|")} AS h
+        FROM lineitem WHERE $cond
+        UNION ALL
+        SELECT 'l_partkey', ${h60Duck("CAST(l_partkey AS VARCHAR)",
+          "x17|")}
+        FROM lineitem WHERE $cond"""
+      s"""WITH hsrcs AS (${src("l_orderkey % 4 <> 0")}),
+      hsrcb AS (${src("l_orderkey % 4 = 0")}),
+      ${hllRegsDuck("c", "s", "hsrcs")},
+      ${hllFinalizeDuck("c", "s")},
+      ${hllRegsDuck("c", "b", "hsrcb")},
+      ${hllFinalizeDuck("c", "b")},
+      mhreg AS (
+        SELECT c, idx, max(m_rho) AS m_rho FROM (
+          SELECT * FROM shreg UNION ALL SELECT * FROM bhreg) u
+        GROUP BY 1, 2),
+      ${hllFinalizeDuck("c", "m")},
+      cnt AS (
+        SELECT CAST(count(CASE WHEN l_orderkey % 4 <> 0 THEN 1 END)
+            AS BIGINT) AS n_standing,
+          CAST(count(CASE WHEN l_orderkey % 4 = 0 THEN 1 END)
+            AS BIGINT) AS n_batch
+        FROM lineitem)
+      SELECT sf.c AS col_name, cnt.n_standing, cnt.n_batch,
+        cnt.n_standing + cnt.n_batch AS n_merged,
+        sf.n_hll AS ndv_standing, bf.n_hll AS ndv_batch,
+        mf.n_hll AS ndv_merged
+      FROM shfin sf
+      JOIN bhfin bf USING (c)
+      JOIN mhfin mf USING (c)
+      CROSS JOIN cnt"""
+    })
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
     x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats,
-    x16DataQuality)
+    x16DataQuality, x17IncrementalStats)
 }

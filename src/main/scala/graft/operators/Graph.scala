@@ -158,6 +158,16 @@ object Graph {
         FROM nodes n LEFT JOIN recv$i v ON v.doc_id = n.doc_id
         CROSS JOIN dang$i d)"""
     }.mkString(",\n      ")
+    s"""$graphEdgesDuckCtes,
+      r0 AS (
+        SELECT doc_id, n, outdeg, $PR_SCALE // n AS pr FROM nodes),
+      $rounds"""
+  }
+
+  /** The synthetic node + edge CTEs alone (`nn`, `nodes`, `edges`) —
+    * the ONE oracle definition of [[nodesOf]]+[[edgesOf]], shared by
+    * the rank fixpoints and g8's walk generator. */
+  private[graft] def graphEdgesDuckCtes: String =
     s"""nn AS (SELECT count(*) AS n FROM documents),
       nodes AS (
         SELECT doc_id, nn.n, CAST(doc_id % 4 AS BIGINT) AS outdeg
@@ -167,11 +177,7 @@ object Graph {
           (doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 13
             ELSE 29 END) + k + 1) % n AS dst
         FROM nodes, unnest([0, 1, 2]) AS t(k)
-        WHERE k < outdeg),
-      r0 AS (
-        SELECT doc_id, n, outdeg, $PR_SCALE // n AS pr FROM nodes),
-      $rounds"""
-  }
+        WHERE k < outdeg)"""
 
   val g1Pagerank = Q(
     "g1_pagerank",
@@ -1154,7 +1160,96 @@ object Graph {
         CROSS JOIN ${tag}dang$i d)"""
     }.mkString(",\n      ")
 
+  // ---------------------------------------------------------------------
+  // G8: hash-random walk corpus — the sequence GENERATOR the graph
+  // family lacked: node2vec/DeepWalk-style embedding trainers and
+  // GNN neighborhood samplers consume fixed-length random walks, and
+  // at scale the walk corpus is itself a lake table. Each seed node
+  // (doc_id % G8_SEED_MOD = 0) starts G8_WALKS walks of up to G8_LEN
+  // hops; the "random" next hop is the out-neighbor minimizing
+  // h60(seed|walk|step|dst) — the suite's replayable-randomness
+  // convention (c2/c8's seeded hash), so two engines and two runs
+  // generate the SAME corpus, and walk diversity comes from the hash
+  // varying per (walk, step). A walk reaching a dangling node stops
+  // (its rows simply end — truncation is visible as a shorter walk,
+  // never padded).
+  //
+  // Shape at scale: the edge list builds once (the g1 cached frame);
+  // each hop is one join keyed on the frontier's current node + a
+  // per-(seed, walk) argmin over ≤ outdeg candidates (WindowGroupLimit
+  // over ≤ 3-row groups), with the frontier localCheckpoint-truncated
+  // per hop (it feeds the output AND the next join — the g1/d8
+  // two-consumer round discipline). Work per hop = |active walks| ×
+  // mean outdeg, independent of corpus size beyond the first join's
+  // edge-side shuffle.
+  // ---------------------------------------------------------------------
+  private[graft] val G8_SEED_MOD = 50L
+  private[graft] val G8_WALKS = 2
+  private[graft] val G8_LEN = 4
+
+  val g8RandomWalks = Q(
+    "g8_random_walks",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.Portable
+      val nodes = nodesOf(s, d)
+      val edges = edgesOf(nodes).select(col("src"), col("dst")).persist()
+      edges.count() // eager: G8_LEN consuming hops must not race
+      var frontier = nodes
+        .filter(col("doc_id") % G8_SEED_MOD === 0)
+        .crossJoin(s.range(G8_WALKS).select(col("id").as("walk")))
+        .select(col("doc_id").as("seed"), col("walk"),
+          col("doc_id").as("cur"))
+        .localCheckpoint()
+      val out = scala.collection.mutable.ArrayBuffer[DataFrame](
+        frontier.select(col("seed"), col("walk"), lit(0L).as("step"),
+          col("cur").as("node")))
+      for (i <- 1 to G8_LEN) {
+        val w = Window.partitionBy(col("seed"), col("walk"))
+          .orderBy(col("h").asc, col("dst").asc)
+        frontier = frontier
+          .join(edges, col("cur") === col("src"))
+          .select(col("seed"), col("walk"), col("dst"),
+            Portable.h60(concat_ws("|", col("seed"), col("walk"),
+              lit(i), col("dst")), "g8|").as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("seed"), col("walk"), col("dst").as("cur"))
+          .localCheckpoint()
+        out += frontier.select(col("seed"), col("walk"),
+          lit(i.toLong).as("step"), col("cur").as("node"))
+      }
+      edges.unpersist()
+      out.reduce(_ unionAll _)
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      val hops = (1 to G8_LEN).map { i =>
+        val h = h60Duck(s"concat_ws('|', seed, walk, $i, dst)", "g8|")
+        s"""c$i AS (
+        SELECT f.seed, f.walk, e.dst, $h AS h
+        FROM f${i - 1} f JOIN edges e ON e.src = f.cur),
+      f$i AS (
+        SELECT seed, walk, dst AS cur FROM (
+          SELECT *, row_number() OVER (PARTITION BY seed, walk
+            ORDER BY h ASC, dst ASC) AS rn FROM c$i) t
+        WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      val emits = (0 to G8_LEN).map(i =>
+        s"""SELECT seed, walk, CAST($i AS BIGINT) AS step, cur AS node
+        FROM f$i""").mkString(" UNION ALL ")
+      s"""WITH $graphEdgesDuckCtes,
+      f0 AS (
+        SELECT doc_id AS seed, CAST(w AS BIGINT) AS walk,
+          doc_id AS cur
+        FROM nodes, unnest(range($G8_WALKS)) AS t(w)
+        WHERE doc_id % $G8_SEED_MOD = 0),
+      $hops
+      $emits"""
+    })
+
   def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits,
     g2bHitsConverge, g3LabelProp, g3bLpaConverge, g4Kcore,
-    g4bKcoreConverge, g5Triangles, g6Ppr, g7DeltaPagerank)
+    g4bKcoreConverge, g5Triangles, g6Ppr, g7DeltaPagerank,
+    g8RandomWalks)
 }

@@ -3563,8 +3563,13 @@ object LlmOps {
     * BIGINT harmonic sum, linear-counting small-range branch. Shared
     * by a9 (key = lang over trigrams) and x14 (key = column name over
     * column values). */
-  private[graft] def hllByKey(keyed: DataFrame, key: String): DataFrame = {
-    val reg = keyed
+  /** The register half of [[hllByKey]] — per-($key, idx) max-rho, the
+    * MERGEABLE artifact (registers of A ∪ B = per-cell max of A's and
+    * B's registers), factored so x17's incremental-stats merge shares
+    * the exact math. */
+  private[graft] def hllRegsByKey(keyed: DataFrame, key: String)
+      : DataFrame =
+    keyed
       .select(col(key), expr(s"h div $HLL_WMASK").as("idx"),
         (col("h") % HLL_WMASK).as("w"))
       .select(col(key), col("idx"),
@@ -3572,7 +3577,12 @@ object LlmOps {
           .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
       .groupBy(col(key), col("idx"))
       .agg(max(col("rho")).as("m_rho"))
-    val z = reg.groupBy(col(key)).agg(
+
+  /** The estimate half: a ($key, idx, m_rho) register frame → the
+    * ($key, n_hll) cardinality estimate. */
+  private[graft] def hllFinalize(regs: DataFrame, key: String)
+      : DataFrame = {
+    val z = regs.groupBy(col(key)).agg(
       (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_rho AS INT))")) +
         (lit(HLL_M.toLong) - count(lit(1))) * lit(1L << 53)).as("z_scaled"),
       (lit(HLL_M.toLong) - count(lit(1))).as("v_zero"))
@@ -3585,25 +3595,37 @@ object LlmOps {
           .otherwise(round(col("raw"), 4)).as("n_hll"))
   }
 
-  /** [[hllByKey]] as DuckDB CTE text over a prior `hsrc` CTE exposing
-    * ($key, h); ends in `hfin ($key, n_hll)`. */
-  private[graft] def hllByKeyDuck(key: String): String = s"""hreg AS (
+  private[graft] def hllByKey(keyed: DataFrame, key: String): DataFrame =
+    hllFinalize(hllRegsByKey(keyed, key), key)
+
+  /** Register CTE text: builds `${p}hreg ($key, idx, m_rho)` from a
+    * prior CTE `$src` exposing ($key, h). */
+  private[graft] def hllRegsDuck(
+      key: String, p: String, src: String): String = s"""${p}hreg AS (
         SELECT $key, h // $HLL_WMASK AS idx,
           max(CASE WHEN h % $HLL_WMASK = 0 THEN 53
               ELSE 53 - length(bin(h % $HLL_WMASK)) END) AS m_rho
-        FROM hsrc GROUP BY 1, 2),
-      hz AS (
+        FROM $src GROUP BY 1, 2)"""
+
+  /** Finalizer CTE text: `${p}hreg` → `${p}hfin ($key, n_hll)`. */
+  private[graft] def hllFinalizeDuck(key: String, p: String): String =
+    s"""${p}hz AS (
         SELECT $key,
           sum(1::BIGINT << CAST(53 - m_rho AS INT)) +
             ($HLL_M - count(*)) * (1::BIGINT << 53) AS z_scaled,
           $HLL_M - count(*) AS v_zero
-        FROM hreg GROUP BY 1),
-      hfin AS (
+        FROM ${p}hreg GROUP BY 1),
+      ${p}hfin AS (
         SELECT $key, CASE WHEN raw <= ${2.5 * HLL_M} AND v_zero > 0
             THEN round($HLL_M.0 * ln($HLL_M.0 / v_zero), 4)
             ELSE round(raw, 4) END AS n_hll
         FROM (SELECT $key, $HLL_NUMC / z_scaled AS raw, v_zero
-              FROM hz) t)"""
+              FROM ${p}hz) t)"""
+
+  /** [[hllByKey]] as DuckDB CTE text over a prior `hsrc` CTE exposing
+    * ($key, h); ends in `hfin ($key, n_hll)`. */
+  private[graft] def hllByKeyDuck(key: String): String =
+    hllRegsDuck(key, "", "hsrc") + ",\n      " + hllFinalizeDuck(key, "")
 
   /** Per-(lang) 3-gram stream with its 60-bit sketch hash — shared by
     * a9 (relational registers) and a9b (native aggregate). */

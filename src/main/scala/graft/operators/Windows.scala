@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
@@ -322,7 +323,90 @@ object Windows {
       JOIN cs ON cs.cohort_day = f.cohort_day
       GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------------
+  // W7: touch attribution — the third analytics staple after the funnel
+  // and the cohort: every purchase is credited to a touch (view/click)
+  // under BOTH standard models in one pass — last-touch (the most
+  // recent touch in a 7-day lookback; outside the window the purchase
+  // is honestly 'none', never silently credited) and first-touch (the
+  // user's first-ever touch, no lookback by convention). One
+  // user-partitioned event-time window computes the running
+  // last/first touch via IGNORE-NULLS last_value/first_value — the
+  // running-state-over-a-keyed-window shape (x1's as-of discipline
+  // without the union tag, since touch and conversion live in the same
+  // stream); a same-timestamp touch orders before the purchase by
+  // event_id, the documented tie-break. Revenue accumulates in
+  // DECIMAL; the per-(model, channel) rollup is planner-sized.
+  // ---------------------------------------------------------------------
+  val w7Attribution = Q(
+    "w7_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = when(col("event_type").isin("view", "click"),
+        col("event_type"))
+      val touchTs = when(col("event_type").isin("view", "click"),
+        col("ts"))
+      val attributed = ev
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .withColumn("lt_ts", last(touchTs, ignoreNulls = true).over(w))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("value"),
+          when(col("lt").isNotNull &&
+            expr("unix_micros(ts) - unix_micros(lt_ts)") <=
+              lit(7L * 86400L * 1000000L), col("lt"))
+            .otherwise(lit("none")).as("last_touch"),
+          coalesce(col("ft"), lit("none")).as("first_touch"))
+      def roll(model: String, channel: Column): DataFrame =
+        attributed.groupBy(channel.as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("value").cast("decimal(18,2)"))
+              .cast("double"), 2).as("revenue"))
+          .select(lit(model).as("model"), col("channel"),
+            col("n_purchases"), col("revenue"))
+      roll("last_touch", col("last_touch"))
+        .unionAll(roll("first_touch", col("first_touch")))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+          event_id, value
+        FROM events),
+      run AS (
+        SELECT *,
+          last_value(CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END IGNORE NULLS) OVER w AS lt,
+          last_value(CASE WHEN event_type IN ('view', 'click')
+              THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+          first_value(CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END IGNORE NULLS) OVER w AS ft
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      att AS (
+        SELECT value,
+          CASE WHEN lt IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(lt_ts) <= 604800000000
+               THEN lt ELSE 'none' END AS last_touch,
+          coalesce(ft, 'none') AS first_touch
+        FROM run WHERE event_type = 'purchase')
+      SELECT 'last_touch' AS model, last_touch AS channel,
+        CAST(count(*) AS BIGINT) AS n_purchases,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+          AS revenue
+      FROM att GROUP BY 2
+      UNION ALL
+      SELECT 'first_touch', first_touch, CAST(count(*) AS BIGINT),
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      FROM att GROUP BY 2"""))
+
   /** All event-time window queries, registration order. */
   def all: Seq[Q] =
-    Seq(w1Tumbling, w2Sliding, w3Session, w4GapFill, w5Funnel, w6Cohort)
+    Seq(w1Tumbling, w2Sliding, w3Session, w4GapFill, w5Funnel, w6Cohort,
+      w7Attribution)
 }

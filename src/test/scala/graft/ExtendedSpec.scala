@@ -361,4 +361,44 @@ class ExtendedSpec extends SparkSuite {
     assert(rest.forall { case (_, (v, p)) => p && v === 0L },
       "every other contract holds on the generated lake")
   }
+
+  test("X17: register-max merge equals a from-scratch sketch of the " +
+      "union EXACTLY, counts add, and the merge is monotone") {
+    import graft.functions.Portable
+    val got = operators.Extended.x17IncrementalStats.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet === Set("l_returnflag", "l_partkey"))
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    got.values.foreach { case (ns, nb, nm, s, b, m) =>
+      assert(ns + nb === total && nm === total, "exact counts add")
+      // register-max merge can only RAISE registers → the estimate is
+      // monotone in each input
+      assert(m >= math.max(s, b) - 1e-9, s"merge not monotone: $got")
+    }
+    // the algebra itself: merged registers == registers of the union,
+    // so the merged estimate must equal a FROM-SCRATCH sketch of all
+    // rows bit-for-bit (this is what lets the nightly job skip the
+    // standing rescan)
+    val allHashes = li.select(explode(array(
+        struct(lit("l_returnflag").as("c"),
+          Portable.h60(col("l_returnflag"), "x17|").as("h")),
+        struct(lit("l_partkey").as("c"),
+          Portable.h60(col("l_partkey").cast("string"), "x17|")
+            .as("h")))).as("e"))
+      .select("e.c", "e.h")
+    val scratch = operators.LlmOps.hllByKey(allHashes, "c").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (c, (_, _, _, _, _, m)) =>
+      assert(m === scratch(c),
+        s"$c: incremental merge must equal the from-scratch sketch")
+    }
+    // the low-NDV column reads (near-)exact under linear counting
+    val (_, _, _, _, _, flagNdv) = got("l_returnflag")
+    assert(flagNdv >= 2.5 && flagNdv <= 3.5,
+      s"l_returnflag has 3 values; sketch read $flagNdv")
+  }
 }

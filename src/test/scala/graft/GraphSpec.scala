@@ -611,4 +611,52 @@ class GraphSpec extends SparkSuite {
     assert(got(("warm", 0L))._2 > 0L,
       "base fixpoint must differ from merged fixpoint — delta vacuous")
   }
+
+  test("G8: every walk equals an independent driver-side replay of the " +
+      "hash-random hop rule; dangling stops truncate, never pad") {
+    val n = Tables.documents(spark, sf).count()
+    def outNbrs(u: Long): Seq[Long] =
+      (0L until (u % 4)).map { k =>
+        val p = if (k == 0) 7L else if (k == 1) 13L else 29L
+        (u * p + k + 1) % n
+      }
+    def h(seed: Long, walk: Long, step: Int, dst: Long): Long =
+      graft.functions.Portable.h60Jvm(s"g8|$seed|$walk|$step|$dst")
+    val want = (for {
+      seed <- 0L until n if seed % 50 == 0
+      walk <- 0L until 2L
+    } yield {
+      var cur = seed
+      var path = List((seed, walk, 0L, seed))
+      var i = 1
+      var alive = true
+      while (i <= 4 && alive) {
+        val nb = outNbrs(cur)
+        if (nb.isEmpty) alive = false
+        else {
+          cur = nb.minBy(d => (h(seed, walk, i, d), d))
+          path ::= ((seed, walk, i.toLong, cur))
+          i += 1
+        }
+      }
+      path
+    }).flatten.toSet
+    val got = operators.Graph.g8RandomWalks.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // non-vacuity: the fixture must exercise BOTH walk fates — a
+    // full-length walk and a dangling truncation — and the two walks
+    // of some seed must diverge (the hash varies per walk)
+    val lens = got.groupBy(t => (t._1, t._2)).view.mapValues(_.size)
+    assert(lens.values.exists(_ >= 4),
+      "no walk survived three hops — the hop rule is likely broken")
+    assert(lens.values.exists(_ <= 2), "no walk hit an early dangling stop")
+    val bySeed = got.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).values.toSeq)
+    assert(bySeed.values.exists(ws =>
+      ws.size == 2 && ws.head.map(t => (t._3, t._4)) !=
+        ws.last.map(t => (t._3, t._4))),
+      "some seed's two walks must take different paths")
+  }
 }

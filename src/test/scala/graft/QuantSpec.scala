@@ -103,4 +103,33 @@ class QuantSpec extends SparkSuite {
       "wider prefixes must recover strictly more of the exact top-5 " +
         s"in aggregate (32d ${total(32L)} vs 16d ${total(16L)})")
   }
+
+  test("A30: the in-cell BQ search is consistent with a7b's in-cell " +
+      "float search — exact_hit rows are exactly the a7b overlap") {
+    val a7b = operators.Ann.a7bIvfTrained.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = operators.Ann.a30IvfBq.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)),
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5))))
+    assert(rows.nonEmpty)
+    val probes = rows.map(_._1._1).distinct
+    assert(probes.sorted === (100L until 110L),
+      "a30 must search a7b's exact probe set")
+    rows.foreach { case ((p, v), (_, ham, sim, hit)) =>
+      assert(ham >= 0 && ham <= 64, s"($p,$v) hamming out of range")
+      assert(sim <= 1.000001, s"($p,$v) cosine above 1")
+      // a7b IS the cell-exhaustive float top-5 for these probes, so
+      // exact_hit must mark precisely the a7b overlap
+      assert((hit == 1L) === a7b((p, v)),
+        s"($p,$v): exact_hit disagrees with a7b's in-cell truth")
+    }
+    assert(rows.count(_._2._4 == 1L) > 0,
+      "the signatures found none of the in-cell float top-5 — packing " +
+        "or cell routing is broken")
+    // every probe emits exactly BQ_K reranked rows (cells here are
+    // corpus-quarter sized, far above the candidate count)
+    rows.groupBy(_._1._1).foreach { case (p, rs) =>
+      assert(rs.size === 5, s"probe $p emitted ${rs.size} rows")
+    }
+  }
 }

@@ -150,6 +150,42 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(got(("2024-03-02", 1L)) === ((1L, 1L, 1.0)))
   }
 
+  test("W7: attribution credits the right touch under both models — " +
+      "lookback expiry, same-timestamp tie-break, and untouched " +
+      "purchases all route exactly") {
+    val rows = Seq(
+      // user 1: view then click then purchase → last=click, first=view
+      (0L, ts("2024-03-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (1L, ts("2024-03-02 00:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-03-03 00:00:00"), 1L, "purchase", 10.0, "{}"),
+      // user 2: click 8 days before the purchase → OUTSIDE the 7-day
+      // lookback (last='none') but first-touch still credits it
+      (3L, ts("2024-03-01 00:00:00"), 2L, "click", 0.0, "{}"),
+      (4L, ts("2024-03-09 00:00:01"), 2L, "purchase", 20.0, "{}"),
+      // user 3: purchase with no touch ever → none/none
+      (5L, ts("2024-03-01 00:00:00"), 3L, "purchase", 40.0, "{}"),
+      // user 4: touch at the SAME timestamp as the purchase with a
+      // smaller event_id → orders before it, so it gets the credit
+      (6L, ts("2024-03-05 12:00:00"), 4L, "view", 0.0, "{}"),
+      (7L, ts("2024-03-05 12:00:00"), 4L, "purchase", 80.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("w7fix").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Windows.w7Attribution.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("last_touch", "click")) === ((1L, 10.0)))
+    assert(got(("last_touch", "none")) === ((2L, 60.0)),
+      "the 8-day-old click must NOT earn last-touch credit")
+    assert(got(("last_touch", "view")) === ((1L, 80.0)),
+      "a same-timestamp touch with smaller event_id counts")
+    assert(got(("first_touch", "view")) === ((2L, 90.0)))
+    assert(got(("first_touch", "click")) === ((1L, 20.0)),
+      "first-touch has no lookback by convention")
+    assert(got(("first_touch", "none")) === ((1L, 40.0)))
+    assert(got.size === 6)
+  }
+
   test("K1: partition filter prunes the lake scan (plan-level)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = sources.Ingest.k1PartitionedSink.fn(spark, sf)
