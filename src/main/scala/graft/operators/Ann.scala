@@ -3368,7 +3368,15 @@ object Ann {
     (s, d) => hybridRrfOver(s,
       embeddings(s, d).select(col("vec_id"), col("embedding").as("emb")),
       documents(s, d).select(col("doc_id"), col("text"))),
-    Some(s"""WITH e AS (
+    Some(s"""WITH $hybridDuckCtes
+      SELECT probe_id, doc_id, dense_rk, sparse_rk, rrf, fused_rk
+      FROM hybrid"""))
+
+  /** a26's whole two-arm retrieval + RRF fusion as DuckDB CTEs ending
+    * in `hybrid (probe_id, doc_id, dense_rk, sparse_rk, rrf,
+    * fused_rk)` — shared by a26's report and e8's serving composition
+    * so the two replays can't drift. */
+  private def hybridDuckCtes: String = s"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
@@ -3432,12 +3440,13 @@ object Ann {
                  + coalesce(CAST(1.0 AS DOUBLE) / ($RRF_C + sp.sparse_rk),
                    CAST(0.0 AS DOUBLE)), 9) AS rrf
         FROM dense dn FULL OUTER JOIN sparse sp
-          ON sp.probe_id = dn.probe_id AND sp.doc_id = dn.doc_id)
-      SELECT probe_id, doc_id, dense_rk, sparse_rk, rrf,
-        CAST(rn AS BIGINT) AS fused_rk
-      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-          ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused) t
-      WHERE rn <= $RRF_TOPK"""))
+          ON sp.probe_id = dn.probe_id AND sp.doc_id = dn.doc_id),
+      hybrid AS (
+        SELECT probe_id, doc_id, dense_rk, sparse_rk, rrf,
+          CAST(rn AS BIGINT) AS fused_rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused) t
+        WHERE rn <= $RRF_TOPK)"""
 
   // ---------------------------------------------------------------------
   // A27: graph-index health report + rebuild decision — a16's retrain
@@ -3962,6 +3971,199 @@ object Ann {
       FROM topk k LEFT JOIN truth t
         ON t.probe_id = k.probe_id AND t.vec_id = k.vec_id"""))
 
+  // ---------------------------------------------------------------------
+  // E8: the RAG serving pipeline composed end-to-end — e4 is the
+  // TRAINING-data build as one plan; this is the SERVING build: hybrid
+  // retrieval (a26's two arms + RRF fusion) → MMR diversification over
+  // the fused pool (a23's greedy, relevance = the fused RANK scaled to
+  // micro units so both MMR terms live on one integer scale) → context
+  // packing under a token budget (t9's discipline at serving time:
+  // include picks in MMR order while they fit, a skipped pick stays in
+  // the report with included=false — the d13 rule: what was dropped
+  // and why is output, not silence). Every stage after the pool
+  // extraction runs on ≤ RRF_TOPK rows per probe: the pairwise-sim
+  // frame, the E8_PICKS unrolled greedy rounds, and the budget fold
+  // (a 3-row per-probe pivot, pure column arithmetic) are all
+  // planner-sized whatever the corpus; integers end to end, so both
+  // engines pick and pack identically.
+  // ---------------------------------------------------------------------
+  private[graft] val E8_PICKS = 3
+  private[graft] val E8_BUDGET = 64L
+
+  val e8RagPipeline = Q(
+    "e8_rag_pipeline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val pool = hybridRrfOver(s, e, docs)
+        .select(col("probe_id"), col("doc_id"), col("fused_rk"))
+        .withColumn("rel",
+          (lit(RRF_TOPK + 1L) - col("fused_rk")) *
+            lit(1000000L / RRF_TOPK))
+        .localCheckpoint()
+      val poolV = pool
+        .join(e.select(col("vec_id").as("doc_id"), col("emb")),
+          Seq("doc_id"))
+      val pairs = poolV
+        .select(col("probe_id"), col("doc_id").as("va"),
+          col("emb").as("ea"))
+        .join(poolV.select(col("probe_id"), col("doc_id").as("vb"),
+          col("emb").as("eb")), Seq("probe_id"))
+        .filter(col("va") =!= col("vb"))
+        .select(col("probe_id"), col("va"), col("vb"),
+          microCos(s, "ea", "eb").as("pu"))
+        .localCheckpoint()
+      val w1 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      var picks = pool
+        .select(col("probe_id"), col("doc_id"), col("fused_rk"),
+          (col("rel") * lit(7L)).as("score"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("doc_id"), col("fused_rk"),
+          lit(1L).as("pick"))
+        .localCheckpoint()
+      for (r <- 2 to E8_PICKS) {
+        val selIds = picks.select(col("probe_id"), col("doc_id"))
+        val ms = pairs
+          .join(selIds.select(col("probe_id"), col("doc_id").as("vb")),
+            Seq("probe_id", "vb"))
+          .groupBy(col("probe_id"), col("va"))
+          .agg(max(col("pu")).as("ms"))
+        val next = pool
+          .join(selIds, Seq("probe_id", "doc_id"), "left_anti")
+          .join(ms.select(col("probe_id"), col("va").as("doc_id"),
+            col("ms")), Seq("probe_id", "doc_id"), "left")
+          .select(col("probe_id"), col("doc_id"), col("fused_rk"),
+            (col("rel") * lit(7L) -
+              coalesce(col("ms"), lit(0L)) * lit(3L)).as("score"))
+          .withColumn("rn", row_number().over(w1))
+          .filter(col("rn") === 1)
+          .select(col("probe_id"), col("doc_id"), col("fused_rk"),
+            lit(r.toLong).as("pick"))
+        picks = picks.unionByName(next).localCheckpoint()
+      }
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val pivotAggs = (1 to E8_PICKS).flatMap { r =>
+        Seq(max(when(col("pick") === r, col("doc_id"))).as(s"d$r"),
+          max(when(col("pick") === r, col("fused_rk"))).as(s"rk$r"),
+          max(when(col("pick") === r, col("n_tokens"))).as(s"t$r"))
+      }
+      val wide = picks.join(toks, Seq("doc_id"))
+        .groupBy(col("probe_id"))
+        .agg(pivotAggs.head, pivotAggs.tail: _*)
+      // greedy budget fold over pick order, as pure column arithmetic
+      val (incs, cums) = (1 to E8_PICKS)
+        .foldLeft((Vector.empty[Column], Vector.empty[Column])) {
+          case ((is, cs), r) =>
+            val prev = cs.lastOption.getOrElse(lit(0L))
+            val inc = prev + col(s"t$r") <= lit(E8_BUDGET)
+            (is :+ inc, cs :+ (prev + when(inc, col(s"t$r"))
+              .otherwise(lit(0L))))
+        }
+      wide.select(col("probe_id"), explode(array((1 to E8_PICKS).map {
+        r =>
+          struct(lit(r.toLong).as("pick"), col(s"d$r").as("doc_id"),
+            col(s"rk$r").as("fused_rk"), col(s"t$r").as("n_tokens"),
+            incs(r - 1).as("included"), cums(r - 1).as("cum_tokens"))
+      }: _*)).as("x"))
+        .select(col("probe_id"), col("x.pick"), col("x.doc_id"),
+          col("x.fused_rk"), col("x.n_tokens"), col("x.included"),
+          col("x.cum_tokens"))
+    },
+    Some {
+      val rounds = (2 to E8_PICKS).map { r =>
+        s"""ms$r AS (
+        SELECT pr.probe_id, pr.va AS doc_id, max(pr.pu) AS ms
+        FROM pr JOIN sel${r - 1} s
+          ON s.probe_id = pr.probe_id AND s.doc_id = pr.vb
+        GROUP BY pr.probe_id, pr.va),
+      s$r AS (
+        SELECT probe_id, doc_id, fused_rk, CAST($r AS BIGINT) AS pick
+        FROM (
+          SELECT c.*, row_number() OVER (PARTITION BY probe_id
+            ORDER BY score DESC, doc_id ASC) AS rn
+          FROM (
+            SELECT pl.probe_id, pl.doc_id, pl.fused_rk,
+              7 * pl.rel - 3 * coalesce(m.ms, 0) AS score
+            FROM pool pl
+            LEFT JOIN ms$r m
+              ON m.probe_id = pl.probe_id AND m.doc_id = pl.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+              WHERE s.probe_id = pl.probe_id
+                AND s.doc_id = pl.doc_id)) c) t
+        WHERE rn = 1),
+      sel$r AS (SELECT probe_id, doc_id FROM sel${r - 1}
+        UNION ALL SELECT probe_id, doc_id FROM s$r)"""
+      }.mkString(",\n      ")
+      val unionAll = (1 to E8_PICKS).map(r =>
+        s"SELECT probe_id, doc_id, fused_rk, " +
+          s"CAST($r AS BIGINT) AS pick FROM s$r")
+        .mkString(" UNION ALL ")
+      val wideCols = (1 to E8_PICKS).map { r =>
+        s"""max(CASE WHEN pick = $r THEN p.doc_id END) AS d$r,
+          max(CASE WHEN pick = $r THEN p.fused_rk END) AS rk$r,
+          max(CASE WHEN pick = $r THEN t.n_tokens END) AS t$r"""
+      }.mkString(",\n          ")
+      val cumExpr = (1 to E8_PICKS).map { r =>
+        val prev = (1 until r).map(j =>
+          s"(CASE WHEN inc$j THEN t$j ELSE 0 END)")
+          .foldLeft("0")(_ + " + " + _)
+        s"$prev"
+      }
+      val incDefs = (1 to E8_PICKS).map { r =>
+        s"${cumExpr(r - 1)} + t$r <= $E8_BUDGET AS inc$r"
+      }.mkString(",\n          ")
+      val emits = (1 to E8_PICKS).map { r =>
+        s"""SELECT probe_id, CAST($r AS BIGINT) AS pick, d$r AS doc_id,
+          rk$r AS fused_rk, t$r AS n_tokens, inc$r AS included,
+          CAST(${cumExpr(r - 1)} +
+            (CASE WHEN inc$r THEN t$r ELSE 0 END) AS BIGINT)
+            AS cum_tokens
+        FROM flags"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $hybridDuckCtes,
+      pool AS (
+        SELECT probe_id, doc_id, fused_rk,
+          (${RRF_TOPK + 1} - fused_rk) * ${1000000L / RRF_TOPK} AS rel
+        FROM hybrid),
+      pr AS (
+        SELECT a.probe_id, a.doc_id AS va, b.doc_id AS vb,
+          CAST(round(list_inner_product(ea.emb, eb.emb)
+            / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS pu
+        FROM pool a
+        JOIN pool b ON b.probe_id = a.probe_id AND b.doc_id <> a.doc_id
+        JOIN e ea ON ea.vec_id = a.doc_id
+        JOIN e eb ON eb.vec_id = b.doc_id),
+      s1 AS (
+        SELECT probe_id, doc_id, fused_rk, CAST(1 AS BIGINT) AS pick
+        FROM (
+          SELECT pl.*, row_number() OVER (PARTITION BY probe_id
+            ORDER BY 7 * rel DESC, doc_id ASC) AS rn
+          FROM pool pl) t
+        WHERE rn = 1),
+      sel1 AS (SELECT probe_id, doc_id FROM s1),
+      $rounds,
+      picks AS ($unionAll),
+      tok AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      wide AS (
+        SELECT probe_id,
+          $wideCols
+        FROM picks p JOIN tok t USING (doc_id)
+        GROUP BY 1),
+      flags AS (
+        SELECT *,
+          $incDefs
+        FROM wide)
+      $emits"""
+    })
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
@@ -3970,5 +4172,5 @@ object Ann {
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
       a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend,
       a25FilteredNsw, a26HybridRrf, a27IndexHealth, a28BinaryQuant,
-      a29MatryoshkaRecall, a30IvfBq)
+      a29MatryoshkaRecall, a30IvfBq, e8RagPipeline)
 }

@@ -1222,11 +1222,17 @@ object Graph {
       edges.unpersist()
       out.reduce(_ unionAll _)
     },
-    Some {
-      import graft.functions.Portable.h60Duck
-      val hops = (1 to G8_LEN).map { i =>
-        val h = h60Duck(s"concat_ws('|', seed, walk, $i, dst)", "g8|")
-        s"""c$i AS (
+    Some(s"""WITH $walksDuckCtes
+      SELECT seed, walk, step, node FROM walks"""))
+
+  /** g8's whole walk generation as DuckDB CTEs ending in
+    * `walks (seed, walk, step, node)` — shared by g8's report and
+    * g8b's pair extraction so the two replays can't drift. */
+  private def walksDuckCtes: String = {
+    import graft.functions.Portable.h60Duck
+    val hops = (1 to G8_LEN).map { i =>
+      val h = h60Duck(s"concat_ws('|', seed, walk, $i, dst)", "g8|")
+      s"""c$i AS (
         SELECT f.seed, f.walk, e.dst, $h AS h
         FROM f${i - 1} f JOIN edges e ON e.src = f.cur),
       f$i AS (
@@ -1234,22 +1240,58 @@ object Graph {
           SELECT *, row_number() OVER (PARTITION BY seed, walk
             ORDER BY h ASC, dst ASC) AS rn FROM c$i) t
         WHERE rn = 1)"""
-      }.mkString(",\n      ")
-      val emits = (0 to G8_LEN).map(i =>
-        s"""SELECT seed, walk, CAST($i AS BIGINT) AS step, cur AS node
+    }.mkString(",\n      ")
+    val emits = (0 to G8_LEN).map(i =>
+      s"""SELECT seed, walk, CAST($i AS BIGINT) AS step, cur AS node
         FROM f$i""").mkString(" UNION ALL ")
-      s"""WITH $graphEdgesDuckCtes,
+    s"""$graphEdgesDuckCtes,
       f0 AS (
         SELECT doc_id AS seed, CAST(w AS BIGINT) AS walk,
           doc_id AS cur
         FROM nodes, unnest(range($G8_WALKS)) AS t(w)
         WHERE doc_id % $G8_SEED_MOD = 0),
-      $hops
-      $emits"""
-    })
+      $hops,
+      walks AS ($emits)"""
+  }
+
+  // ---------------------------------------------------------------------
+  // G8b: skip-gram pair extraction — g8's CONSUMER (the generator →
+  // consumer closure every family here carries): node2vec/DeepWalk
+  // train on (center, context) co-occurrence pairs within a window
+  // over each walk, not on the walks themselves. Window = ±G8B_WIN
+  // steps inside one (seed, walk); pairs aggregate to a weighted
+  // training table (center, context, n_pairs) — the skip-gram corpus a
+  // trainer streams. Shape: the walk self-join keys on (seed, walk)
+  // (≤ G8_LEN+1 rows per group, so the join is m² over a ≤5-row group)
+  // and the pair table aggregates map-side; nothing beyond g8's own
+  // build ever exceeds walk-corpus size.
+  // ---------------------------------------------------------------------
+  private[graft] val G8B_WIN = 2
+
+  val g8bWalkPairs = Q(
+    "g8b_walk_pairs",
+    (s, d) => {
+      val walks = g8RandomWalks.fn(s, d)
+      val a = walks.select(col("seed"), col("walk"),
+        col("step").as("si"), col("node").as("center"))
+      val b = walks.select(col("seed"), col("walk"),
+        col("step").as("sj"), col("node").as("context"))
+      a.join(b, Seq("seed", "walk"))
+        .filter(col("si") =!= col("sj") &&
+          abs(col("si") - col("sj")) <= G8B_WIN)
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some(s"""WITH $walksDuckCtes
+      SELECT a.node AS center, b.node AS context,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM walks a JOIN walks b
+        ON a.seed = b.seed AND a.walk = b.walk
+        AND a.step <> b.step AND abs(a.step - b.step) <= $G8B_WIN
+      GROUP BY 1, 2"""))
 
   def all: Seq[Q] = Seq(g1Pagerank, g1bPagerankConverge, g2Hits,
     g2bHitsConverge, g3LabelProp, g3bLpaConverge, g4Kcore,
     g4bKcoreConverge, g5Triangles, g6Ppr, g7DeltaPagerank,
-    g8RandomWalks)
+    g8RandomWalks, g8bWalkPairs)
 }

@@ -659,4 +659,28 @@ class GraphSpec extends SparkSuite {
         ws.last.map(t => (t._3, t._4))),
       "some seed's two walks must take different paths")
   }
+
+  test("G8b: skip-gram pairs equal an exact recompute from the walk " +
+      "table, and the window makes them symmetric") {
+    val walks = Graph.g8RandomWalks.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = walks.groupBy(t => (t._1, t._2)).values.toSeq.flatMap {
+      w =>
+        for {
+          a <- w.toSeq; b <- w.toSeq
+          if a._3 != b._3 && math.abs(a._3 - b._3) <= 2
+        } yield (a._4, b._4)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.g8bWalkPairs.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    // the ±window is symmetric in (center, context) BY CONSTRUCTION —
+    // an asymmetric table means the self-join dropped a direction
+    got.foreach { case ((c, x), n) =>
+      assert(got.get((x, c)).contains(n),
+        s"pair ($c,$x) count $n has no mirror")
+    }
+    assert(got.values.sum > got.size.toLong,
+      "repeat co-occurrences must aggregate (weights, not a pair set)")
+  }
 }

@@ -133,4 +133,55 @@ class MmrSpec extends SparkSuite {
     assert(picks.values.toSet != relTop5,
       "MMR output must differ from pure relevance top-5")
   }
+
+  test("E8: the serving composition is consistent stage-by-stage — " +
+      "picks come from a26's pool with matching ranks, pick 1 is the " +
+      "fused argmax, packing replays exactly, and diversity shows") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the 500-doc slice's fused top-3 happens to already be
+    // diverse for every probe, which would make the diversification
+    // assert vacuous; the 1000-doc corpus genuinely forces an MMR
+    // escape (probe 0 swaps fused rank 3 for rank 4)
+    val sf = "/root/testdata/sf0.01"
+    val hybrid = operators.Ann.a26HybridRrf.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(r.fieldIndex("fused_rk"))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = operators.Ann.e8RagPipeline.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6))))
+      .toMap
+    val byProbe = rows.groupBy(_._1._1)
+    byProbe.foreach { case (p, cells) =>
+      assert(cells.size === 3, s"probe $p must emit exactly 3 picks")
+      val picks = (1L to 3L).map(k => cells((p, k)))
+      assert(picks.map(_._1).distinct.size === 3,
+        s"probe $p picked a document twice")
+      picks.foreach { case (doc, rk, nt, _, _) =>
+        assert(hybrid((p, doc)) === rk,
+          s"probe $p doc $doc: rank disagrees with a26's fused table")
+        assert(toks(doc) === nt, s"probe $p doc $doc token count")
+      }
+      assert(picks.head._2 === 1L,
+        s"probe $p: pick 1 must be the fused argmax (rank 1)")
+      // packing replay: greedy skip over pick order, budget 64
+      var cum = 0L
+      picks.foreach { case (doc, _, nt, inc, gotCum) =>
+        val expInc = cum + nt <= 64L
+        if (expInc) cum += nt
+        assert(inc === expInc, s"probe $p doc $doc include flag")
+        assert(gotCum === cum, s"probe $p doc $doc cum_tokens")
+      }
+    }
+    // MMR must visibly diversify somewhere: some probe's pick set is
+    // NOT the fused top-3
+    assert(byProbe.exists { case (p, cells) =>
+      (1L to 3L).map(k => cells((p, k))._2).toSet != Set(1L, 2L, 3L)
+    }, "every probe's picks equal fused top-3 — diversification vacuous")
+    // and the packing must exercise BOTH verdicts somewhere
+    assert(rows.values.exists(_._4) && rows.values.exists(!_._4),
+      "fixture must produce included AND skipped picks")
+  }
 }
