@@ -1007,6 +1007,36 @@ object StreamingJobs {
           col("bm25") >= lit(HYBRID_TAU_BM25))
   }
 
+  /** Streaming data-quality monitor — x16's per-row contracts run as a
+    * STANDING query: every micro-batch folds into running
+    * (check, n_checked, n_violations) totals (complete-mode global
+    * aggregate — the monitor's whole state is one row per check,
+    * bounded by the checklist, never the stream). The per-row
+    * predicates are x16's own (null key/type, negative value, future
+    * timestamp), so the batch suite and the live monitor cannot drift
+    * semantically; the stateful PK-uniqueness face of x16 lives in
+    * [[streamingIncrementalDedup]]'s GroupState election (one Long per
+    * distinct key), which is the same contract in routed-rows form.
+    * Alerting = n_violations > 0 on any row, the bool_and(passed) gate
+    * k10 applies at publish time, evaluated continuously instead. */
+  def streamingConstraints(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame): DataFrame =
+    arrivals
+      .select(explode(array(
+        struct(lit("not_null").as("check_name"),
+          when(col("event_id").isNull || col("event_type").isNull, 1L)
+            .otherwise(0L).as("v")),
+        struct(lit("value_range").as("check_name"),
+          when(col("value") < 0, 1L).otherwise(0L).as("v")),
+        struct(lit("no_future_ts").as("check_name"),
+          when(col("ts") > lit("2030-01-01").cast("timestamp"), 1L)
+            .otherwise(0L).as("v")))).as("c"))
+      .groupBy(col("c.check_name"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(col("c.v")).as("n_violations"))
+      .withColumn("passed", col("n_violations") === 0)
+
   /** Per-user funnel anchors for [[streamingFunnel]] — epoch micros,
     * -1 = step not yet reached. */
   final case class FunnelState(t1: Long, t2: Long, t3: Long)

@@ -1239,6 +1239,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming constraints: running violation totals fold exactly " +
+      "across batches and alert the moment a contract breaks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.lang.Long, Timestamp, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingJobs.streamingConstraints(spark, events)
+      .writeStream.format("memory").queryName("constraints_test")
+      .outputMode("complete").start()
+    try {
+      def totals() = spark.table("constraints_test").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      // batch 1: clean
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), "view", 1.0),
+        (2L, ts("2024-01-01 00:01:00"), "click", 2.0))
+      q.processAllAvailable()
+      val t1 = totals()
+      assert(t1.values.forall { case (n, v, p) => n == 2 && v == 0 && p })
+      // batch 2: one violation per contract — the running totals must
+      // fold batch 1's clean rows with batch 2's dirty ones
+      input.addData(
+        (null.asInstanceOf[java.lang.Long],
+          ts("2024-01-01 00:02:00"), "view", 1.0),
+        (4L, ts("2024-01-01 00:03:00"), "click", -5.0),
+        (5L, ts("2031-01-01 00:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val t2 = totals()
+      assert(t2("not_null") === ((5L, 1L, false)))
+      assert(t2("value_range") === ((5L, 1L, false)))
+      assert(t2("no_future_ts") === ((5L, 1L, false)))
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order parity with batch w5, monotone " +
       "refinement, freeze-on-anchor, and the documented lost-candidate " +
       "divergence") {
