@@ -619,6 +619,66 @@ object SqlFrontend {
       GROUP BY 1, 2""",
     operators.Windows.w6Cohort.oracle)
 
+  // The data-quality suite from SQL — x16's seven contracts as one
+  // Spark SQL string sharing x16's oracle; the only dialect delta is
+  // multi-column COUNT(DISTINCT a, b) vs DuckDB's tuple spelling
+  // COUNT(DISTINCT (a, b)). This is the form a scheduler actually
+  // runs: one SQL statement, gate on bool_and(passed).
+  val sqlX16DataQuality: Queries.Q = sqlQ(
+    "sql_x16_data_quality",
+    """WITH li AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT l_orderkey, l_linenumber) AS BIGINT)
+            AS nd,
+          CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+            THEN 1 END) AS BIGINT) AS v_range
+        FROM lineitem),
+      fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+            AS BIGINT) AS v
+        FROM lineitem l LEFT JOIN
+          (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey),
+      od AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END)
+            AS BIGINT) AS v_null,
+          CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT)
+            AS v_neg,
+          CAST(count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+            THEN 1 END) AS BIGINT) AS v_dom
+        FROM orders),
+      evc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN CAST(ts AS TIMESTAMP) >
+            TIMESTAMP '2030-01-01 00:00:00' THEN 1 END) AS BIGINT) AS v
+        FROM events),
+      checks AS (
+        SELECT 'pk_unique' AS check_name,
+          'lineitem(l_orderkey,l_linenumber)' AS target,
+          n AS n_checked, n - nd AS n_violations FROM li
+        UNION ALL
+        SELECT 'value_range', 'lineitem.l_quantity in [1,50]', n,
+          v_range FROM li
+        UNION ALL
+        SELECT 'fk_exists', 'lineitem.l_orderkey -> orders', n, v
+        FROM fk
+        UNION ALL
+        SELECT 'not_null', 'orders.o_orderdate', n, v_null FROM od
+        UNION ALL
+        SELECT 'value_range', 'orders.o_totalprice >= 0', n, v_neg
+        FROM od
+        UNION ALL
+        SELECT 'accepted_values', 'orders.o_orderstatus in (O,F,P)', n,
+          v_dom FROM od
+        UNION ALL
+        SELECT 'no_future_ts', 'events.ts < 2030-01-01', n, v FROM evc)
+      SELECT check_name, target, n_checked, n_violations,
+        n_violations = 0 AS passed
+      FROM checks""",
+    operators.Extended.x16DataQuality.oracle)
+
   // Touch attribution from SQL — w7's two attribution models sharing
   // w7's oracle; the one dialect delta is unix_micros vs epoch_us, and
   // Spark's IGNORE NULLS spelling sits after the argument list exactly
@@ -2400,7 +2460,7 @@ object SqlFrontend {
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
       sqlW2Sliding, sqlW4GapFill, sqlW5Funnel, sqlW6Cohort,
-      sqlW7Attribution, sqlX15Histogram,
+      sqlW7Attribution, sqlX15Histogram, sqlX16DataQuality,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
