@@ -1462,6 +1462,103 @@ object Ingest {
       FROM dirs CROSS JOIN cur"""))
 
   // ---------------------------------------------------------------------
+  // K17: partition-spec evolution — the lake grows out of its layout
+  // without rewriting history (Iceberg's headline trick, reduced to
+  // its essence): the standing lake is day-partitioned; from the
+  // evolution point on, NEW batches land month-partitioned (the date
+  // column retained as data — the partition column is derived, so no
+  // information is lost), and old files are NEVER touched. The price
+  // is honest and REPORTED: a day-predicate read prunes the old layout
+  // to exactly its day directory but the new layout only to the whole
+  // month — rows_scanned vs probe_rows per layout is the coarseness
+  // cost a planner pays until the next natural rewrite (k6 compaction
+  // is the mechanism that would eventually converge layouts). All
+  // accounting is data-derived (partition counts from the data's own
+  // distinct dates/months, scan rows from the pruned reads), so the
+  // oracle replays every number from the source windows. At 100 TB:
+  // evolution is a metadata decision — zero data movement, O(new
+  // batch) writes only.
+  // ---------------------------------------------------------------------
+  val k17PartitionEvolution = Q(
+    "k17_partition_evolution",
+    (s, d) => {
+      val lake = freshDir("k17_lake")
+      val src = events(s, d)
+        .select(col("event_id"), col("value"),
+          to_date(col("ts")).as("event_date"))
+      // standing day-partitioned generation
+      src.filter(col("event_date") < lit(K10_B2_FROM))
+        .repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(s"$lake/day")
+      // evolved month-partitioned generation: the partition column is
+      // DERIVED, the date column stays in the data files
+      src.filter(col("event_date") >= lit(K10_B2_FROM))
+        .withColumn("event_month",
+          date_format(col("event_date"), "yyyy-MM"))
+        .repartition(col("event_month"))
+        .write.mode("overwrite").partitionBy("event_month")
+        .parquet(s"$lake/month")
+      val dayLake = s.read.parquet(s"$lake/day")
+      val monthLake = s.read.parquet(s"$lake/month")
+      val probeDay = K10_B1_FROM // lives in the day layout
+      val probeDay2 = K10_B2_FROM // lives in the month layout
+      def report(layout: String, probe: String, nParts: DataFrame,
+          nRows: DataFrame, scanned: DataFrame, probeRows: DataFrame)
+          : DataFrame =
+        nParts.crossJoin(nRows).crossJoin(scanned).crossJoin(probeRows)
+          .select(lit(layout).as("layout"),
+            col("n_partitions"), col("n_rows"),
+            lit(probe).as("probe_date"),
+            col("rows_scanned"), col("probe_rows"))
+      val day = report("day", probeDay,
+        dayLake.agg(countDistinct(col("event_date"))
+          .as("n_partitions")),
+        dayLake.agg(count(lit(1)).as("n_rows")),
+        // the day predicate prunes to exactly its directory
+        dayLake.filter(col("event_date") === lit(probeDay))
+          .agg(count(lit(1)).as("rows_scanned")),
+        dayLake.filter(col("event_date") === lit(probeDay))
+          .agg(count(lit(1)).as("probe_rows")))
+      val month = report("month", probeDay2,
+        monthLake.agg(countDistinct(col("event_month"))
+          .as("n_partitions")),
+        monthLake.agg(count(lit(1)).as("n_rows")),
+        // the day predicate can only prune to the MONTH — the whole
+        // month directory scans for one day's rows
+        monthLake.filter(col("event_month") ===
+            lit(probeDay2.substring(0, 7)))
+          .agg(count(lit(1)).as("rows_scanned")),
+        monthLake.filter(col("event_date") === lit(probeDay2))
+          .agg(count(lit(1)).as("probe_rows")))
+      day.unionAll(month)
+    },
+    Some(s"""WITH d AS (
+        SELECT event_id, value, CAST(ts AS DATE) AS event_date
+        FROM events),
+      dayw AS (SELECT * FROM d WHERE event_date < DATE '$K10_B2_FROM'),
+      monw AS (SELECT * FROM d WHERE event_date >= DATE '$K10_B2_FROM')
+      SELECT 'day' AS layout,
+        CAST(count(DISTINCT event_date) AS BIGINT) AS n_partitions,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        '$K10_B1_FROM' AS probe_date,
+        CAST(count(CASE WHEN event_date = DATE '$K10_B1_FROM'
+          THEN 1 END) AS BIGINT) AS rows_scanned,
+        CAST(count(CASE WHEN event_date = DATE '$K10_B1_FROM'
+          THEN 1 END) AS BIGINT) AS probe_rows
+      FROM dayw
+      UNION ALL
+      SELECT 'month',
+        CAST(count(DISTINCT strftime(event_date, '%Y-%m')) AS BIGINT),
+        CAST(count(*) AS BIGINT),
+        '$K10_B2_FROM',
+        CAST(count(CASE WHEN strftime(event_date, '%Y-%m') =
+          substring('$K10_B2_FROM', 1, 7) THEN 1 END) AS BIGINT),
+        CAST(count(CASE WHEN event_date = DATE '$K10_B2_FROM'
+          THEN 1 END) AS BIGINT)
+      FROM monw"""))
+
+  // ---------------------------------------------------------------------
   // K13: MERGE upsert — the lakehouse primitive that completes the
   // commit family (k9 repairs, k10 publishes, k11 erases, k12 travels,
   // THIS upserts; Iceberg/Delta ship it as MERGE INTO): an arriving
@@ -2579,6 +2676,7 @@ object Ingest {
     k9PartitionOverwrite,
     k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
     k13MergeUpsert, k15Vacuum, k16ExpireSnapshots,
+    k17PartitionEvolution,
     e1IngestIncremental,
     e2ActivitiesSnapshot, e3StreamsPipeline, p4JsonFlatten, p4bAzmFlatten,
     p9NormalizeFull, s5CatalogArgmax, s6ExistsProbe, f5ExactKey,

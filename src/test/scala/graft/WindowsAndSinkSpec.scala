@@ -186,6 +186,41 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(got.size === 6)
   }
 
+  test("K17: the evolved lake keeps both layouts physically, the " +
+      "unified read loses nothing, and the coarseness cost is real") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = sources.Ingest.k17PartitionEvolution.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    val lake = s"${sources.Ingest.lakeRoot}/k17_lake"
+    // both layouts on disk: day dirs under /day, month dirs under /month
+    val dayDirs = new java.io.File(s"$lake/day").listFiles()
+      .map(_.getName).filter(_.startsWith("event_date="))
+    val monDirs = new java.io.File(s"$lake/month").listFiles()
+      .map(_.getName).filter(_.startsWith("event_month="))
+    assert(dayDirs.length.toLong === out("day")._1)
+    assert(monDirs.length.toLong === out("month")._1)
+    // nothing lost across the evolution point
+    assert(out("day")._2 + out("month")._2 ===
+      Tables.events(spark, sf).count())
+    // exact pruning in the day layout; honest over-scan in the month
+    // layout (the whole month reads for one day's rows)
+    assert(out("day")._3 === out("day")._4)
+    assert(out("month")._3 > out("month")._4,
+      "a day probe in the month layout must over-scan — if not, the " +
+        "coarseness report is vacuous")
+    // plan-level: the month predicate classifies as a PARTITION filter
+    // on the evolved layout (pruning still works, just coarser)
+    val pruned = spark.read.parquet(s"$lake/month")
+      .filter(col("event_month") === lit("2024-01"))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "event_month predicate must classify as a PARTITION filter")
+  }
+
   test("K1: partition filter prunes the lake scan (plan-level)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = sources.Ingest.k1PartitionedSink.fn(spark, sf)
