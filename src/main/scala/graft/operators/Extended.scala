@@ -1057,9 +1057,120 @@ object Extended {
       CROSS JOIN cnt"""
     })
 
+  // ---------------------------------------------------------------------
+  // X18: incremental quantile maintenance — x17's discipline for the
+  // DISTRIBUTION statistic: KMV bottom-K samples are mergeable
+  // (bottom-K of a union = bottom-K of the merged bottom-Ks, t14's
+  // property), so the standing table's per-stratum K-row sample is the
+  // maintained artifact and absorbing a batch costs one re-rank over
+  // 2K rows per stratum — never a standing rescan, never a global
+  // sort. With x17 (HLL registers) and the streaming count-min cell
+  // maintenance this completes the claim that every sketch the engine
+  // ships is maintained incrementally: NDV by register max, frequency
+  // by cell add, quantiles by sample re-rank. Report: per l_returnflag
+  // stratum, exact split row counts next to p50/p90 off the standing,
+  // batch, and merged samples (type-1 integer ranks, the t14 formula);
+  // the spec proves the merged sample's estimates equal a from-scratch
+  // bottom-K of ALL rows bit-for-bit.
+  // ---------------------------------------------------------------------
+  private val X18_K = 64
+
+  val x18IncrementalQuantiles = Q(
+    "x18_incremental_quantiles",
+    (s, d) => {
+      import graft.functions.Portable
+      val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_extendedprice").as("v"),
+        Portable.h60(concat_ws("|", col("l_orderkey"),
+          col("l_linenumber")), "x18|").as("hk"))
+      val standing = li.filter(col("ok") % 4 =!= 0)
+      val batch = li.filter(col("ok") % 4 === 0)
+      val wH = Window.partitionBy(col("flag"))
+        .orderBy(col("hk").asc, col("v").asc, col("ok").asc,
+          col("ln").asc)
+      def sample(df: DataFrame): DataFrame =
+        df.withColumn("rs", row_number().over(wH))
+          .filter(col("rs") <= X18_K)
+          .select("flag", "ok", "ln", "v", "hk")
+      val ss = sample(standing)
+      val sb = sample(batch)
+      val sm = sample(ss.unionAll(sb)) // the K-row artifact, re-ranked
+      def quant(df: DataFrame, tag: String): DataFrame = {
+        val wV = Window.partitionBy(col("flag"))
+          .orderBy(col("v").asc, col("hk").asc)
+        val counts = df.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+        df.withColumn("rv", row_number().over(wV))
+          .join(broadcast(counts), Seq("flag"))
+          .groupBy(col("flag"))
+          .agg(max(when(col("rv") === expr("(n + 1) div 2"), col("v")))
+            .as(s"p50_$tag"),
+            max(when(col("rv") === expr("(9 * n + 9) div 10"),
+              col("v"))).as(s"p90_$tag"))
+      }
+      val nrows = standing.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_standing"))
+        .join(batch.groupBy(col("flag"))
+          .agg(count(lit(1)).as("n_batch")), Seq("flag"))
+      quant(ss, "standing").join(quant(sb, "batch"), Seq("flag"))
+        .join(quant(sm, "merged"), Seq("flag"))
+        .join(broadcast(nrows), Seq("flag"))
+        .select(col("flag").as("l_returnflag"), col("n_standing"),
+          col("n_batch"), col("p50_standing"), col("p90_standing"),
+          col("p50_batch"), col("p90_batch"), col("p50_merged"),
+          col("p90_merged"))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      val hk = h60Duck("CAST(l_orderkey AS VARCHAR) || '|' || " +
+        "CAST(l_linenumber AS VARCHAR)", "x18|")
+      def samp(name: String, src: String) = s"""$name AS (
+        SELECT flag, ok, ln, v, hk FROM (
+          SELECT *, row_number() OVER (PARTITION BY flag
+            ORDER BY hk ASC, v ASC, ok ASC, ln ASC) AS rs
+          FROM $src) t
+        WHERE rs <= $X18_K)"""
+      def quant(name: String, src: String, tag: String) = s"""$name AS (
+        SELECT flag,
+          max(CASE WHEN rv = (n + 1) // 2 THEN v END) AS p50_$tag,
+          max(CASE WHEN rv = (9 * n + 9) // 10 THEN v END) AS p90_$tag
+        FROM (
+          SELECT flag, v,
+            row_number() OVER (PARTITION BY flag
+              ORDER BY v ASC, hk ASC) AS rv,
+            count(*) OVER (PARTITION BY flag) AS n
+          FROM $src) t
+        GROUP BY 1)"""
+      s"""WITH li AS (
+        SELECT l_returnflag AS flag, l_orderkey AS ok,
+          l_linenumber AS ln, l_extendedprice AS v, $hk AS hk
+        FROM lineitem),
+      standing AS (SELECT * FROM li WHERE ok % 4 <> 0),
+      batch AS (SELECT * FROM li WHERE ok % 4 = 0),
+      ${samp("ss", "standing")},
+      ${samp("sb", "batch")},
+      ${samp("sm",
+        "(SELECT * FROM ss UNION ALL SELECT * FROM sb) u")},
+      ${quant("qs", "ss", "standing")},
+      ${quant("qb", "sb", "batch")},
+      ${quant("qm", "sm", "merged")},
+      nr AS (
+        SELECT flag,
+          CAST(count(CASE WHEN ok % 4 <> 0 THEN 1 END) AS BIGINT)
+            AS n_standing,
+          CAST(count(CASE WHEN ok % 4 = 0 THEN 1 END) AS BIGINT)
+            AS n_batch
+        FROM li GROUP BY 1)
+      SELECT qs.flag AS l_returnflag, nr.n_standing, nr.n_batch,
+        qs.p50_standing, qs.p90_standing, qb.p50_batch, qb.p90_batch,
+        qm.p50_merged, qm.p90_merged
+      FROM qs JOIN qb USING (flag) JOIN qm USING (flag)
+      JOIN nr USING (flag)"""
+    })
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
     x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats,
-    x16DataQuality, x17IncrementalStats)
+    x16DataQuality, x17IncrementalStats, x18IncrementalQuantiles)
 }

@@ -401,4 +401,41 @@ class ExtendedSpec extends SparkSuite {
     assert(flagNdv >= 2.5 && flagNdv <= 3.5,
       s"l_returnflag has 3 values; sketch read $flagNdv")
   }
+
+  test("X18: the merged KMV sample's quantiles equal a from-scratch " +
+      "bottom-K of ALL rows — the mergeability that skips the rescan") {
+    import graft.functions.Portable
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+      .map { case (f, ok, ln, v) =>
+        (f, ok, ln, v, Portable.h60Jvm(s"x18|$ok|$ln"))
+      }
+    def bottomK(rs: Seq[(String, Long, Int, Double, Long)]) =
+      rs.groupBy(_._1).view.mapValues(
+        _.sortBy(t => (t._5, t._4, t._2, t._3)).take(64)).toMap
+    def typ1(sample: Seq[(String, Long, Int, Double, Long)],
+        pct: Int): Double = {
+      val sorted = sample.sortBy(t => (t._4, t._5))
+      val n = sorted.size
+      val rank = if (pct == 50) (n + 1) / 2 else (9 * n + 9) / 10
+      sorted(rank - 1)._4
+    }
+    val scratch = bottomK(rows)
+    val got = operators.Extended.x18IncrementalQuantiles.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(7), r.getDouble(8)))).toMap
+    assert(got.keySet === rows.map(_._1).toSet)
+    got.foreach { case (f, (ns, nb, p50m, p90m)) =>
+      assert(ns + nb === rows.count(_._1 == f).toLong, s"$f counts")
+      // merged bottom-K == from-scratch bottom-K (the algebra), so the
+      // type-1 picks must be bit-identical
+      assert(p50m === typ1(scratch(f), 50), s"$f p50 merge != scratch")
+      assert(p90m === typ1(scratch(f), 90), s"$f p90 merge != scratch")
+      assert(p50m <= p90m, s"$f quantiles out of order")
+    }
+  }
 }
