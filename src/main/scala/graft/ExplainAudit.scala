@@ -108,7 +108,8 @@ object ExplainAudit {
       "w7_attribution", "sql_w7_attribution", "x17_incremental_stats",
       "a30_ivf_bq", "g8_random_walks", "g8b_walk_pairs",
       "e8_rag_pipeline", "sql_x16_data_quality",
-      "k17_partition_evolution", "x18_incremental_quantiles")
+      "k17_partition_evolution", "x18_incremental_quantiles",
+      "sql_c12_resample")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -447,11 +447,13 @@ object SqlFrontend {
   // log-ratio chain. The broadcast hints reproduce the DSL's plan
   // (one-row totals and the 1024-bucket weight table never shuffle the
   // corpus side; the corpus appears on exactly one side of each join).
-  val sqlT19Dsir: Queries.Q = sqlQ(
-    "sql_t19_dsir", {
-      import graft.functions.Portable
-      val b = operators.LlmOps.DSIR_BUCKETS
-      s"""WITH toks AS (
+  /** t19's whole derivation as Spark SQL CTEs ending in `scored` —
+    * shared by sql_t19 and sql_c12 (the dsirCtesDuck discipline on the
+    * Spark-text side). */
+  private def sparkDsirCtes: String = {
+    import graft.functions.Portable
+    val b = operators.LlmOps.DSIR_BUCKETS
+    s"""toks AS (
         SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
       feats AS (
         SELECT doc_id, ${Portable.h60Sql("g", "dsir|")} % $b AS f,
@@ -483,12 +485,36 @@ object SqlFrontend {
           count(*) AS n_feats,
           sum(CAST(lw.lw AS DECIMAL(28,6))) AS w
         FROM feats fe JOIN lw ON lw.f = fe.f
-        WHERE NOT fe.is_t GROUP BY fe.doc_id)
+        WHERE NOT fe.is_t GROUP BY fe.doc_id)"""
+  }
+
+  val sqlT19Dsir: Queries.Q = sqlQ(
+    "sql_t19_dsir",
+    s"""WITH $sparkDsirCtes
       SELECT doc_id, n_feats, CAST(w AS DOUBLE) AS logw,
         w > 0 AS selected
-      FROM scored"""
-    },
+      FROM scored""",
     operators.LlmOps.t19DsirWeights.oracle)
+
+  // DSIR importance RESAMPLING from SQL — c12's replayable ln-space
+  // Bernoulli draw over the shared sparkDsirCtes chain, sharing c12's
+  // oracle; the draw is pure projection, so the SQL form adds zero
+  // exchanges past the weight chain.
+  val sqlC12Resample: Queries.Q = sqlQ(
+    "sql_c12_resample", {
+      import graft.functions.Portable
+      s"""WITH $sparkDsirCtes,
+      drawn AS (
+        SELECT doc_id, CAST(w AS DOUBLE) AS logw,
+          round(ln((CAST(${Portable.h60Sql(
+            "CAST(doc_id AS STRING)", "c12|")} % 1000000 AS DOUBLE)
+            + 0.5) / 1000000.0), 6) AS log_u
+        FROM scored)
+      SELECT doc_id, logw, log_u,
+        log_u < least(logw, CAST(0.0 AS DOUBLE)) AS accepted
+      FROM drawn"""
+    },
+    operators.LlmOps.c12ImportanceResample.oracle)
 
   // Sliding windows from SQL — w2 was the one windows-family op with
   // no SQL surface (VERDICT r16 #7): GROUP BY window(ts, width, slide)
@@ -2465,7 +2491,7 @@ object SqlFrontend {
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
       sqlA18Extend, sqlD13CapReport, sqlT18Bm25, sqlD14Url,
-      sqlD15LineDedup, sqlT19Dsir, sqlT21Bpe, sqlT22Classifier,
+      sqlD15LineDedup, sqlT19Dsir, sqlC12Resample, sqlT21Bpe, sqlT22Classifier,
       sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta)
