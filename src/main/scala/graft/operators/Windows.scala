@@ -405,8 +405,67 @@ object Windows {
         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
       FROM att GROUP BY 2"""))
 
+  // ---------------------------------------------------------------------
+  // W8: rolling anomaly detection — the ops-monitor staple over the
+  // daily series: each (resource, day) total compares against its own
+  // trailing 7-OBSERVED-day baseline (ROWS frame, w4's observed-days
+  // convention) and routes as spike (> 2× the rolling mean), drop
+  // (< 0.5×), normal, or warmup (< 3 prior days — never silently
+  // normal). Everything is EXACT integer arithmetic in value-micros:
+  // the threshold tests are cross-multiplied (total·n > 2·Σ), so no
+  // rolling mean is ever divided or rounded — the round(x, 2)-of-a-
+  // quotient form would diverge between engines exactly at the
+  // .xx5-shortest-representation boundaries the verify notes warn
+  // about, and an alert flapping on an ulp is worse than useless.
+  // Shape: one hash-agg to the daily frame (map-side combinable
+  // DECIMAL sums), then a window over the planner-sized
+  // (resource × day) table — the corpus is touched once.
+  // ---------------------------------------------------------------------
+  val w8Anomaly = Q(
+    "w8_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("total_u"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("n_prev", count(col("total_u")).over(w))
+        .withColumn("base_sum_u",
+          coalesce(sum(col("total_u")).over(w), lit(0L)))
+        .select(col("event_type"), col("day"), col("total_u"),
+          col("n_prev"), col("base_sum_u"),
+          when(col("n_prev") < 3, "warmup")
+            .when(col("total_u") * col("n_prev") >
+              col("base_sum_u") * 2, "spike")
+            .when(col("total_u") * col("n_prev") * 2 <
+              col("base_sum_u"), "drop")
+            .otherwise("normal").as("status"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+            AS total_u
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT *,
+          CAST(count(total_u) OVER w AS BIGINT) AS n_prev,
+          CAST(coalesce(sum(total_u) OVER w, 0) AS BIGINT)
+            AS base_sum_u
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, total_u, n_prev, base_sum_u,
+        CASE WHEN n_prev < 3 THEN 'warmup'
+             WHEN total_u * n_prev > base_sum_u * 2 THEN 'spike'
+             WHEN total_u * n_prev * 2 < base_sum_u THEN 'drop'
+             ELSE 'normal' END AS status
+      FROM r"""))
+
   /** All event-time window queries, registration order. */
   def all: Seq[Q] =
     Seq(w1Tumbling, w2Sliding, w3Session, w4GapFill, w5Funnel, w6Cohort,
-      w7Attribution)
+      w7Attribution, w8Anomaly)
 }

@@ -186,6 +186,32 @@ class WindowsAndSinkSpec extends SparkSuite {
     assert(got.size === 6)
   }
 
+  test("W8: planted spike/drop days route exactly; early days are " +
+      "warmup, never silently normal") {
+    // one resource, 6 steady days (1.0/day), then a 10x spike day and
+    // a 10x-drop day; days 1-3 must be warmup (0/1/2 prior days)
+    val rows = (1 to 6).map { i =>
+      (i.toLong, ts(f"2024-03-0$i%01d 12:00:00"), 1L, "steps", 1.0, "{}")
+    } ++ Seq(
+      (7L, ts("2024-03-07 12:00:00"), 1L, "steps", 10.0, "{}"),
+      (8L, ts("2024-03-08 12:00:00"), 1L, "steps", 0.1, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("w8fix").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Windows.w8Anomaly.fn(spark, dir).collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(got("2024-03-01") === ((1000000L, 0L, 0L, "warmup")))
+    assert(got("2024-03-03")._4 === "warmup", "2 prior days is warmup")
+    assert(got("2024-03-04") === ((1000000L, 3L, 3000000L, "normal")))
+    assert(got("2024-03-07") === ((10000000L, 6L, 6000000L, "spike")),
+      "10e6 * 6 > 2 * 6e6 must fire the spike")
+    // day 8's baseline includes the spike (6*1 + 10 = 16e6 over 7 days)
+    assert(got("2024-03-08") === ((100000L, 7L, 16000000L, "drop")),
+      "2 * 0.1e6 * 7 < 16e6 must fire the drop")
+  }
+
   test("K17: the evolved lake keeps both layouts physically, the " +
       "unified read loses nothing, and the coarseness cost is real") {
     import org.apache.spark.sql.execution.FileSourceScanExec
