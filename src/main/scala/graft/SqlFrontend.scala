@@ -705,6 +705,62 @@ object SqlFrontend {
       FROM checks""",
     operators.Extended.x16DataQuality.oracle)
 
+  // Incremental quantile maintenance from SQL — x18's mergeable
+  // bottom-K chain sharing its oracle; dialect deltas are only the
+  // hash spelling and div vs //. Both rank filters compile to
+  // WindowGroupLimit exactly as the DSL's samples do.
+  val sqlX18Quantiles: Queries.Q = sqlQ(
+    "sql_x18_quantiles", {
+      import graft.functions.Portable.h60Sql
+      val hk = h60Sql("concat_ws('|', l_orderkey, l_linenumber)",
+        "x18|")
+      def samp(name: String, src: String) = s"""$name AS (
+        SELECT flag, ok, ln, v, hk FROM (
+          SELECT *, row_number() OVER (PARTITION BY flag
+            ORDER BY hk ASC, v ASC, ok ASC, ln ASC) AS rs
+          FROM $src) t
+        WHERE rs <= 64)"""
+      def quant(name: String, src: String, tag: String) =
+        s"""$name AS (
+        SELECT flag,
+          max(CASE WHEN rv = (n + 1) div 2 THEN v END) AS p50_$tag,
+          max(CASE WHEN rv = (9 * n + 9) div 10 THEN v END)
+            AS p90_$tag
+        FROM (
+          SELECT flag, v,
+            row_number() OVER (PARTITION BY flag
+              ORDER BY v ASC, hk ASC) AS rv,
+            count(*) OVER (PARTITION BY flag) AS n
+          FROM $src) t
+        GROUP BY 1)"""
+      s"""WITH li AS (
+        SELECT l_returnflag AS flag, l_orderkey AS ok,
+          l_linenumber AS ln, l_extendedprice AS v, $hk AS hk
+        FROM lineitem),
+      standing AS (SELECT * FROM li WHERE ok % 4 <> 0),
+      batch AS (SELECT * FROM li WHERE ok % 4 = 0),
+      ${samp("ss", "standing")},
+      ${samp("sb", "batch")},
+      ${samp("sm",
+        "(SELECT * FROM ss UNION ALL SELECT * FROM sb) u")},
+      ${quant("qs", "ss", "standing")},
+      ${quant("qb", "sb", "batch")},
+      ${quant("qm", "sm", "merged")},
+      nr AS (
+        SELECT flag,
+          CAST(count(CASE WHEN ok % 4 <> 0 THEN 1 END) AS BIGINT)
+            AS n_standing,
+          CAST(count(CASE WHEN ok % 4 = 0 THEN 1 END) AS BIGINT)
+            AS n_batch
+        FROM li GROUP BY 1)
+      SELECT qs.flag AS l_returnflag, nr.n_standing, nr.n_batch,
+        qs.p50_standing, qs.p90_standing, qb.p50_batch, qb.p90_batch,
+        qm.p50_merged, qm.p90_merged
+      FROM qs JOIN qb USING (flag) JOIN qm USING (flag)
+      JOIN nr USING (flag)"""
+    },
+    operators.Extended.x18IncrementalQuantiles.oracle)
+
   // Touch attribution from SQL — w7's two attribution models sharing
   // w7's oracle; the one dialect delta is unix_micros vs epoch_us, and
   // Spark's IGNORE NULLS spelling sits after the argument list exactly
@@ -2487,6 +2543,7 @@ object SqlFrontend {
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
       sqlW2Sliding, sqlW4GapFill, sqlW5Funnel, sqlW6Cohort,
       sqlW7Attribution, sqlX15Histogram, sqlX16DataQuality,
+      sqlX18Quantiles,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,

@@ -1037,6 +1037,89 @@ object StreamingJobs {
         sum(col("c.v")).as("n_violations"))
       .withColumn("passed", col("n_violations") === 0)
 
+  /** Per-resource trailing baseline for [[streamingAnomaly]]: the open
+    * day's accumulating total plus the last ≤7 CLOSED day totals in
+    * value-micros — at most 8 (day, total) pairs per resource, the
+    * bounded-state discipline. */
+  final case class AnomalyState(
+      openDay: String, openTotalU: Long, closedDays: List[String],
+      closedTotalsU: List[Long])
+  final case class DayStatus(
+      event_type: String, day: String, total_u: Long, n_prev: Long,
+      base_sum_u: Long, status: String)
+
+  /** Streaming twin of w8 — the anomaly monitor run LIVE: per
+    * resource, GroupState accumulates the open day's total (exact
+    * value-micros, the batch query's DECIMAL discipline JVM-side via
+    * BigDecimal) and a ring of the last 7 closed-day totals; a new
+    * day's first arrival CLOSES the previous day and emits its status
+    * through the SAME cross-multiplied integer thresholds as batch w8
+    * (spike / drop / normal / warmup — no quotient, no rounding, no
+    * ulp-flapping alerts). Honest divergences, both pinned by
+    * StreamingSpec: (1) a day only closes when a LATER day's first
+    * event arrives (the final open day emits nothing — the stream
+    * cannot know the day ended; the batch query is the replayable
+    * truth); (2) an event arriving for an already-closed day is
+    * dropped from the baseline (Append mode cannot retract an emitted
+    * status) — the w4/minOwnerRoutes lateness convention, stated not
+    * implied. In-order delivery therefore reproduces batch w8 exactly
+    * on every closed day. */
+  def streamingAnomaly(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame): org.apache.spark.sql.Dataset[DayStatus] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    arrivals
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, DayStatus](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { case (typ, rows, state) =>
+        var st = state.getOption
+          .getOrElse(AnomalyState("", 0L, Nil, Nil))
+        val out = scala.collection.mutable.ArrayBuffer.empty[DayStatus]
+        def statusOf(totalU: Long): DayStatus = {
+          val n = st.closedTotalsU.size.toLong
+          val baseSum = st.closedTotalsU.sum
+          DayStatus(typ, st.openDay, totalU, n, baseSum,
+            if (n < 3) "warmup"
+            else if (totalU * n > baseSum * 2) "spike"
+            else if (totalU * n * 2 < baseSum) "drop"
+            else "normal")
+        }
+        def close(): Unit = if (st.openDay.nonEmpty) {
+          out += statusOf(st.openTotalU)
+          st = AnomalyState("", 0L,
+            (st.openDay :: st.closedDays).take(7),
+            (st.openTotalU :: st.closedTotalsU).take(7))
+        }
+        // exact micros per event: BigDecimal(value) is the shortest
+        // decimal representation, matching the batch DECIMAL(18,6) cast
+        def micros(v: Double): Long =
+          (BigDecimal(v) * 1000000).toLongExact
+        // one pass folds the batch to per-day sums (memory = distinct
+        // days in THIS batch, never the event count), then days apply
+        // in order so a multi-day batch closes each day exactly once
+        val byDay = scala.collection.mutable.Map.empty[String, Long]
+        rows.foreach { case (_, day, v) =>
+          byDay(day) = byDay.getOrElse(day, 0L) + micros(v)
+        }
+        byDay.keys.toSeq.sorted.foreach { day =>
+          if (st.openDay.isEmpty) st = st.copy(openDay = day)
+          if (day == st.openDay)
+            st = st.copy(openTotalU = st.openTotalU + byDay(day))
+          else if (day > st.openDay) {
+            close()
+            st = st.copy(openDay = day, openTotalU = byDay(day))
+          } // day < openDay: late events for a closed day — dropped
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** Per-user funnel anchors for [[streamingFunnel]] — epoch micros,
     * -1 = step not yet reached. */
   final case class FunnelState(t1: Long, t2: Long, t3: Long)

@@ -1274,6 +1274,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly: closed days match batch w8's integer " +
+      "thresholds across batches; the open day and late events follow " +
+      "the stated contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "value")
+    val q = StreamingJobs.streamingAnomaly(spark, events)
+      .writeStream.format("memory").queryName("anomaly_test")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("anomaly_test").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+        .toMap
+      // batch 1: w8's planted shape, days 1-4 (day 4 opens, not closed)
+      input.addData((1 to 3).map(i =>
+        ("steps", ts(f"2024-03-0$i%01d 12:00:00"), 1.0)) :+
+        (("steps", ts("2024-03-04 06:00:00"), 0.4)))
+      q.processAllAvailable()
+      val b1 = rows()
+      assert(b1(("steps", "2024-03-01")) === ((1000000L, 0L, 0L,
+        "warmup")))
+      assert(b1(("steps", "2024-03-03"))._4 === "warmup")
+      assert(!b1.contains(("steps", "2024-03-04")),
+        "the open day must not emit until a later day closes it")
+      // batch 2: the rest of day 4 (same-day accumulation across
+      // batches), then the 10x spike day closes it; a LATE day-2 event
+      // must be dropped from the baseline, not re-open day 2
+      input.addData(
+        ("steps", ts("2024-03-04 18:00:00"), 0.6),
+        ("steps", ts("2024-03-02 23:00:00"), 99.0), // late: dropped
+        ("steps", ts("2024-03-05 12:00:00"), 1.0),
+        ("steps", ts("2024-03-06 12:00:00"), 1.0),
+        ("steps", ts("2024-03-07 12:00:00"), 10.0),
+        ("steps", ts("2024-03-08 12:00:00"), 0.1),
+        ("steps", ts("2024-03-09 12:00:00"), 1.0))
+      q.processAllAvailable()
+      val b2 = rows()
+      assert(b2(("steps", "2024-03-04")) === ((1000000L, 3L, 3000000L,
+        "normal")), "day 4 must total ACROSS batches (0.4 + 0.6)")
+      assert(b2(("steps", "2024-03-07")) === ((10000000L, 6L, 6000000L,
+        "spike")), "the late day-2 event must not inflate the baseline")
+      assert(b2(("steps", "2024-03-08")) === ((100000L, 7L, 16000000L,
+        "drop")))
+      assert(!b2.contains(("steps", "2024-03-09")), "day 9 stays open")
+      assert(b2.keySet.map(_._2) ===
+        (1 to 8).map(i => f"2024-03-0$i%01d").toSet)
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order parity with batch w5, monotone " +
       "refinement, freeze-on-anchor, and the documented lost-candidate " +
       "divergence") {
