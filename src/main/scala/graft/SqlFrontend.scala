@@ -807,6 +807,7 @@ object SqlFrontend {
   // rank filters compile to WindowGroupLimit exactly as the DSL's.
   val sqlX15Histogram: Queries.Q = {
     import graft.functions.Portable.h60Sql
+    import operators.Extended.{HIST_SAMPLE, HIST_BINS, histThreshSql}
     val key = "concat_ws('|', l_orderkey, l_linenumber)"
     sqlQ(
       "sql_x15_histogram",
@@ -817,8 +818,7 @@ object SqlFrontend {
           ${h60Sql(key, "x15|")} AS h, nr.n_rows
         FROM lineitem CROSS JOIN nr
         WHERE ${h60Sql(key, "x15|")} <
-          CAST(floor(8192.0 * 1152921504606846976.0 / nr.n_rows)
-            AS BIGINT)),
+          ${histThreshSql("nr.n_rows")}),
       stacked AS (
         SELECT 'l_quantity' AS col_name,
           CAST(l_quantity AS DOUBLE) AS val, h, n_rows
@@ -832,10 +832,10 @@ object SqlFrontend {
           SELECT *, row_number() OVER (PARTITION BY col_name
             ORDER BY h ASC, val ASC) AS rn
           FROM stacked) t
-        WHERE rn <= 4096),
+        WHERE rn <= $HIST_SAMPLE),
       binned AS (
         SELECT col_name, val, n_rows,
-          CAST(ntile(8) OVER (PARTITION BY col_name
+          CAST(ntile($HIST_BINS) OVER (PARTITION BY col_name
             ORDER BY val ASC, h ASC) AS BIGINT) AS bin
         FROM sample),
       bins AS (

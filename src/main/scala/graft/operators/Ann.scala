@@ -85,7 +85,8 @@ object Ann {
             FROM e WHERE vec_id < 8),
       sims AS (
         SELECT probe_id, vec_id,
-          round(list_inner_product(emb, p_emb) / (nrm * p_nrm), 6) AS sim
+          round(list_inner_product(emb, p_emb)
+            / nullif(nrm * p_nrm, 0.0), 6) AS sim
         FROM e CROSS JOIN p WHERE vec_id <> probe_id)
       SELECT probe_id, vec_id, sim
       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
@@ -140,7 +141,8 @@ object Ann {
             FROM e WHERE vec_id < 40),
       sims AS (
         SELECT probe_id, e.vec_id,
-          round(list_inner_product(emb, p_emb) / (nrm * p_nrm), 6) AS sim
+          round(list_inner_product(emb, p_emb)
+            / nullif(nrm * p_nrm, 0.0), 6) AS sim
         FROM e JOIN p USING (bucket) WHERE e.vec_id <> probe_id)
       SELECT probe_id, vec_id, sim
       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
@@ -259,12 +261,12 @@ object Ann {
           ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
       pairs AS (
         SELECT c.id_a, c.id_b,
-          round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+          round(list_inner_product(a.emb, b.emb) / nullif(a.nrm * b.nrm, 0.0), 6)
             AS sim
         FROM cand c
         JOIN e a ON a.vec_id = c.id_a
         JOIN e b ON b.vec_id = c.id_b
-        WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+        WHERE round(list_inner_product(a.emb, b.emb) / nullif(a.nrm * b.nrm, 0.0), 6)
               >= 0.3)"""
   }
 
@@ -352,7 +354,7 @@ object Ann {
       sims AS (
         SELECT probe_id, c.vec_id,
           round(list_inner_product(c.emb, p.p_emb) /
-                (c.nrm * p.p_nrm), 6) AS sim
+                nullif(c.nrm * p.p_nrm, 0.0), 6) AS sim
         FROM cells c JOIN probes p USING (cell)
         WHERE c.vec_id <> p.probe_id)
       SELECT probe_id, vec_id, sim
@@ -527,7 +529,7 @@ object Ann {
       sims AS (
         SELECT probe_id, c.vec_id,
           round(list_inner_product(c.emb, p.p_emb) /
-                (c.nrm * p.p_nrm), 6) AS sim
+                nullif(c.nrm * p.p_nrm, 0.0), 6) AS sim
         FROM cells c JOIN probes p USING (cell)
         WHERE c.vec_id <> p.probe_id)
       SELECT probe_id, vec_id, sim
@@ -588,7 +590,7 @@ object Ann {
       sims_ivf AS (
         SELECT probe_id, c.vec_id,
           round(list_inner_product(c.emb, p.p_emb) /
-                (c.nrm * p.p_nrm), 6) AS sim
+                nullif(c.nrm * p.p_nrm, 0.0), 6) AS sim
         FROM cells c JOIN probes_ivf p USING (cell)
         WHERE c.vec_id <> p.probe_id),
       approx_ivf AS (
@@ -604,7 +606,7 @@ object Ann {
       sims_lsh AS (
         SELECT probe_id, eb.vec_id,
           round(list_inner_product(eb.emb, p.p_emb) /
-                (eb.nrm * p.p_nrm), 6) AS sim
+                nullif(eb.nrm * p.p_nrm, 0.0), 6) AS sim
         FROM eb JOIN probes_lsh p USING (bucket)
         WHERE eb.vec_id <> p.probe_id),
       approx_lsh AS (
@@ -614,7 +616,7 @@ object Ann {
         WHERE rn <= 3),
       ex_sims_lsh AS (
         SELECT p.vec_id AS probe_id, e.vec_id,
-          round(list_inner_product(e.emb, p.emb) / (e.nrm * p.nrm), 6) AS sim
+          round(list_inner_product(e.emb, p.emb) / nullif(e.nrm * p.nrm, 0.0), 6) AS sim
         FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 40) p
         WHERE e.vec_id <> p.vec_id),
       exact_lsh AS (
@@ -624,7 +626,7 @@ object Ann {
         WHERE rn <= 3),
       ex_sims_ivf AS (
         SELECT p.vec_id AS probe_id, e.vec_id,
-          round(list_inner_product(e.emb, p.emb) / (e.nrm * p.nrm), 6) AS sim
+          round(list_inner_product(e.emb, p.emb) / nullif(e.nrm * p.nrm, 0.0), 6) AS sim
         FROM e CROSS JOIN
           (SELECT * FROM e WHERE vec_id >= 100 AND vec_id < 110) p
         WHERE e.vec_id <> p.vec_id),
@@ -1021,7 +1023,7 @@ object Ann {
           greatest(a.vec_id, b.vec_id) AS id_b
         FROM e a JOIN e b ON a.vec_id <> b.vec_id
         WHERE a.vec_id IN (SELECT vec_id FROM anchors)
-          AND round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+          AND round(list_inner_product(a.emb, b.emb) / nullif(a.nrm * b.nrm, 0.0), 6)
               >= 0.3),
       found AS (SELECT id_a, id_b FROM (__D4_SQL__) d4)
       SELECT (SELECT count(*) FROM exact) AS n_exact,
@@ -1256,12 +1258,12 @@ object Ann {
           ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
       pairs AS (
         SELECT c.id_a, c.id_b,
-          round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+          round(list_inner_product(a.emb, b.emb) / nullif(a.nrm * b.nrm, 0.0), 6)
             AS sim
         FROM cand c
         JOIN e a ON a.vec_id = c.id_a
         JOIN e b ON b.vec_id = c.id_b
-        WHERE round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+        WHERE round(list_inner_product(a.emb, b.emb) / nullif(a.nrm * b.nrm, 0.0), 6)
               >= $D12_TAU)"""
   }
 
@@ -3050,8 +3052,8 @@ object Ann {
       exf AS (
         SELECT * FROM (
           SELECT probe_id, vec_id,
-            round(list_inner_product(emb, p_emb) / (nrm * p_nrm), 6)
-              AS sim
+            round(list_inner_product(emb, p_emb)
+              / nullif(nrm * p_nrm, 0.0), 6) AS sim
           FROM e CROSS JOIN p
           WHERE vec_id <> probe_id) t
         WHERE sim >= $RANGE_TAU),
@@ -3076,7 +3078,7 @@ object Ann {
         SELECT * FROM (
           SELECT c.probe_id, c.vec_id,
             round(list_inner_product(a.emb, p.p_emb)
-              / (a.nrm * p.p_nrm), 6) AS sim
+              / nullif(a.nrm * p.p_nrm, 0.0), 6) AS sim
           FROM cand c
           JOIN e a ON a.vec_id = c.vec_id
           JOIN p ON p.probe_id = c.probe_id) t
@@ -3222,8 +3224,8 @@ object Ann {
             FROM e WHERE vec_id < 6),
       simq AS (
         SELECT probe_id, vec_id,
-          CAST(round(list_inner_product(emb, p_emb) / (nrm * p_nrm)
-            * 1000000) AS BIGINT) AS sq
+          CAST(round(list_inner_product(emb, p_emb)
+            / nullif(nrm * p_nrm, 0.0) * 1000000) AS BIGINT) AS sq
         FROM e CROSS JOIN p WHERE vec_id <> probe_id),
       pool AS (
         SELECT probe_id, vec_id, sq FROM (
@@ -3233,7 +3235,7 @@ object Ann {
       pr AS (
         SELECT a.probe_id, a.vec_id AS va, b.vec_id AS vb,
           CAST(round(list_inner_product(ea.emb, eb.emb)
-            / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS pu
+            / nullif(ea.nrm * eb.nrm, 0.0) * 1000000) AS BIGINT) AS pu
         FROM pool a
         JOIN pool b ON b.probe_id = a.probe_id AND b.vec_id <> a.vec_id
         JOIN e ea ON ea.vec_id = a.vec_id
@@ -4133,7 +4135,7 @@ object Ann {
       pr AS (
         SELECT a.probe_id, a.doc_id AS va, b.doc_id AS vb,
           CAST(round(list_inner_product(ea.emb, eb.emb)
-            / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS pu
+            / nullif(ea.nrm * eb.nrm, 0.0) * 1000000) AS BIGINT) AS pu
         FROM pool a
         JOIN pool b ON b.probe_id = a.probe_id AND b.doc_id <> a.doc_id
         JOIN e ea ON ea.vec_id = a.doc_id

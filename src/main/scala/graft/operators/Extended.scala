@@ -734,8 +734,16 @@ object Extended {
   // variant is x14's NDV sketch — the two reports together are the
   // stats a CBO consumes.
   // ---------------------------------------------------------------------
-  private val HIST_SAMPLE = 4096
-  private val HIST_BINS = 8
+  private[graft] val HIST_SAMPLE = 4096
+  private[graft] val HIST_BINS = 8
+  /** Keep-threshold for the hash sample, clamped to 2^60: h60 values
+    * are < 2^60, so any threshold ≥ 2^60 keeps all rows — and without
+    * the clamp, floor(2·HIST_SAMPLE·2^60 / n) overflows BIGINT for
+    * n ≤ 1024 (Spark's non-ANSI cast saturates; DuckDB's CAST raises
+    * out-of-range), breaking oracle parity on tiny lakes. */
+  private[graft] def histThreshSql(nRowsCol: String): String =
+    s"CAST(least(floor(${2.0 * HIST_SAMPLE} * 1152921504606846976.0" +
+      s" / $nRowsCol), 1152921504606846976.0) AS BIGINT)"
 
   val x15HistogramStats = Q(
     "x15_histogram_stats",
@@ -755,8 +763,7 @@ object Extended {
       // Chernoff-negligible at the 2× oversample.
       val nr = li.agg(count(lit(1)).as("n_rows"))
       val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
-      val thresh = expr(s"CAST(floor(${2.0 * HIST_SAMPLE} * " +
-        s"1152921504606846976.0 / n_rows) AS BIGINT)")
+      val thresh = expr(histThreshSql("n_rows"))
       val survivors = li
         .select(col("l_quantity"), col("l_extendedprice"),
           Portable.h60(key, "x15|").as("h"))
@@ -801,8 +808,7 @@ object Extended {
           ${h60Duck(key, "x15|")} AS h, nr.n_rows
         FROM lineitem CROSS JOIN nr
         WHERE ${h60Duck(key, "x15|")} <
-          CAST(floor(${2.0 * HIST_SAMPLE} * 1152921504606846976.0
-            / nr.n_rows) AS BIGINT)),
+          ${histThreshSql("nr.n_rows")}),
       stacked AS (
         SELECT 'l_quantity' AS col_name,
           CAST(l_quantity AS DOUBLE) AS val, h, n_rows

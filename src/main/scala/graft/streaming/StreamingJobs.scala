@@ -1095,10 +1095,14 @@ object StreamingJobs {
             (st.openDay :: st.closedDays).take(7),
             (st.openTotalU :: st.closedTotalsU).take(7))
         }
-        // exact micros per event: BigDecimal(value) is the shortest
-        // decimal representation, matching the batch DECIMAL(18,6) cast
+        // micros per event: round to 6 fractional digits BEFORE the
+        // exact conversion, matching the batch DECIMAL(18,6) cast —
+        // without the setScale, a value like 0.1234567 (shortest
+        // decimal > 6 digits) would throw in toLongExact and kill the
+        // streaming query where batch w8 just rounds it
         def micros(v: Double): Long =
-          (BigDecimal(v) * 1000000).toLongExact
+          (BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            * 1000000).toLongExact
         // one pass folds the batch to per-day sums (memory = distinct
         // days in THIS batch, never the event count), then days apply
         // in order so a multi-day batch closes each day exactly once

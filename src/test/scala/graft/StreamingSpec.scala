@@ -1324,6 +1324,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly: a value with more than 6 fractional digits " +
+      "rounds like batch w8's DECIMAL(18,6) cast instead of killing " +
+      "the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "value")
+    val q = StreamingJobs.streamingAnomaly(spark, events)
+      .writeStream.format("memory").queryName("anomaly_round_test")
+      .outputMode("append").start()
+    try {
+      // 0.1234567's shortest decimal has 7 fractional digits — the
+      // pre-fix toLongExact threw ArithmeticException here; batch w8's
+      // DECIMAL(18,6) cast HALF_UP-rounds it to 0.123457
+      input.addData(
+        ("steps", ts("2024-03-01 12:00:00"), 0.1234567),
+        ("steps", ts("2024-03-02 12:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_round_test").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(rows(("steps", "2024-03-01")) === 123457L,
+        "7-digit value must HALF_UP-round to 6 digits (w8 parity)")
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order parity with batch w5, monotone " +
       "refinement, freeze-on-anchor, and the documented lost-candidate " +
       "divergence") {
