@@ -447,6 +447,15 @@ object SqlFrontend {
   // log-ratio chain. The broadcast hints reproduce the DSL's plan
   // (one-row totals and the 1024-bucket weight table never shuffle the
   // corpus side; the corpus appears on exactly one side of each join).
+  // Like the DSL (r17 fix), the corpus explode folds ONCE into the
+  // per-(doc, bucket) count CTE `bydf`, and every bydf reference stays
+  // canonically identical — `WHERE f IS NOT NULL` pre-satisfies the
+  // constraint the scored join would infer into only its copy, and the
+  // raw/target cut filters the aggregated `tgt` flag instead of a
+  // grouping-key predicate the optimizer would push into one copy's
+  // scan — so the shuffle collapses to one build + ReusedExchange:
+  // persist-free single derivation in pure SQL text
+  // (PlanInvariantsSpec pins it for the DSL and both twins).
   /** t19's whole derivation as Spark SQL CTEs ending in `scored` —
     * shared by sql_t19 and sql_c12 (the dsirCtesDuck discipline on the
     * Spark-text side). */
@@ -456,8 +465,7 @@ object SqlFrontend {
     s"""toks AS (
         SELECT doc_id, split(lower(text), ' ') AS t FROM documents),
       feats AS (
-        SELECT doc_id, ${Portable.h60Sql("g", "dsir|")} % $b AS f,
-          doc_id % 20 = 0 AS is_t
+        SELECT doc_id, ${Portable.h60Sql("g", "dsir|")} % $b AS f
         FROM (
           SELECT doc_id, explode(transform(sequence(0, size(t) - 1),
             i -> concat_ws(' ', t[i]))) AS g
@@ -466,13 +474,16 @@ object SqlFrontend {
           SELECT doc_id, explode(transform(sequence(0, size(t) - 2),
             i -> concat_ws(' ', t[i], t[i+1]))) AS g
           FROM toks WHERE size(t) >= 2) u),
+      bydf AS (
+        SELECT doc_id, f, count(*) AS c FROM feats
+        WHERE f IS NOT NULL GROUP BY doc_id, f),
       cnts AS (
         SELECT f,
-          sum(CASE WHEN is_t THEN CAST(1 AS BIGINT)
+          sum(CASE WHEN doc_id % 20 = 0 THEN c
               ELSE CAST(0 AS BIGINT) END) AS cnt_t,
-          sum(CASE WHEN is_t THEN CAST(0 AS BIGINT)
-              ELSE CAST(1 AS BIGINT) END) AS cnt_r
-        FROM feats GROUP BY f),
+          sum(CASE WHEN doc_id % 20 = 0 THEN CAST(0 AS BIGINT)
+              ELSE c END) AS cnt_r
+        FROM bydf GROUP BY f),
       tots AS (
         SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r FROM cnts),
       lw AS (
@@ -481,11 +492,15 @@ object SqlFrontend {
             / CAST((cnt_r + 1) * (tot_t + $b) AS DOUBLE)), 6) AS lw
         FROM cnts CROSS JOIN tots),
       scored AS (
-        SELECT /*+ BROADCAST(lw) */ fe.doc_id,
-          count(*) AS n_feats,
-          sum(CAST(lw.lw AS DECIMAL(28,6))) AS w
-        FROM feats fe JOIN lw ON lw.f = fe.f
-        WHERE NOT fe.is_t GROUP BY fe.doc_id)"""
+        SELECT doc_id, n_feats, w FROM (
+          SELECT /*+ BROADCAST(lw) */ bd.doc_id,
+            sum(bd.c) AS n_feats,
+            sum(CAST(bd.c AS DECIMAL(10,0)) *
+                CAST(lw.lw AS DECIMAL(18,6))) AS w,
+            max(CASE WHEN bd.doc_id % 20 = 0 THEN 1 ELSE 0 END) AS tgt
+          FROM bydf bd JOIN lw ON lw.f = bd.f
+          GROUP BY bd.doc_id) g
+        WHERE tgt = 0)"""
   }
 
   val sqlT19Dsir: Queries.Q = sqlQ(

@@ -2775,12 +2775,23 @@ object LlmOps {
   //   selected  = logw > 0  (more target-like than raw)
   //
   // Parity: the ln argument is ONE division of two exact integer
-  // products (IEEE-identical), rounded per the libm rule, summed as
-  // DECIMAL(28,6). Shape at scale: two corpus passes (feature explode →
-  // bucket counts; the same explode re-scored), the per-feature weight
-  // table is <= B rows (broadcast), totals are a one-row broadcast, and
-  // the per-doc sum is one hash-agg — no joins ever carry the corpus on
-  // both sides.
+  // products (IEEE-identical), rounded per the libm rule; the per-doc
+  // sum Σ lw = Σ c·lw runs in scale-6 DECIMAL on both engines (c is an
+  // integer count, lw has exactly 6 dp, so c·lw is exact).
+  //
+  // Shape at scale (the r17 fix — the explode used to be derived twice
+  // per run, once for bucket counts and once for scoring, doubling the
+  // suite's heaviest scan): ONE corpus pass now folds the feature
+  // explode into the compact per-(doc_id, f) count frame `bydf`
+  // (map-side partial agg, so the only corpus-wide exchange carries
+  // near-distinct pairs, not token instances). Both consumers — the
+  // bucket-count aggregation and the scoring join — read `bydf` with
+  // the SAME column set, so their identical heavy subtrees collapse to
+  // one shuffle + ReusedExchange (the sql_d7/sql_a17 discipline;
+  // PlanInvariantsSpec pins it). The per-feature weight table is <= B
+  // rows (broadcast), totals are a one-row broadcast, and the per-doc
+  // sum is one hash-agg over bydf — no joins ever carry the corpus on
+  // both sides, and nothing needs a persist at 100 TB.
   // ---------------------------------------------------------------------
   private[graft] val DSIR_BUCKETS = 1024L
 
@@ -2795,19 +2806,23 @@ object LlmOps {
         FROM documents),
       feats AS (
         SELECT doc_id,
-          ${Portable.h60Duck("g", "dsir|")} % $b AS f,
-          doc_id % 20 = 0 AS is_t
+          ${Portable.h60Duck("g", "dsir|")} % $b AS f
         FROM (
           SELECT doc_id, unnest(${ngramDuck(1)}) AS g FROM toks
             WHERE len(t) >= 1
           UNION ALL
           SELECT doc_id, unnest(${ngramDuck(2)}) AS g FROM toks
             WHERE len(t) >= 2)),
+      bydf AS (
+        SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c
+        FROM feats GROUP BY 1, 2),
       cnts AS (
         SELECT f,
-          CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
-          CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
-        FROM feats GROUP BY f),
+          CAST(sum(CASE WHEN doc_id % 20 = 0 THEN c ELSE 0 END)
+            AS BIGINT) AS cnt_t,
+          CAST(sum(CASE WHEN doc_id % 20 = 0 THEN 0 ELSE c END)
+            AS BIGINT) AS cnt_r
+        FROM bydf GROUP BY f),
       tots AS (
         SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
           CAST(sum(cnt_r) AS BIGINT) AS tot_r
@@ -2818,24 +2833,38 @@ object LlmOps {
                    CAST((cnt_r + 1) * (tot_t + $b) AS DOUBLE)), 6) AS lw
         FROM cnts CROSS JOIN tots),
       scored AS (
-        SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-          sum(CAST(lw.lw AS DECIMAL(28,6))) AS w
-        FROM feats fe JOIN lw ON lw.f = fe.f
-        WHERE NOT fe.is_t
-        GROUP BY fe.doc_id)"""
+        SELECT bd.doc_id, CAST(sum(bd.c) AS BIGINT) AS n_feats,
+          sum(CAST(bd.c AS DECIMAL(10,0)) *
+              CAST(lw.lw AS DECIMAL(18,6))) AS w
+        FROM bydf bd JOIN lw ON lw.f = bd.f
+        WHERE bd.doc_id % 20 <> 0
+        GROUP BY bd.doc_id)"""
   }
 
   val t19DsirWeights = Q(
     "t19_dsir_weights",
     (s, d) => {
       val docs = documents(s, d)
-      val feats = wordNgramHashesOf(docs, 1, "dsir|", dedup = false)
+      // ONE derivation of the heavy feature stream, pre-folded to
+      // per-(doc, bucket) counts. All three references below must stay
+      // CANONICALLY IDENTICAL for physical planning to collapse them
+      // to one build + ReusedExchange, which takes two deliberate
+      // moves: (1) the explicit isNotNull(f) filter pre-satisfies the
+      // constraint the scored⋈lw join would otherwise infer and push
+      // into only ITS copy of the subtree; (2) the raw/target cut
+      // happens on an AGGREGATE OUTPUT below (max over the group), not
+      // a grouping-key predicate the optimizer would push into only
+      // the scored copy's scan.
+      val byDF = wordNgramHashesOf(docs, 1, "dsir|", dedup = false)
         .union(wordNgramHashesOf(docs, 2, "dsir|", dedup = false))
-        .select(col("doc_id"), (col("gh") % DSIR_BUCKETS).as("f"),
-          (col("doc_id") % 20 === 0).as("is_t"))
-      val cnts = feats.groupBy(col("f"))
-        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
-          sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r"))
+        .select(col("doc_id"), (col("gh") % DSIR_BUCKETS).as("f"))
+        .filter(col("f").isNotNull)
+        .groupBy(col("doc_id"), col("f"))
+        .agg(count(lit(1)).as("c"))
+      val isT = col("doc_id") % 20 === 0
+      val cnts = byDF.groupBy(col("f"))
+        .agg(sum(when(isT, col("c")).otherwise(0L)).as("cnt_t"),
+          sum(when(isT, 0L).otherwise(col("c"))).as("cnt_r"))
       val tots = cnts.agg(sum(col("cnt_t")).as("tot_t"),
         sum(col("cnt_r")).as("tot_r"))
       val lw = cnts.crossJoin(broadcast(tots))
@@ -2845,11 +2874,16 @@ object LlmOps {
               .cast("double") /
             ((col("cnt_r") + lit(1L)) * (col("tot_t") + lit(DSIR_BUCKETS)))
               .cast("double")), 6).as("lw"))
-      val scored = feats.filter(!col("is_t"))
+      // target docs ride through the agg (5% extra rows) and drop on
+      // the aggregated flag — cheaper than a second subtree variant
+      val scored = byDF
         .join(broadcast(lw), Seq("f"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"),
-          sum(col("lw").cast("decimal(28,6)")).as("w"))
+        .agg(sum(col("c")).as("n_feats"),
+          sum(col("c").cast("decimal(10,0)") *
+            col("lw").cast("decimal(18,6)")).as("w"),
+          max(isT.cast("int")).as("tgt"))
+        .filter(col("tgt") === 0)
       scored.select(col("doc_id"), col("n_feats"),
         col("w").cast("double").as("logw"),
         (col("w") > 0).as("selected"))

@@ -233,4 +233,30 @@ class PlanInvariantsSpec extends SparkSuite {
       s"only $reused reused exchanges/stages in sql_a17's final plan — " +
         "the adjacency collapse regressed")
   }
+
+  test("t19/sql_t19/sql_c12: the DSIR feature explode derives ONCE — " +
+      "bydf's exchange is reused, not the corpus re-scanned") {
+    // the r17 fix: the unigram+bigram corpus explode folds into the
+    // per-(doc, bucket) count frame bydf, and BOTH consumers (bucket
+    // counts and scoring) read bydf with the same column set, so its
+    // shuffle must collapse to one build + ReusedExchange. Before the
+    // fix the suite's heaviest intermediate was derived twice per run
+    // (and load-amplified sql_t19 to 16x its pin in the r17 driver
+    // sweep). The explode count is the sharp check: one derivation =
+    // 2 Generate nodes (unigram + bigram); a regression to two
+    // derivations prints 4.
+    Seq("t19_dsir_weights", "sql_t19_dsir", "sql_c12_resample")
+      .foreach { q =>
+        val p = finalPlan(q)
+        val reused = "ReusedExchange".r.findAllIn(p).length +
+          "ReusedQueryStage".r.findAllIn(p).length +
+          "ReusedShuffle".r.findAllIn(p).length
+        assert(reused >= 1,
+          s"$q: no reused exchange/stage — bydf derives twice:\n$p")
+        val explodes = "Generate explode".r.findAllIn(p).length
+        assert(explodes <= 2,
+          s"$q: $explodes explode nodes in the final plan — the " +
+            s"feature stream is being re-derived:\n$p")
+      }
+  }
 }
