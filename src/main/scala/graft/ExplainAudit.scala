@@ -109,7 +109,8 @@ object ExplainAudit {
       "a30_ivf_bq", "g8_random_walks", "g8b_walk_pairs",
       "e8_rag_pipeline", "sql_x16_data_quality",
       "k17_partition_evolution", "x18_incremental_quantiles",
-      "sql_c12_resample", "w8_anomaly", "sql_x18_quantiles")
+      "sql_c12_resample", "w8_anomaly", "sql_x18_quantiles",
+      "sql_m1_meta", "sql_m4_phash")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -720,6 +720,64 @@ object SqlFrontend {
       FROM checks""",
     operators.Extended.x16DataQuality.oracle)
 
+  // Multimodal metadata from SQL — m1's typed projection (payload hex,
+  // byte length, mime route, magic-bytes prefix) as plain Spark SQL
+  // text over the documents view, sharing m1's oracle. The multimodal
+  // family was the one family with zero sql_* twins (VERDICT r17 #5):
+  // the container DECODE stages are imperative mapPartitions and stay
+  // DSL-only, but the metadata projection (here) and the pHash report
+  // (below) are relational. Plan shape matches the DSL's: one
+  // codegen'd projection at scan speed, zero exchanges.
+  val sqlM1Meta: Queries.Q = sqlQ(
+    "sql_m1_meta",
+    """SELECT doc_id, hex(CAST(text AS BINARY)) AS payload_hex,
+      CAST(length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes,
+      CASE WHEN doc_id % 3 = 0 THEN
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                  ELSE 'image/jpeg' END
+           WHEN doc_id % 3 = 1 THEN 'audio/wav'
+           ELSE 'video/mp4' END AS mime,
+      hex(substring(CAST(text AS BINARY), 1, 4)) AS magic_hex
+      FROM documents""",
+    operators.Multimodal.m1MultimodalMeta.oracle)
+
+  // Perceptual-hash dedup buckets from SQL — m4's report shares the m4
+  // oracle, and the SQL text restates the dHash arithmetic exactly the
+  // way that oracle already does (decode(containerize(x)) == x for the
+  // image payload bytes, so the sampled-byte gradient hash is derivable
+  // relationally from the hex encoding — the m2 oracle discipline, now
+  // exercised from the user-facing SQL surface too). One projection +
+  // one hash-agg on the 16-bit bucket key; the image slice (doc%3=0)
+  // reaches the scan as a pushed filter.
+  val sqlM4Phash: Queries.Q = sqlQ(
+    "sql_m4_phash", {
+      import operators.Multimodal.PHASH_SAMPLES
+      s"""WITH m AS (
+        SELECT doc_id, hex(CAST(text AS BINARY)) AS h,
+          length(CAST(text AS BINARY)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 0
+          AND length(CAST(text AS BINARY)) >= $PHASH_SAMPLES),
+      g AS (
+        SELECT doc_id,
+          transform(sequence(0, ${PHASH_SAMPLES - 1}), j ->
+            CAST(conv(substring(h,
+              CAST(1 + 2 * floor(j * n / $PHASH_SAMPLES.0) AS INT), 2),
+              16, 10) AS INT)) AS s
+        FROM m),
+      ph AS (
+        SELECT doc_id,
+          aggregate(transform(sequence(0, ${PHASH_SAMPLES - 2}), i ->
+            CASE WHEN element_at(s, i + 2) > element_at(s, i + 1)
+              THEN CAST(power(2, i) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END),
+            CAST(0 AS BIGINT), (a, x) -> a + x) AS phash
+        FROM g)
+      SELECT phash, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM ph GROUP BY phash"""
+    },
+    operators.Multimodal.m4MediaPhash.oracle)
+
   // Incremental quantile maintenance from SQL — x18's mergeable
   // bottom-K chain sharing its oracle; dialect deltas are only the
   // hash spelling and div vs //. Both rank filters compile to
@@ -2558,7 +2616,7 @@ object SqlFrontend {
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
       sqlW2Sliding, sqlW4GapFill, sqlW5Funnel, sqlW6Cohort,
       sqlW7Attribution, sqlX15Histogram, sqlX16DataQuality,
-      sqlX18Quantiles,
+      sqlX18Quantiles, sqlM1Meta, sqlM4Phash,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,

@@ -1349,6 +1349,146 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly survives a mid-stream restart: the open " +
+      "day's total and the closed-day baseline both resume from the " +
+      "checkpoint") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-anom-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-anom-ckpt").toString
+    def land(rows: Seq[(String, Timestamp, Double)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-anom-tmp")
+      rows.toDF("event_type", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name"))
+    }
+    // memory sink can't recover from a checkpoint; foreachBatch can —
+    // fold emissions by (type, day), which absorbs a redelivered batch
+    // (each closed day emits one status; re-emission overwrites with
+    // the identical tuple)
+    val emitted = scala.collection.concurrent.TrieMap
+      .empty[(String, String), (Long, Long, Long, String)]
+    def startQuery() = StreamingJobs.streamingAnomaly(spark,
+      spark.readStream
+        .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .parquet(srcDir))
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[StreamingJobs.DayStatus],
+            _: Long) =>
+          batch.collect().foreach { s =>
+            emitted((s.event_type, s.day)) =
+              ((s.total_u, s.n_prev, s.base_sum_u, s.status))
+          }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // phase 1: the w8 fixture's days 1-3 plus HALF of day 4, then STOP
+    // with day 4 open mid-accumulation
+    land((1 to 3).map(i =>
+      ("steps", ts(f"2024-03-0$i%01d 12:00:00"), 1.0)) :+
+      (("steps", ts("2024-03-04 06:00:00"), 0.4)), "p1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(emitted.keySet.map(_._2) ===
+      Set("2024-03-01", "2024-03-02", "2024-03-03"),
+      "pre-restart: exactly days 1-3 closed")
+    // phase 2: the REST of day 4 plus days 5-9 land while the query is
+    // DOWN; restart from the same checkpoint. Day 4's total must fold
+    // 0.4 (pre-restart state) + 0.6 (post-restart), and day 7's spike
+    // threshold must see the FULL 6-day baseline — both only hold if
+    // the GroupState resumed
+    land(Seq(
+      ("steps", ts("2024-03-04 18:00:00"), 0.6),
+      ("steps", ts("2024-03-02 23:00:00"), 99.0), // late: dropped
+      ("steps", ts("2024-03-05 12:00:00"), 1.0),
+      ("steps", ts("2024-03-06 12:00:00"), 1.0),
+      ("steps", ts("2024-03-07 12:00:00"), 10.0),
+      ("steps", ts("2024-03-08 12:00:00"), 0.1),
+      ("steps", ts("2024-03-09 12:00:00"), 1.0)), "p2.parquet")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(emitted(("steps", "2024-03-04")) ===
+        ((1000000L, 3L, 3000000L, "normal")),
+        "day 4 must total ACROSS the restart (0.4 + 0.6)")
+      assert(emitted(("steps", "2024-03-07")) ===
+        ((10000000L, 6L, 6000000L, "spike")),
+        "day 7's baseline must include pre-restart closed days")
+      assert(emitted(("steps", "2024-03-08")) ===
+        ((100000L, 7L, 16000000L, "drop")))
+      assert(emitted.keySet.map(_._2) ===
+        (1 to 8).map(i => f"2024-03-0$i%01d").toSet,
+        "day 9 stays open; the late day-2 event must not re-open day 2")
+    } finally q2.stop()
+  }
+
+  test("streaming constraints survive a mid-stream restart: running " +
+      "violation totals fold across the checkpoint") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-cons-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cons-ckpt").toString
+    def land(rows: Seq[(java.lang.Long, Timestamp, String, Double)],
+        name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cons-tmp")
+      rows.toDF("event_id", "ts", "event_type", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name"))
+    }
+    // complete mode re-emits every contract's running total per batch;
+    // overwrite-fold keeps the latest, which a redelivered batch
+    // reproduces identically
+    val latest = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long, Boolean)]
+    def startQuery() = StreamingJobs.streamingConstraints(spark,
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, event_type STRING, " +
+          "value DOUBLE")
+        .parquet(srcDir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          latest(r.getString(0)) =
+            ((r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    // phase 1: two clean rows, STOP
+    land(Seq(
+      (1L: java.lang.Long, ts("2024-01-01 00:00:00"), "view", 1.0),
+      (2L: java.lang.Long, ts("2024-01-01 00:01:00"), "click", 2.0)),
+      "p1.parquet")
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(latest.values.forall { case (n, v, p) => n == 2 && v == 0 && p },
+      "pre-restart: 2 checked, 0 violations per contract")
+    // phase 2: one violation per contract lands while the query is
+    // DOWN; restart — totals must fold phase 1's clean rows with phase
+    // 2's dirty ones (5 checked, 1 violation), which only holds if the
+    // aggregation state resumed
+    land(Seq(
+      (null.asInstanceOf[java.lang.Long],
+        ts("2024-01-01 00:02:00"), "view", 1.0),
+      (4L: java.lang.Long, ts("2024-01-01 00:03:00"), "click", -5.0),
+      (5L: java.lang.Long, ts("2031-01-01 00:00:00"), "view", 1.0)),
+      "p2.parquet")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(latest("not_null") === ((5L, 1L, false)))
+      assert(latest("value_range") === ((5L, 1L, false)))
+      assert(latest("no_future_ts") === ((5L, 1L, false)))
+    } finally q2.stop()
+  }
+
   test("streaming funnel: in-order parity with batch w5, monotone " +
       "refinement, freeze-on-anchor, and the documented lost-candidate " +
       "divergence") {
