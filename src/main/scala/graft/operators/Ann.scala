@@ -343,7 +343,7 @@ object Ann {
           SELECT e.vec_id, c.cid AS cell,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY round(list_inner_product(e.emb, c.c_emb) /
-                             (e.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+                             nullif(e.nrm * c.c_nrm, 0.0), 6) DESC, c.cid ASC) AS rn
           FROM e CROSS JOIN cents c) t WHERE rn = 1),
       cells AS (
         SELECT e.vec_id, a.cell, e.emb, e.nrm
@@ -452,7 +452,7 @@ object Ann {
           SELECT s.vec_id, c.cid AS cell,
             row_number() OVER (PARTITION BY s.vec_id
               ORDER BY round(list_inner_product(s.emb, c.c_emb) /
-                             (s.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+                             nullif(s.nrm * c.c_nrm, 0.0), 6) DESC, c.cid ASC) AS rn
           FROM $src s CROSS JOIN ${p}c0 c) t WHERE rn = 1),
       ${p}m1 AS (
         SELECT ${p}a1.cell, p.pos,
@@ -470,10 +470,10 @@ object Ann {
         SELECT vec_id, cell, csim FROM (
           SELECT s.vec_id, c.cid AS cell,
             round(list_inner_product(s.emb, c.c_emb) /
-                  (s.nrm * c.c_nrm), 6) AS csim,
+                  nullif(s.nrm * c.c_nrm, 0.0), 6) AS csim,
             row_number() OVER (PARTITION BY s.vec_id
               ORDER BY round(list_inner_product(s.emb, c.c_emb) /
-                             (s.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+                             nullif(s.nrm * c.c_nrm, 0.0), 6) DESC, c.cid ASC) AS rn
           FROM $src s CROSS JOIN ${p}c1 c) t WHERE rn = 1)"""
 
   private val KMEANS_CTES: String = s"""WITH e AS (
@@ -1338,10 +1338,10 @@ object Ann {
         SELECT vec_id, cell, csim FROM (
           SELECT eb.vec_id, c.cid AS cell,
             round(list_inner_product(eb.emb, c.c_emb) /
-                  (eb.nrm * c.c_nrm), 6) AS csim,
+                  nullif(eb.nrm * c.c_nrm, 0.0), 6) AS csim,
             row_number() OVER (PARTITION BY eb.vec_id
               ORDER BY round(list_inner_product(eb.emb, c.c_emb) /
-                             (eb.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+                             nullif(eb.nrm * c.c_nrm, 0.0), 6) DESC, c.cid ASC) AS rn
           FROM eb CROSS JOIN c1 c) t WHERE rn = 1),
       sc AS (SELECT cell, count(*) AS n_standing FROM a2 GROUP BY 1),
       bc AS (
@@ -1431,10 +1431,10 @@ object Ann {
         SELECT vec_id, cell, csim FROM (
           SELECT eb.vec_id, c.cid AS cell,
             round(list_inner_product(eb.emb, c.c_emb) /
-                  (eb.nrm * c.c_nrm), 6) AS csim,
+                  nullif(eb.nrm * c.c_nrm, 0.0), 6) AS csim,
             row_number() OVER (PARTITION BY eb.vec_id
               ORDER BY round(list_inner_product(eb.emb, c.c_emb) /
-                             (eb.nrm * c.c_nrm), 6) DESC, c.cid ASC) AS rn
+                             nullif(eb.nrm * c.c_nrm, 0.0), 6) DESC, c.cid ASC) AS rn
           FROM eb CROSS JOIN c1 c) t WHERE rn = 1),
       sc AS (SELECT cell, count(*) AS n_standing FROM a2 GROUP BY 1),
       bc AS (
@@ -4166,6 +4166,132 @@ object Ann {
       $emits"""
     })
 
+  // ---------------------------------------------------------------------
+  // A31: margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+  // "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  // Embeddings") — the bitext miner that builds translation training
+  // data: two sides of a multilingual embedding space (side A =
+  // vec_id % 2 = 0, side B odd — the suite's parity-split convention),
+  // each A anchor retrieves its best B candidate, and the pair is
+  // accepted not on raw cosine (which the paper shows mis-ranks in
+  // dense hubs) but on the RATIO MARGIN: cos(x,y) against the mean of
+  // both sides' k-NN neighborhoods. A hub whose whole neighborhood is
+  // equally close fails the margin even at high absolute cosine; an
+  // isolated true pair passes at modest cosine.
+  //
+  // Scale shape: candidates come from d4's banded multi-table sign-LSH
+  // (disjoint-dim tables, BUCKET_CAP hot-bucket guard) — never an
+  // A×B cross join; the k-NN statistics are computed over the SAME
+  // candidate sims (the LSH-kNN approximation the paper's FAISS
+  // pipeline also makes), so the corpus appears once per join and the
+  // margin stage adds two bounded window ranks + two hash-aggs.
+  //
+  // Parity: the margin test is CROSS-MULTIPLIED in integer micro-cosine
+  // space (the w8 thresholds discipline — no quotient is ever computed,
+  // so no engine can disagree on an ulp): with τ = 21/20,
+  //   margin = 2·sim / (sumA/nA + sumB/nB) > τ
+  //   ⇔ 40·sim_u·nA·nB > 21·(sumA_u·nB + sumB_u·nA)
+  // Every decision input (n, sums, both flags) is output per pair —
+  // the d13 audit discipline applied to mining.
+  // ---------------------------------------------------------------------
+  private[graft] val MARGIN_K = 4
+
+  val a31MarginMining = Q(
+    "a31_margin_mining",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("emb"))
+      val bands = d4BandsOf(e)
+      val kept = LlmOps.capBuckets(bands, Seq("tbl", "bkey"))
+      val cand = kept.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("tbl"), col("bkey"))
+        .join(kept.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("tbl"), col("bkey")),
+          Seq("tbl", "bkey"))
+        .select("a_id", "b_id").distinct()
+      val sims = cand
+        .join(e.select(col("vec_id").as("a_id"), col("emb").as("emb_a")),
+          Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("emb").as("emb_b")),
+          Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          microCos(s, "emb_a", "emb_b").as("sim_u"))
+      val wA = Window.partitionBy(col("a_id"))
+        .orderBy(col("sim_u").desc, col("b_id").asc)
+      val wB = Window.partitionBy(col("b_id"))
+        .orderBy(col("sim_u").desc, col("a_id").asc)
+      val rk = sims
+        .withColumn("rk_a", row_number().over(wA))
+        .withColumn("rk_b", row_number().over(wB))
+      val aStats = rk.filter(col("rk_a") <= MARGIN_K)
+        .groupBy(col("a_id"))
+        .agg(sum(col("sim_u")).as("sum_a_u"), count(lit(1)).as("n_a"))
+      val bStats = rk.filter(col("rk_b") <= MARGIN_K)
+        .groupBy(col("b_id"))
+        .agg(sum(col("sim_u")).as("sum_b_u"), count(lit(1)).as("n_b"))
+      val bwd = rk.filter(col("rk_b") === 1)
+        .select(col("b_id"), col("a_id").as("bwd_a"))
+      rk.filter(col("rk_a") === 1)
+        .join(aStats, Seq("a_id"))
+        .join(bStats, Seq("b_id"))
+        .join(bwd, Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("sim_u"),
+          col("n_a"), col("n_b"), col("sum_a_u"), col("sum_b_u"),
+          (lit(40L) * col("sim_u") * col("n_a") * col("n_b") >
+            lit(21L) * (col("sum_a_u") * col("n_b") +
+              col("sum_b_u") * col("n_a"))).as("accepted"),
+          (col("bwd_a") === col("a_id")).as("mutual"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      bands AS ($d4BandsDuckSelects),
+      bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+      kept AS (
+        SELECT b.vec_id, b.tbl, b.bkey FROM bands b
+        JOIN bsz z ON z.tbl = b.tbl AND z.bkey = b.bkey
+          AND z.c <= ${LlmOps.BUCKET_CAP}),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM kept a JOIN kept b
+          ON a.tbl = b.tbl AND a.bkey = b.bkey
+        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+      sims AS (
+        SELECT c.a_id, c.b_id,
+          CAST(round(list_inner_product(ea.emb, eb.emb)
+            / nullif(ea.nrm * eb.nrm, 0.0) * 1000000) AS BIGINT) AS sim_u
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.a_id
+        JOIN e eb ON eb.vec_id = c.b_id),
+      rk AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY a_id
+            ORDER BY sim_u DESC, b_id ASC) AS rk_a,
+          row_number() OVER (PARTITION BY b_id
+            ORDER BY sim_u DESC, a_id ASC) AS rk_b
+        FROM sims),
+      astats AS (
+        SELECT a_id, CAST(sum(sim_u) AS BIGINT) AS sum_a_u,
+          CAST(count(*) AS BIGINT) AS n_a
+        FROM rk WHERE rk_a <= $MARGIN_K GROUP BY a_id),
+      bstats AS (
+        SELECT b_id, CAST(sum(sim_u) AS BIGINT) AS sum_b_u,
+          CAST(count(*) AS BIGINT) AS n_b
+        FROM rk WHERE rk_b <= $MARGIN_K GROUP BY b_id),
+      bwd AS (SELECT b_id, a_id AS bwd_a FROM rk WHERE rk_b = 1)
+      SELECT f.a_id, f.b_id, f.sim_u, s1.n_a, s2.n_b,
+        s1.sum_a_u, s2.sum_b_u,
+        40 * f.sim_u * s1.n_a * s2.n_b >
+          21 * (s1.sum_a_u * s2.n_b + s2.sum_b_u * s1.n_a) AS accepted,
+        w.bwd_a = f.a_id AS mutual
+      FROM (SELECT a_id, b_id, sim_u FROM rk WHERE rk_a = 1) f
+      JOIN astats s1 USING (a_id)
+      JOIN bstats s2 USING (b_id)
+      JOIN bwd w USING (b_id)"""))
+
   def all: Seq[Q] =
     Seq(a5AnnBruteforce, a6AnnLsh, a7AnnIvf, a7bIvfTrained, a8KmeansRefine,
       a10ScalarQuant, a11AnnRecall, a12ProductQuant, a13PqAdc, a14IvfPq,
@@ -4174,5 +4300,5 @@ object Ann {
       a17NswSearch, a18GraphExtend, a19HnswLayers, a20FilteredAnn,
       a21NprobeSweep, a22RangeSearch, a23MmrRerank, a24HnswExtend,
       a25FilteredNsw, a26HybridRrf, a27IndexHealth, a28BinaryQuant,
-      a29MatryoshkaRecall, a30IvfBq, e8RagPipeline)
+      a29MatryoshkaRecall, a30IvfBq, e8RagPipeline, a31MarginMining)
 }

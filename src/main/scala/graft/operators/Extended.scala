@@ -1174,9 +1174,104 @@ object Extended {
       JOIN nr USING (flag)"""
     })
 
+  // ---------------------------------------------------------------------
+  // X19: join-size estimation by count-min inner product (AMS F2 /
+  // Cormode-Muthukrishnan) — the remaining CBO feed next to x14's NDV,
+  // x15's histograms and x17/x18's maintenance: a join reorderer needs
+  // |A ⋈ B| BEFORE running the join, and at 100 TB it cannot afford the
+  // per-key degree shuffle the exact answer costs. The classic sketch
+  // answer: |A ⋈_k B| = Σ_k degA(k)·degB(k) is estimated by the inner
+  // product of the two sides' count-min rows, min'd across the CM_D
+  // seeded rows — each side folds to CM_D×CM_W integer cells in ONE
+  // map-side-combinable pass (t12's exact sketch machinery, the same
+  // "cm$i|" h60 seeds, so the streaming count-min cells are directly
+  // reusable as one side), and the estimate is a CM_D×CM_W-row join,
+  // corpus-size-independent. The self-join case (B = A) is the F2
+  // second frequency moment — the skew statistic itself. Guarantees:
+  // est ≥ exact always (hash collisions only ADD cross terms), so
+  // `overcount` is the visible one-sided error, reported next to the
+  // exact truth per the a11/d4b self-evaluation discipline (the exact
+  // side is what this op exists to avoid at scale; it rides along here
+  // as the report's ground truth).
+  // Surfaces: the skewed l_suppkey self-join and the l_orderkey
+  // lineitem⋈orders join (orders unique per key, so truth = |lineitem|
+  // with a live FK — the estimator must get BOTH shapes right).
+  // ---------------------------------------------------------------------
+  val x19JoinSizeSketch = Q(
+    "x19_join_size_sketch",
+    (s, d) => {
+      import graft.functions.Portable
+      import graft.operators.LlmOps.{CM_W, CM_D}
+      def cells(keys: DataFrame): DataFrame =
+        keys.select(explode(array((0 until CM_D).map(i =>
+            struct(lit(i).as("depth"),
+              (Portable.h60(col("k").cast("string"), s"cm$i|") % CM_W)
+                .as("bucket"))): _*)).as("db"))
+          .groupBy(col("db.depth").as("depth"),
+            col("db.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+      def estimate(a: DataFrame, b: DataFrame): DataFrame =
+        cells(a).as("ca")
+          .join(cells(b).as("cb"), Seq("depth", "bucket"))
+          .groupBy(col("depth"))
+          .agg(sum(col("ca.cnt") * col("cb.cnt")).as("ip"))
+          .agg(min(col("ip")).as("n_est"))
+      def exact(a: DataFrame, b: DataFrame): DataFrame =
+        a.groupBy(col("k")).agg(count(lit(1)).as("da"))
+          .join(b.groupBy(col("k")).agg(count(lit(1)).as("db")),
+            Seq("k"))
+          .agg(coalesce(sum(col("da") * col("db")), lit(0L))
+            .as("n_exact"))
+      val li = lineitem(s, d)
+      val supp = li.select(col("l_suppkey").as("k"))
+      val lio = li.select(col("l_orderkey").as("k"))
+      val ok = orders(s, d).select(col("o_orderkey").as("k"))
+      def report(name: String, a: DataFrame, b: DataFrame): DataFrame =
+        exact(a, b).crossJoin(estimate(a, b))
+          .select(lit(name).as("pair"), col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overcount"))
+      report("lineitem.l_suppkey self-join (F2)", supp, supp)
+        .unionByName(
+          report("lineitem JOIN orders ON orderkey", lio, ok))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      import graft.operators.LlmOps.{CM_W, CM_D}
+      def cellsSql(src: String): String =
+        (0 until CM_D).map(i =>
+          s"SELECT $i AS depth, " +
+            s"${h60Duck(s"CAST(k AS VARCHAR)", s"cm$i|")} % $CM_W " +
+            s"AS bucket FROM $src")
+          .mkString(" UNION ALL ")
+      def arm(tag: String, aSrc: String, bSrc: String): String =
+        s"""SELECT '$tag' AS pair,
+          (SELECT CAST(coalesce(sum(da * db), 0) AS BIGINT) FROM (
+             SELECT k, count(*) AS da FROM $aSrc GROUP BY k) xa
+           JOIN (SELECT k, count(*) AS db FROM $bSrc GROUP BY k) xb
+           USING (k)) AS n_exact,
+          (SELECT CAST(min(ip) AS BIGINT) FROM (
+             SELECT ca.depth, sum(ca.cnt * cb.cnt) AS ip
+             FROM (SELECT depth, bucket, count(*) AS cnt
+                   FROM (${cellsSql(aSrc)}) GROUP BY 1, 2) ca
+             JOIN (SELECT depth, bucket, count(*) AS cnt
+                   FROM (${cellsSql(bSrc)}) GROUP BY 1, 2) cb
+             ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+             GROUP BY ca.depth) t) AS n_est"""
+      s"""WITH supp AS (SELECT l_suppkey AS k FROM lineitem),
+      lio AS (SELECT l_orderkey AS k FROM lineitem),
+      ok AS (SELECT o_orderkey AS k FROM orders),
+      arms AS (
+        ${arm("lineitem.l_suppkey self-join (F2)", "supp", "supp")}
+        UNION ALL
+        ${arm("lineitem JOIN orders ON orderkey", "lio", "ok")})
+      SELECT pair, n_exact, n_est, n_est - n_exact AS overcount
+      FROM arms"""
+    })
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
     x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats,
-    x16DataQuality, x17IncrementalStats, x18IncrementalQuantiles)
+    x16DataQuality, x17IncrementalStats, x18IncrementalQuantiles,
+    x19JoinSizeSketch)
 }

@@ -614,4 +614,85 @@ class AnnGraphSpec extends SparkSuite {
       .filter(col("v") % 9 === 8 || col("n") % 9 === 8)
       .count() == 0L, "erased endpoints survive on disk")
   }
+
+  test("A31: margin mining replays driver-side — ratio-margin accepts " +
+      "isolated true pairs, rejects the hub, and the mutual flag " +
+      "tracks the backward top-1") {
+    import spark.implicits._
+    val dim = 64
+    // every 1-based EVEN position (all four band tables' sign dims) is
+    // +0.5, so all vectors share one bucket per table (6 members,
+    // under BUCKET_CAP — no caps fire) and every A×B pair is a
+    // candidate; identity lives in the odd positions the bands ignore
+    def vec(odd: Map[Int, Float]): Array[Float] = {
+      val a = new Array[Float](dim)
+      for (j <- 1 until dim by 2) a(j) = 0.5f // 0-based odd = 1-based even
+      odd.foreach { case (i, v) => a(i) = v } // 0-based even positions
+      a
+    }
+    val rows = Seq(
+      0L -> vec(Map(0 -> 1.0f)),            // A: true pair of 1
+      1L -> vec(Map(0 -> 1.0f)),            // B: identical to 0
+      2L -> vec(Map(2 -> 0.7f, 4 -> 0.7f)), // A: hub between 3 and 5
+      3L -> vec(Map(2 -> 1.0f)),            // B
+      4L -> vec(Map(4 -> 1.0f)),            // A: true pair of 5
+      5L -> vec(Map(4 -> 1.0f)),            // B: identical to 4
+      6L -> vec(Map(0 -> 0.9f)))            // A: second-best suitor of 1
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-a31-fix").toString
+    rows.map { case (id, e) => (id, e, (id % 8).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // independent replay: plain-Scala cosine (the kernel's exact
+    // left-to-right double accumulation), micro-scaling via BigDecimal
+    // HALF_UP (Spark round semantics), ranks, k-NN sums, the
+    // cross-multiplied margin, and the backward top-1
+    val emb = rows.toMap
+    def simU(x: Long, y: Long): Long = {
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        (0 until dim).foldLeft(0.0)((acc, i) =>
+          acc + a(i).toDouble * b(i).toDouble)
+      val (a, b) = (emb(x), emb(y))
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      (BigDecimal(c * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)).toLong
+    }
+    val as = Seq(0L, 2L, 4L, 6L)
+    val bs = Seq(1L, 3L, 5L)
+    val pairs = for (a <- as; b <- bs) yield (a, b, simU(a, b))
+    def topk(side: Seq[(Long, Long, Long)], k: Int) =
+      side.sortBy { case (_, o, s0) => (-s0, o) }.take(k)
+    val aTop = as.map(a => a ->
+      topk(pairs.filter(_._1 == a).map(p => (p._1, p._2, p._3)), 4)).toMap
+    val bTop = bs.map(b => b ->
+      topk(pairs.filter(_._2 == b).map(p => (p._2, p._1, p._3)), 4)).toMap
+    val expected = as.map { a =>
+      val (_, b, s0) = aTop(a).head
+      val (sumA, nA) = (aTop(a).map(_._3).sum, aTop(a).size.toLong)
+      val (sumB, nB) = (bTop(b).map(_._3).sum, bTop(b).size.toLong)
+      val accepted = 40L * s0 * nA * nB > 21L * (sumA * nB + sumB * nA)
+      val mutual = bTop(b).head._2 == a
+      (a, b) -> ((s0, nA, nB, sumA, sumB, accepted, mutual))
+    }.toMap
+    // non-vacuity: the fixture must exercise accept AND reject,
+    // mutual AND non-mutual
+    assert(expected.values.exists(_._6) && expected.values.exists(!_._6),
+      s"fixture must split the margin verdicts: $expected")
+    assert(expected.values.exists(_._7) && expected.values.exists(!_._7),
+      s"fixture must split the mutual flags: $expected")
+    assert(!expected((2L, 3L))._6, "the hub pair must fail the margin")
+    assert(expected((0L, 1L))._6 && expected((0L, 1L))._7,
+      "the isolated identical pair must be accepted and mutual")
+    assert(!expected((6L, 1L))._7,
+      "6 courts 1 but 1's backward top-1 is 0 — not mutual")
+    val got = operators.Ann.a31MarginMining.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(got.keySet === expected.keySet,
+      "one output row per A anchor (its forward top-1)")
+    for ((k, e) <- expected)
+      assert(got(k) === ((e._1, e._2, e._3, e._4, e._5, e._6, e._7)),
+        s"pair $k diverges from the driver replay")
+  }
 }

@@ -438,4 +438,64 @@ class ExtendedSpec extends SparkSuite {
       assert(p50m <= p90m, s"$f quantiles out of order")
     }
   }
+
+  test("x19: count-min join-size estimates replay driver-side, " +
+      "bound exact truth from above, and the self-join F2 reads skew") {
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{CM_W, CM_D}
+    // independent replay on the real lake: exact Σ degA·degB from
+    // collected key frequencies; sketch estimate from CM_D seeded
+    // h60 rows, min across rows — plain Scala maps, no Spark reuse
+    def freqs(keys: Seq[Long]): Map[Long, Long] =
+      keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def sketch(f: Map[Long, Long]): Map[(Int, Long), Long] = {
+      val m = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      for ((k, n) <- f; i <- 0 until CM_D) {
+        val b = Portable.h60Jvm(s"cm$i|$k") % CM_W
+        m((i, b)) = m.getOrElse((i, b), 0L) + n
+      }
+      m.toMap
+    }
+    def est(fa: Map[Long, Long], fb: Map[Long, Long]): Long = {
+      val (sa, sb) = (sketch(fa), sketch(fb))
+      (0 until CM_D).map { i =>
+        sa.collect { case ((d0, b), ca) if d0 == i =>
+          ca * sb.getOrElse((i, b), 0L) }.sum
+      }.min
+    }
+    def exact(fa: Map[Long, Long], fb: Map[Long, Long]): Long =
+      fa.map { case (k, ca) => ca * fb.getOrElse(k, 0L) }.sum
+    val li = Tables.lineitem(spark, sf)
+    val supp = freqs(li.select("l_suppkey").collect().map(_.getLong(0)))
+    val lio = freqs(li.select("l_orderkey").collect().map(_.getLong(0)))
+    val ok = freqs(Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)))
+    val expected = Map(
+      "lineitem.l_suppkey self-join (F2)" ->
+        ((exact(supp, supp), est(supp, supp))),
+      "lineitem JOIN orders ON orderkey" ->
+        ((exact(lio, ok), est(lio, ok))))
+    val got = operators.Extended.x19JoinSizeSketch.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((pair, (ex, es)) <- expected) {
+      val (gx, ge, over) = got(pair)
+      assert(gx === ex, s"$pair exact diverges from replay")
+      assert(ge === es, s"$pair estimate diverges from replay")
+      assert(over === ge - gx)
+      assert(ge >= gx,
+        s"$pair: CM inner product must bound truth from above")
+    }
+    // non-vacuity: the F2 truth must exceed the row count (real skew —
+    // every repeated suppkey contributes quadratically), and at 64
+    // buckets over thousands of keys the estimate must actually
+    // overcount (collisions exist), so the error column is exercised
+    val n = li.count()
+    assert(expected("lineitem.l_suppkey self-join (F2)")._1 > n,
+      "F2 must read the suppkey skew, not the row count")
+    assert(got.values.exists(_._3 > 0L),
+      "some arm must show a real collision overcount")
+  }
 }
