@@ -778,6 +778,61 @@ object SqlFrontend {
     },
     operators.Multimodal.m4MediaPhash.oracle)
 
+  // Margin-based bitext mining from SQL — a31's whole chain (banded
+  // cross-side candidates, micro-cosine kNN stats, the cross-multiplied
+  // ratio-margin test, the mutual flag) as one Spark SQL text sharing
+  // a31's oracle; the only dialect deltas are the band spelling
+  // (element_at vs 1-based list index) and cosine_sim vs
+  // list_inner_product/nrm.
+  val sqlA31Margin: Queries.Q = sqlQ(
+    "sql_a31_margin", {
+      import operators.Ann.{d4BandsSparkSelects, MARGIN_K}
+      s"""WITH bands AS (${d4BandsSparkSelects}),
+      bsz AS (SELECT tbl, bkey, count(*) AS c FROM bands GROUP BY 1, 2),
+      kept AS (
+        SELECT b.vec_id, b.tbl, b.bkey FROM bands b
+        JOIN bsz z ON z.tbl = b.tbl AND z.bkey = b.bkey
+          AND z.c <= ${operators.LlmOps.BUCKET_CAP}),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM kept a JOIN kept b
+          ON a.tbl = b.tbl AND a.bkey = b.bkey
+        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+      sims AS (
+        SELECT c.a_id, c.b_id,
+          CAST(round(cosine_sim(ea.embedding, eb.embedding) * 1000000)
+            AS BIGINT) AS sim_u
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id),
+      rk AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY a_id
+            ORDER BY sim_u DESC, b_id ASC) AS rk_a,
+          row_number() OVER (PARTITION BY b_id
+            ORDER BY sim_u DESC, a_id ASC) AS rk_b
+        FROM sims),
+      astats AS (
+        SELECT a_id, CAST(sum(sim_u) AS BIGINT) AS sum_a_u,
+          count(*) AS n_a
+        FROM rk WHERE rk_a <= $MARGIN_K GROUP BY a_id),
+      bstats AS (
+        SELECT b_id, CAST(sum(sim_u) AS BIGINT) AS sum_b_u,
+          count(*) AS n_b
+        FROM rk WHERE rk_b <= $MARGIN_K GROUP BY b_id),
+      bwd AS (SELECT b_id, a_id AS bwd_a FROM rk WHERE rk_b = 1)
+      SELECT f.a_id, f.b_id, f.sim_u, s1.n_a, s2.n_b,
+        s1.sum_a_u, s2.sum_b_u,
+        40 * f.sim_u * s1.n_a * s2.n_b >
+          21 * (s1.sum_a_u * s2.n_b + s2.sum_b_u * s1.n_a) AS accepted,
+        w.bwd_a = f.a_id AS mutual
+      FROM (SELECT a_id, b_id, sim_u FROM rk WHERE rk_a = 1) f
+      JOIN astats s1 USING (a_id)
+      JOIN bstats s2 USING (b_id)
+      JOIN bwd w USING (b_id)"""
+    },
+    operators.Ann.a31MarginMining.oracle)
+
   // Incremental quantile maintenance from SQL — x18's mergeable
   // bottom-K chain sharing its oracle; dialect deltas are only the
   // hash spelling and div vs //. Both rank filters compile to
@@ -2616,7 +2671,7 @@ object SqlFrontend {
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
       sqlW2Sliding, sqlW4GapFill, sqlW5Funnel, sqlW6Cohort,
       sqlW7Attribution, sqlX15Histogram, sqlX16DataQuality,
-      sqlX18Quantiles, sqlM1Meta, sqlM4Phash,
+      sqlX18Quantiles, sqlM1Meta, sqlM4Phash, sqlA31Margin,
       sqlT12bCountmin, sqlD1Dedup,
       sqlD7Clusters, sqlT16Gopher, sqlC7Ccnet, sqlC11RankCuration, sqlE4Pipeline, sqlA17Nsw,
       sqlA19Hnsw, sqlA14IvfPq, sqlA20Filtered, sqlA21Nprobe,
