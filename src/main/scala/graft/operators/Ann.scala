@@ -201,6 +201,18 @@ object Ann {
       .select(col("vec_id"), col("b.tbl").as("tbl"),
         col("b.bkey").as("bkey"))
 
+  /** [[d4BandsOf]] with the embedding carried through the explode —
+    * the streaming miner bands its arrivals in ONE projection (a
+    * re-join of the band rows back onto the arrival frame would be a
+    * stream-stream self-join, which append mode forbids). */
+  private[graft] def d4BandsWithEmb(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("emb"),
+        explode(array((0 until D4_TABLES).map(t =>
+          struct(lit(t).as("tbl"), d4BandKey(t, "emb").as("bkey"))): _*))
+          .as("b"))
+      .select(col("vec_id"), col("emb"), col("b.tbl").as("tbl"),
+        col("b.bkey").as("bkey"))
+
   private[graft] def bandedNearDups(s: SparkSession, e: DataFrame)
       : DataFrame = {
       val bands = d4BandsOf(e)
@@ -3124,8 +3136,9 @@ object Ann {
   private val MMR_K = 5
 
   /** round(cos*1e6) as BIGINT — the micro-scaled similarity both MMR
-    * engines rank on. */
-  private def microCos(s: SparkSession, a: String, b: String): Column =
+    * engines rank on (private[graft]: the streaming miner scores
+    * arrivals on the identical kernel/scaling). */
+  private[graft] def microCos(s: SparkSession, a: String, b: String): Column =
     expr(s"CAST(round((${cosineSql(s, a, b)}) * 1000000) AS BIGINT)")
 
   val a23MmrRerank = Q(
@@ -4196,34 +4209,44 @@ object Ann {
   // ---------------------------------------------------------------------
   private[graft] val MARGIN_K = 4
 
+  /** a31's candidate sims, ranked from BOTH sides — the ONE definition
+    * of the mining frame (banded cross-side candidates under
+    * BUCKET_CAP, integer micro-cosines, (sim DESC, id ASC) ranks);
+    * shared by batch a31 and the streaming miner's frozen standing
+    * statistics so the two cannot drift. */
+  private[graft] def marginRanked(
+      s: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = d4BandsOf(e)
+    val kept = LlmOps.capBuckets(bands, Seq("tbl", "bkey"))
+    val cand = kept.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("tbl"), col("bkey"))
+      .join(kept.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("tbl"), col("bkey")),
+        Seq("tbl", "bkey"))
+      .select("a_id", "b_id").distinct()
+    val sims = cand
+      .join(e.select(col("vec_id").as("a_id"), col("emb").as("emb_a")),
+        Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("emb").as("emb_b")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        microCos(s, "emb_a", "emb_b").as("sim_u"))
+    val wA = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim_u").desc, col("b_id").asc)
+    val wB = Window.partitionBy(col("b_id"))
+      .orderBy(col("sim_u").desc, col("a_id").asc)
+    sims
+      .withColumn("rk_a", row_number().over(wA))
+      .withColumn("rk_b", row_number().over(wB))
+  }
+
   val a31MarginMining = Q(
     "a31_margin_mining",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("emb"))
-      val bands = d4BandsOf(e)
-      val kept = LlmOps.capBuckets(bands, Seq("tbl", "bkey"))
-      val cand = kept.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("a_id"), col("tbl"), col("bkey"))
-        .join(kept.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("b_id"), col("tbl"), col("bkey")),
-          Seq("tbl", "bkey"))
-        .select("a_id", "b_id").distinct()
-      val sims = cand
-        .join(e.select(col("vec_id").as("a_id"), col("emb").as("emb_a")),
-          Seq("a_id"))
-        .join(e.select(col("vec_id").as("b_id"), col("emb").as("emb_b")),
-          Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          microCos(s, "emb_a", "emb_b").as("sim_u"))
-      val wA = Window.partitionBy(col("a_id"))
-        .orderBy(col("sim_u").desc, col("b_id").asc)
-      val wB = Window.partitionBy(col("b_id"))
-        .orderBy(col("sim_u").desc, col("a_id").asc)
-      val rk = sims
-        .withColumn("rk_a", row_number().over(wA))
-        .withColumn("rk_b", row_number().over(wB))
+      val rk = marginRanked(s, e)
       val aStats = rk.filter(col("rk_a") <= MARGIN_K)
         .groupBy(col("a_id"))
         .agg(sum(col("sim_u")).as("sum_a_u"), count(lit(1)).as("n_a"))

@@ -1205,4 +1205,105 @@ object StreamingJobs {
           t1, t2, t3)
       }
   }
+
+  /** One mined pair served per arriving B-side vector: its best
+    * standing-A anchor, both neighborhoods' margin inputs, the
+    * integer-margin verdict, and whether the arrival DISPLACES the
+    * anchor's standing best (the refresh signal). */
+  final case class MinedPair(
+      b_id: Long, a_id: Long, sim_u: Long, n_b: Long, sum_b_u: Long,
+      n_a: Long, sum_a_u: Long, accepted: Boolean, displaces: Boolean)
+
+  /** Streaming twin of a31's margin miner — mining run LIVE as new
+    * B-side documents arrive (the crawl shape: the standing corpus is
+    * yesterday's build, arrivals are today's candidate translations).
+    * The standing side is touched only through FROZEN artifacts, the
+    * a15/a18 incremental-index discipline: (1) the standing A-side
+    * band table, capped with the SAME BUCKET_CAP (frozen sizing);
+    * (2) per-anchor k-NN statistics (sum_a_u, n_a) and the anchor's
+    * standing-best similarity, both derived from a31's own
+    * [[graft.operators.Ann.marginRanked]] frame so batch and stream
+    * share one definition. An arrival bands through the identical
+    * d4 tables, meets standing anchors bucket-wise (stream-static
+    * broadcast join — stateless, append-safe), and its WHOLE candidate
+    * set lands in one micro-batch group (keyed by b_id), where its own
+    * top-[[graft.operators.Ann.MARGIN_K]] stats and the
+    * cross-multiplied margin verdict compute in one pass — the same
+    * 40·sim·nA·nB > 21·(ΣA·nB + ΣB·nA) integer test as batch a31.
+    *
+    * Honest divergences, stated not implied: the anchor's k-NN stats
+    * do NOT absorb arrivals (frozen until the next batch rebuild, like
+    * a15's centroids), and batch a31's cross-candidate `mutual` flag
+    * is replaced by `displaces` = the arrival beats the anchor's
+    * standing-best similarity (an anchor with no standing candidate is
+    * always displaced — a new anchor coming alive is a refresh signal
+    * too). GroupState is one Boolean per arrival id: re-deliveries of
+    * an already-mined b emit nothing. */
+  def streamingMarginMining(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      standing: DataFrame): org.apache.spark.sql.Dataset[MinedPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    import graft.operators.{Ann, LlmOps}
+    val e = standing.select(col("vec_id"), col("embedding").as("emb"))
+    // frozen standing artifacts (static frames; computed from the
+    // standing table only)
+    val keptA = LlmOps.capBuckets(Ann.d4BandsOf(e), Seq("tbl", "bkey"))
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("tbl"), col("bkey"))
+    val rkS = Ann.marginRanked(spark, e)
+    val aStats = rkS.filter(col("rk_a") <= Ann.MARGIN_K)
+      .groupBy(col("a_id"))
+      .agg(sum(col("sim_u")).as("sum_a_u"), count(lit(1)).as("n_a"))
+    val aBest = rkS.filter(col("rk_a") === 1)
+      .select(col("a_id"), col("sim_u").as("a_best_u"))
+    val anchors = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("emb").as("emb_a"))
+      .join(keptA, Seq("a_id"))
+      .join(aStats, Seq("a_id"), "left")
+      .join(aBest, Seq("a_id"), "left")
+      .select(col("a_id"), col("emb_a"), col("tbl"), col("bkey"),
+        coalesce(col("sum_a_u"), lit(0L)).as("sum_a_u"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("a_best_u"), lit(Long.MinValue)).as("a_best_u"))
+    // stream side: band the arrival IN ONE PROJECTION (emb carried
+    // through the explode — a band re-join would be a stream-stream
+    // self-join), meet standing anchors bucket-wise, score on the
+    // identical kernel/scaling. A (b, a) pair agreeing on several band
+    // tables yields identical candidate tuples; they dedupe INSIDE the
+    // group function (a streaming dropDuplicates would be a second
+    // stateful operator).
+    val cands = Ann.d4BandsWithEmb(
+        arrivals.select(col("vec_id"), col("embedding").as("emb")))
+      .withColumnRenamed("emb", "emb_b")
+      .join(broadcast(anchors), Seq("tbl", "bkey"))
+      .select(col("vec_id").as("b_id"), col("a_id"),
+        Ann.microCos(spark, "emb_a", "emb_b").as("sim_u"),
+        col("sum_a_u"), col("n_a"), col("a_best_u"))
+      .as[(Long, Long, Long, Long, Long, Long)]
+    cands
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, MinedPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (bId, rows, state) =>
+          if (state.exists) Iterator.empty // re-delivered arrival
+          else {
+            state.update(true)
+            val cs = rows.toVector.distinct
+              .sortBy { case (_, aId, simU, _, _, _) => (-simU, aId) }
+            if (cs.isEmpty) Iterator.empty
+            else {
+              val (_, aId, simU, sumA, nA, aBestU) = cs.head
+              val top = cs.take(Ann.MARGIN_K)
+              val (sumB, nB) = (top.map(_._3).sum, top.size.toLong)
+              val accepted =
+                40L * simU * nA * nB >
+                  21L * (sumA * nB + sumB * nA)
+              Iterator.single(MinedPair(bId, aId, simU, nB, sumB,
+                nA, sumA, accepted, simU > aBestU))
+            }
+          }
+      }
+  }
 }

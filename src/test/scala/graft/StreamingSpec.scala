@@ -1426,6 +1426,85 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming margin mining: arrivals mine against the frozen " +
+      "standing index — verdicts replay driver-side, re-deliveries " +
+      "emit nothing, displacement reads the standing best") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = 64
+    def vec(odd: Map[Int, Float]): Array[Float] = {
+      val a = new Array[Float](dim)
+      for (j <- 1 until dim by 2) a(j) = 0.5f
+      odd.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // standing corpus: anchors A = {0,2,4,6}, one standing B doc (1) —
+    // so every anchor has frozen stats of exactly its (a,1) candidate
+    val standingRows = Seq(
+      0L -> vec(Map(0 -> 1.0f)),
+      1L -> vec(Map(0 -> 1.0f)),
+      2L -> vec(Map(2 -> 0.7f, 4 -> 0.7f)),
+      4L -> vec(Map(4 -> 1.0f)),
+      6L -> vec(Map(0 -> 0.9f)))
+    val arrivalRows = Map(
+      3L -> vec(Map(2 -> 1.0f)),  // courts anchor 2
+      5L -> vec(Map(4 -> 1.0f)))  // identical to anchor 4
+    val standing = standingRows.toDF("vec_id", "embedding")
+    def simU(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]): Double =
+        (0 until dim).foldLeft(0.0)((acc, i) =>
+          acc + x(i).toDouble * y(i).toDouble)
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      BigDecimal(c * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val emb = standingRows.toMap
+    val as = Seq(0L, 2L, 4L, 6L)
+    // frozen per-anchor artifacts: kNN stats + standing best over the
+    // standing B side (just doc 1)
+    val frozen = as.map { a =>
+      val s0 = simU(emb(a), emb(1L))
+      a -> ((s0, 1L, s0)) // (sum_a_u, n_a, a_best_u)
+    }.toMap
+    val expected = arrivalRows.map { case (b, be) =>
+      val cs = as.map(a => (a, simU(emb(a), be)))
+        .sortBy { case (a, s0) => (-s0, a) }
+      val (aId, s0) = cs.head
+      val top = cs.take(4)
+      val (sumB, nB) = (top.map(_._2).sum, top.size.toLong)
+      val (sumA, nA, aBest) = frozen(aId)
+      b -> ((aId, s0, nB, sumB, nA, sumA,
+        40L * s0 * nA * nB > 21L * (sumA * nB + sumB * nA),
+        s0 > aBest))
+    }
+    val input = MemoryStream[(Long, Array[Float])]
+    val events = input.toDF().toDF("vec_id", "embedding")
+    val q = StreamingJobs.streamingMarginMining(spark, events, standing)
+      .writeStream.format("memory").queryName("margin_test")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("margin_test").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getBoolean(7),
+            r.getBoolean(8))))
+      input.addData(3L -> arrivalRows(3L))
+      q.processAllAvailable()
+      assert(rows().length === 1, "one mined row per arrival")
+      // batch 2: a new arrival plus a RE-DELIVERY of 3 — the state
+      // boolean must swallow the duplicate
+      input.addData(5L -> arrivalRows(5L), 3L -> arrivalRows(3L))
+      q.processAllAvailable()
+      val got = rows()
+      assert(got.length === 2, "re-delivered arrival must emit nothing")
+      assert(got.toMap === expected,
+        "streamed verdicts must equal the driver replay")
+      // non-vacuity: the fixture exercises displacement (5 beats 4's
+      // standing best) and a genuine margin verdict on both arrivals
+      assert(expected(5L)._8, "arrival 5 must displace anchor 4's best")
+    } finally q.stop()
+  }
+
   test("streaming constraints survive a mid-stream restart: running " +
       "violation totals fold across the checkpoint") {
     val srcDir = java.nio.file.Files
