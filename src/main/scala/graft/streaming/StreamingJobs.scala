@@ -1206,6 +1206,79 @@ object StreamingJobs {
       }
   }
 
+  /** One row per count-min depth, re-emitted per batch: that depth's
+    * running inner product with the standing side's frozen cells. The
+    * serving estimate is min(ip) across the CM_D rows. */
+  final case class JoinSizeEst(
+      depth: Int, n_keys: Long, cells_nonzero: Long, ip: Long)
+
+  /** Streaming twin of x19's join-size estimation — the statistic
+    * MAINTAINED as one join side keeps arriving (the CBO feed for a
+    * standing dimension joined by a growing fact): the standing side
+    * folds ONCE to its CM_D×CM_W count-min cells (metadata-sized, so
+    * they ride the closure the way a15's centroids broadcast), and
+    * each arriving key updates CM_D state cells (state = one
+    * 64-long array per depth — bounded whatever the stream) via the
+    * SAME seeded h60 rows as x19/t12, then the depth re-emits its
+    * running inner product Σ_b cells_arrival[b]·cells_standing[b].
+    * min across the CM_D emitted rows = the current |standing ⋈
+    * arrivals| estimate, ≥ exact always, exactly x19's batch algebra —
+    * with x17 (register-max NDV), x18 (bottom-K quantiles) and the
+    * count-min cell stream this closes 'every sketch is maintained
+    * incrementally' for the join-size statistic too. */
+  def streamingJoinSizeEstimate(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      standingKeys: DataFrame): org.apache.spark.sql.Dataset[JoinSizeEst] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{CM_W, CM_D}
+    // frozen standing cells: CM_D arrays of CM_W longs, driver-held
+    val standingCells: Map[Int, Array[Long]] = {
+      val cells = standingKeys
+        .select(explode(array((0 until CM_D).map(i =>
+          struct(lit(i).as("depth"),
+            (Portable.h60(col("k").cast("string"), s"cm$i|") % CM_W)
+              .as("bucket"))): _*)).as("db"))
+        .groupBy(col("db.depth").as("depth"),
+          col("db.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+      (0 until CM_D).map { i =>
+        val row = new Array[Long](CM_W.toInt)
+        cells.filter(_.getInt(0) == i).foreach(r =>
+          row(r.getLong(1).toInt) = r.getLong(2))
+        i -> row
+      }.toMap
+    }
+    arrivals
+      .select(explode(array((0 until CM_D).map(i =>
+        struct(lit(i).as("depth"),
+          (Portable.h60(col("k").cast("string"), s"cm$i|") % CM_W)
+            .as("bucket"))): _*)).as("db"))
+      .select(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], JoinSizeEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (depth, rows, state) =>
+          val cells = state.getOption.getOrElse(new Array[Long](CM_W.toInt))
+          rows.foreach { case (_, b) => cells(b.toInt) += 1L }
+          state.update(cells)
+          val frozen = standingCells(depth)
+          var ip = 0L; var nz = 0L; var n = 0L
+          var i = 0
+          while (i < cells.length) {
+            if (cells(i) > 0) nz += 1
+            n += cells(i)
+            ip += cells(i) * frozen(i)
+            i += 1
+          }
+          Iterator.single(JoinSizeEst(depth, n, nz, ip))
+      }
+  }
+
   /** One mined pair served per arriving B-side vector: its best
     * standing-A anchor, both neighborhoods' margin inputs, the
     * integer-margin verdict, and whether the arrival DISPLACES the

@@ -1426,6 +1426,63 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming join-size estimate: per-depth inner products " +
+      "maintain incrementally and min-bound the exact join size at " +
+      "every cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{CM_W, CM_D}
+    val standingSeq = Seq(1L, 1L, 1L, 2L, 3L, 3L, 7L)
+    val b1 = Seq(1L, 3L, 9L)
+    val b2 = Seq(1L, 1L, 5L, 3L)
+    // driver replay: seeded cells + inner products per cumulative cut
+    def cellsOf(keys: Seq[Long]): Map[(Int, Long), Long] =
+      keys.flatMap(k => (0 until CM_D).map(i =>
+        (i, Portable.h60Jvm(s"cm$i|$k") % CM_W)))
+        .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val sc = cellsOf(standingSeq)
+    def ips(arr: Seq[Long]): Map[Int, Long] = {
+      val ac = cellsOf(arr)
+      (0 until CM_D).map(i => i ->
+        ac.collect { case ((d0, b), n) if d0 == i =>
+          n * sc.getOrElse((i, b), 0L) }.sum).toMap
+    }
+    def exact(arr: Seq[Long]): Long = {
+      val sf0 = standingSeq.groupBy(identity)
+      arr.groupBy(identity).map { case (k, v) =>
+        sf0.get(k).map(_.size.toLong * v.size).getOrElse(0L) }.sum
+    }
+    val input = MemoryStream[Long]
+    val q = StreamingJobs.streamingJoinSizeEstimate(spark,
+      input.toDF().toDF("k"), standingSeq.toDF("k"))
+      .writeStream.format("memory").queryName("joinsize_test")
+      .outputMode("update").start()
+    try {
+      def cut(nKeys: Long): Map[Int, Long] =
+        spark.table("joinsize_test").collect()
+          .filter(_.getLong(1) == nKeys)
+          .map(r => r.getInt(0) -> r.getLong(3)).toMap
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val c1 = cut(b1.size.toLong)
+      assert(c1 === ips(b1), "batch-1 per-depth ips must replay")
+      assert(c1.values.min >= exact(b1),
+        "estimate must bound the exact join size from above")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val all = b1 ++ b2
+      val c2 = cut(all.size.toLong)
+      assert(c2 === ips(all),
+        "batch-2 state must FOLD batch 1 (incremental maintenance)")
+      assert(c2.values.min >= exact(all))
+      // non-vacuity: the estimate actually grew across batches and
+      // the exact truth is non-trivial (real key overlap)
+      assert(exact(all) > exact(b1) && exact(b1) > 0)
+      assert(c2.values.min > c1.values.min)
+    } finally q.stop()
+  }
+
   test("streaming margin mining: arrivals mine against the frozen " +
       "standing index — verdicts replay driver-side, re-deliveries " +
       "emit nothing, displacement reads the standing best") {
