@@ -111,7 +111,8 @@ object ExplainAudit {
       "k17_partition_evolution", "x18_incremental_quantiles",
       "sql_c12_resample", "w8_anomaly", "sql_x18_quantiles",
       "sql_m1_meta", "sql_m4_phash", "a31_margin_mining",
-      "x19_join_size_sketch", "sql_a31_margin")
+      "x19_join_size_sketch", "sql_a31_margin",
+      "d17_incremental_neardup")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

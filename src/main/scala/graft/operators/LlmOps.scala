@@ -405,6 +405,162 @@ object LlmOps {
       JOIN sizes zb ON zb.doc_id = c.id_b"""))
 
   // ---------------------------------------------------------------------
+  // D17: incremental NEAR-dup dedup — the d10/d16 lifecycle discipline
+  // applied to d2's MinHash index, closing the dedup-family incremental
+  // matrix (exact → d10, line-level → d16, near-dup → THIS): an
+  // arriving batch (doc_id % 4 == 0, d10's split) sheds paraphrase
+  // duplicates against the standing corpus WITHOUT re-reading standing
+  // text. The standing side is touched only through its MAINTAINED
+  // artifacts: the P-column MinHash SIGNATURE table (P longs per doc)
+  // and the band table derived from it, capped on the STANDING bucket
+  // population (frozen sizing, the a18 convention; the batch's own
+  // buckets cap on the batch population). Candidates come bucket-wise;
+  // verification is SIGNATURE AGREEMENT — n_match = |{i : mᵢ(batch) =
+  // mᵢ(standing)}|, an unbiased P-granular Jaccard estimator — because
+  // exact shingle intersection would re-read standing text, which is
+  // exactly what the incremental form exists to avoid (the honest
+  // trade, stated: P=8 gives 1/8-granular similarity; the full d2
+  // rebuild remains the replayable truth). A pair duplicates at
+  // n_match >= D17_MINS (integer threshold — no ratio is ever
+  // computed). Routing per batch doc, d10's order: dup_of_history
+  // (best standing partner: max n_match, min id) beats dup_in_batch
+  // (best SMALLER-id batch partner — the min-owner convention) beats
+  // new. The report carries the partner and its n_match, so the
+  // decision is auditable at P-granularity.
+  // At 100 TB: batch cost = batch shingling + two band joins against
+  // 16-byte/row artifacts; standing cost = zero scans.
+  // ---------------------------------------------------------------------
+  private[graft] val D17_MINS = 4 // of P=8 matching mins ⇔ est J ≥ 0.5
+
+  val d17IncrementalNeardup = Q(
+    "d17_incremental_neardup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val mhS = minhashSigsOf(shinglesOf(docs.filter(col("doc_id") % 4 =!= 0)))
+      val mhB = minhashSigsOf(shinglesOf(docs.filter(col("doc_id") % 4 === 0)))
+      val bandsS = capBucketsJoin(bandsFromMh(mhS), Seq("band", "bkey"))
+      val bandsB = capBucketsJoin(bandsFromMh(mhB), Seq("band", "bkey"))
+      def agree(l: String, r: String): Column =
+        (0 until P).map(i =>
+          when(col(s"$l$i") === col(s"$r$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+      def renamed(mh: DataFrame, p: String): DataFrame =
+        (0 until P).foldLeft(
+          mh.select((col("doc_id") +: (0 until P).map(i =>
+            col(s"m$i"))): _*)) {
+          (df, i) => df.withColumnRenamed(s"m$i", s"$p$i")
+        }
+      def best(cand: DataFrame, left: DataFrame, right: DataFrame)
+          : DataFrame = {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_match").desc, col("matched_id").asc)
+        cand
+          .join(renamed(left, "lm"), Seq("doc_id"))
+          .join(renamed(right, "rm")
+            .withColumnRenamed("doc_id", "matched_id"),
+            Seq("matched_id"))
+          .select(col("doc_id"), col("matched_id"),
+            agree("lm", "rm").as("n_match"))
+          .filter(col("n_match") >= D17_MINS)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("matched_id"), col("n_match"))
+      }
+      val histCand = bandsB.select(col("doc_id"), col("band"), col("bkey"))
+        .join(bandsS.select(col("doc_id").as("matched_id"),
+          col("band"), col("bkey")), Seq("band", "bkey"))
+        .select("doc_id", "matched_id").distinct()
+      val batchCand = bandsB.select(col("doc_id"), col("band"), col("bkey"))
+        .join(bandsB.select(col("doc_id").as("matched_id"),
+          col("band"), col("bkey")), Seq("band", "bkey"))
+        .filter(col("matched_id") < col("doc_id"))
+        .select("doc_id", "matched_id").distinct()
+      val bestHist = best(histCand, mhB, mhS)
+        .withColumnRenamed("matched_id", "h_id")
+        .withColumnRenamed("n_match", "h_n")
+      val bestBatch = best(batchCand, mhB, mhB)
+        .withColumnRenamed("matched_id", "b_id")
+        .withColumnRenamed("n_match", "b_n")
+      docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+        .join(bestHist, Seq("doc_id"), "left")
+        .join(bestBatch, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("h_n").isNotNull, "dup_of_history")
+            .when(col("b_n").isNotNull, "dup_in_batch")
+            .otherwise("new").as("status"),
+          coalesce(when(col("h_n").isNotNull, col("h_id"))
+            .otherwise(col("b_id")), lit(-1L)).as("matched_id"),
+          coalesce(when(col("h_n").isNotNull, col("h_n"))
+            .otherwise(col("b_n")), lit(0L)).as("n_match"))
+    },
+    Some {
+      def mins(src: String) = (0 until P).map(i =>
+        s"min(${Portable.h60Duck("CAST(sh AS VARCHAR)", s"mh$i|")}) AS m$i")
+        .mkString(", ")
+      def bandsOf(mh: String) = (0 until BANDS).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"md5(concat_ws(',', m${2 * b}, m${2 * b + 1})) AS bkey FROM $mh")
+        .mkString(" UNION ALL ")
+      def capped(bands: String) =
+        s"""SELECT b.doc_id, b.band, b.bkey FROM $bands b
+          JOIN (SELECT band, bkey, count(*) AS c FROM $bands
+                GROUP BY 1, 2) z
+            ON z.band = b.band AND z.bkey = b.bkey
+              AND z.c <= $BUCKET_CAP"""
+      val agree = (0 until P).map(i =>
+        s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      def bestOf(cand: String, l: String, r: String) =
+        s"""SELECT doc_id, matched_id, n_match FROM (
+          SELECT nm.*, row_number() OVER (PARTITION BY doc_id
+            ORDER BY n_match DESC, matched_id ASC) AS rn
+          FROM (
+            SELECT c.doc_id, c.matched_id,
+              CAST($agree AS BIGINT) AS n_match
+            FROM $cand c
+            JOIN $l l ON l.doc_id = c.doc_id
+            JOIN $r r ON r.doc_id = c.matched_id) nm
+          WHERE n_match >= $D17_MINS) t
+        WHERE rn = 1"""
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          ${Portable.h60Duck(s"unnest(${ngramDuck(2)})", "sh|")} AS sh
+        FROM toks WHERE len(t) >= 2),
+      mh_s AS (SELECT doc_id, ${mins("sh")} FROM sh
+               WHERE doc_id % 4 <> 0 GROUP BY doc_id),
+      mh_b AS (SELECT doc_id, ${mins("sh")} FROM sh
+               WHERE doc_id % 4 = 0 GROUP BY doc_id),
+      bands_s0 AS (${bandsOf("mh_s")}),
+      bands_b0 AS (${bandsOf("mh_b")}),
+      bands_s AS (${capped("bands_s0")}),
+      bands_b AS (${capped("bands_b0")}),
+      histcand AS (
+        SELECT DISTINCT b.doc_id, s.doc_id AS matched_id
+        FROM bands_b b JOIN bands_s s
+          ON s.band = b.band AND s.bkey = b.bkey),
+      batchcand AS (
+        SELECT DISTINCT a.doc_id, b.doc_id AS matched_id
+        FROM bands_b a JOIN bands_b b
+          ON b.band = a.band AND b.bkey = a.bkey
+            AND b.doc_id < a.doc_id),
+      besthist AS (${bestOf("histcand", "mh_b", "mh_s")}),
+      bestbatch AS (${bestOf("batchcand", "mh_b", "mh_b")})
+      SELECT d.doc_id,
+        CASE WHEN h.n_match IS NOT NULL THEN 'dup_of_history'
+             WHEN b.n_match IS NOT NULL THEN 'dup_in_batch'
+             ELSE 'new' END AS status,
+        coalesce(CASE WHEN h.n_match IS NOT NULL THEN h.matched_id
+                      ELSE b.matched_id END, -1) AS matched_id,
+        coalesce(CASE WHEN h.n_match IS NOT NULL THEN h.n_match
+                      ELSE b.n_match END, 0) AS n_match
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+      LEFT JOIN besthist h ON h.doc_id = d.doc_id
+      LEFT JOIN bestbatch b ON b.doc_id = d.doc_id"""
+    })
+
+  // ---------------------------------------------------------------------
   // D3: SimHash — 16-bit locality-sensitive signature per document.
   // Per distinct token: portable 60-bit hash; signature bit j is the sign
   // of Σ_tokens (±1 by token-hash bit j). One explode + one hash-agg; the
@@ -4715,7 +4871,7 @@ object LlmOps {
     d1DedupExact, d10IncrementalDedup, d2DedupMinhash, d3Simhash,
     d3bSimhashNeardup, d5NgramJaccard, d11SubstringDedup,
     d6Decontaminate, d6bLeakReport, d9BloomPrefilter, d7DedupCc, d7bClusterStats, d8DedupCcStar, d14UrlDedup, d15LineDedup,
-    d16IncrementalLineDedup,
+    d16IncrementalLineDedup, d17IncrementalNeardup,
     t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,

@@ -1079,4 +1079,69 @@ class DedupSpec extends SparkSuite {
       .filter(size(split(lower(col("text")), " ")) >= 2).count()
     assert(rows.map(_._3).sum === nScored)
   }
+
+  test("d17: incremental near-dup routes replay driver-side — history " +
+      "beats batch, the min-owner keeps 'new', and signature " +
+      "agreement is the verifier") {
+    import spark.implicits._
+    // standing 1 == batch 4 (dup_of_history, all mins agree);
+    // batch 8 == batch 12 (12 routes dup_in_batch to owner 8, which
+    // itself stays new — the asymmetric min-owner convention);
+    // batch 16 shares nothing (new); 2/3 are standing-only noise
+    val fixture = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "standing only words here nothing else",
+      3L -> "more standing filler text rows again",
+      4L -> "alpha beta gamma delta epsilon zeta",
+      8L -> "one two three four five six seven",
+      12L -> "one two three four five six seven",
+      16L -> "totally unique vocabulary nothing shared anywhere")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d17-fix").toString
+    fixture.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent replay: bigram shingles → P seeded mins → band keys
+    // → per-slice caps (vacuous here) → candidates → agreement count
+    import graft.functions.Portable.h60Jvm
+    val P = 8; val BANDS = 4
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(text: String): Seq[Long] = {
+      val t = text.toLowerCase.split(" ").toSeq
+      val sh = t.sliding(2).map(_.mkString(" "))
+        .map(g => h60Jvm(s"sh|$g")).toSet
+      (0 until P).map(i => sh.map(v => h60Jvm(s"mh$i|$v")).min)
+    }
+    def bandKeys(m: Seq[Long]): Seq[(Int, String)] =
+      (0 until BANDS).map(b => b -> md5hex(s"${m(2 * b)},${m(2 * b + 1)}"))
+    val sigs = fixture.toMap.map { case (id, t) => id -> sig(t) }
+    val standing = Seq(1L, 2L, 3L); val batch = Seq(4L, 8L, 12L, 16L)
+    def cands(ids: Seq[Long], of: Long): Seq[Long] =
+      ids.filter(o => o != of &&
+        bandKeys(sigs(o)).toSet.intersect(bandKeys(sigs(of)).toSet).nonEmpty)
+    def nMatch(a: Long, b: Long): Long =
+      (0 until P).count(i => sigs(a)(i) == sigs(b)(i)).toLong
+    val expected = batch.map { b =>
+      val hist = cands(standing, b).map(s0 => (s0, nMatch(b, s0)))
+        .filter(_._2 >= 4).sortBy { case (id, n) => (-n, id) }.headOption
+      val inb = cands(batch.filter(_ < b), b).map(o => (o, nMatch(b, o)))
+        .filter(_._2 >= 4).sortBy { case (id, n) => (-n, id) }.headOption
+      b -> (hist.map { case (id, n) => ("dup_of_history", id, n) }
+        .orElse(inb.map { case (id, n) => ("dup_in_batch", id, n) })
+        .getOrElse(("new", -1L, 0L)))
+    }.toMap
+    assert(expected(4L) === (("dup_of_history", 1L, 8L)))
+    assert(expected(12L) === (("dup_in_batch", 8L, 8L)))
+    assert(expected(8L)._1 === "new",
+      "the smaller-id twin is the owner and must stay new")
+    assert(expected(16L)._1 === "new")
+    val got = operators.LlmOps.d17IncrementalNeardup.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === batch.toSet, "one row per batch doc")
+    for ((b, e) <- expected)
+      assert(got(b) === e, s"doc $b diverges from the replay")
+  }
 }
