@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.SnapOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1805,7 +1807,7 @@ object Ann {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam)
         .select("probe_id", "vec_id", "sim")
-        .localCheckpoint()
+        .snap()
     }
   }
 
@@ -2727,7 +2729,7 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    var frontier = f0.localCheckpoint()
+    var frontier = f0.snap()
     var visited = frontier
     for (_ <- 1 to hops) {
       val neighbors = frontier.select(col("probe_id"), col("vec_id"))
@@ -2740,7 +2742,7 @@ object Ann {
       val cands = frontier.unionByName(neighbors)
         .groupBy(col("probe_id"), col("vec_id"))
         .agg(max(col("sim")).as("sim"))
-        .localCheckpoint()
+        .snap()
       frontier = cands.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam)
         .select("probe_id", "vec_id", "sim")
@@ -3157,7 +3159,7 @@ object Ann {
         .orderBy(col("sq").desc, col("vec_id").asc)
       val pool = simq.withColumn("rn", row_number().over(wp))
         .filter(col("rn") <= MMR_POOL).drop("rn")
-        .localCheckpoint()
+        .snap()
       val poolV = pool.join(e, Seq("vec_id"))
       val pairs = poolV
         .select(col("probe_id"), col("vec_id").as("va"),
@@ -3167,7 +3169,7 @@ object Ann {
         .filter(col("va") =!= col("vb"))
         .select(col("probe_id"), col("va"), col("vb"),
           microCos(s, "ea", "eb").as("pu"))
-        .localCheckpoint()
+        .snap()
       val w1 = Window.partitionBy(col("probe_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
       var picks = pool
@@ -3177,7 +3179,7 @@ object Ann {
         .filter(col("rn") === 1)
         .select(col("probe_id"), col("vec_id"), col("score"),
           lit(1L).as("pick"))
-        .localCheckpoint()
+        .snap()
       for (r <- 2 to MMR_K) {
         val selIds = picks.select(col("probe_id"), col("vec_id"))
         val ms = pairs
@@ -3196,7 +3198,7 @@ object Ann {
           .filter(col("rn") === 1)
           .select(col("probe_id"), col("vec_id"), col("score"),
             lit(r.toLong).as("pick"))
-        picks = picks.unionByName(next).localCheckpoint()
+        picks = picks.unionByName(next).snap()
       }
       picks.select(col("probe_id"), col("pick"), col("vec_id"),
         col("score").as("mmr_u"))
@@ -4017,7 +4019,7 @@ object Ann {
         .withColumn("rel",
           (lit(RRF_TOPK + 1L) - col("fused_rk")) *
             lit(1000000L / RRF_TOPK))
-        .localCheckpoint()
+        .snap()
       val poolV = pool
         .join(e.select(col("vec_id").as("doc_id"), col("emb")),
           Seq("doc_id"))
@@ -4029,7 +4031,7 @@ object Ann {
         .filter(col("va") =!= col("vb"))
         .select(col("probe_id"), col("va"), col("vb"),
           microCos(s, "ea", "eb").as("pu"))
-        .localCheckpoint()
+        .snap()
       val w1 = Window.partitionBy(col("probe_id"))
         .orderBy(col("score").desc, col("doc_id").asc)
       var picks = pool
@@ -4039,7 +4041,7 @@ object Ann {
         .filter(col("rn") === 1)
         .select(col("probe_id"), col("doc_id"), col("fused_rk"),
           lit(1L).as("pick"))
-        .localCheckpoint()
+        .snap()
       for (r <- 2 to E8_PICKS) {
         val selIds = picks.select(col("probe_id"), col("doc_id"))
         val ms = pairs
@@ -4058,7 +4060,7 @@ object Ann {
           .filter(col("rn") === 1)
           .select(col("probe_id"), col("doc_id"), col("fused_rk"),
             lit(r.toLong).as("pick"))
-        picks = picks.unionByName(next).localCheckpoint()
+        picks = picks.unionByName(next).snap()
       }
       val toks = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))

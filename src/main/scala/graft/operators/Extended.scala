@@ -1197,25 +1197,53 @@ object Extended {
   // lineitem⋈orders join (orders unique per key, so truth = |lineitem|
   // with a live FK — the estimator must get BOTH shapes right).
   // ---------------------------------------------------------------------
+  /** One count-min row set for a key column `k`: (depth, bucket, cnt)
+    * over the CM_D seeded h60 rows — x19's sketch side, shared with
+    * its spec. */
+  private[graft] def cmCells(keys: DataFrame): DataFrame = {
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{CM_W, CM_D}
+    keys.select(explode(array((0 until CM_D).map(i =>
+        struct(lit(i).as("depth"),
+          (Portable.h60(col("k").cast("string"), s"cm$i|") % CM_W)
+            .as("bucket"))): _*)).as("db"))
+      .groupBy(col("db.depth").as("depth"),
+        col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-min join-size estimate min_d Σ_b cntA·cntB for two key
+    * frames (column `k` each). The inner join keeps only COLLIDING
+    * (depth,bucket) cells, so a depth with zero collisions (true
+    * ip=0) would silently drop out of the min — and with NO colliding
+    * depth n_est would go NULL, violating est ≥ exact = 0 on
+    * degenerate inputs (ADVICE r18). Left-join from the full depth
+    * domain and coalesce each depth's ip to 0 so min always ranges
+    * over exactly CM_D values. The per-cell product is widened to
+    * DECIMAL(38,0) before summing: with CM_W=64 a per-cell count
+    * ~N/64 makes cnt_a·cnt_b overflow int64 silently (non-ANSI)
+    * around N≈10^11 keys — DECIMAL keeps the accumulation exact
+    * wherever the emitted BIGINT estimate is representable at all
+    * (oracle side mirrors with HUGEINT). */
+  private[graft] def cmJoinEstimate(
+      s: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    import graft.operators.LlmOps.CM_D
+    val ips = cmCells(a).as("ca")
+      .join(cmCells(b).as("cb"), Seq("depth", "bucket"))
+      .groupBy(col("depth"))
+      .agg(sum(col("ca.cnt").cast("decimal(19,0)") *
+        col("cb.cnt").cast("decimal(19,0)")).as("ip"))
+    s.range(CM_D).select(col("id").cast("int").as("depth"))
+      .join(ips, Seq("depth"), "left")
+      .agg(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)")))
+        .cast("long").as("n_est"))
+  }
+
   val x19JoinSizeSketch = Q(
     "x19_join_size_sketch",
     (s, d) => {
-      import graft.functions.Portable
-      import graft.operators.LlmOps.{CM_W, CM_D}
-      def cells(keys: DataFrame): DataFrame =
-        keys.select(explode(array((0 until CM_D).map(i =>
-            struct(lit(i).as("depth"),
-              (Portable.h60(col("k").cast("string"), s"cm$i|") % CM_W)
-                .as("bucket"))): _*)).as("db"))
-          .groupBy(col("db.depth").as("depth"),
-            col("db.bucket").as("bucket"))
-          .agg(count(lit(1)).as("cnt"))
       def estimate(a: DataFrame, b: DataFrame): DataFrame =
-        cells(a).as("ca")
-          .join(cells(b).as("cb"), Seq("depth", "bucket"))
-          .groupBy(col("depth"))
-          .agg(sum(col("ca.cnt") * col("cb.cnt")).as("ip"))
-          .agg(min(col("ip")).as("n_est"))
+        cmJoinEstimate(s, a, b)
       def exact(a: DataFrame, b: DataFrame): DataFrame =
         a.groupBy(col("k")).agg(count(lit(1)).as("da"))
           .join(b.groupBy(col("k")).agg(count(lit(1)).as("db")),
@@ -1249,14 +1277,16 @@ object Extended {
              SELECT k, count(*) AS da FROM $aSrc GROUP BY k) xa
            JOIN (SELECT k, count(*) AS db FROM $bSrc GROUP BY k) xb
            USING (k)) AS n_exact,
-          (SELECT CAST(min(ip) AS BIGINT) FROM (
-             SELECT ca.depth, sum(ca.cnt * cb.cnt) AS ip
+          (SELECT CAST(min(coalesce(t.ip, 0)) AS BIGINT)
+           FROM range(0, $CM_D) dd(depth)
+           LEFT JOIN (
+             SELECT ca.depth, sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS ip
              FROM (SELECT depth, bucket, count(*) AS cnt
                    FROM (${cellsSql(aSrc)}) GROUP BY 1, 2) ca
              JOIN (SELECT depth, bucket, count(*) AS cnt
                    FROM (${cellsSql(bSrc)}) GROUP BY 1, 2) cb
              ON ca.depth = cb.depth AND ca.bucket = cb.bucket
-             GROUP BY ca.depth) t) AS n_est"""
+             GROUP BY ca.depth) t ON dd.depth = t.depth) AS n_est"""
       s"""WITH supp AS (SELECT l_suppkey AS k FROM lineitem),
       lio AS (SELECT l_orderkey AS k FROM lineitem),
       ok AS (SELECT o_orderkey AS k FROM orders),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.SnapOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,7 +115,7 @@ object Graph {
   private def prFixpointRounds(
       init: DataFrame, edges: DataFrame, iters: Int): Seq[DataFrame] = {
     val teleport = expr(s"15L * ($PR_SCALE div n) div 100")
-    var r = init.localCheckpoint()
+    var r = init.snap()
     val rounds = Seq.newBuilder[DataFrame]
     rounds += r
     for (_ <- 1 to iters) {
@@ -131,7 +133,7 @@ object Graph {
           (teleport +
             expr(s"$PR_DAMP_PCT * (coalesce(recv, 0L) + dang div n) " +
               "div 100")).as("pr"))
-        .localCheckpoint()
+        .snap()
       rounds += r
     }
     rounds.result()
@@ -263,7 +265,7 @@ object Graph {
         .select(col("doc_id"), col("ns"), col("outdeg"), col("is_seed"),
           expr(s"CASE WHEN is_seed THEN $PR_SCALE div ns ELSE 0L END")
             .as("pr"))
-        .localCheckpoint()
+        .snap()
       for (_ <- 1 to PR_ITERS) {
         val recv = edges
           .join(r.select(col("doc_id").as("src"), col("pr")), "src")
@@ -283,7 +285,7 @@ object Graph {
               expr(s"$PR_DAMP_PCT * (coalesce(recv, 0L) + " +
                 "CASE WHEN is_seed THEN dang div ns ELSE 0L END) " +
                 "div 100")).as("pr"))
-          .localCheckpoint()
+          .snap()
       }
       edges.unpersist()
       r.select(col("doc_id"), col("is_seed"), col("pr"))
@@ -374,11 +376,11 @@ object Graph {
         .select(col("doc_id"),
           expr(s"coalesce(s, 0L) * $HITS_NN div " +
             s"greatest(1L, t div $HITS_ND)").as(scoreCol))
-        .localCheckpoint()
+        .snap()
     }
     var h = nodes
       .select(col("doc_id"), expr(s"$PR_SCALE div n").as("hub"))
-      .localCheckpoint()
+      .snap()
     val hs = Seq.newBuilder[DataFrame]
     val as = Seq.newBuilder[DataFrame]
     hs += h
@@ -556,7 +558,7 @@ object Graph {
     nbrs.count() // eager: 5 consuming rounds must not race the cache
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+      .snap()
     val rounds = Seq.newBuilder[DataFrame]
     rounds += labels
     for (_ <- 1 to LPA_ITERS) {
@@ -568,7 +570,7 @@ object Graph {
           .orderBy(col("cnt").desc, col("lbl").asc)))
         .filter(col("rn") === 1)
         .select(col("node").as("doc_id"), col("lbl"))
-        .localCheckpoint()
+        .snap()
       rounds += labels
     }
     nbrs.unpersist()
@@ -812,14 +814,14 @@ object Graph {
       nbrs
         .join(alive.select(col("doc_id").as("nbr")), "nbr")
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    var alive = nodes.select(col("doc_id")).localCheckpoint()
+    var alive = nodes.select(col("doc_id")).snap()
     val rounds = Seq.newBuilder[DataFrame]
     rounds += alive
     for (_ <- 1 to KCORE_ITERS) {
       alive = aliveNbrCnt(alive)
         .filter(col("deg") >= KCORE_K)
         .select(col("node").as("doc_id"))
-        .localCheckpoint()
+        .snap()
       rounds += alive
     }
     nbrs.unpersist()
@@ -1200,7 +1202,7 @@ object Graph {
         .crossJoin(s.range(G8_WALKS).select(col("id").as("walk")))
         .select(col("doc_id").as("seed"), col("walk"),
           col("doc_id").as("cur"))
-        .localCheckpoint()
+        .snap()
       val out = scala.collection.mutable.ArrayBuffer[DataFrame](
         frontier.select(col("seed"), col("walk"), lit(0L).as("step"),
           col("cur").as("node")))
@@ -1215,7 +1217,7 @@ object Graph {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("seed"), col("walk"), col("dst").as("cur"))
-          .localCheckpoint()
+          .snap()
         out += frontier.select(col("seed"), col("walk"),
           lit(i.toLong).as("step"), col("cur").as("node"))
       }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.SnapOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1174,11 +1176,15 @@ object LlmOps {
     * more), so un-truncated lineage grows ~4× per round and the logical
     * plan explodes long before the data does — the iterative-algorithm
     * trap every distributed CC implementation must break. We break it
-    * the way GraphX/GraphFrames do: an EAGER checkpoint of the frontier
-    * every round (localCheckpoint here — the local-mode analogue of
-    * checkpointing to cluster storage), so every round starts from a
-    * leaf plan. Superseded frontiers' blocks are released by RDD id;
-    * Dataset.unpersist cannot reach checkpoint blocks. */
+    * the way GraphX/GraphFrames do: a checkpoint of the frontier every
+    * round through the [[graft.Checkpoints]] seam — executor-block
+    * localCheckpoint by default, RELIABLE cluster-storage checkpoint
+    * when `spark.graft.checkpointDir` is set (the fault-tolerant mode
+    * a real cluster runs) — so every round starts from a leaf plan.
+    * Superseded frontiers' blocks are released by RDD id
+    * (Dataset.unpersist cannot reach checkpoint blocks; in reliable
+    * mode there are no blocks to release and checkpoint FILES are the
+    * cleaner's concern). */
   private[graft] def starContract(
       edges0: DataFrame, maxRounds: Int): StarCc = {
     val sc = edges0.sparkSession.sparkContext
@@ -1190,7 +1196,7 @@ object LlmOps {
     // round's convergence count, saving one job per round vs eager)
     def snap(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(eager = false)
+      val out = df.snap(eager = false)
       (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
     }
     var (edges, ids) = snap(edges0.select(col("a"), col("b")).distinct())
@@ -3141,7 +3147,7 @@ object LlmOps {
     var seq = words.select(col("word"), col("freq"),
       concat(regexp_replace(col("word"), "(.)", " $1"), lit(" "))
         .as("seq"))
-      .localCheckpoint()
+      .snap()
     val bests = Seq.newBuilder[DataFrame]
     for (_ <- 1 to BPE_ROUNDS) {
       val best = seq
@@ -3155,12 +3161,12 @@ object LlmOps {
         .agg(sum(col("freq")).as("weight"))
         .orderBy(col("weight").desc, col("lhs").asc, col("rhs").asc)
         .limit(1)
-        .localCheckpoint() // 1 row; feeds BOTH the output and the apply
+        .snap() // 1 row; feeds BOTH the output and the apply
       bests += best
       seq = seq.crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
         .select(col("word"), col("freq"),
           bpeApplyMerge(col("seq")).as("seq"))
-        .localCheckpoint()
+        .snap()
     }
     bests.result()
   }
@@ -3274,7 +3280,7 @@ object LlmOps {
       when(trim(col("seq")) === "", lit(0L))
         .otherwise(size(split(trim(col("seq")), " +")).cast("long"))
         .as("n_tokens"))
-      .localCheckpoint()
+      .snap()
   }
 
   /** The encode chain as DuckDB CTE text ending in

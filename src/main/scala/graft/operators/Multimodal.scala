@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.SnapOps
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1430,7 +1432,7 @@ object Multimodal {
         .filter(col("prev").isNull ||
           expr(s"bit_count(fhash ^ prev) >= $CUT_TAU"))
         .select(col("doc_id"), col("fhash"))
-        .localCheckpoint()
+        .snap()
       val owners = keyf.groupBy(col("fhash"))
         .agg(min(col("doc_id")).as("owner"))
       val shared = keyf.join(owners, Seq("fhash"))

@@ -1272,7 +1272,13 @@ object StreamingJobs {
           while (i < cells.length) {
             if (cells(i) > 0) nz += 1
             n += cells(i)
-            ip += cells(i) * frozen(i)
+            // Exact-arithmetic guard (ADVICE r18): with CM_W=64 a
+            // per-cell count is ~N/64, so cnt_a·cnt_b crosses int64
+            // around N≈10^11 keys per side. A silent wrap would emit a
+            // confidently WRONG join-size estimate to a CBO consumer —
+            // fail loudly instead (matching batch x19, whose DECIMAL
+            // accumulation stays exact up to the emitted BIGINT range).
+            ip = Math.addExact(ip, Math.multiplyExact(cells(i), frozen(i)))
             i += 1
           }
           Iterator.single(JoinSizeEst(depth, n, nz, ip))
@@ -1286,6 +1292,11 @@ object StreamingJobs {
   final case class MinedPair(
       b_id: Long, a_id: Long, sim_u: Long, n_b: Long, sum_b_u: Long,
       n_a: Long, sum_a_u: Long, accepted: Boolean, displaces: Boolean)
+
+  /** Dedup-state TTL for [[streamingMarginMining]]: how long a mined
+    * arrival id is remembered for re-delivery swallowing before its
+    * state entry is released. */
+  private[graft] val MARGIN_DEDUP_TTL_MS = 6L * 3600 * 1000
 
   /** Streaming twin of a31's margin miner — mining run LIVE as new
     * B-side documents arrive (the crawl shape: the standing corpus is
@@ -1310,8 +1321,35 @@ object StreamingJobs {
     * is replaced by `displaces` = the arrival beats the anchor's
     * standing-best similarity (an anchor with no standing candidate is
     * always displaced — a new anchor coming alive is a refresh signal
-    * too). GroupState is one Boolean per arrival id: re-deliveries of
-    * an already-mined b emit nothing. */
+    * too).
+    *
+    * Stat-less anchors (n_a = 0: the anchor had no standing B-side
+    * candidate, so its frozen neighborhood average is undefined): the
+    * two-sided margin degenerates to 0 > 0 and would structurally
+    * reject even a perfect match (ADVICE r18). The verdict falls back
+    * to the arrival-side-only ratio margin — sim / avg_B > 1.05,
+    * cross-multiplied as 20·sim·n_B > 21·Σ_B — i.e. the same 1.05
+    * margin bar judged against the only neighborhood that exists
+    * (the arrival's top-K, self included, the batch convention). One
+    * corner stays conservative BY DESIGN: an arrival whose sole
+    * candidate is a stat-less anchor has avg_B = sim, margin exactly
+    * 1.0 < 1.05 → rejected. A pair with no neighborhood on either
+    * side carries no margin evidence either way; it still surfaces
+    * through `displaces` (always true for a stat-less anchor), which
+    * is the rebuild signal, not through `accepted`.
+    * Arrivals are filtered to the suite's B-side parity (vec_id odd),
+    * the contract batch a31 enforces on its candidate join; an even id
+    * on the arrival stream is corpus-side content and is dropped, not
+    * mined.
+    *
+    * GroupState is one Boolean per arrival id: re-deliveries of an
+    * already-mined b emit nothing. The state carries a processing-time
+    * TTL ([[MARGIN_DEDUP_TTL_MS]]) and is REMOVED on timeout — with
+    * NoTimeout the dedup set would grow one entry per distinct arrival
+    * forever, an eventual OOM at crawl scale (ADVICE r18). The stated
+    * trade: a re-delivery arriving later than the TTL after its
+    * original is mined again (at-least-once within the window,
+    * bounded state always). */
   def streamingMarginMining(
       spark: org.apache.spark.sql.SparkSession,
       arrivals: DataFrame,
@@ -1348,7 +1386,8 @@ object StreamingJobs {
     // group function (a streaming dropDuplicates would be a second
     // stateful operator).
     val cands = Ann.d4BandsWithEmb(
-        arrivals.select(col("vec_id"), col("embedding").as("emb")))
+        arrivals.select(col("vec_id"), col("embedding").as("emb"))
+          .filter(col("vec_id") % 2 === 1))
       .withColumnRenamed("emb", "emb_b")
       .join(broadcast(anchors), Seq("tbl", "bkey"))
       .select(col("vec_id").as("b_id"), col("a_id"),
@@ -1358,11 +1397,19 @@ object StreamingJobs {
     cands
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, MinedPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
         case (bId, rows, state) =>
-          if (state.exists) Iterator.empty // re-delivered arrival
-          else {
+          if (state.hasTimedOut) {
+            state.remove() // dedup window closed: release the entry
+            Iterator.empty
+          } else if (state.exists) {
+            // re-delivered arrival inside the window: swallow, and
+            // re-arm the TTL (it clears whenever the key sees data)
+            state.setTimeoutDuration(MARGIN_DEDUP_TTL_MS)
+            Iterator.empty
+          } else {
             state.update(true)
+            state.setTimeoutDuration(MARGIN_DEDUP_TTL_MS)
             val cs = rows.toVector.distinct
               .sortBy { case (_, aId, simU, _, _, _) => (-simU, aId) }
             if (cs.isEmpty) Iterator.empty
@@ -1371,8 +1418,11 @@ object StreamingJobs {
               val top = cs.take(Ann.MARGIN_K)
               val (sumB, nB) = (top.map(_._3).sum, top.size.toLong)
               val accepted =
-                40L * simU * nA * nB >
-                  21L * (sumA * nB + sumB * nA)
+                if (nA > 0L)
+                  40L * simU * nA * nB >
+                    21L * (sumA * nB + sumB * nA)
+                else // stat-less anchor: arrival-side-only 1.05 margin
+                  20L * simU * nB > 21L * sumB
               Iterator.single(MinedPair(bId, aId, simU, nB, sumB,
                 nA, sumA, accepted, simU > aBestU))
             }

@@ -498,4 +498,34 @@ class ExtendedSpec extends SparkSuite {
     assert(got.values.exists(_._3 > 0L),
       "some arm must show a real collision overcount")
   }
+
+  test("x19 degenerate inputs: a depth with zero colliding buckets " +
+      "contributes ip=0 to the min, never drops out — est stays 0, " +
+      "not NULL, when no depth collides (ADVICE r18)") {
+    import spark.implicits._
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{CM_W, CM_D}
+    // search two single-key sets whose buckets DISAGREE at every
+    // depth (per candidate: (1-1/64)^4 ≈ 0.94, so the search is
+    // instant) — then every depth has zero collisions and the old
+    // inner-join min would have been min over ∅ = NULL
+    def buckets(k: String): Seq[Long] =
+      (0 until CM_D).map(i => Portable.h60Jvm(s"cm$i|$k") % CM_W)
+    val k1 = "degenerate-a"
+    val k2 = (1 to 1000).map(n => s"degenerate-b$n")
+      .find(k => buckets(k).zip(buckets(k1)).forall(p => p._1 != p._2))
+      .getOrElse(fail("no fully-disjoint key found in 1000 candidates"))
+    val est = operators.Extended.cmJoinEstimate(spark,
+      Seq(k1).toDF("k"), Seq(k2).toDF("k")).collect()
+    assert(est.length === 1 && !est.head.isNullAt(0) &&
+      est.head.getLong(0) === 0L,
+      "no-collision estimate must be 0, not NULL")
+    // and a PARTIAL degenerate: one shared key + one disjoint key per
+    // side — some depths collide, some may not; est must still be ≥
+    // exact (=1) and finite
+    val est2 = operators.Extended.cmJoinEstimate(spark,
+      Seq("shared", k1).toDF("k"), Seq("shared", k2).toDF("k"))
+      .collect().head.getLong(0)
+    assert(est2 >= 1L, "est must bound exact=1 from above")
+  }
 }

@@ -1483,6 +1483,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  /** Await until the query has consumed `totalIn` source rows (summed
+    * over recentProgress) AND the batch that consumed them committed.
+    * The margin miner's dedup state carries a processing-time TTL, and
+    * under ProcessingTimeTimeout the stateful operator requests a new
+    * batch after EVERY batch (timeouts may need firing), so the query
+    * never quiesces and `processAllAvailable()` blocks forever — the
+    * spec instead tracks source-level numInputRows, which counts even
+    * the rows a downstream filter drops. Idle batches emit progress at
+    * most every 10 s (noDataProgressEventInterval), so the 100-entry
+    * recentProgress window cannot flood within a test's lifetime. */
+  private def drainStream(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      totalIn: Long): Unit = {
+    val deadline = System.currentTimeMillis + 120000
+    def consumed = q.recentProgress.map(_.numInputRows).sum
+    while (consumed < totalIn && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(consumed >= totalIn,
+      s"stream consumed $consumed of $totalIn input rows before timeout")
+  }
+
   test("streaming margin mining: arrivals mine against the frozen " +
       "standing index — verdicts replay driver-side, re-deliveries " +
       "emit nothing, displacement reads the standing best") {
@@ -1546,12 +1567,12 @@ class StreamingSpec extends SparkSuite {
             r.getLong(5), r.getLong(6), r.getBoolean(7),
             r.getBoolean(8))))
       input.addData(3L -> arrivalRows(3L))
-      q.processAllAvailable()
+      drainStream(q, 1)
       assert(rows().length === 1, "one mined row per arrival")
       // batch 2: a new arrival plus a RE-DELIVERY of 3 — the state
       // boolean must swallow the duplicate
       input.addData(5L -> arrivalRows(5L), 3L -> arrivalRows(3L))
-      q.processAllAvailable()
+      drainStream(q, 3)
       val got = rows()
       assert(got.length === 2, "re-delivered arrival must emit nothing")
       assert(got.toMap === expected,
@@ -1559,7 +1580,90 @@ class StreamingSpec extends SparkSuite {
       // non-vacuity: the fixture exercises displacement (5 beats 4's
       // standing best) and a genuine margin verdict on both arrivals
       assert(expected(5L)._8, "arrival 5 must displace anchor 4's best")
+      // batch 3: an EVEN id on the arrival stream is corpus-side
+      // content, not a B-side candidate — the parity contract batch
+      // a31 enforces on its join must drop it before banding
+      input.addData(8L -> arrivalRows(3L))
+      drainStream(q, 4)
+      assert(rows().length === 2,
+        "even-id arrival must be dropped by the B-side parity filter")
     } finally q.stop()
+  }
+
+  test("streaming margin mining, stat-less anchors: a standing corpus " +
+      "with no B side falls back to the arrival-side-only margin; a " +
+      "sole-candidate pair stays rejected but displaces") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = 64
+    def vec(hot: Map[Int, Float]): Array[Float] = {
+      val a = new Array[Float](dim)
+      for (j <- 1 until dim by 2) a(j) = 0.5f
+      hot.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    def simU(a: Array[Float], b: Array[Float]): Long = {
+      def dot(x: Array[Float], y: Array[Float]): Double =
+        (0 until dim).foldLeft(0.0)((acc, i) =>
+          acc + x(i).toDouble * y(i).toDouble)
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      BigDecimal(c * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // phase A: three anchors, ZERO standing B docs — every anchor is
+    // stat-less (n_a = 0). The shared 0.5-odd baseline keeps all
+    // vectors in the same d4 band buckets, so an arrival courts all
+    // three and its own top-K neighborhood is non-trivial.
+    val anchorsA = Map(
+      0L -> vec(Map(0 -> 1.0f)),
+      2L -> vec(Map(2 -> 1.0f)),
+      4L -> vec(Map(4 -> 1.0f)))
+    val arrival = vec(Map(0 -> 1.0f)) // identical to anchor 0
+    val inA = MemoryStream[(Long, Array[Float])]
+    val qA = StreamingJobs.streamingMarginMining(spark,
+        inA.toDF().toDF("vec_id", "embedding"),
+        anchorsA.toSeq.toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("margin_statless_a")
+      .outputMode("append").start()
+    try {
+      inA.addData(3L -> arrival)
+      drainStream(qA, 1)
+      val got = spark.table("margin_statless_a").collect()
+      assert(got.length === 1)
+      val r = got.head
+      // driver replay of the fallback: top-K = the three candidates,
+      // 20*sim*nB > 21*sumB (arrival-side-only 1.05 margin)
+      val sims = Seq(0L, 2L, 4L).map(a => (a, simU(anchorsA(a), arrival)))
+        .sortBy { case (a, s0) => (-s0, a) }
+      val (sumB, nB) = (sims.map(_._2).sum, sims.size.toLong)
+      val acceptExp = 20L * sims.head._2 * nB > 21L * sumB
+      assert(r.getLong(1) === 0L, "best anchor is the identical one")
+      assert(r.getLong(5) === 0L, "anchor must be stat-less (n_a=0)")
+      assert(r.getBoolean(7) === acceptExp,
+        "fallback verdict must equal the replay")
+      assert(acceptExp,
+        "non-vacuity: the fallback must be able to ACCEPT (the old " +
+          "two-sided test structurally rejected every stat-less anchor)")
+      assert(r.getBoolean(8), "stat-less anchor is always displaced")
+    } finally qA.stop()
+    // phase B: ONE stat-less anchor — the arrival's sole candidate has
+    // avg_B = sim, margin exactly 1.0 < 1.05: rejected by design, but
+    // the displacement (rebuild) signal still fires
+    val inB = MemoryStream[(Long, Array[Float])]
+    val qB = StreamingJobs.streamingMarginMining(spark,
+        inB.toDF().toDF("vec_id", "embedding"),
+        Seq(0L -> vec(Map(0 -> 1.0f))).toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("margin_statless_b")
+      .outputMode("append").start()
+    try {
+      inB.addData(3L -> vec(Map(0 -> 1.0f)))
+      drainStream(qB, 1)
+      val got = spark.table("margin_statless_b").collect()
+      assert(got.length === 1)
+      assert(!got.head.getBoolean(7),
+        "sole-candidate stat-less pair carries no margin evidence")
+      assert(got.head.getBoolean(8), "…but still displaces")
+    } finally qB.stop()
   }
 
   test("streaming constraints survive a mid-stream restart: running " +
