@@ -112,11 +112,14 @@ object ExplainAudit {
       "sql_c12_resample", "w8_anomaly", "sql_x18_quantiles",
       "sql_m1_meta", "sql_m4_phash", "a31_margin_mining",
       "x19_join_size_sketch", "sql_a31_margin",
-      "d17_incremental_neardup")
+      "d17_incremental_neardup", "sql_s10_snapshot_diff",
+      "sql_k6_compaction")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")
-    for (name <- names) {
+    // optional argv filter: `runMain ExplainAudit q1 q2` audits a subset
+    val selected = if (args.nonEmpty) names.filter(args.toSet) else names
+    for (name <- selected) {
       val q = graft.SparkEntry.queries(name)(spark, d)
       // EXECUTE first, audit the FINAL adaptive plan: the un-executed
       // plan repeats the whole subtree under every consumer of a

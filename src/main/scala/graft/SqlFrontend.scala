@@ -2666,6 +2666,48 @@ object SqlFrontend {
       WHERE rn <= ${operators.Ann.RRF_TOPK}""",
     operators.Ann.a26HybridRrf.oracle)
 
+  // Snapshot diff from SQL — the lake-maintenance family's first SQL
+  // face (VERDICT r18 #4: zero sql_s*/sql_k* twins; a SQL user could
+  // not reach the lakehouse story at all). s10's two-snapshot
+  // full-outer diff is plain relational SQL: the text below is the
+  // DuckDB oracle's text verbatim (the f1f2 one-ANSI-string
+  // discipline — CAST(ts AS TIMESTAMP) is a no-op on the normalized
+  // events view, and it is exactly what DuckDB needs on a raw NANOS
+  // generation), so SQL == DSL == oracle pins three engines at once.
+  val sqlS10SnapshotDiff: Queries.Q = sqlQ(
+    "sql_s10_snapshot_diff",
+    sources.Ingest.s10SnapshotDiff.oracle.get,
+    sources.Ingest.s10SnapshotDiff.oracle)
+
+  // Compaction read-back report from SQL — k6's rewrite itself is
+  // imperative lake maintenance (file listing + repartitionByRange
+  // write: no SQL face exists or should), but the REPORT a maintenance
+  // job publishes — per-type content aggregate over the COMPACTED
+  // files plus the before/after file counts — is relational. The twin
+  // runs the same fixture + compaction seam as k6, registers the
+  // compacted dir as a view, and phrases the report in SQL with the
+  // observed file counts as literals; sharing k6's oracle means the
+  // row is green iff the SQL-visible lake carries byte-identical
+  // content and exactly the planned file layout.
+  val sqlK6Compaction: Queries.Q = Queries.Q(
+    "sql_k6_compaction",
+    (s, d) => {
+      registerViews(s, d)
+      val frag = sources.Ingest.k6FragFixture(s, d)
+      val (nBefore, _) = sources.Ingest.parquetFileStats(frag)
+      val out = sources.Ingest.compactEvents(s, frag,
+        sources.Ingest.freshDir("sql_k6_compact"),
+        sources.Ingest.K6_ROWS_PER_FILE)
+      val (nAfter, _) = sources.Ingest.parquetFileStats(out)
+      s.read.parquet(out).createOrReplaceTempView("k6_compacted")
+      s.sql(s"""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST($nBefore AS BIGINT) AS n_files_before,
+        CAST($nAfter AS BIGINT) AS n_files_after
+        FROM k6_compacted GROUP BY event_type""")
+    },
+    sources.Ingest.k6Compaction.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
@@ -2679,5 +2721,6 @@ object SqlFrontend {
       sqlD15LineDedup, sqlT19Dsir, sqlC12Resample, sqlT21Bpe, sqlT22Classifier,
       sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
-      sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta)
+      sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta, sqlS10SnapshotDiff,
+      sqlK6Compaction)
 }

@@ -67,6 +67,28 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(dfOut.count() > 0)
   }
 
+  test("sql_s10_snapshot_diff is the DSL diff row-for-row (the shared " +
+      "ANSI text runs on the normalized events view)") {
+    val sqlOut = SqlFrontend.sqlS10SnapshotDiff.fn(spark, sf)
+    val dfOut = sources.Ingest.s10SnapshotDiff.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
+
+  test("sql_k6_compaction publishes the same read-back report as the " +
+      "DSL compactor — content aggregate AND planned file layout") {
+    val sqlOut = SqlFrontend.sqlK6Compaction.fn(spark, sf)
+    val dfOut = sources.Ingest.k6Compaction.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+    // non-vacuity: compaction actually changed the layout
+    val r = sqlOut.collect().head
+    assert(r.getLong(3) > r.getLong(4),
+      "fixture must be fragmented; compaction must shrink file count")
+  }
+
   test("sql_d1_dedup shares the one fingerprint definition with the DSL") {
     val sqlOut = SqlFrontend.sqlD1Dedup.fn(spark, sf)
     val dfOut = operators.LlmOps.d1DedupExact.fn(spark, sf)
