@@ -132,8 +132,8 @@ object LlmOps {
   // it cannot shrink a bucket's pair count). The shingle explode is
   // linear in corpus size.
   // ---------------------------------------------------------------------
-  private val P = 8 // MinHash permutations
-  private val BANDS = 4 // bands of r = 2 rows
+  private[graft] val P = 8 // MinHash permutations
+  private[graft] val BANDS = 4 // bands of r = 2 rows
 
   /** Distinct word-bigram shingles per doc, identified by their 60-bit
     * portable hash — the unit set for Jaccard. Hashing happens BEFORE
@@ -143,7 +143,7 @@ object LlmOps {
     * uses). Two distinct shingles colliding would merge set elements in
     * BOTH engines identically (p ≈ n²/2^61 per doc — negligible, and
     * oracle-invisible since the oracle replays the same hash). */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -263,7 +263,7 @@ object LlmOps {
     * re-hashes of the shingle's hash (rendered as a decimal string —
     * portable: both engines print a non-negative BIGINT identically);
     * map-side, only the P partial mins per doc shuffle. */
-  private def minhashSigsOf(sh: DataFrame): DataFrame =
+  private[graft] def minhashSigsOf(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(
       min(Portable.h60(col("sh").cast("string"), "mh0|")).as("m0"),
       ((1 until P).map(i =>
@@ -271,7 +271,7 @@ object LlmOps {
         count(lit(1)).as("n")): _*)
 
   /** The (doc_id, band, bkey) LSH band table from a signature frame. */
-  private def bandsFromMh(mh: DataFrame): DataFrame =
+  private[graft] def bandsFromMh(mh: DataFrame): DataFrame =
     mh.select(col("doc_id"), explode(array((0 until BANDS).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))

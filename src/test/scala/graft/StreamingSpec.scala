@@ -1590,6 +1590,64 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ROUTING == batch d17 row-for-row: arrivals " +
+      "route dup_of_history/dup_in_batch/new live against the frozen " +
+      "signature/band artifacts, with cross-batch in-stream election") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // planted lake: standing docs (id % 4 != 0) + arrival docs
+    // (id % 4 == 0) in ONE documents.parquet so batch d17 runs on the
+    // exact corpus the stream replays
+    val standingRows = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six",
+      3L -> "completely different standing content here now",
+      5L -> "yet another unrelated standing document text")
+    val arrivalRows = Seq(
+      4L -> "alpha beta gamma delta epsilon zeta", // = standing 1
+      8L -> "one two three four five six seven",   // fuzzy vs standing 2
+      12L -> "brand new shared payload among arrivals only",
+      16L -> "brand new shared payload among arrivals only", // = 12
+      20L -> "singleton text matching absolutely nobody at all")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d17-stream").toString
+    (standingRows ++ arrivalRows).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val truth = operators.LlmOps.d17IncrementalNeardup.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // non-vacuity before anything streams: all three routes exist in
+    // the planted truth, and the in-batch pair elected min-id owner
+    assert(truth.values.map(_._1).toSet ===
+      Set("dup_of_history", "dup_in_batch", "new"))
+    assert(truth(16L) === (("dup_in_batch", 12L, 8L)),
+      "identical in-batch pair must elect the min-id owner with full " +
+        "signature agreement")
+    assert(truth(4L)._1 === "dup_of_history" && truth(4L)._2 === 1L)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.streamingNeardupRouting(spark,
+        input.toDF().toDF("doc_id", "text"),
+        standingRows.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("d17_route")
+      .outputMode("update").start()
+    try {
+      // id order across batches (the documented parity condition);
+      // 16's in-stream partner 12 arrived in the PREVIOUS micro-batch,
+      // so the election crosses checkpointed bucket state
+      input.addData(4L -> arrivalRows(0)._2, 8L -> arrivalRows(1)._2,
+        12L -> arrivalRows(2)._2)
+      q.processAllAvailable()
+      input.addData(16L -> arrivalRows(3)._2, 20L -> arrivalRows(4)._2)
+      q.processAllAvailable()
+      val got = spark.table("d17_route").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === truth,
+        "streamed routing must equal batch d17 row-for-row")
+    } finally q.stop()
+  }
+
   test("streaming margin mining, stat-less anchors: a standing corpus " +
       "with no B side falls back to the arrival-side-only margin; a " +
       "sole-candidate pair stays rejected but displaces") {
