@@ -629,7 +629,7 @@ object StreamingJobs {
       .select((col("doc_id").as("matched_id") +: col("band") +:
         col("bkey") +: (0 until P).map(i => col(s"m$i").as(s"s$i"))): _*)
     val ab = sigBands(arrivals)
-    def agree: Column =
+    def agree: org.apache.spark.sql.Column =
       (0 until P).map(i =>
         when(col(s"m$i") === col(s"s$i"), 1L).otherwise(0L))
         .reduce(_ + _)
@@ -664,7 +664,7 @@ object StreamingJobs {
     // every arrival gets a verdict, banded or not (d17's left join)
     val self = arrivals.select(col("doc_id"), lit(-1L).as("matched_id"),
       lit(0L).as("n_match"), lit("self").as("kind"))
-    def bestOf(kind: String): Column =
+    def bestOf(kind: String): org.apache.spark.sql.Column =
       max(when(col("kind") === kind && col("n_match") >= mins,
         struct(col("n_match"), (-col("matched_id")).as("nid"))))
     hist.unionByName(stream).unionByName(self)
