@@ -2708,6 +2708,28 @@ object SqlFrontend {
     },
     sources.Ingest.k6Compaction.oracle)
 
+  // Retention-sweep read-back from SQL — the third lake-maintenance
+  // twin (s10 diff, k6 compaction, THIS): the partition-directory drop
+  // is imperative metadata work (k7Sweep, one definition shared with
+  // the DSL query), the surviving-lake report is SQL over a view of
+  // the swept lake with the sweep's partition accounting as literals.
+  // Shares k7's oracle: green iff the sweep deleted exactly the
+  // partitions the retention rule names and nothing else.
+  val sqlK7Retention: Queries.Q = Queries.Q(
+    "sql_k7_retention",
+    (s, d) => {
+      registerViews(s, d)
+      val (dir, nBefore, nDeleted) =
+        sources.Ingest.k7Sweep(s, d, "sql_k7_lake")
+      s.read.parquet(dir).createOrReplaceTempView("k7_survivors")
+      s.sql(s"""SELECT event_date, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST($nBefore AS BIGINT) AS n_partitions_before,
+        CAST($nDeleted AS BIGINT) AS n_partitions_deleted
+        FROM k7_survivors GROUP BY event_date""")
+    },
+    sources.Ingest.k7Retention.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
@@ -2722,5 +2744,5 @@ object SqlFrontend {
       sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta, sqlS10SnapshotDiff,
-      sqlK6Compaction)
+      sqlK6Compaction, sqlK7Retention)
 }

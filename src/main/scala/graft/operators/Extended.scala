@@ -1298,10 +1298,96 @@ object Extended {
       FROM arms"""
     })
 
+  // ---------------------------------------------------------------------
+  // X20: runtime Bloom-pruned join — the shuffle-reduction move a 100 TB
+  // fact⋈selective-dim join lives or dies by (Spark ships it as
+  // spark.sql.optimizer.runtime.bloomFilter; ours is the ENGINE-VISIBLE
+  // form with portable h60 hashing so the pruning decision itself is
+  // oracle-checkable): the dim side's join keys fold into a fixed
+  // BLOOM_M-bit / BLOOM_K-hash filter (d9's machinery, broadcast-sized
+  // whatever the dim count), DISTINCT fact keys probe it map-side, and
+  // only passing keys' rows enter the join shuffle. Bloom guarantees no
+  // false negatives — the report proves it by computing the join
+  // cardinality and revenue THROUGH the pruned path while the oracle
+  // restates them from the unpruned truth — and the false-positive
+  // overhead (keys that passed but don't match) stays a visible column,
+  // the d13/a11 self-evaluation rule. At 100 TB: the filter is ~2 KB
+  // broadcast, the probe is a per-key projection + one ≤16384-row
+  // broadcast join, and the rows that skip the shuffle are the win.
+  // ---------------------------------------------------------------------
+  val x20BloomJoinPrune = Q(
+    "x20_bloom_join_prune",
+    (s, d) => {
+      import graft.functions.Portable
+      import graft.operators.LlmOps.{BLOOM_M, BLOOM_K}
+      val dim = orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey").as("k"))
+      def positions(df: DataFrame): DataFrame =
+        df.select(col("k"), explode(array((0 until BLOOM_K).map(j =>
+          (Portable.h60(col("k").cast("string"), s"xj$j|") % BLOOM_M)
+            .cast("int")): _*)).as("pos"))
+      val bits = positions(dim).select("pos").distinct()
+      val fKeys = lineitem(s, d).select(col("l_orderkey").as("k"))
+        .distinct()
+      val pass = positions(fKeys).join(broadcast(bits), Seq("pos"))
+        .groupBy(col("k")).agg(count(lit(1)).as("ks"))
+        .filter(col("ks") === BLOOM_K).select("k")
+      val joined = lineitem(s, d)
+        .join(pass.withColumnRenamed("k", "l_orderkey"),
+          Seq("l_orderkey")) // the bloom-pruned fact slice
+        .join(dim.withColumnRenamed("k", "l_orderkey"),
+          Seq("l_orderkey")) // confirm: false positives drop here
+      def one(df: DataFrame, c: org.apache.spark.sql.Column, n: String): DataFrame =
+        df.agg(coalesce(c, lit(0L)).as(n))
+      one(fKeys, count(lit(1)), "n_fact_keys")
+        .crossJoin(one(pass, count(lit(1)), "n_bloom_pass"))
+        .crossJoin(one(fKeys.join(dim, Seq("k"), "left_semi"),
+          count(lit(1)), "n_true_match"))
+        .crossJoin(joined.agg(
+          count(lit(1)).as("n_join_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue")))
+        .select(col("n_fact_keys"), col("n_bloom_pass"),
+          col("n_true_match"),
+          (col("n_bloom_pass") - col("n_true_match")).as("n_false_pos"),
+          col("n_join_rows"), col("revenue"))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      import graft.operators.LlmOps.{BLOOM_M, BLOOM_K}
+      def posUnion(src: String): String =
+        (0 until BLOOM_K).map(j =>
+          s"SELECT k, ${h60Duck("CAST(k AS VARCHAR)", s"xj$j|")} % $BLOOM_M AS pos FROM $src")
+          .mkString(" UNION ALL ")
+      s"""WITH dim AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'P'),
+      fkeys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      bits AS (SELECT DISTINCT pos FROM (${posUnion("dim")})),
+      pass AS (
+        SELECT f.k FROM (${posUnion("fkeys")}) f
+        JOIN bits b ON b.pos = f.pos
+        GROUP BY f.k HAVING count(*) = $BLOOM_K),
+      joined AS (
+        SELECT l.l_extendedprice FROM lineitem l
+        JOIN pass p ON p.k = l.l_orderkey
+        JOIN dim d2 ON d2.k = l.l_orderkey)
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM fkeys) AS n_fact_keys,
+        (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_bloom_pass,
+        (SELECT CAST(count(*) AS BIGINT) FROM fkeys
+         WHERE k IN (SELECT k FROM dim)) AS n_true_match,
+        (SELECT CAST(count(*) AS BIGINT) FROM pass) -
+        (SELECT CAST(count(*) AS BIGINT) FROM fkeys
+         WHERE k IN (SELECT k FROM dim)) AS n_false_pos,
+        (SELECT CAST(count(*) AS BIGINT) FROM joined) AS n_join_rows,
+        (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          AS DOUBLE) FROM joined) AS revenue"""
+    })
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
     x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats,
     x16DataQuality, x17IncrementalStats, x18IncrementalQuantiles,
-    x19JoinSizeSketch)
+    x19JoinSizeSketch, x20BloomJoinPrune)
 }

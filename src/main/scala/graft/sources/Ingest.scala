@@ -917,32 +917,44 @@ object Ingest {
   // against a table manifest/catalog instead of a directory listing).
   // ---------------------------------------------------------------------
   private[graft] val K7_RETENTION_DAYS = 7
+
+  /** k7's imperative half, factored so the DSL query and its SQL twin
+    * run ONE sweep definition: build the date-partitioned lake under
+    * `sub`, drop every partition at or past the retention cutoff
+    * (anchored to the lake's own max date), return (dir,
+    * n_partitions_before, n_partitions_deleted). */
+  private[graft] def k7Sweep(
+      s: SparkSession, d: String, sub: String): (String, Long, Long) = {
+    val dir = freshDir(sub)
+    events(s, d).withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("event_date="))
+      .map(p => p.getPath ->
+        java.time.LocalDate.parse(
+          p.getPath.getName.stripPrefix("event_date=")))
+    val cutoff = parts.map(_._2).max(
+      Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      .minusDays(K7_RETENTION_DAYS)
+    val dropped = parts.filter { case (_, dt) => !dt.isAfter(cutoff) }
+    dropped.foreach { case (p, _) => fs.delete(p, true) }
+    (dir, parts.length.toLong, dropped.length.toLong)
+  }
+
   val k7Retention = Q(
     "k7_retention",
     (s, d) => {
-      val dir = freshDir("k7_lake")
-      events(s, d).withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
-      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("event_date="))
-        .map(p => p.getPath ->
-          java.time.LocalDate.parse(
-            p.getPath.getName.stripPrefix("event_date=")))
-      val cutoff = parts.map(_._2).max(
-        Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
-        .minusDays(K7_RETENTION_DAYS)
-      val dropped = parts.filter { case (_, dt) => !dt.isAfter(cutoff) }
-      dropped.foreach { case (p, _) => fs.delete(p, true) }
+      val (dir, nBefore, nDeleted) = k7Sweep(s, d, "k7_lake")
       s.read.parquet(dir)
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
-        .withColumn("n_partitions_before", lit(parts.length.toLong))
-        .withColumn("n_partitions_deleted", lit(dropped.length.toLong))
+        .withColumn("n_partitions_before", lit(nBefore))
+        .withColumn("n_partitions_deleted", lit(nDeleted))
     },
     Some(s"""WITH d AS (
         SELECT CAST(ts AS DATE) AS event_date, value FROM events),

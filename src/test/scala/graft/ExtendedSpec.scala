@@ -499,6 +499,37 @@ class ExtendedSpec extends SparkSuite {
       "some arm must show a real collision overcount")
   }
 
+  test("x20: bloom-pruned join replays driver-side — passes are a " +
+      "superset of true matches, false positives visible, and the " +
+      "pruned path loses no join rows or revenue") {
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{BLOOM_M, BLOOM_K}
+    val dimKeys = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "P")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val factKeyRows = Tables.lineitem(spark, sf)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val fKeys = factKeyRows.toSet
+    val bits = dimKeys.flatMap(k =>
+      (0 until BLOOM_K).map(j => Portable.h60Jvm(s"xj$j|$k") % BLOOM_M))
+    val pass = fKeys.filter(k => (0 until BLOOM_K).forall(j =>
+      bits(Portable.h60Jvm(s"xj$j|$k") % BLOOM_M)))
+    val truth = fKeys.intersect(dimKeys)
+    val got = operators.Extended.x20BloomJoinPrune.fn(spark, sf)
+      .collect().head
+    assert(got.getLong(0) === fKeys.size.toLong, "distinct fact keys")
+    assert(got.getLong(1) === pass.size.toLong, "bloom passes replay")
+    assert(got.getLong(2) === truth.size.toLong, "exact matches replay")
+    assert(got.getLong(3) === (pass.size - truth.size).toLong)
+    assert(truth.subsetOf(pass), "bloom must have NO false negatives")
+    assert(got.getLong(4) === factKeyRows.count(truth).toLong,
+      "pruned-path join cardinality must equal the unpruned truth")
+    // non-vacuity: the filter genuinely pruned, and something matched
+    assert(truth.nonEmpty, "dim slice must be non-empty at this sf")
+    assert(pass.size < fKeys.size,
+      "bloom must reject most non-matching fact keys")
+  }
+
   test("x19 degenerate inputs: a depth with zero colliding buckets " +
       "contributes ip=0 to the min, never drops out — est stays 0, " +
       "not NULL, when no depth collides (ADVICE r18)") {

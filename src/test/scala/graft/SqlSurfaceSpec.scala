@@ -89,6 +89,17 @@ class SqlSurfaceSpec extends SparkSuite {
       "fixture must be fragmented; compaction must shrink file count")
   }
 
+  test("sql_k7_retention reports the same surviving lake as the DSL " +
+      "sweep, partition accounting included") {
+    val sqlOut = SqlFrontend.sqlK7Retention.fn(spark, sf)
+    val dfOut = sources.Ingest.k7Retention.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+    val r = sqlOut.collect().head
+    assert(r.getLong(4) > 0, "the sweep must actually delete partitions")
+  }
+
   test("sql_d1_dedup shares the one fingerprint definition with the DSL") {
     val sqlOut = SqlFrontend.sqlD1Dedup.fn(spark, sf)
     val dfOut = operators.LlmOps.d1DedupExact.fn(spark, sf)
