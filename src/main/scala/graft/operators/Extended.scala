@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1337,7 +1337,7 @@ object Extended {
           Seq("l_orderkey")) // the bloom-pruned fact slice
         .join(dim.withColumnRenamed("k", "l_orderkey"),
           Seq("l_orderkey")) // confirm: false positives drop here
-      def one(df: DataFrame, c: org.apache.spark.sql.Column, n: String): DataFrame =
+      def one(df: DataFrame, c: Column, n: String): DataFrame =
         df.agg(coalesce(c, lit(0L)).as(n))
       one(fKeys, count(lit(1)), "n_fact_keys")
         .crossJoin(one(pass, count(lit(1)), "n_bloom_pass"))
@@ -1384,10 +1384,142 @@ object Extended {
           AS DOUBLE) FROM joined) AS revenue"""
     })
 
+  // ---------------------------------------------------------------------
+  // X21: KMV/theta-sketch SET OPERATIONS — distinct-count algebra over
+  // mergeable bottom-K sketches, the planning statistic behind "how
+  // many NEW documents does this crawl add" / "how much does dedup
+  // against last month's corpus save" at 100 TB, where the exact
+  // answer is a distinct shuffle of both full sets: |A|, |B|, |A∪B|,
+  // |A∩B|, |A\B| all estimated from two K=64-row sketches. Union =
+  // bottom-K of the merged samples (bottomK(A∪B) ⊆ bottomK(A) ∪
+  // bottomK(B), the KMV merge theorem x18 already relies on);
+  // intersection = the theta-sketch rule: θ = min of the two effective
+  // thresholds, count common hashes below θ, scale by H/θ. All
+  // estimates are INTEGER arithmetic end to end — (K-1)·2^60 div v_K
+  // in DECIMAL(38,0)/HUGEINT (the cross-engine convention; no float
+  // division near a comparison anywhere) — and a sketch smaller than K
+  // IS its set (est = sample size, θ = the whole hash space), so tiny
+  // strata degrade to exact, never to a division by a non-existent
+  // K-th value. Exact truths ride along per the a11/x19
+  // self-evaluation discipline. Global bottom-K never global-sorts:
+  // rank within 32 hash-salt partitions first (WindowGroupLimit, ≤ K
+  // rows survive per salt), then rank the ≤ 32K survivors.
+  // Sets: customers ordering in 1996 vs in 2000 — real partial
+  // overlap (~78% of A) at every sf.
+  // ---------------------------------------------------------------------
+  private[graft] val X21_K = 64
+  private[graft] val X21_H = 1152921504606846976L // 2^60: h60's range
+
+  val x21SketchSetops = Q(
+    "x21_sketch_setops",
+    (s, d) => {
+      import graft.functions.Portable
+      import org.apache.spark.sql.expressions.Window
+      val K = X21_K
+      def keys(year: Int): DataFrame =
+        orders(s, d).filter(expr(s"year(o_orderdate) = $year"))
+          .select(col("o_custkey").cast("string").as("k")).distinct()
+      def hashes(df: DataFrame): DataFrame =
+        df.select(Portable.h60(col("k"), "x21|").as("h")).distinct()
+      def bottomK(hs: DataFrame): DataFrame =
+        hs.withColumn("salt", (col("h") % 32).cast("int"))
+          .withColumn("r1", row_number().over(
+            Window.partitionBy(col("salt")).orderBy(col("h").asc)))
+          .filter(col("r1") <= K)
+          .withColumn("r2", row_number().over(
+            Window.orderBy(col("h").asc)))
+          .filter(col("r2") <= K)
+          .select("h")
+      val (ha, hb) = (hashes(keys(1996)), hashes(keys(2000)))
+      val (ska, skb) = (bottomK(ha), bottomK(hb))
+      def stats(sk: DataFrame, p: String): DataFrame =
+        sk.agg(count(lit(1)).as(s"n_$p"), max(col("h")).as(s"vk_$p"))
+      def estCol(n: String, vk: String): Column =
+        when(col(n) < K, col(n)).otherwise(
+          expr(s"CAST(${K - 1} AS DECIMAL(38,0)) * ${X21_H}L div $vk"))
+      val thetaCol: Column =
+        least(
+          when(col("n_a") < K, lit(X21_H)).otherwise(col("vk_a")),
+          when(col("n_b") < K, lit(X21_H)).otherwise(col("vk_b")))
+      val common = ska.join(skb, Seq("h"))
+      val sku = bottomK(ska.unionByName(skb).distinct())
+      stats(ska, "a").crossJoin(stats(skb, "b"))
+        .crossJoin(stats(sku, "u"))
+        .withColumn("theta", thetaCol)
+        .crossJoin(common.agg(collect_list(col("h")).as("hs")))
+        .withColumn("c", expr("size(filter(hs, x -> x < theta))").cast("long"))
+        .crossJoin(hashes(keys(1996)).agg(count(lit(1)).as("x_a")))
+        .crossJoin(hashes(keys(2000)).agg(count(lit(1)).as("x_b")))
+        .crossJoin(hashes(keys(1996)).unionByName(hashes(keys(2000)))
+          .distinct().agg(count(lit(1)).as("x_u")))
+        .select(
+          col("x_a").as("n_a_exact"), estCol("n_a", "vk_a").as("n_a_est"),
+          col("x_b").as("n_b_exact"), estCol("n_b", "vk_b").as("n_b_est"),
+          col("x_u").as("n_union_exact"),
+          estCol("n_u", "vk_u").as("n_union_est"),
+          (col("x_a") + col("x_b") - col("x_u")).as("n_intersect_exact"),
+          expr(s"CAST(c AS DECIMAL(38,0)) * ${X21_H}L div theta")
+            .as("n_intersect_est"))
+        .withColumn("n_a_only_exact",
+          col("n_a_exact") - col("n_intersect_exact"))
+        .withColumn("n_a_only_est",
+          greatest(col("n_a_est") - col("n_intersect_est"), lit(0L)))
+    },
+    Some {
+      import graft.functions.Portable.h60Duck
+      val K = X21_K
+      val H = X21_H
+      def keys(year: Int) =
+        s"""SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+          FROM orders WHERE year(o_orderdate) = $year"""
+      def hs(src: String) =
+        s"SELECT DISTINCT ${h60Duck("k", "x21|")} AS h FROM ($src)"
+      s"""WITH ha AS (${hs(keys(1996))}), hb AS (${hs(keys(2000))}),
+      ska AS (SELECT h FROM ha ORDER BY h LIMIT $K),
+      skb AS (SELECT h FROM hb ORDER BY h LIMIT $K),
+      sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+              ORDER BY h LIMIT $K),
+      sa AS (SELECT count(*) AS n_a, max(h) AS vk_a FROM ska),
+      sb AS (SELECT count(*) AS n_b, max(h) AS vk_b FROM skb),
+      su AS (SELECT count(*) AS n_u, max(h) AS vk_u FROM sku),
+      th AS (SELECT least(
+          CASE WHEN n_a < $K THEN $H ELSE vk_a END,
+          CASE WHEN n_b < $K THEN $H ELSE vk_b END) AS theta
+        FROM sa, sb),
+      cm AS (SELECT count(*) AS c FROM
+        (SELECT h FROM ska INTERSECT SELECT h FROM skb) x, th
+        WHERE x.h < th.theta),
+      xa AS (SELECT count(*) AS x_a FROM ha),
+      xb AS (SELECT count(*) AS x_b FROM hb),
+      xu AS (SELECT count(*) AS x_u FROM
+        (SELECT h FROM ha UNION SELECT h FROM hb)),
+      est AS (SELECT
+        CAST(x_a AS BIGINT) AS n_a_exact,
+        CAST(CASE WHEN n_a < $K THEN n_a
+          ELSE CAST(${K - 1} AS HUGEINT) * $H // vk_a END AS BIGINT)
+          AS n_a_est,
+        CAST(x_b AS BIGINT) AS n_b_exact,
+        CAST(CASE WHEN n_b < $K THEN n_b
+          ELSE CAST(${K - 1} AS HUGEINT) * $H // vk_b END AS BIGINT)
+          AS n_b_est,
+        CAST(x_u AS BIGINT) AS n_union_exact,
+        CAST(CASE WHEN n_u < $K THEN n_u
+          ELSE CAST(${K - 1} AS HUGEINT) * $H // vk_u END AS BIGINT)
+          AS n_union_est,
+        CAST(x_a + x_b - x_u AS BIGINT) AS n_intersect_exact,
+        CAST(CAST(c AS HUGEINT) * $H // theta AS BIGINT)
+          AS n_intersect_est
+        FROM sa, sb, su, th, cm, xa, xb, xu)
+      SELECT *,
+        n_a_exact - n_intersect_exact AS n_a_only_exact,
+        greatest(n_a_est - n_intersect_est, 0) AS n_a_only_est
+      FROM est"""
+    })
+
   def all: Seq[Q] = Seq(
     x1AsofJoin, x2Rollup, x3SaltedAgg, x4IntersectExcept, x5BucketedJoin,
     x6IntervalJoin, x7Unpivot, x8Pivot, x9Scd2, x10Cube, x11Zorder,
     x12WindowBattery, x13GroupingSets, x14TableStats, x15HistogramStats,
     x16DataQuality, x17IncrementalStats, x18IncrementalQuantiles,
-    x19JoinSizeSketch, x20BloomJoinPrune)
+    x19JoinSizeSketch, x20BloomJoinPrune, x21SketchSetops)
 }

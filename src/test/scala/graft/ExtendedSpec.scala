@@ -530,6 +530,49 @@ class ExtendedSpec extends SparkSuite {
       "bloom must reject most non-matching fact keys")
   }
 
+  test("x21: KMV set-operation estimates replay driver-side — union " +
+      "via merged bottom-K, intersection via the theta rule, integer " +
+      "arithmetic end to end, estimates tracking truth") {
+    import graft.functions.Portable
+    import graft.operators.Extended.{X21_K, X21_H}
+    def keys(year: Int): Set[String] = Tables.orders(spark, sf)
+      .filter(expr(s"year(o_orderdate) = $year"))
+      .select(col("o_custkey").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val (ha, hb) = (keys(1996).map(k => Portable.h60Jvm("x21|" + k)),
+      keys(2000).map(k => Portable.h60Jvm("x21|" + k)))
+    def bottomK(hs: Set[Long]): Seq[Long] = hs.toSeq.sorted.take(X21_K)
+    val (ska, skb) = (bottomK(ha), bottomK(hb))
+    val sku = bottomK((ska ++ skb).toSet)
+    def est(sk: Seq[Long]): Long =
+      if (sk.size < X21_K) sk.size.toLong
+      else (BigInt(X21_K - 1) * X21_H / sk.max).toLong
+    val theta = math.min(
+      if (ska.size < X21_K) X21_H else ska.max,
+      if (skb.size < X21_K) X21_H else skb.max)
+    val c = ska.toSet.intersect(skb.toSet).count(_ < theta)
+    val estI = (BigInt(c) * X21_H / theta).toLong
+    val got = operators.Extended.x21SketchSetops.fn(spark, sf)
+      .collect().head
+    def g(n: String): Long = got.getLong(got.fieldIndex(n))
+    assert(g("n_a_exact") === ha.size.toLong)
+    assert(g("n_b_exact") === hb.size.toLong)
+    assert(g("n_union_exact") === (ha ++ hb).size.toLong)
+    assert(g("n_intersect_exact") === ha.intersect(hb).size.toLong)
+    assert(g("n_a_est") === est(ska), "side-A estimate replays")
+    assert(g("n_b_est") === est(skb))
+    assert(g("n_union_est") === est(sku), "merged-bottom-K union replays")
+    assert(g("n_intersect_est") === estI, "theta intersection replays")
+    assert(g("n_a_only_est") === math.max(est(ska) - estI, 0L))
+    // non-vacuity: the formula path is live (both sides >= K), the
+    // overlap is genuinely partial, and the estimator lands within
+    // ~4 sigma of truth at K=64 (1/sqrt(K-1) ~ 12.6% relative error)
+    assert(ha.size >= X21_K && hb.size >= X21_K)
+    assert(g("n_intersect_exact") > 0 && g("n_a_only_exact") > 0)
+    assert(math.abs(g("n_union_est") - g("n_union_exact")).toDouble /
+      g("n_union_exact") < 0.5)
+  }
+
   test("x19 degenerate inputs: a depth with zero colliding buckets " +
       "contributes ip=0 to the min, never drops out — est stays 0, " +
       "not NULL, when no depth collides (ADVICE r18)") {
