@@ -2730,6 +2730,98 @@ object SqlFrontend {
     },
     sources.Ingest.k7Retention.oracle)
 
+  // Bloom-pruned join from SQL — x20's whole chain (dim filter fold,
+  // distinct-fact-key probe, pruned confirm join, self-evaluating
+  // report) is pure relational text; this is the form a SQL user's
+  // CBO-less warehouse job would paste. Shares x20's oracle, so the
+  // no-false-negative property stays hash-enforced from the SQL
+  // surface too.
+  val sqlX20Bloom: Queries.Q = sqlQ(
+    "sql_x20_bloom_join", {
+      import graft.functions.Portable.h60Sql
+      import operators.LlmOps.{BLOOM_M, BLOOM_K}
+      def posUnion(src: String): String =
+        (0 until BLOOM_K).map(j =>
+          s"SELECT k, ${h60Sql("CAST(k AS STRING)", s"xj$j|")} % $BLOOM_M AS pos FROM $src")
+          .mkString(" UNION ALL ")
+      s"""WITH dim AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'P'),
+      fkeys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      bits AS (SELECT DISTINCT pos FROM (${posUnion("dim")})),
+      pass AS (
+        SELECT f.k FROM (${posUnion("fkeys")}) f
+        JOIN bits b ON b.pos = f.pos
+        GROUP BY f.k HAVING count(*) = $BLOOM_K),
+      joined AS (
+        SELECT l.l_extendedprice FROM lineitem l
+        JOIN pass p ON p.k = l.l_orderkey
+        JOIN dim d2 ON d2.k = l.l_orderkey)
+      SELECT
+        (SELECT count(*) FROM fkeys) AS n_fact_keys,
+        (SELECT count(*) FROM pass) AS n_bloom_pass,
+        (SELECT count(*) FROM fkeys
+         WHERE k IN (SELECT k FROM dim)) AS n_true_match,
+        (SELECT count(*) FROM pass) -
+        (SELECT count(*) FROM fkeys
+         WHERE k IN (SELECT k FROM dim)) AS n_false_pos,
+        (SELECT count(*) FROM joined) AS n_join_rows,
+        (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+          AS DOUBLE) FROM joined) AS revenue"""
+    },
+    operators.Extended.x20BloomJoinPrune.oracle)
+
+  // KMV set-operation estimates from SQL — x21's algebra as one text:
+  // ORDER BY h LIMIT K is the SQL spelling of bottom-K (it compiles to
+  // TakeOrderedAndProject — a map-side top-K plus one tiny reduce, the
+  // scalable shape, not a global sort), DECIMAL(38,0) `div` carries
+  // the oracle's HUGEINT `//` semantics. Shares x21's oracle.
+  val sqlX21Setops: Queries.Q = sqlQ(
+    "sql_x21_setops", {
+      import graft.functions.Portable.h60Sql
+      import operators.Extended.{X21_K, X21_H}
+      def keys(year: Int) =
+        s"""SELECT DISTINCT CAST(o_custkey AS STRING) AS k
+          FROM orders WHERE year(o_orderdate) = $year"""
+      def hs(src: String) =
+        s"SELECT DISTINCT ${h60Sql("k", "x21|")} AS h FROM ($src)"
+      def est(n: String, vk: String) =
+        s"""CASE WHEN $n < $X21_K THEN $n
+          ELSE CAST(${X21_K - 1} AS DECIMAL(38,0)) * ${X21_H}L div $vk
+          END"""
+      s"""WITH ha AS (${hs(keys(1996))}), hb AS (${hs(keys(2000))}),
+      ska AS (SELECT h FROM ha ORDER BY h LIMIT $X21_K),
+      skb AS (SELECT h FROM hb ORDER BY h LIMIT $X21_K),
+      sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+              ORDER BY h LIMIT $X21_K),
+      sa AS (SELECT count(*) AS n_a, max(h) AS vk_a FROM ska),
+      sb AS (SELECT count(*) AS n_b, max(h) AS vk_b FROM skb),
+      su AS (SELECT count(*) AS n_u, max(h) AS vk_u FROM sku),
+      th AS (SELECT least(
+          CASE WHEN n_a < $X21_K THEN ${X21_H}L ELSE vk_a END,
+          CASE WHEN n_b < $X21_K THEN ${X21_H}L ELSE vk_b END) AS theta
+        FROM sa CROSS JOIN sb),
+      cm AS (SELECT count(*) AS c FROM
+        (SELECT h FROM ska INTERSECT SELECT h FROM skb) x
+        CROSS JOIN th WHERE x.h < th.theta),
+      xa AS (SELECT count(*) AS x_a FROM ha),
+      xb AS (SELECT count(*) AS x_b FROM hb),
+      xu AS (SELECT count(*) AS x_u FROM
+        (SELECT h FROM ha UNION SELECT h FROM hb)),
+      est AS (SELECT
+        x_a AS n_a_exact, ${est("n_a", "vk_a")} AS n_a_est,
+        x_b AS n_b_exact, ${est("n_b", "vk_b")} AS n_b_est,
+        x_u AS n_union_exact, ${est("n_u", "vk_u")} AS n_union_est,
+        x_a + x_b - x_u AS n_intersect_exact,
+        CAST(c AS DECIMAL(38,0)) * ${X21_H}L div theta AS n_intersect_est
+        FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN th
+          CROSS JOIN cm CROSS JOIN xa CROSS JOIN xb CROSS JOIN xu)
+      SELECT *,
+        n_a_exact - n_intersect_exact AS n_a_only_exact,
+        greatest(n_a_est - n_intersect_est, 0L) AS n_a_only_est
+      FROM est"""
+    },
+    operators.Extended.x21SketchSetops.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
@@ -2744,5 +2836,5 @@ object SqlFrontend {
       sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta, sqlS10SnapshotDiff,
-      sqlK6Compaction, sqlK7Retention)
+      sqlK6Compaction, sqlK7Retention, sqlX20Bloom, sqlX21Setops)
 }

@@ -1414,6 +1414,70 @@ object StreamingJobs {
       }
   }
 
+  /** One row per micro-batch: the live KMV set-operation estimates of
+    * the arrival stream against the frozen standing sketch. */
+  final case class SetopsEst(
+      n_seen: Long, n_arrivals_est: Long, n_union_est: Long,
+      n_intersect_est: Long, n_new_est: Long)
+
+  /** Streaming twin of x21's set-operation estimates — "how many NEW
+    * keys has this crawl added SO FAR" served live: the standing side
+    * folds ONCE to its K-row bottom-K sketch (driver-held, the
+    * streamingJoinSizeEstimate discipline), and the arrival stream
+    * maintains ITS bottom-K in one GroupState (a ≤K-long sorted set —
+    * bounded whatever the stream; a new hash enters only if it beats
+    * the current K-th minimum, the standard KMV insert). Each batch
+    * re-emits x21's exact algebra: arrival estimate (K-1)·2^60/v_K,
+    * union via merged bottom-Ks, intersection via the theta rule, and
+    * n_new = max(union − standing, 0) — integer BigInt arithmetic
+    * matching the batch op bit for bit, which the spec replays at
+    * every cumulative cut. Single-group state: the per-batch input
+    * flows through one task, the same shape as the join-size twin's
+    * CM_D groups; at scale the map-side shrink is a per-partition
+    * bottom-K before the group (not needed for the estimate's
+    * correctness — inserts are idempotent and order-free). */
+  def streamingSetopsEstimate(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      standingKeys: DataFrame): org.apache.spark.sql.Dataset[SetopsEst] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    import graft.functions.Portable
+    import graft.operators.Extended.{X21_K, X21_H}
+    val standing: Array[Long] = standingKeys
+      .select(Portable.h60(col("k").cast("string"), "x21|").as("h"))
+      .distinct().orderBy(col("h").asc).limit(X21_K)
+      .collect().map(_.getLong(0)).sorted
+    def est(sk: Seq[Long]): Long =
+      if (sk.size < X21_K) sk.size.toLong
+      else (BigInt(X21_K - 1) * X21_H / sk.max).toLong
+    def eff(sk: Seq[Long]): Long =
+      if (sk.size < X21_K) X21_H else sk.max
+    arrivals
+      .select(Portable.h60(col("k").cast("string"), "x21|").as("h"))
+      .as[Long]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Array[Long]), SetopsEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var (seen, sk0) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          val sk = scala.collection.mutable.TreeSet.from(sk0)
+          rows.foreach { h =>
+            seen += 1
+            if (sk.size < X21_K) sk += h
+            else if (h < sk.max && !sk.contains(h)) { sk += h; sk -= sk.max }
+          }
+          val arr = sk.toArray
+          state.update((seen, arr))
+          val union = (arr ++ standing).distinct.sorted.take(X21_K).toSeq
+          val theta = math.min(eff(arr.toSeq), eff(standing.toSeq))
+          val c = arr.toSet.intersect(standing.toSet).count(_ < theta)
+          val estI = (BigInt(c) * X21_H / theta).toLong
+          Iterator.single(SetopsEst(seen, est(arr.toSeq), est(union),
+            estI, math.max(est(union) - est(standing.toSeq), 0L)))
+      }
+  }
+
   /** One mined pair served per arriving B-side vector: its best
     * standing-A anchor, both neighborhoods' margin inputs, the
     * integer-margin verdict, and whether the arrival DISPLACES the

@@ -100,6 +100,22 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r.getLong(4) > 0, "the sweep must actually delete partitions")
   }
 
+  test("sql_x20_bloom_join prunes and reports exactly like the DSL") {
+    val sqlOut = SqlFrontend.sqlX20Bloom.fn(spark, sf)
+    val dfOut = operators.Extended.x20BloomJoinPrune.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
+
+  test("sql_x21_setops lands on the DSL's exact integer estimates") {
+    val sqlOut = SqlFrontend.sqlX21Setops.fn(spark, sf)
+    val dfOut = operators.Extended.x21SketchSetops.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+  }
+
   test("sql_d1_dedup shares the one fingerprint definition with the DSL") {
     val sqlOut = SqlFrontend.sqlD1Dedup.fn(spark, sf)
     val dfOut = operators.LlmOps.d1DedupExact.fn(spark, sf)

@@ -1504,6 +1504,59 @@ class StreamingSpec extends SparkSuite {
       s"stream consumed $consumed of $totalIn input rows before timeout")
   }
 
+  test("streaming set-op estimates: the arrival KMV sketch maintains " +
+      "incrementally and every cut replays x21's algebra against the " +
+      "frozen standing sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Portable
+    import graft.operators.Extended.{X21_K, X21_H}
+    val standingKeys = (1000L to 1199L).toSeq // 200 > K: formula path
+    val b1 = (1L to 40L).toSeq                // cut 1: sketch < K, exact
+    val b2 = (41L to 70L) ++ (1000L to 1099L) // 30 new + 100 overlap
+    def h(k: Long): Long = Portable.h60Jvm("x21|" + k)
+    def bottomK(s: Set[Long]): Seq[Long] = s.toSeq.sorted.take(X21_K)
+    def est(sk: Seq[Long]): Long =
+      if (sk.size < X21_K) sk.size.toLong
+      else (BigInt(X21_K - 1) * X21_H / sk.max).toLong
+    def eff(sk: Seq[Long]): Long = if (sk.size < X21_K) X21_H else sk.max
+    val sks = bottomK(standingKeys.map(h).toSet)
+    def expect(cum: Seq[Long]): (Long, Long, Long, Long) = {
+      val arr = bottomK(cum.map(h).toSet)
+      val union = bottomK((arr ++ sks).toSet)
+      val theta = math.min(eff(arr), eff(sks))
+      val c = arr.toSet.intersect(sks.toSet).count(_ < theta)
+      (est(arr), est(union), (BigInt(c) * X21_H / theta).toLong,
+        math.max(est(union) - est(sks), 0L))
+    }
+    val input = MemoryStream[Long]
+    val q = StreamingJobs.streamingSetopsEstimate(spark,
+        input.toDF().toDF("k"), standingKeys.toDF("k"))
+      .writeStream.format("memory").queryName("setops_test")
+      .outputMode("update").start()
+    try {
+      def cut(nSeen: Long): (Long, Long, Long, Long) = {
+        val r = spark.table("setops_test").collect()
+          .filter(_.getLong(0) == nSeen).head
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(cut(b1.size.toLong) === expect(b1),
+        "cut 1 (sketch < K: exact degradation) must replay")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val exp2 = expect(b1 ++ b2)
+      assert(cut((b1.size + b2.size).toLong) === exp2,
+        "cut 2 must FOLD cut 1's sketch (incremental maintenance)")
+      // non-vacuity: cut 2 runs the real formula path, detects the
+      // planted overlap, and reports genuinely new mass
+      assert((b1 ++ b2).distinct.size >= X21_K)
+      assert(exp2._3 > 0, "theta intersection must see the overlap")
+      assert(exp2._4 > 0, "new-mass estimate must be positive")
+    } finally q.stop()
+  }
+
   test("streaming margin mining: arrivals mine against the frozen " +
       "standing index — verdicts replay driver-side, re-deliveries " +
       "emit nothing, displacement reads the standing best") {
