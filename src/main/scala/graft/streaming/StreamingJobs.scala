@@ -1414,6 +1414,59 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming twin of x20's Bloom-pruned join — the shuffle saver
+    * applied to a stream: every arriving fact row is gated by the
+    * FROZEN dim-side Bloom filter BEFORE the stream-static confirm
+    * join, so rows the dim side cannot possibly match never reach the
+    * join at all. The filter is the same 2^14-bit/3-hash h60 fold as
+    * batch x20, packed into 256 longs and embedded as a LITERAL array
+    * column — the gate is a pure stateless projection (three h60s,
+    * an element_at, a shiftright each), no broadcast join, no state,
+    * append-safe; at 100 TB/day this is the map-side row kill that
+    * keeps the confirm join's shuffle proportional to the MATCHING
+    * slice. Output is row-level and self-evaluating (the d13 rule):
+    * every arrival emits exactly one row with its disposition —
+    * `rejected` (gate said no: GUARANTEED non-match, Bloom has no
+    * false negatives), `confirmed` (gate yes, dim join yes), or
+    * `false_pos` (gate yes, join no — the visible overhead column).
+    * StreamingSpec proves disposition-for-disposition equality with a
+    * driver replay of batch x20's arithmetic. */
+  def streamingBloomGate(
+      spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame,
+      dimKeys: DataFrame): DataFrame = {
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{BLOOM_M, BLOOM_K}
+    val bits = new Array[Long](BLOOM_M / 64)
+    dimKeys.select(explode(array((0 until BLOOM_K).map(j =>
+        (Portable.h60(col("k").cast("string"), s"xj$j|") % BLOOM_M)
+          .cast("int")): _*)).as("pos"))
+      .distinct().collect().foreach { r =>
+        val p = r.getInt(0); bits(p / 64) |= 1L << (p % 64)
+      }
+    def bitTest(j: Int): String = {
+      val pos = s"CAST(${Portable.h60Sql("CAST(k AS STRING)", s"xj$j|")} % $BLOOM_M AS INT)"
+      // `div` not `/`: Spark SQL `/` is double division
+      s"(shiftright(element_at(bm, CAST(($pos div 64) AS INT) + 1), $pos % 64) & 1) = 1"
+    }
+    val gated = arrivals
+      .withColumn("bm", typedLit(bits.toSeq))
+      .withColumn("bloom_pass",
+        expr((0 until BLOOM_K).map(bitTest).mkString(" AND ")))
+      .drop("bm")
+    gated
+      .join(broadcast(dimKeys.select(col("k"), lit(true).as("in_dim"))),
+        Seq("k"), "left")
+      .select(col("k"),
+        when(col("bloom_pass") && col("in_dim").isNotNull, "confirmed")
+          .when(col("bloom_pass"), "false_pos")
+          // a dim member the gate rejected would be a no-false-negative
+          // contract violation — surface it loudly, never fold it into
+          // "rejected" (the spec asserts this row never exists)
+          .when(col("in_dim").isNotNull, "false_neg_bug")
+          .otherwise("rejected").as("status"))
+  }
+
   /** One row per micro-batch: the live KMV set-operation estimates of
     * the arrival stream against the frozen standing sketch. */
   final case class SetopsEst(

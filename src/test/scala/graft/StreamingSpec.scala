@@ -1504,6 +1504,45 @@ class StreamingSpec extends SparkSuite {
       s"stream consumed $consumed of $totalIn input rows before timeout")
   }
 
+  test("streaming bloom gate: arrivals are killed map-side by the " +
+      "frozen dim filter before the confirm join — dispositions " +
+      "replay batch x20's arithmetic, no false negative ever emits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Portable
+    import graft.operators.LlmOps.{BLOOM_M, BLOOM_K}
+    val dimKeys = (100L to 163L).toSeq // 64 dim members
+    val arrivals = (100L to 131L) ++ (5000L to 5199L) // 32 hits + 200 misses
+    val bits = dimKeys.flatMap(k => (0 until BLOOM_K).map(j =>
+      (Portable.h60Jvm(s"xj$j|$k") % BLOOM_M).toInt)).toSet
+    val expected = arrivals.map { k =>
+      val pass = (0 until BLOOM_K).forall(j =>
+        bits((Portable.h60Jvm(s"xj$j|$k") % BLOOM_M).toInt))
+      val inDim = dimKeys.contains(k)
+      k -> (if (pass && inDim) "confirmed"
+            else if (pass) "false_pos" else "rejected")
+    }.toMap
+    val input = MemoryStream[Long]
+    val q = StreamingJobs.streamingBloomGate(spark,
+        input.toDF().toDF("k"), dimKeys.toDF("k"))
+      .writeStream.format("memory").queryName("bloomgate_test")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("bloomgate_test").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected,
+        "streamed dispositions must equal the batch-arithmetic replay")
+      // non-vacuity + contract: every dim hit confirmed, nothing
+      // leaked past the gate, and the gate genuinely rejects
+      assert(!got.values.exists(_ == "false_neg_bug"))
+      assert(got.count(_._2 == "confirmed") === 32)
+      assert(got.count(_._2 == "rejected") > 150,
+        "gate must kill the vast majority of non-matching arrivals")
+    } finally q.stop()
+  }
+
   test("streaming set-op estimates: the arrival KMV sketch maintains " +
       "incrementally and every cut replays x21's algebra against the " +
       "frozen standing sketch") {
