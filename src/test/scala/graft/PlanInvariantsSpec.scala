@@ -259,4 +259,26 @@ class PlanInvariantsSpec extends SparkSuite {
             s"feature stream is being re-derived:\n$p")
       }
   }
+
+  test("x20: every join in the bloom-pruned chain broadcasts — a " +
+      "sort-merge anywhere means the filter/probe stopped being " +
+      "metadata-sized") {
+    val p = finalPlan("x20_bloom_join_prune")
+    assert(!p.contains("SortMergeJoin"),
+      s"x20 regressed to a shuffle join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x21: bottom-K never global-sorts the key space — the salted " +
+      "two-phase keeps WindowGroupLimit in the plan and the repeated " +
+      "hash subtrees collapse to reused exchanges") {
+    val p = finalPlan("x21_sketch_setops")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 4,
+      s"x21: the salted bottom-K rank pushdown disappeared:\n$p")
+    val reused = "ReusedExchange".r.findAllIn(p).length +
+      "ReusedQueryStage".r.findAllIn(p).length
+    assert(reused >= 2,
+      s"x21: the exact-truth counts stopped reusing the sketch " +
+        s"side's hash exchanges:\n$p")
+  }
 }
