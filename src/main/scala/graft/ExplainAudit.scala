@@ -114,7 +114,8 @@ object ExplainAudit {
       "x19_join_size_sketch", "sql_a31_margin",
       "d17_incremental_neardup", "sql_s10_snapshot_diff",
       "sql_k6_compaction", "x20_bloom_join_prune", "sql_k7_retention",
-      "x21_sketch_setops", "sql_x20_bloom_join", "sql_x21_setops")
+      "x21_sketch_setops", "sql_x20_bloom_join", "sql_x21_setops",
+      "sql_k9_overwrite")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

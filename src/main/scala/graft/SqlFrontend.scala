@@ -2822,6 +2822,28 @@ object SqlFrontend {
     },
     operators.Extended.x21SketchSetops.oracle)
 
+  // Dynamic-partition-overwrite repair read-back from SQL — the fourth
+  // lake-maintenance twin: k9's seed + dynamic repair is imperative
+  // write-path work (one shared k9Repair definition), the repaired
+  // lake's report is SQL over a view with the PHYSICAL partition
+  // accounting (exact part-file-set preservation) as literals. Shares
+  // k9's oracle: green iff the repair fixed exactly the window and the
+  // untouched partitions kept their exact files.
+  val sqlK9Overwrite: Queries.Q = Queries.Q(
+    "sql_k9_overwrite",
+    (s, d) => {
+      registerViews(s, d)
+      val (dir, preserved, replaced) =
+        sources.Ingest.k9Repair(s, d, "sql_k9_lake")
+      s.read.parquet(dir).createOrReplaceTempView("k9_repaired")
+      s.sql(s"""SELECT event_date, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST($preserved AS BIGINT) AS n_partitions_preserved,
+        CAST($replaced AS BIGINT) AS n_partitions_overwritten
+        FROM k9_repaired GROUP BY event_date""")
+    },
+    sources.Ingest.k9PartitionOverwrite.oracle)
+
   def all: Seq[Queries.Q] =
     Seq(sqlQ1Flagship, sqlF1f2, sqlA5CosineTopk, sqlA9bHll,
       sqlW1Tumbling, sqlX2Rollup, sqlX12Window, sqlX1Asof, sqlW3Session,
@@ -2836,5 +2858,6 @@ object SqlFrontend {
       sqlG1Pagerank, sqlG2Hits, sqlG6Ppr,
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta, sqlS10SnapshotDiff,
-      sqlK6Compaction, sqlK7Retention, sqlX20Bloom, sqlX21Setops)
+      sqlK6Compaction, sqlK7Retention, sqlX20Bloom, sqlX21Setops,
+      sqlK9Overwrite)
 }

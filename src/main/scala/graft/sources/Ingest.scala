@@ -989,49 +989,59 @@ object Ingest {
   // count would go red, so the green row pins the dynamic semantics.
   // ---------------------------------------------------------------------
   private[graft] val K9_REPAIR_FROM = "2024-01-25"
+  /** k9's imperative half, factored so the DSL query and its SQL twin
+    * run ONE repair definition: seed the corrupted lake under `sub`,
+    * dynamic-overwrite the repair window, return (dir,
+    * n_partitions_preserved, n_partitions_overwritten) from the
+    * physical before/after part-file sets. */
+  private[graft] def k9Repair(
+      s: SparkSession, d: String, sub: String): (String, Long, Long) = {
+    val dir = freshDir(sub)
+    val src = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), to_date(col("ts")).as("event_date"))
+    // seed: the "bad run" negated every value in the repair window
+    src.withColumn("value",
+        when(col("event_date") >= lit(K9_REPAIR_FROM), -col("value"))
+          .otherwise(col("value")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    def fileSets(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("event_date="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).map(_.getPath.getName)
+            .filter(_.startsWith("part-")).toSet)
+        .toMap
+    val before = fileSets()
+    // repair: recompute only the affected window; dynamic mode leaves
+    // every partition absent from this write untouched on disk
+    src.filter(col("event_date") >= lit(K9_REPAIR_FROM))
+      .repartition(col("event_date"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date").parquet(dir)
+    val after = fileSets()
+    val preserved = before.count {
+      case (p, files) => after.get(p).contains(files)
+    }
+    (dir, preserved.toLong, (before.size - preserved).toLong)
+  }
+
   val k9PartitionOverwrite = Q(
     "k9_partition_overwrite",
     (s, d) => {
-      val dir = freshDir("k9_lake")
-      val src = events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), to_date(col("ts")).as("event_date"))
-      // seed: the "bad run" negated every value in the repair window
-      src.withColumn("value",
-          when(col("event_date") >= lit(K9_REPAIR_FROM), -col("value"))
-            .otherwise(col("value")))
-        .repartition(col("event_date"))
-        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
-      def fileSets(): Map[String, Set[String]] =
-        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("event_date="))
-          .map(st => st.getPath.getName ->
-            fs.listStatus(st.getPath).map(_.getPath.getName)
-              .filter(_.startsWith("part-")).toSet)
-          .toMap
-      val before = fileSets()
-      // repair: recompute only the affected window; dynamic mode leaves
-      // every partition absent from this write untouched on disk
-      src.filter(col("event_date") >= lit(K9_REPAIR_FROM))
-        .repartition(col("event_date"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("event_date").parquet(dir)
-      val after = fileSets()
-      val preserved = before.count {
-        case (p, files) => after.get(p).contains(files)
-      }
-      val replaced = before.size - preserved
+      val (dir, preserved, replaced) = k9Repair(s, d, "k9_lake")
       s.read.parquet(dir)
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
-        .withColumn("n_partitions_preserved", lit(preserved.toLong))
-        .withColumn("n_partitions_overwritten", lit(replaced.toLong))
+        .withColumn("n_partitions_preserved", lit(preserved))
+        .withColumn("n_partitions_overwritten", lit(replaced))
     },
     // the oracle replays the FINAL lake from the clean source: every
     // date's sum at its un-negated value (red if the repair missed a

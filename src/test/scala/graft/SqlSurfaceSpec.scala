@@ -116,6 +116,18 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(dfOut.count() > 0)
   }
 
+  test("sql_k9_overwrite reports the repaired lake exactly like the " +
+      "DSL, physical partition accounting included") {
+    val sqlOut = SqlFrontend.sqlK9Overwrite.fn(spark, sf)
+    val dfOut = sources.Ingest.k9PartitionOverwrite.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    assert(dfOut.count() > 0)
+    val r = sqlOut.collect().head
+    assert(r.getLong(3) > 0 && r.getLong(4) > 0,
+      "repair must both preserve and overwrite partitions")
+  }
+
   test("sql_d1_dedup shares the one fingerprint definition with the DSL") {
     val sqlOut = SqlFrontend.sqlD1Dedup.fn(spark, sf)
     val dfOut = operators.LlmOps.d1DedupExact.fn(spark, sf)
