@@ -2735,38 +2735,46 @@ object SqlFrontend {
   // report) is pure relational text; this is the form a SQL user's
   // CBO-less warehouse job would paste. Shares x20's oracle, so the
   // no-false-negative property stays hash-enforced from the SQL
-  // surface too.
+  // surface too. Two structural choices keep the SQL plan the DSL's
+  // plan: (1) positions come from ONE explode(array(h0,h1,h2)) scan
+  // per side — the previous 3-branch UNION ALL re-ran the
+  // DISTINCT-fact-key frame once per hash function; (2) the report
+  // tail is four one-row aggregated CTEs CROSS JOINed rather than
+  // scalar subqueries — scalar subqueries plan as independent
+  // driver-collected jobs, so each one re-derived fkeys, while in one
+  // joined plan the repeated fkeys subtrees canonicalize identically
+  // and collapse to ReusedExchange, matching the DSL's slope.
   val sqlX20Bloom: Queries.Q = sqlQ(
     "sql_x20_bloom_join", {
       import graft.functions.Portable.h60Sql
       import operators.LlmOps.{BLOOM_M, BLOOM_K}
-      def posUnion(src: String): String =
-        (0 until BLOOM_K).map(j =>
-          s"SELECT k, ${h60Sql("CAST(k AS STRING)", s"xj$j|")} % $BLOOM_M AS pos FROM $src")
-          .mkString(" UNION ALL ")
+      def posArray: String =
+        "explode(array(" + (0 until BLOOM_K).map(j =>
+          s"${h60Sql("CAST(k AS STRING)", s"xj$j|")} % $BLOOM_M")
+          .mkString(", ") + ")) AS pos"
       s"""WITH dim AS (
         SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'P'),
       fkeys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
-      bits AS (SELECT DISTINCT pos FROM (${posUnion("dim")})),
+      bits AS (SELECT DISTINCT pos FROM (SELECT $posArray FROM dim)),
       pass AS (
-        SELECT f.k FROM (${posUnion("fkeys")}) f
+        SELECT f.k FROM (SELECT k, $posArray FROM fkeys) f
         JOIN bits b ON b.pos = f.pos
         GROUP BY f.k HAVING count(*) = $BLOOM_K),
       joined AS (
         SELECT l.l_extendedprice FROM lineitem l
         JOIN pass p ON p.k = l.l_orderkey
-        JOIN dim d2 ON d2.k = l.l_orderkey)
-      SELECT
-        (SELECT count(*) FROM fkeys) AS n_fact_keys,
-        (SELECT count(*) FROM pass) AS n_bloom_pass,
-        (SELECT count(*) FROM fkeys
-         WHERE k IN (SELECT k FROM dim)) AS n_true_match,
-        (SELECT count(*) FROM pass) -
-        (SELECT count(*) FROM fkeys
-         WHERE k IN (SELECT k FROM dim)) AS n_false_pos,
-        (SELECT count(*) FROM joined) AS n_join_rows,
-        (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-          AS DOUBLE) FROM joined) AS revenue"""
+        JOIN dim d2 ON d2.k = l.l_orderkey),
+      agg_f AS (SELECT count(*) AS n_fact_keys FROM fkeys),
+      agg_p AS (SELECT count(*) AS n_bloom_pass FROM pass),
+      agg_t AS (SELECT count(*) AS n_true_match
+                FROM fkeys f JOIN dim d ON d.k = f.k),
+      agg_j AS (SELECT count(*) AS n_join_rows,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS revenue FROM joined)
+      SELECT n_fact_keys, n_bloom_pass, n_true_match,
+        n_bloom_pass - n_true_match AS n_false_pos,
+        n_join_rows, revenue
+      FROM agg_f CROSS JOIN agg_p CROSS JOIN agg_t CROSS JOIN agg_j"""
     },
     operators.Extended.x20BloomJoinPrune.oracle)
 

@@ -269,6 +269,25 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sql_x20: the SQL face keeps the DSL's plan shape — no scalar " +
+      "subqueries re-deriving the distinct-fact-key frame, no shuffle " +
+      "joins, and the repeated fkeys subtrees collapse to reuse") {
+    val p = finalPlan("sql_x20_bloom_join")
+    assert(!p.contains("SortMergeJoin"),
+      s"sql_x20 regressed to a shuffle join:\n$p")
+    // the joined report shape: four one-row aggregates meet in >= 3
+    // nested-loop joins INSIDE one plan — the scalar-subquery form has
+    // zero (each aggregate runs as its own driver-collected job)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 3,
+      s"sql_x20's report tail regressed to scalar subqueries (each " +
+        s"one plans as an independent job re-deriving fkeys):\n$p")
+    val reused = "ReusedExchange".r.findAllIn(p).length +
+      "ReusedQueryStage".r.findAllIn(p).length
+    assert(reused >= 2,
+      s"sql_x20: the repeated fkeys/dim subtrees stopped collapsing " +
+        s"to reused exchanges:\n$p")
+  }
+
   test("x21: bottom-K never global-sorts the key space — the salted " +
       "two-phase keeps WindowGroupLimit in the plan and the repeated " +
       "hash subtrees collapse to reused exchanges") {
