@@ -26,7 +26,28 @@ import org.apache.spark.sql.DataFrame
   * Unset (the default, and the benched configuration) keeps
   * `localCheckpoint()` semantics and performance bit-for-bit. Results
   * are identical either way — CheckpointSeamSpec proves one fixpoint
-  * per operator family under both settings.
+  * per operator family under both settings, and proves the reliable
+  * path's durability claim directly: a reliable snap still answers
+  * after EVERY in-memory block is dropped (re-reading its serialized
+  * partition files under the checkpoint root — the artifact an
+  * executor-death recovery replays from), while a local snap under
+  * the same loss provably cannot.
+  *
+  * Deployment notes for the reliable mode:
+  *
+  *  - Set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  *    (Spark's default is false): reliable checkpoint files are
+  *    otherwise NEVER deleted, so a long-lived session running many
+  *    fixpoints grows shared storage without bound. With the cleaner
+  *    on, a checkpoint's files are removed when its RDD is garbage
+  *    collected — exactly the lifetime a per-round truncation needs.
+  *    (A job that dies mid-fixpoint can still leave orphaned app-UUID
+  *    subdirs; sweep the root by age like any scratch space.)
+  *  - The SparkContext checkpoint dir is installed on the FIRST
+  *    reliable snap. If other code set a different dir first, [[snap]]
+  *    keeps it (SparkContext has one dir; re-pointing it mid-app would
+  *    silently move OTHER code's checkpoints too) and logs a warning
+  *    that checkpoints will land outside [[CONF_DIR]].
   */
 object Checkpoints {
 
@@ -51,8 +72,22 @@ object Checkpoints {
           // setCheckpointDir mints a UUID subdir per call — install
           // once per context; a mid-session conf CHANGE to a different
           // root intentionally keeps the first installation (documented:
-          // the seam is a deployment setting, not a per-query knob)
-          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          // the seam is a deployment setting, not a per-query knob).
+          // If some OTHER code already installed a dir, keep it too —
+          // SparkContext has exactly one, and re-pointing it would
+          // silently relocate that code's checkpoints — but say so:
+          // silence here means checkpoints land outside CONF_DIR and
+          // the operator's storage accounting is wrong.
+          sc.getCheckpointDir match {
+            case None => sc.setCheckpointDir(dir)
+            case Some(existing) if !existing.stripSuffix("/")
+                .startsWith(dir.stripSuffix("/")) =>
+              org.slf4j.LoggerFactory.getLogger("graft.Checkpoints").warn(
+                s"graft.Checkpoints: SparkContext checkpoint dir " +
+                  s"'$existing' was installed before $CONF_DIR='$dir'; " +
+                  s"reliable snaps will use the existing dir")
+            case _ => // already rooted under CONF_DIR
+          }
           df.checkpoint(eager)
         case None => df.localCheckpoint(eager)
       }

@@ -60,4 +60,56 @@ class CheckpointSeamSpec extends SparkSuite {
         .flatMap(c => c +: (if (c.isDirectory) walk(c) else Nil))
     walk(new java.io.File(dir)).count(_.getName.startsWith("rdd-"))
   }
+
+  /** The durability claim itself (VERDICT r19 #3): executor death
+    * can't be staged in local mode, but its observable consequence can
+    * — every in-memory block vanishing. A reliable snap must still
+    * answer from its on-disk checkpoint files afterwards; a local snap
+    * must NOT (its blocks WERE the data, and its lineage was truncated
+    * at snap time, so there is nothing to recompute from). The pair
+    * proves the conf genuinely buys fault tolerance rather than just
+    * writing files nobody reads. */
+  test("reliable snaps survive the loss of every in-memory block; " +
+      "local snaps provably do not") {
+    import Checkpoints.SnapOps
+    def dropAllBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+    def frame = spark.range(0, 10000)
+      .selectExpr("id", "id * id AS v")
+    operators.LlmOps.releaseCaches()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-durability").toString
+    spark.conf.set(Checkpoints.CONF_DIR, dir)
+    val want = try {
+      val snapped = frame.snap()
+      val before = snapped.collect().map(_.toString).sorted.toSeq
+      dropAllBlocks()
+      val after = snapped.collect().map(_.toString).sorted.toSeq
+      assert(after === before,
+        "a reliable snap must re-read from checkpoint files once its " +
+          "in-memory blocks are gone")
+      // the SparkContext dir is installed once per context (first
+      // installation wins — the prior test's dir, if it ran first, and
+      // snap logs a warning about the mismatch); assert files exist
+      // wherever the context actually roots them
+      val ckptRoot = spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:")
+      assert(walkCount(ckptRoot) > 0,
+        "the reliable snap must have files under the context's dir")
+      before
+    } finally spark.conf.unset(Checkpoints.CONF_DIR)
+    assert(want.size === 10000)
+    // negative control: the default local mode under the same loss
+    val local = frame.snap()
+    assert(local.collect().map(_.toString).sorted.toSeq === want,
+      "local snap must compute the same rows before the block loss")
+    dropAllBlocks()
+    val ex = intercept[org.apache.spark.SparkException] { local.collect() }
+    assert(ex.getMessage.toLowerCase.contains("checkpoint"),
+      s"expected the lost-checkpoint-block failure, got: ${ex.getMessage}")
+    operators.LlmOps.releaseCaches()
+  }
 }
