@@ -589,27 +589,50 @@ object StreamingJobs {
     * drift: the P-column MinHash signature table
     * (minhashSigsOf∘shinglesOf) and the standing-capped band table
     * (capBucketsJoin∘bandsFromMh) — both broadcast (16-ish bytes/doc),
-    * never the standing text. History candidates are a stateless
-    * stream-static broadcast join (arrival bands × standing bands)
-    * with n_match computed in the projection. Stream partners (d17's
+    * never the standing text. ONE per-bucket stateful stage (owner
+    * (id, signature) pairs) does three jobs: admits at most BUCKET_CAP
+    * rows per bucket, emits stream-partner candidates (d17's
     * dup_in_batch, the batch being "everything that arrived before
-    * you") come from per-bucket owner state holding (id, signature)
-    * pairs — the streamingNearDupPairs PREFIX cap: once a bucket holds
-    * BUCKET_CAP owners, later arrivals match against them but are not
-    * added. The routing fold (best history partner beats best stream
-    * partner beats new; ties by max n_match then min id) is a
-    * downstream update-mode aggregation keyed by doc_id — legal after
-    * an Append-mode flatMapGroupsWithState, and each doc's candidate
-    * rows all land in its own arrival micro-batch, so a doc's verdict
-    * is emitted once and never refined.
+    * you") for admitted rows, and gates the history join — only
+    * ADMITTED arrival band rows meet the standing band table
+    * (stateless stream-static broadcast left join downstream), so the
+    * per-bucket join fanout stays bounded on BOTH match paths, the
+    * property batch d17's two-sided cap exists for (ADVICE r19). The
+    * routing fold (best history partner beats best stream partner
+    * beats new; ties by max n_match then min id) is a second
+    * Append-mode flatMapGroupsWithState keyed by doc_id — legal after
+    * the first (all flatMapGroupsWithStates in Append mode), and each
+    * doc's candidate rows all land in its own arrival micro-batch, so
+    * one invocation sees the whole group and the verdict is emitted
+    * once; a Boolean marker swallows re-deliveries inside the TTL
+    * window (the margin miner's dedup pattern).
     *
-    * Honest divergences, stated: (1) in-batch election is ARRIVAL
-    * order, not min-id order — equal to batch d17 whenever arrivals
-    * flow in id order (the spec's replay), divergent for out-of-order
-    * delivery, where the stream elects who-came-first (the only
-    * causally available convention); (2) the arrival-side bucket cap
-    * is a prefix cap vs batch's retroactive cap, exactly
-    * streamingNearDupPairs' documented trade. */
+    * State is BOUNDED (ADVICE r19 — the r18 crawl-scale OOM class):
+    * both stateful stages carry a [[ROUTING_TTL_MS]] processing-time
+    * timeout and REMOVE the entry on expiry. Within the window a
+    * bucket holds ≤ BUCKET_CAP (id, sig) pairs and a doc one Boolean.
+    * The TTL trade, stated: an idle bucket's owners are forgotten, so
+    * an in-stream pair separated by more than the TTL routes `new`
+    * rather than dup_in_batch (cross-epoch dups are still caught by
+    * the standing artifacts once the corpus re-snapshots), and a doc
+    * RE-DELIVERED after its marker expired re-emits its (identical)
+    * verdict.
+    *
+    * Honest divergences vs batch d17, stated: (1) in-batch election is
+    * ARRIVAL order, not min-id order — equal to batch whenever
+    * arrivals flow in id order (the spec's replay), divergent for
+    * out-of-order delivery, where the stream elects who-came-first
+    * (the only causally available convention); (2) the arrival-side
+    * bucket cap is a PREFIX cap on both match paths — the first
+    * BUCKET_CAP arrivals of a bucket participate and later ones are
+    * dropped from it — where batch's capBucketsJoin drops the whole
+    * over-cap bucket retroactively, first rows included; (3) the TTL
+    * evictions above, which batch (one terminal pass) never faces. */
+  private[graft] val ROUTING_TTL_MS = 6L * 3600 * 1000
+  final case class BucketEmit(kind: String, doc_id: Long, band: Int,
+    bkey: String, sig: Array[Long], matched_id: Long, n_match: Long)
+  final case class RouteVerdict(doc_id: Long, status: String,
+    matched_id: Long, n_match: Long)
   def streamingNeardupRouting(
       spark: org.apache.spark.sql.SparkSession,
       arrivals: DataFrame,
@@ -626,58 +649,100 @@ object StreamingJobs {
       LlmOps.bandsFromMh(mhS), Seq("band", "bkey"))
     val standingSig = bandsS.select(col("doc_id"), col("band"), col("bkey"))
       .join(mhS, Seq("doc_id"))
-      .select((col("doc_id").as("matched_id") +: col("band") +:
-        col("bkey") +: (0 until P).map(i => col(s"m$i").as(s"s$i"))): _*)
+      .select((col("doc_id").as("h_id") +: col("band").as("hband") +:
+        col("bkey").as("hkey") +: (0 until P).map(i => col(s"m$i").as(s"s$i"))): _*)
     val ab = sigBands(arrivals)
-    def agree: org.apache.spark.sql.Column =
-      (0 until P).map(i =>
-        when(col(s"m$i") === col(s"s$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-    val hist = ab
-      .join(broadcast(standingSig), Seq("band", "bkey"))
-      .select(col("doc_id"), col("matched_id"), agree.as("n_match"),
-        lit("hist").as("kind"))
-    // stream partners: per-bucket owner (id, signature) state
-    val stream = ab
+    // per-bucket owner state: admit → emit stream candidates against
+    // prior owners + an "admit" row that carries the signature to the
+    // history join; over-cap arrivals emit nothing for this bucket
+    val bucketRows = ab
       .select(col("doc_id"), col("band"), col("bkey"),
         array((0 until P).map(i => col(s"m$i")): _*).as("sig"))
       .as[(Long, Int, String, Array[Long])]
       .groupByKey { case (_, band, bkey, _) => s"$band|$bkey" }
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (key: String, rows: Iterator[(Long, Int, String, Array[Long])],
             state: GroupState[List[(Long, Array[Long])]]) => {
-          var owners = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, String)]
-          rows.toSeq.sortBy(_._1).foreach { case (id, _, _, sig) =>
-            owners.foreach { case (oid, osig) =>
-              val n = (0 until P).count(i => sig(i) == osig(i)).toLong
-              out += ((id, oid, n, "stream"))
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket: release its owners
+            Iterator.empty
+          } else {
+            var owners = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[BucketEmit]
+            rows.toSeq.sortBy(_._1).foreach { case (id, band, bkey, sig) =>
+              if (owners.size < cap) {
+                owners.foreach { case (oid, osig) =>
+                  val n = (0 until P).count(i => sig(i) == osig(i)).toLong
+                  out += BucketEmit("stream", id, band, bkey, null, oid, n)
+                }
+                out += BucketEmit("admit", id, band, bkey, sig, -1L, 0L)
+                owners = (id, sig) :: owners
+              }
             }
-            if (owners.size < cap) owners = (id, sig) :: owners
+            state.update(owners)
+            state.setTimeoutDuration(ROUTING_TTL_MS)
+            out.iterator
           }
-          state.update(owners)
-          out.iterator
         })
-      .toDF("doc_id", "matched_id", "n_match", "kind")
+    // history candidates: admitted rows fan out against the standing
+    // band table; stream-candidate rows pass through untouched (the
+    // join condition excludes them); admit rows without a standing
+    // partner drop (the self row below still gives them a verdict)
+    def agree: org.apache.spark.sql.Column =
+      (0 until P).map(i =>
+        when(col("sig")(i) === col(s"s$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val cands = bucketRows.toDF()
+      .join(broadcast(standingSig),
+        col("kind") === "admit" && col("band") === col("hband") &&
+          col("bkey") === col("hkey"),
+        "left")
+      .select(col("doc_id"),
+        when(col("kind") === "stream", col("matched_id"))
+          .otherwise(col("h_id")).as("matched_id"),
+        when(col("kind") === "stream", col("n_match"))
+          .otherwise(agree).as("n_match"),
+        when(col("kind") === "stream", lit("stream"))
+          .otherwise(lit("hist")).as("kind"))
+      .filter(col("matched_id").isNotNull)
     // every arrival gets a verdict, banded or not (d17's left join)
     val self = arrivals.select(col("doc_id"), lit(-1L).as("matched_id"),
       lit(0L).as("n_match"), lit("self").as("kind"))
-    def bestOf(kind: String): org.apache.spark.sql.Column =
-      max(when(col("kind") === kind && col("n_match") >= mins,
-        struct(col("n_match"), (-col("matched_id")).as("nid"))))
-    hist.unionByName(stream).unionByName(self)
-      .groupBy(col("doc_id"))
-      .agg(bestOf("hist").as("h"), bestOf("stream").as("b"))
-      .select(col("doc_id"),
-        when(col("h").isNotNull, "dup_of_history")
-          .when(col("b").isNotNull, "dup_in_batch")
-          .otherwise("new").as("status"),
-        coalesce(when(col("h").isNotNull, -col("h.nid"))
-          .otherwise(-col("b.nid")), lit(-1L)).as("matched_id"),
-        coalesce(when(col("h").isNotNull, col("h.n_match"))
-          .otherwise(col("b.n_match")), lit(0L)).as("n_match"))
+    cands.unionByName(self)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (id: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            state.remove() // verdict-dedup window closed
+            Iterator.empty
+          } else if (state.exists) {
+            // re-delivery inside the window: swallow, re-arm
+            state.setTimeoutDuration(ROUTING_TTL_MS)
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ROUTING_TTL_MS)
+            val rs = rows.toVector
+            def best(kind: String): Option[(Long, Long)] =
+              rs.collect { case (_, mid, n, k) if k == kind && n >= mins =>
+                (mid, n)
+              }.sortBy { case (mid, n) => (-n, mid) }.headOption
+            val verdict = best("hist") match {
+              case Some((mid, n)) => RouteVerdict(id, "dup_of_history", mid, n)
+              case None => best("stream") match {
+                case Some((mid, n)) => RouteVerdict(id, "dup_in_batch", mid, n)
+                case None => RouteVerdict(id, "new", -1L, 0L)
+              }
+            }
+            Iterator.single(verdict)
+          }
+        })
+      .toDF()
   }
 
   /** Streaming decode with quarantine — m2b's total decode stage run
@@ -1455,7 +1520,12 @@ object StreamingJobs {
         expr((0 until BLOOM_K).map(bitTest).mkString(" AND ")))
       .drop("bm")
     gated
-      .join(broadcast(dimKeys.select(col("k"), lit(true).as("in_dim"))),
+      // distinct: the bits fold is dup-safe but this confirm join is
+      // not — a dim input with duplicate k values would emit one
+      // disposition row per duplicate, breaking the one-row-per-arrival
+      // contract (ADVICE r19)
+      .join(broadcast(dimKeys.select(col("k")).distinct()
+        .withColumn("in_dim", lit(true))),
         Seq("k"), "left")
       .select(col("k"),
         when(col("bloom_pass") && col("in_dim").isNotNull, "confirmed")
@@ -1484,11 +1554,13 @@ object StreamingJobs {
     * union via merged bottom-Ks, intersection via the theta rule, and
     * n_new = max(union − standing, 0) — integer BigInt arithmetic
     * matching the batch op bit for bit, which the spec replays at
-    * every cumulative cut. Single-group state: the per-batch input
-    * flows through one task, the same shape as the join-size twin's
-    * CM_D groups; at scale the map-side shrink is a per-partition
-    * bottom-K before the group (not needed for the estimate's
-    * correctness — inserts are idempotent and order-free). */
+    * every cumulative cut. Single-group state, but the state task is
+    * never the stream's funnel: a stateless per-partition bottom-K
+    * pre-shrink folds each partition to one (count, ≤K hashes) tuple
+    * first, so the group receives partition-many sketch-sized rows per
+    * batch whatever the arrival volume — legal because KMV inserts are
+    * idempotent and order-free and the carried counts keep n_seen
+    * exact (the spec bounds the state task's input mechanically). */
   def streamingSetopsEstimate(
       spark: org.apache.spark.sql.SparkSession,
       arrivals: DataFrame,
@@ -1506,19 +1578,36 @@ object StreamingJobs {
       else (BigInt(X21_K - 1) * X21_H / sk.max).toLong
     def eff(sk: Seq[Long]): Long =
       if (sk.size < X21_K) X21_H else sk.max
+    def kmvInsert(sk: scala.collection.mutable.TreeSet[Long],
+        h: Long): Unit =
+      if (sk.size < X21_K) sk += h
+      else if (h < sk.max && !sk.contains(h)) { sk += h; sk -= sk.max }
     arrivals
       .select(Portable.h60(col("k").cast("string"), "x21|").as("h"))
       .as[Long]
+      // map-side pre-shrink (VERDICT r19 #4): each partition folds its
+      // slice to (row count, its own bottom-K) BEFORE the single-group
+      // state fold, so the state task receives one K-bounded tuple per
+      // partition instead of the full arrival stream. Semantics are
+      // untouched: KMV inserts are idempotent and order-free, only a
+      // partition's bottom-K can enter the global bottom-K, and the
+      // carried counts keep n_seen exact (duplicates included).
+      .mapPartitions { it =>
+        var cnt = 0L
+        val sk = scala.collection.mutable.TreeSet.empty[Long]
+        it.foreach { h => cnt += 1; kmvInsert(sk, h) }
+        if (cnt == 0) Iterator.empty
+        else Iterator.single((cnt, sk.toArray))
+      }
       .groupByKey(_ => 0)
       .flatMapGroupsWithState[(Long, Array[Long]), SetopsEst](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (_, rows, state) =>
           var (seen, sk0) = state.getOption.getOrElse((0L, Array.empty[Long]))
           val sk = scala.collection.mutable.TreeSet.from(sk0)
-          rows.foreach { h =>
-            seen += 1
-            if (sk.size < X21_K) sk += h
-            else if (h < sk.max && !sk.contains(h)) { sk += h; sk -= sk.max }
+          rows.foreach { case (cnt, hs) =>
+            seen += cnt
+            hs.foreach(kmvInsert(sk, _))
           }
           val arr = sk.toArray
           state.update((seen, arr))

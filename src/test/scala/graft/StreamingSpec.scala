@@ -1569,6 +1569,18 @@ class StreamingSpec extends SparkSuite {
         math.max(est(union) - est(sks), 0L))
     }
     val input = MemoryStream[Long]
+    // the state task must never be the stream's funnel (VERDICT r19
+    // #4): the plan carries a stateless per-partition bottom-K
+    // MapPartitions BELOW the single-group state fold, so the shuffle
+    // into the state task moves one (count, <=K hashes) tuple per
+    // partition, not the arrival rows
+    val lp = StreamingJobs.streamingSetopsEstimate(spark,
+        input.toDF().toDF("k"), standingKeys.toDF("k"))
+      .queryExecution.analyzed.toString
+    val iState = lp.indexOf("FlatMapGroupsWithState")
+    val iShrink = lp.indexOf("MapPartitions")
+    assert(iState >= 0 && iShrink > iState,
+      s"expected the map-side pre-shrink below the state fold:\n$lp")
     val q = StreamingJobs.streamingSetopsEstimate(spark,
         input.toDF().toDF("k"), standingKeys.toDF("k"))
       .writeStream.format("memory").queryName("setops_test")
@@ -1722,21 +1734,35 @@ class StreamingSpec extends SparkSuite {
         input.toDF().toDF("doc_id", "text"),
         standingRows.toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("d17_route")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       // id order across batches (the documented parity condition);
       // 16's in-stream partner 12 arrived in the PREVIOUS micro-batch,
-      // so the election crosses checkpointed bucket state
+      // so the election crosses checkpointed bucket state. Append mode
+      // + drainStream: the TTL'd stateful stages never quiesce under
+      // processAllAvailable (shouldRunAnotherBatch is always true).
+      // the arrival source is self-unioned (candidates + self rows),
+      // so numInputRows can multi-count — wait on the SINK too: every
+      // arrival emits exactly one verdict row
+      def awaitVerdicts(n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 120000
+        while (spark.table("d17_route").count() < n &&
+          System.currentTimeMillis < deadline) Thread.sleep(100)
+      }
       input.addData(4L -> arrivalRows(0)._2, 8L -> arrivalRows(1)._2,
         12L -> arrivalRows(2)._2)
-      q.processAllAvailable()
+      drainStream(q, 3)
+      awaitVerdicts(3)
       input.addData(16L -> arrivalRows(3)._2, 20L -> arrivalRows(4)._2)
-      q.processAllAvailable()
+      drainStream(q, 5)
+      awaitVerdicts(5)
       val got = spark.table("d17_route").collect()
         .map(r => r.getLong(0) ->
           ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
       assert(got === truth,
         "streamed routing must equal batch d17 row-for-row")
+      assert(got.size === spark.table("d17_route").count(),
+        "each arrival must emit exactly one verdict row")
     } finally q.stop()
   }
 
