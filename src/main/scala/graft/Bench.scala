@@ -56,6 +56,13 @@ object Bench {
       sources.Ingest.p4bAzmFixture(spark, sfDir)
       sources.Ingest.s9JsonlFixture(spark, sfDir)
       sources.Ingest.s11GenFixtures(spark, sfDir)
+      // pre-sunk standing index artifacts (VERDICT r19 #1): the
+      // k8c/k8d append rows measure the NIGHTLY job — append +
+      // re-search against yesterday's index, which the warmup sinks
+      // here so no measured pass is charged for the O(corpus) build
+      // (that cost is k8c_standing_build's own pinned row)
+      sources.Ingest.k8cStandingFixture(spark, sfDir)
+      sources.Ingest.k8dStandingFixture(spark, sfDir)
     } catch { case _: Throwable => () }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String = sfDir): Double = {

@@ -2605,6 +2605,117 @@ object Ingest {
     })
 
   // ---------------------------------------------------------------------
+  // K8c/K8d split (VERDICT r19 #1): the full-lifecycle rows above
+  // deliberately re-run the O(corpus) standing build every invocation,
+  // so their benched numbers (and probe slopes) measure the BUILD, not
+  // the O(batch) append they exist to demonstrate — k8c's raw per-3x
+  // slope read ~2.5x at the 100x probe for exactly this reason. These
+  // rows split the lifecycle at the seam a nightly deployment has:
+  //   k8c_standing_build — the build+sink alone, measured and pinned
+  //   separately (the rebuild-cadence cost that amortizes across every
+  //   query served from the artifact);
+  //   k8c_append_search / k8d_append_search — append + re-search
+  //   against a PRE-SUNK standing artifact (built once per
+  //   (JVM, dataset) via the memoFixture discipline and
+  //   pre-materialized in Bench's warmup, exactly how the nightly job
+  //   finds yesterday's index already on disk). The append writes
+  //   today's delta shards NEXT TO the standing table (a parquet
+  //   append IS new files in the same table; scanning standing ∪ delta
+  //   is the same read) and re-searches through the read-back union.
+  // Both append rows share the full-lifecycle oracles, so the split
+  // path provably serves the SAME results — and their probes are the
+  // honest corpus-independence read the a18/a24 design claims.
+  // ---------------------------------------------------------------------
+  private[graft] def k8cStandingFixture(s: SparkSession, d: String): String =
+    memoFixture("k8c_standing", d) { out =>
+      import graft.operators.Ann
+      val standing = Ann.a18Standing(
+        graft.Tables.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("emb")))
+      Ann.nswEdgesFrom(s, standing)
+        .repartition(8, col("v"))
+        .write.mode("overwrite").parquet(out)
+    }
+
+  private[graft] def k8dStandingFixture(s: SparkSession, d: String): String =
+    memoFixture("k8d_standing", d) { out =>
+      import graft.operators.Ann
+      val standing = Ann.a18Standing(
+        graft.Tables.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("emb")))
+      Ann.hnswEdgesAllFrom(s, standing)
+        .repartition(8, col("elvl"), col("v"))
+        .write.mode("overwrite").partitionBy("elvl").parquet(out)
+    }
+
+  val k8cStandingBuild = Q(
+    "k8c_standing_build",
+    (s, d) => {
+      import graft.operators.Ann
+      val out = freshDir("k8c_build_only")
+      val standing = Ann.a18Standing(
+        graft.Tables.table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").as("emb")))
+      Ann.nswEdgesFrom(s, standing)
+        .repartition(8, col("v"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("v")).as("n_nodes"))
+    },
+    Some {
+      import graft.operators.Ann
+      s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      ${Ann.nswBuildDuck("k",
+        "(SELECT vec_id, embedding FROM embeddings " +
+          "WHERE vec_id % 10 <> 0)")}
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_nodes
+      FROM kedges"""
+    })
+
+  val k8cAppendSearch = Q(
+    "k8c_append_search",
+    (s, d) => {
+      import graft.operators.Ann
+      val standingDir = k8cStandingFixture(s, d)
+      val deltaDir = freshDir("k8c_delta")
+      val delta = Ann.a18DeltaOut(s, d)
+      delta.select(col("src").as("v"), col("dst").as("n"))
+        .unionByName(
+          delta.select(col("dst").as("v"), col("src").as("n")))
+        .repartition(2, col("v"))
+        .write.mode("overwrite").parquet(deltaDir)
+      Ann.nswSearchOver(s, d,
+        s.read.parquet(standingDir).select("v", "n")
+          .unionByName(s.read.parquet(deltaDir).select("v", "n")))
+    },
+    k8cIncrementalIndexSink.oracle)
+
+  val k8dAppendSearch = Q(
+    "k8d_append_search",
+    (s, d) => {
+      import graft.operators.Ann
+      val standingDir = k8dStandingFixture(s, d)
+      val deltaDir = freshDir("k8d_delta")
+      val delta = Ann.a24DeltaOut(s, d)
+      delta.select(col("elvl"), col("src").as("v"), col("dst").as("n"))
+        .unionByName(delta.select(col("elvl"), col("dst").as("v"),
+          col("src").as("n")))
+        .repartition(2, col("v"))
+        .write.mode("overwrite").partitionBy("elvl").parquet(deltaDir)
+      Ann.hnswDescentOver(s, d,
+        s.read.parquet(standingDir).select("elvl", "v", "n")
+          .unionByName(
+            s.read.parquet(deltaDir).select("elvl", "v", "n")))
+    },
+    k8dHnswIncrementalSink.oracle)
+
+  // ---------------------------------------------------------------------
   // K14: erasure from the SERVED vector index — the other half of the
   // GDPR story k11 tells for the lake table: when a user's vectors must
   // go, the search tier can't wait for a rebuild. Production stores do
@@ -2694,7 +2805,8 @@ object Ingest {
   def all: Seq[Q] = Seq(
     k1PartitionedSink, k2SnapshotSink, k3SchemaWrite, k6Compaction, k7Retention,
     k8AnnIndexSink, k8bHnswIndexSink, k8cIncrementalIndexSink,
-    k8dHnswIncrementalSink, k14IndexErasure,
+    k8dHnswIncrementalSink, k8cStandingBuild, k8cAppendSearch,
+    k8dAppendSearch, k14IndexErasure,
     k9PartitionOverwrite,
     k10WriteAuditPublish, k11TargetedDelete, k12TimeTravel,
     k13MergeUpsert, k15Vacuum, k16ExpireSnapshots,
