@@ -2837,6 +2837,51 @@ object SqlFrontend {
   // accounting (exact part-file-set preservation) as literals. Shares
   // k9's oracle: green iff the repair fixed exactly the window and the
   // untouched partitions kept their exact files.
+  // Commit-family read-backs as SQL (VERDICT r19 #5): the fs-protocol
+  // halves (staging, audits, pointer flips, rollback) stay DSL inside
+  // the factored k10Protocol/k12Protocol — like m2's decode — and the
+  // REPORTS a SQL user actually consumes (the published-table audit
+  // summary, the history/AS-OF version comparison) are one SQL text
+  // over the protocol's returned read paths, sharing the DSL oracles
+  // so SQL == DSL == DuckDB stays hash-enforced.
+  val sqlK10Audit: Queries.Q = Queries.Q(
+    "sql_k10_audit",
+    (s, d) => {
+      registerViews(s, d)
+      val (live, b1ok, b2ok, b2null, b2bound) =
+        sources.Ingest.k10Protocol(s, d, "sql_k10_lake")
+      live.createOrReplaceTempView("k10_live")
+      s.sql(s"""SELECT event_date, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        $b1ok AS b1_published, $b2ok AS b2_published,
+        CAST($b2null AS BIGINT) AS b2_null_viol,
+        CAST($b2bound AS BIGINT) AS b2_bound_viol
+        FROM k10_live GROUP BY event_date""")
+    },
+    sources.Ingest.k10WriteAuditPublish.oracle)
+
+  val sqlK12History: Queries.Q = Queries.Q(
+    "sql_k12_history",
+    (s, d) => {
+      registerViews(s, d)
+      val (versions, current, bad) =
+        sources.Ingest.k12Protocol(s, d, "sql_k12_lake")
+      versions.zipWithIndex.foreach { case (v, i) =>
+        v.createOrReplaceTempView(s"k12_v$i") }
+      current.createOrReplaceTempView("k12_current")
+      s.sql(s"""WITH cuts AS (
+        SELECT 'v0' AS version, value FROM k12_v0
+        UNION ALL SELECT 'v1', value FROM k12_v1
+        UNION ALL SELECT 'v2', value FROM k12_v2
+        UNION ALL SELECT 'current', value FROM k12_current)
+      SELECT version, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(CASE WHEN value < 0 THEN 1 END) AS n_neg,
+        $bad AS rolled_back
+      FROM cuts GROUP BY version""")
+    },
+    sources.Ingest.k12TimeTravel.oracle)
+
   val sqlK9Overwrite: Queries.Q = Queries.Q(
     "sql_k9_overwrite",
     (s, d) => {
@@ -2867,5 +2912,5 @@ object SqlFrontend {
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta, sqlS10SnapshotDiff,
       sqlK6Compaction, sqlK7Retention, sqlX20Bloom, sqlX21Setops,
-      sqlK9Overwrite)
+      sqlK9Overwrite, sqlK10Audit, sqlK12History)
 }

@@ -128,6 +128,34 @@ class SqlSurfaceSpec extends SparkSuite {
       "repair must both preserve and overwrite partitions")
   }
 
+  test("sql_k10_audit publishes the same audit report as the DSL, " +
+      "verdicts and violation counts included") {
+    val sqlOut = SqlFrontend.sqlK10Audit.fn(spark, sf)
+    val dfOut = sources.Ingest.k10WriteAuditPublish.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    val r = sqlOut.collect().head
+    assert(r.getBoolean(3) && !r.getBoolean(4),
+      "batch 1 must publish, the poisoned batch 2 must not")
+    assert(r.getLong(5) > 0 && r.getLong(6) > 0,
+      "both audit classes must have caught planted violations")
+  }
+
+  test("sql_k12_history reads every AS-OF cut and the rolled-back " +
+      "current exactly like the DSL") {
+    val sqlOut = SqlFrontend.sqlK12History.fn(spark, sf)
+    val dfOut = sources.Ingest.k12TimeTravel.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    val byV = sqlOut.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(byV("v2")._2 > 0, "v2 must hold the planted negatives")
+    assert(byV("current") === byV("v1"),
+      "rollback must point current at v1")
+    assert(byV.values.forall(_._3), "the rollback flag must be set")
+  }
+
   test("sql_d1_dedup shares the one fingerprint definition with the DSL") {
     val sqlOut = SqlFrontend.sqlD1Dedup.fn(spark, sf)
     val dfOut = operators.LlmOps.d1DedupExact.fn(spark, sf)
