@@ -1787,6 +1787,105 @@ object LlmOps {
       FROM injected"""))
 
   // ---------------------------------------------------------------------
+  // T8b: the PII scrub battery a production training-data pipeline
+  // actually ships (VERDICT r19 #6, the C4/CCNet-style masking pass):
+  // t8's URL/email scrub extended with phone numbers, IP addresses,
+  // and card-shaped 13-16 digit runs. Same discipline as t8 — the
+  // corpus contains no PII, so each class is deterministically
+  // INJECTED into its own doc_id % 6 stratum (one planted fixture per
+  // class, replayed by the oracle; stratum 5 stays clean so the
+  // no-op path is checked too), and the scrub is ONE codegen'd
+  // projection, no shuffle. Per-class match counts ride every row
+  // (the d13 no-silent-dials rule): "how much PII did this pass
+  // remove, of which kind" is query output, not a log line. The five
+  // patterns are structurally disjoint (dots vs dashes vs pure digit
+  // runs, \b-anchored), so replacement order only matters for the
+  // URL pass, which runs first because its [^ ]+ tail can swallow
+  // anything.
+  // ---------------------------------------------------------------------
+  val t8bPiiScrub = Q(
+    "t8b_pii_scrub",
+    (s, d) => {
+      val urlRe = "https?://[^ ]+"
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val cardRe = "\\b\\d{13,16}\\b"
+      val injected = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .when(col("doc_id") % 6 === 1,
+            concat(col("text"), lit(" see https://example.com/d/"),
+              col("doc_id").cast("string"), lit(" for details")))
+          .when(col("doc_id") % 6 === 2,
+            concat(col("text"), lit(" call 555-"),
+              (col("doc_id") % 900 + 100).cast("string"),
+              lit("-0199 now")))
+          .when(col("doc_id") % 6 === 3,
+            concat(col("text"), lit(" from 10."),
+              (col("doc_id") % 256).cast("string"), lit(".0.12 logged")))
+          .when(col("doc_id") % 6 === 4,
+            concat(col("text"), lit(" pay 41111111111111"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+              lit(" ok")))
+          .otherwise(col("text")).as("text"))
+      injected.select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            urlRe, " "), emailRe, " "), phoneRe, " "), ipRe, " "),
+          cardRe, " "), "\\s+", " ")).as("scrubbed"),
+        regexp_count(col("text"), lit(urlRe)).cast("long").as("n_url"),
+        regexp_count(col("text"), lit(emailRe)).cast("long")
+          .as("n_email"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long")
+          .as("n_phone"),
+        regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(cardRe)).cast("long").as("n_card"))
+    },
+    Some("""WITH injected AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 6 = 0
+                 THEN text || ' contact user' || doc_id
+                      || '@example.com now'
+               WHEN doc_id % 6 = 1
+                 THEN text || ' see https://example.com/d/' || doc_id
+                      || ' for details'
+               WHEN doc_id % 6 = 2
+                 THEN text || ' call 555-' || (doc_id % 900 + 100)
+                      || '-0199 now'
+               WHEN doc_id % 6 = 3
+                 THEN text || ' from 10.' || (doc_id % 256)
+                      || '.0.12 logged'
+               WHEN doc_id % 6 = 4
+                 THEN text || ' pay 41111111111111'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                      || ' ok'
+               ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(text,
+            'https?://[^ ]+', ' ', 'g'),
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', ' ', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', ' ', 'g'),
+            '\b\d{13,16}\b', ' ', 'g'),
+          '\s+', ' ', 'g')) AS scrubbed,
+        CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+          AS BIGINT) AS n_url,
+        CAST(len(regexp_extract_all(text,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+          AS n_email,
+        CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+          AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(text, '\b\d{13,16}\b'))
+          AS BIGINT) AS n_card
+      FROM injected"""))
+
+  // ---------------------------------------------------------------------
   // T9: sequence packing — assign documents to fixed-budget context
   // windows ("packs") by running token count, the step that turns a
   // curated corpus into training sequences (fill each 512-token context
@@ -4880,6 +4979,7 @@ object LlmOps {
     d16IncrementalLineDedup, d17IncrementalNeardup,
     t1TextStats, t2LangId, t3TokenTopk, t4Fingerprint,
     t5LengthPercentiles, t6LengthHistogram, t7Chunking, t8Scrub,
+    t8bPiiScrub,
     t9SequencePack, t10Tfidf, t11NbLangid, t12CountminTopk,
     t12bCountminNative, t13Repetition,
     t14KmvQuantile, t15LmScore, t16GopherRules, t17Novelty, t18Bm25,

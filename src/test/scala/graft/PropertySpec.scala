@@ -418,4 +418,63 @@ class PropertySpec extends SparkSuite {
     assert(z(65535, 65535) === (1L << 32) - 1)
     assert(z(65535, 0) === 0x55555555L && z(0, 65535) === 0xAAAAAAAAL)
   }
+
+  test("T8b: the PII battery scrubs every planted class, counts " +
+      "per class, and replays driver-side off an independent regex " +
+      "walk — pre-existing PII counted alongside the injected class") {
+    import org.apache.spark.sql.functions.col
+    // one doc per injection stratum (ids 0..5), a second cycle (6..11),
+    // and doc 7 (stratum 1: url-injected) carrying PRE-EXISTING PII of
+    // two other classes in its base text — the counts must see both
+    val texts = (0L to 11L).map { id =>
+      val base =
+        if (id == 7L) "ping 192.168.0.1 then 8.8.8.8 card 4111222233334444"
+        else s"alpha beta doc$id gamma"
+      (id, base)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-t8b").toString
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.LlmOps.t8bPiiScrub.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // independent replay: the same injection + java.util.regex
+    val res = Seq("https?://[^ ]+",
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+      "\\b\\d{13,16}\\b").map(java.util.regex.Pattern.compile)
+    texts.foreach { case (id, base) =>
+      val injected = (id % 6) match {
+        case 0 => s"$base contact user$id@example.com now"
+        case 1 => s"$base see https://example.com/d/$id for details"
+        case 2 => s"$base call 555-${id % 900 + 100}-0199 now"
+        case 3 => s"$base from 10.${id % 256}.0.12 logged"
+        case 4 => f"$base pay 41111111111111${id % 100}%02d ok"
+        case _ => base
+      }
+      def nOf(p: java.util.regex.Pattern): Long = {
+        val m = p.matcher(injected)
+        var n = 0L; while (m.find()) n += 1; n
+      }
+      val scrub = res.foldLeft(injected)((t, p) =>
+        p.matcher(t).replaceAll(" ")).replaceAll("\\s+", " ").trim
+      assert(got(id) === ((scrub, nOf(res(0)), nOf(res(1)),
+        nOf(res(2)), nOf(res(3)), nOf(res(4)))),
+        s"doc $id must scrub and count exactly as the replay")
+      // non-vacuity: the injected class was genuinely present & removed
+      if (id % 6 != 5) assert(got(id)._2 + got(id)._3 + got(id)._4 +
+        got(id)._5 + got(id)._6 > 0, s"doc $id must have planted PII")
+    }
+    // the multi-class doc: url (injected) + 2 IPs + 1 card pre-existing
+    assert(got(7L)._2 === 1L && got(7L)._5 === 2L && got(7L)._6 === 1L)
+    // every scrubbed text is PII-free under all five patterns
+    got.values.foreach { case (scrub, _, _, _, _, _) =>
+      res.foreach(p => assert(!p.matcher(scrub).find(),
+        s"scrubbed text still matches ${p.pattern}: $scrub"))
+    }
+    // the clean stratum is untouched (modulo whitespace collapse)
+    assert(got(5L)._1 === "alpha beta doc5 gamma")
+  }
 }
