@@ -117,7 +117,7 @@ object ExplainAudit {
       "x21_sketch_setops", "sql_x20_bloom_join", "sql_x21_setops",
       "sql_k9_overwrite", "k8c_standing_build", "k8c_append_search",
       "k8d_append_search", "sql_k10_audit", "sql_k12_history",
-      "t8b_pii_scrub")
+      "t8b_pii_scrub", "sql_k13_merge")
     // s5 must show TakeOrdered and NO SortAggregate (VERDICT r2 item 2)
     println("| query | exchanges | joins | aggs | other |")
     println("|---|---|---|---|---|")

@@ -2882,6 +2882,24 @@ object SqlFrontend {
     },
     sources.Ingest.k12TimeTravel.oracle)
 
+  val sqlK13Merge: Queries.Q = Queries.Q(
+    "sql_k13_merge",
+    (s, d) => {
+      registerViews(s, d)
+      val (dir, nUpdated, nInserted, nRewritten, nCreated, nPreserved) =
+        sources.Ingest.k13Protocol(s, d, "sql_k13_lake")
+      s.read.parquet(dir).createOrReplaceTempView("k13_merged")
+      s.sql(s"""SELECT event_date, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST($nUpdated AS BIGINT) AS n_updated,
+        CAST($nInserted AS BIGINT) AS n_inserted,
+        CAST($nRewritten AS BIGINT) AS n_parts_rewritten,
+        CAST($nCreated AS BIGINT) AS n_parts_created,
+        CAST($nPreserved AS BIGINT) AS n_parts_preserved
+        FROM k13_merged GROUP BY event_date""")
+    },
+    sources.Ingest.k13MergeUpsert.oracle)
+
   val sqlK9Overwrite: Queries.Q = Queries.Q(
     "sql_k9_overwrite",
     (s, d) => {
@@ -2912,5 +2930,5 @@ object SqlFrontend {
       sqlG3LabelProp, sqlG4Kcore, sqlG5Triangles, sqlX13GroupingSets,
       sqlC10Curriculum, sqlA26Hybrid, sqlG7Delta, sqlS10SnapshotDiff,
       sqlK6Compaction, sqlK7Retention, sqlX20Bloom, sqlX21Setops,
-      sqlK9Overwrite, sqlK10Audit, sqlK12History)
+      sqlK9Overwrite, sqlK10Audit, sqlK12History, sqlK13Merge)
 }

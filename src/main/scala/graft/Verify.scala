@@ -29,18 +29,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall times → <outDir>/verify_times.json (VERDICT r19
+    // #8: the full gate is ~270 queries x 2 scale factors — its cost
+    // must stay a managed number, so every dump records where the
+    // minutes go; PLANS.md keeps the tail table)
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      times += name -> (System.nanoTime() - t0) / 1e9
       // per-query release (r9): don't let one query's pinned frames
       // occupy the block manager under the remaining ~100 queries
       operators.LlmOps.releaseCaches()
     }
+    Files.writeString(Paths.get(s"$outDir/verify_times.json"),
+      times.map { case (n, t) => f""""$n":$t%.3f""" }
+        .mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

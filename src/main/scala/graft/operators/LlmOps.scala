@@ -1803,14 +1803,33 @@ object LlmOps {
   // URL pass, which runs first because its [^ ]+ tail can swallow
   // anything.
   // ---------------------------------------------------------------------
+  /** The five-pattern scrub + per-class counts as ONE stateless
+    * codegen'd projection over (doc_id, text) — shared by batch t8b
+    * (over its injected fixture) and [[graft.streaming.StreamingJobs]]'
+    * per-micro-batch twin, so the two paths cannot drift. */
+  private[graft] def piiScrubProjection(df: DataFrame): DataFrame = {
+    val urlRe = "https?://[^ ]+"
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val cardRe = "\\b\\d{13,16}\\b"
+    df.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          urlRe, " "), emailRe, " "), phoneRe, " "), ipRe, " "),
+        cardRe, " "), "\\s+", " ")).as("scrubbed"),
+      regexp_count(col("text"), lit(urlRe)).cast("long").as("n_url"),
+      regexp_count(col("text"), lit(emailRe)).cast("long")
+        .as("n_email"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long")
+        .as("n_phone"),
+      regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ip"),
+      regexp_count(col("text"), lit(cardRe)).cast("long").as("n_card"))
+  }
+
   val t8bPiiScrub = Q(
     "t8b_pii_scrub",
     (s, d) => {
-      val urlRe = "https?://[^ ]+"
-      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val cardRe = "\\b\\d{13,16}\\b"
       val injected = documents(s, d).select(col("doc_id"),
         when(col("doc_id") % 6 === 0,
           concat(col("text"), lit(" contact user"),
@@ -1830,18 +1849,7 @@ object LlmOps {
               lpad((col("doc_id") % 100).cast("string"), 2, "0"),
               lit(" ok")))
           .otherwise(col("text")).as("text"))
-      injected.select(col("doc_id"),
-        trim(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(regexp_replace(col("text"),
-            urlRe, " "), emailRe, " "), phoneRe, " "), ipRe, " "),
-          cardRe, " "), "\\s+", " ")).as("scrubbed"),
-        regexp_count(col("text"), lit(urlRe)).cast("long").as("n_url"),
-        regexp_count(col("text"), lit(emailRe)).cast("long")
-          .as("n_email"),
-        regexp_count(col("text"), lit(phoneRe)).cast("long")
-          .as("n_phone"),
-        regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ip"),
-        regexp_count(col("text"), lit(cardRe)).cast("long").as("n_card"))
+      piiScrubProjection(injected)
     },
     Some("""WITH injected AS (
         SELECT doc_id,

@@ -1617,10 +1617,17 @@ object Ingest {
   private[graft] val K13_INS_MOD = 701L
   private[graft] val K13_INS_OFFSET = 100000000L
 
-  val k13MergeUpsert = Q(
-    "k13_merge_upsert",
-    (s, d) => {
-      val dir = freshDir("k13_lake")
+  /** K13's MERGE protocol factored from its report (r20, VERDICT r19
+    * #5): seed the partitioned lake, derive the update/insert batch,
+    * run the ONE metadata-sized accounting pass that names the blast
+    * radius, and dynamic-overwrite only the affected partitions.
+    * Returns the merged lake dir plus the accounting scalars
+    * (n_updated, n_inserted, parts rewritten/created/preserved); the
+    * read-back report over the merged lake is pure relational — DSL
+    * row below, `sql_k13_merge` as one SQL text, one oracle. */
+  private[graft] def k13Protocol(s: SparkSession, d: String,
+      lakeName: String): (String, Long, Long, Long, Long, Long) = {
+      val dir = freshDir(lakeName)
       val src = events(s, d)
         .select(col("event_id"), col("event_type"), col("value"),
           to_date(col("ts")).as("event_date"))
@@ -1670,6 +1677,15 @@ object Ingest {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date").parquet(dir)
+      (dir, nUpdated, nInserted, rewritten.size.toLong,
+        created.size.toLong, preserved.size.toLong)
+  }
+
+  val k13MergeUpsert = Q(
+    "k13_merge_upsert",
+    (s, d) => {
+      val (dir, nUpdated, nInserted, nRewritten, nCreated, nPreserved) =
+        k13Protocol(s, d, "k13_lake")
       s.read.parquet(dir)
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as("n"),
@@ -1677,9 +1693,9 @@ object Ingest {
             .as("sum_value"))
         .withColumn("n_updated", lit(nUpdated))
         .withColumn("n_inserted", lit(nInserted))
-        .withColumn("n_parts_rewritten", lit(rewritten.size.toLong))
-        .withColumn("n_parts_created", lit(created.size.toLong))
-        .withColumn("n_parts_preserved", lit(preserved.size.toLong))
+        .withColumn("n_parts_rewritten", lit(nRewritten))
+        .withColumn("n_parts_created", lit(nCreated))
+        .withColumn("n_parts_preserved", lit(nPreserved))
     },
     // the oracle replays the merged lake from the source — red if an
     // update was missed, an insert dropped or double-applied, or a

@@ -766,6 +766,21 @@ object StreamingJobs {
       .mapPartitions(graft.operators.Multimodal.decodeBatch)
   }
 
+  /** Streaming twin of t8b's PII scrub — the masking pass run at
+    * ingest time, before raw text ever lands in the lake (the shape a
+    * privacy review actually wants: PII never persisted). The scrub is
+    * STATELESS (one codegen'd projection, each row scrubs alone), so
+    * the streaming form is batch [[graft.operators.LlmOps
+    * .piiScrubProjection]] applied to every arriving micro-batch —
+    * the streamingDecodeRoute statelessness argument: union of
+    * micro-batch outputs ≡ batch output row for row regardless of how
+    * arrivals shard, with per-class counts on every row feeding the
+    * same removal monitor as batch t8b. */
+  def streamingPiiScrub(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame =
+    graft.operators.LlmOps.piiScrubProjection(docs)
+
   /** Running per-mime ok/quarantined counts over the streaming decode —
     * the operational report m2b aggregates in batch, carried as
     * GroupState so the monitor sees the CUMULATIVE split after every

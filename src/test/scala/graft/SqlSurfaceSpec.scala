@@ -156,6 +156,19 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(byV.values.forall(_._3), "the rollback flag must be set")
   }
 
+  test("sql_k13_merge reads the merged lake and its blast-radius " +
+      "accounting exactly like the DSL") {
+    val sqlOut = SqlFrontend.sqlK13Merge.fn(spark, sf)
+    val dfOut = sources.Ingest.k13MergeUpsert.fn(spark, sf)
+    assert(sqlOut.exceptAll(dfOut).count() === 0)
+    assert(dfOut.exceptAll(sqlOut).count() === 0)
+    val r = sqlOut.collect().head
+    assert(r.getLong(3) > 0 && r.getLong(4) > 0,
+      "the merge must both update and insert")
+    assert(r.getLong(5) > 0 && r.getLong(6) > 0 && r.getLong(7) > 0,
+      "the blast radius must rewrite, create, and preserve partitions")
+  }
+
   test("sql_d1_dedup shares the one fingerprint definition with the DSL") {
     val sqlOut = SqlFrontend.sqlD1Dedup.fn(spark, sf)
     val dfOut = operators.LlmOps.d1DedupExact.fn(spark, sf)

@@ -751,6 +751,48 @@ class StreamingSpec extends SparkSuite {
       s"drifted batch must flip the retrain signal (sim=$driftedSim)")
   }
 
+  test("streaming PII scrub == the batch projection row for row: the " +
+      "stateless masking pass scrubs arrivals at ingest time with " +
+      "per-class counts intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "contact user1@example.com and see https://ex.com/a now",
+      2L -> "call 555-867-5309 from 10.1.0.12 pay 4111111111111111 ok",
+      3L -> "clean text with no pii at all",
+      4L -> "two ips 192.168.0.1 8.8.8.8 and short digits 4111 here")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.streamingPiiScrub(spark,
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_test")
+      .outputMode("append").start()
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2), docs(3))
+      q.processAllAvailable()
+      val got = spark.table("pii_test").collect()
+        .map(_.toString).sorted.toSeq
+      val want = operators.LlmOps
+        .piiScrubProjection(docs.toDF("doc_id", "text"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want,
+        "stream output must equal the batch projection row for row")
+      // non-vacuity: every class seen, the clean row all-zero, the
+      // 4-digit run NOT card-matched, and no scrubbed row leaks PII
+      val byId = spark.table("pii_test").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(byId(1L).getLong(2) === 1L && byId(1L).getLong(3) === 1L)
+      assert(byId(2L).getLong(4) === 1L && byId(2L).getLong(5) === 1L &&
+        byId(2L).getLong(6) === 1L)
+      assert((2 to 6).forall(i => byId(3L).getLong(i) === 0L))
+      assert(byId(4L).getLong(5) === 2L && byId(4L).getLong(6) === 0L)
+      assert(!byId(2L).getString(1).exists(_.isDigit) ||
+        !byId(2L).getString(1).contains("555"),
+        "scrubbed text must not retain the phone number")
+    } finally q.stop()
+  }
+
   test("streaming decode quarantine matches batch m2b row for row and state for state") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
