@@ -39,6 +39,21 @@ object Bench {
       // fallback for driver-built sessions).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // r20 optimization (guide §2.4/§3.1): cached plans otherwise
+      // BYPASS AQE — every pinFrame'd index/fixpoint build runs with
+      // static shuffle-partition-count exchanges and whatever join
+      // strategy the STATIC size estimates pick, and nswBucketFrames'
+      // crossJoin(broadcast(count)) poisons those estimates so the
+      // bucket joins planned as 32-task SortMergeJoins (a17's
+      // edge-build count() stage measured 19.6 s of task time across
+      // 32 tasks; 0.5 s in 1 task with this on). Every
+      // InMemoryTableScan consumer also stops paying one task per
+      // static shuffle partition. Scale-adaptive by construction (AQE
+      // sizes from runtime bytes), not a local[32] tune — the same
+      // setting is right on a cluster.
+      // env-overridable for A/B isolation of this one setting
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,11 @@ object Verify {
       // fallback for driver-built sessions).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // cached (pinFrame'd) builds plan adaptively instead of with
+      // static exchanges/joins — see Bench.scala for the measured
+      // rationale (r20 optimization round)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

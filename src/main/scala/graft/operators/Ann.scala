@@ -1709,6 +1709,23 @@ object Ann {
                WHEN pmod($lh, $p1) = 0 THEN 1 ELSE 0 END) >= $k"""
   }
 
+  /** Spread the streamed (pair-scoring) side of a bucket join across
+    * the session's cores by its bucket key (guide §2.5: few-split
+    * input before fan-out work — the local single-row-group parquet
+    * gives every scan ONE split, so the scoring join, whose output
+    * fans out |bucket|-fold with a cosine per pair, otherwise runs
+    * fused into a single scan task; a17's build measured 3.4–4.5 s
+    * single-task stages from exactly this). Keyed by the JOIN key, so
+    * at cluster scale where the sampled side outgrows broadcast and
+    * the planner shuffles both sides by `b` anyway, this exchange IS
+    * the join's required one; under a broadcast join it adds one
+    * shuffle of the pre-fan-out input rows — negligible next to the
+    * scoring it parallelizes. Explicit partition count because AQE
+    * would coalesce this exchange on input BYTES, blind to the join's
+    * fan-out CPU (r20 measurement: AQE coalesced it to one task). */
+  private def spreadByBucket(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col("b"))
+
   /** The NSW edge list over any (vec_id, emb) frame: per-node top-M by
     * cosine within corpus-scaled sign buckets ∪ M2 hash-random picks
     * within random buckets, distinct. Directed (v → n). Split from the
@@ -1724,7 +1741,8 @@ object Ann {
     def signFamily(b: DataFrame, m: Int): DataFrame = {
       val w = Window.partitionBy(col("v"))
         .orderBy(col("sim").desc, col("n").asc)
-      b.select(col("vec_id").as("v"), col("emb").as("v_emb"), col("b"))
+      spreadByBucket(s,
+        b.select(col("vec_id").as("v"), col("emb").as("v_emb"), col("b")))
         .join(nswSampled(b).select(col("vec_id").as("n"),
           col("emb").as("n_emb"), col("b")), Seq("b"))
         .filter(col("v") =!= col("n"))
@@ -1736,7 +1754,7 @@ object Ann {
     }
     val w2 = Window.partitionBy(col("v"))
       .orderBy(col("rk").asc, col("n").asc)
-    val long = br.select(col("vec_id").as("v"), col("b"))
+    val long = spreadByBucket(s, br.select(col("vec_id").as("v"), col("b")))
       .join(nswSampled(br).select(col("vec_id").as("n"), col("b")),
         Seq("b"))
       .filter(col("v") =!= col("n"))
@@ -1794,14 +1812,30 @@ object Ann {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     (1 to hops).foldLeft(frontier0) { (frontier, _) =>
-      val neighbors = frontier.select(col("probe_id"), col("vec_id"))
-        .join(edges, col("vec_id") === col("v"))
+      // r20 hop shape (guide §3.1/§2.4): the frontier (≤ probes×beam
+      // rows BY CONSTRUCTION) broadcasts into the edge lookup and the
+      // candidate id set (≤ frontier×degree) broadcasts into the
+      // corpus fetch, so the edge table and the corpus are each
+      // scanned once per hop with NO shuffle — bounded-size
+      // broadcasts, not an estimate bet (the checkpointed frontier's
+      // defaultSizeInBytes stats otherwise leave the strategy to AQE,
+      // and the pre-r20 cached-plan path got static SortMergeJoins).
+      val cand = edges
+        .join(broadcast(frontier.select(col("probe_id"), col("vec_id"))),
+          col("vec_id") === col("v"))
         .select(col("probe_id"), col("n").as("vec_id"))
-        .join(e, Seq("vec_id"))
+      val neighbors = e
+        .join(broadcast(cand), Seq("vec_id"))
         .join(broadcast(probes), Seq("probe_id"))
         .select(col("probe_id"), col("vec_id"),
           round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      // ONE exchange per hop: hash(probe_id) satisfies both the
+      // dedup aggregation's (probe_id, vec_id) clustering and the
+      // top-beam window's probe_id clustering (guide §2.4: operations
+      // keyed the same way share one exchange; previously groupBy and
+      // window each planned their own).
       frontier.unionByName(neighbors)
+        .repartition(col("probe_id"))
         .groupBy(col("probe_id"), col("vec_id"))
         .agg(max(col("sim")).as("sim")) // dedup revisited nodes
         .withColumn("rn", row_number().over(w))
@@ -1830,8 +1864,17 @@ object Ann {
     * deleted node keeps carrying connectivity until compaction). */
   private[graft] def nswSearchOverMasked(
       s: SparkSession, e: DataFrame, edges: DataFrame,
-      tombstoned: Option[org.apache.spark.sql.Column]): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
+      tombstoned: Option[org.apache.spark.sql.Column]): DataFrame =
+    nswTopkFrom(nswFinalBeam(s, e, edges), tombstoned)
+
+  /** The materialized final beam (probe_id, vec_id, sim) over any
+    * corpus + edge list — [[nswSearchOverMasked]] up to (excluding)
+    * the mask+top-K tail. Split in r20 so k14 computes the beam ONCE
+    * for its before/tombstoned phases (identical traversal by the
+    * tombstone semantics — only the final top-K mask differs; the
+    * pre-split form re-ran all NSW_HOPS checkpointed hops twice). */
+  private[graft] def nswFinalBeam(
+      s: SparkSession, e: DataFrame, edges: DataFrame): DataFrame = {
       val probes = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
       // NSW_ENTRIES h60-spread entry points — TakeOrderedAndProject
@@ -1846,9 +1889,16 @@ object Ann {
       val f0 = probes.crossJoin(broadcast(entry))
         .select(col("probe_id"), col("vec_id"),
           round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+      beamPhase(s, e, probes, f0, edges, NSW_HOPS, NSW_B)
+  }
+
+  /** The mask + per-probe top-[[NSW_K]] tail over a final beam frame. */
+  private[graft] def nswTopkFrom(
+      beam: DataFrame,
+      tombstoned: Option[org.apache.spark.sql.Column]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("sim").desc, col("vec_id").asc)
-      val beam = beamPhase(s, e, probes, f0, edges, NSW_HOPS, NSW_B)
       val masked = tombstoned.fold(beam)(t => beam.filter(!t))
       masked.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= NSW_K)
@@ -2119,9 +2169,9 @@ object Ann {
       val w = Window.partitionBy(col("src"))
         .orderBy(col("sim").desc, col("dst").asc)
       def signFam(off: Int, m: Int): DataFrame =
-        signB(batch, off)
+        spreadByBucket(s, signB(batch, off)
           .select(col("vec_id").as("src"), col("emb").as("a_emb"),
-            col("b"))
+            col("b")))
           .join(nswSampled(signB(standing, off))
             .select(col("vec_id").as("dst"), col("emb").as("n_emb"),
               col("b")), Seq("b"))
@@ -2132,9 +2182,9 @@ object Ann {
           .select("src", "dst", "sim")
       val wr = Window.partitionBy(col("src"))
         .orderBy(col("rk").asc, col("dst").asc)
-      val randFam = randB(batch)
+      val randFam = spreadByBucket(s, randB(batch)
         .select(col("vec_id").as("src"), col("emb").as("a_emb"),
-          col("b"))
+          col("b")))
         .join(nswSampled(randB(standing))
           .select(col("vec_id").as("dst"), col("emb").as("n_emb"),
             col("b")), Seq("b"))
@@ -2732,14 +2782,20 @@ object Ann {
     var frontier = f0.snap()
     var visited = frontier
     for (_ <- 1 to hops) {
-      val neighbors = frontier.select(col("probe_id"), col("vec_id"))
-        .join(edges, col("vec_id") === col("v"))
+      // same r20 hop shape as beamPhase: bounded frontier/candidate
+      // broadcasts (edge table + corpus scanned shuffle-free per hop),
+      // one probe_id exchange shared by the dedup agg and the window
+      val cnd = edges
+        .join(broadcast(frontier.select(col("probe_id"), col("vec_id"))),
+          col("vec_id") === col("v"))
         .select(col("probe_id"), col("n").as("vec_id"))
-        .join(e, Seq("vec_id"))
+      val neighbors = e
+        .join(broadcast(cnd), Seq("vec_id"))
         .join(broadcast(probes), Seq("probe_id"))
         .select(col("probe_id"), col("vec_id"),
           round(cosine(s, "emb", "p_emb"), 6).as("sim"))
       val cands = frontier.unionByName(neighbors)
+        .repartition(col("probe_id"))
         .groupBy(col("probe_id"), col("vec_id"))
         .agg(max(col("sim")).as("sim"))
         .snap()

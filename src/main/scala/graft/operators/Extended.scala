@@ -634,7 +634,11 @@ object Extended {
     "x14_table_stats",
     (s, d) => {
       import graft.functions.Portable
-      val li = lineitem(s, d)
+      // r20: the NDV branch explodes 5 h60(md5) hashes per row out of a
+      // one-split scan (~3M md5s in one task at sf0.1) — spread the
+      // scan first (guide §2.5; min/max/count/HLL-register aggregates
+      // are partitioning-neutral)
+      val li = graft.operators.LlmOps.spreadScan(lineitem(s, d))
       val canon: Seq[(String, org.apache.spark.sql.Column)] = Seq(
         ("l_orderkey", col("l_orderkey").cast("string")),
         ("l_partkey", col("l_partkey").cast("string")),

@@ -734,7 +734,11 @@ object Graph {
         SELECT u AS node, v AS nbr FROM und
         UNION ALL SELECT v AS node, u AS nbr FROM und)"""
 
-  /** Spark-SQL form, for the sql twins. */
+  /** Spark-SQL form, for the sql twins. (r20 probe: a REPARTITION(nbr)
+    * hint here was tried and REVERTED — the executed plan already
+    * collapses the peeling rounds' identical agg exchanges via
+    * ReusedExchange (27 reuse nodes in plans/r20/sql_g4_kcore_before
+    * .txt); the hint only added exchanges, measured ~1.1x slower.) */
   private[graft] def undNbrsCtesSpark: String =
     denseUndCte(graft.functions.Portable.h60Sql("doc_id", "g4f"),
       " LATERAL VIEW explode(array(1L, 2L, 3L)) t AS j",

@@ -253,6 +253,24 @@ object LlmOps {
     p
   }
 
+  /** Round-robin-spread a SCAN-ONLY frame across the session's cores
+    * before fan-out-heavy derivations (guide §2.5: few-split input
+    * ahead of fan-out work — the local single-row-group parquet gives
+    * every scan ONE split, so per-row-expensive derivations like d13's
+    * pre-cap band tables and x14's 5-per-row h60 explode otherwise run
+    * on one core; d13 measured 6.7–12 s single-task stages). No-op
+    * when the scan already has >= defaultParallelism partitions (the
+    * production case: many splits), so it never adds a corpus-wide
+    * shuffle at scale. Only safe on scan-level frames: the partition
+    * probe resolves the physical plan, which for a frame with upstream
+    * exchanges would materialize its query stages. Result-neutral:
+    * every consumer aggregates by key (counts / min-max / register
+    * merges), none is partitioning- or order-sensitive. */
+  private[graft] def spreadScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Like [[pinned]], but for frames whose blocks Dataset.unpersist
     * cannot release (d8's checkpointed star frontier): the value is the
     * release callback itself. */
@@ -4532,8 +4550,12 @@ object LlmOps {
   val d13CapReport = Q(
     "d13_cap_report",
     (s, d) => {
-      val docs = documents(s, d)
-      val e = embeddings(s, d)
+      // r20: every branch below re-derives a band/bucket table from a
+      // one-split scan with per-row hashing — spread the two source
+      // scans across the cores first (guide §2.5; the report's
+      // aggregates are all key-grouped counts, partitioning-neutral)
+      val docs = spreadScan(documents(s, d))
+      val e = spreadScan(embeddings(s, d))
         .select(col("vec_id"), col("embedding").as("emb"))
       val rows = Seq(
         capStats("d2_minhash", "drop", minhashBandsOf(docs),

@@ -2795,12 +2795,16 @@ object Ingest {
       val served = s.read.parquet(out).select("v", "n")
       val corpus = graft.Tables.table(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").as("emb"))
-      val before = Ann.nswSearchOverMasked(s, corpus, served, None)
+      // r20: before/tombstoned traverse the SAME beam by the tombstone
+      // semantics (only the final top-K mask differs) — compute the
+      // checkpointed beam once and derive both phases from it, instead
+      // of re-running all NSW_HOPS hops twice
+      val beam = Ann.nswFinalBeam(s, corpus, served)
+      val before = Ann.nswTopkFrom(beam, None)
         .select(lit("before").as("phase"), col("probe_id"),
           col("vec_id"), col("sim"), col("rank"),
           lit(0L).as("edges_dropped"))
-      val tomb = Ann
-        .nswSearchOverMasked(s, corpus, served, Some(del(col("vec_id"))))
+      val tomb = Ann.nswTopkFrom(beam, Some(del(col("vec_id"))))
         .select(lit("tombstoned").as("phase"), col("probe_id"),
           col("vec_id"), col("sim"), col("rank"),
           lit(0L).as("edges_dropped"))

@@ -25,6 +25,10 @@ object SparkSuite {
       // fallback for driver-built sessions).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // cached (pinFrame'd) builds plan adaptively instead of with
+      // static exchanges/joins — see Bench.scala (r20 optimization)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
