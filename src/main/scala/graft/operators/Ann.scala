@@ -1807,42 +1807,49 @@ object Ann {
   private[graft] def beamPhase(
       s: SparkSession, e: DataFrame, probes: DataFrame,
       frontier0: DataFrame, edges: DataFrame, hops: Int, beam: Int)
-      : DataFrame = {
+      : DataFrame =
+    (1 to hops).foldLeft(frontier0) { (frontier, _) =>
+      beamHop(s, e, probes, frontier, edges, beam).snap()
+    }
+
+  /** ONE un-checkpointed beam hop — split from [[beamPhase]] so
+    * OptimizationShapeSpec can assert the r20 hop plan directly (the
+    * snap()'s LogicalRDD hides it from any downstream explain).
+    *
+    * r20 hop shape (guide §3.1/§2.4): the frontier (≤ probes×beam rows
+    * BY CONSTRUCTION) broadcasts into the edge lookup and the candidate
+    * id set (≤ frontier×degree) broadcasts into the corpus fetch, so
+    * the edge table and the corpus are each scanned once per hop with
+    * NO shuffle — bounded-size broadcasts, not an estimate bet (the
+    * checkpointed frontier's defaultSizeInBytes stats otherwise leave
+    * the strategy to the planner, and the pre-r20 cached-plan path got
+    * static SortMergeJoins). ONE exchange per hop: hash(probe_id)
+    * satisfies both the dedup aggregation's (probe_id, vec_id)
+    * clustering and the top-beam window's probe_id clustering (guide
+    * §2.4: operations keyed the same way share one exchange;
+    * previously groupBy and window each planned their own). */
+  private[graft] def beamHop(
+      s: SparkSession, e: DataFrame, probes: DataFrame,
+      frontier: DataFrame, edges: DataFrame, beam: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    (1 to hops).foldLeft(frontier0) { (frontier, _) =>
-      // r20 hop shape (guide §3.1/§2.4): the frontier (≤ probes×beam
-      // rows BY CONSTRUCTION) broadcasts into the edge lookup and the
-      // candidate id set (≤ frontier×degree) broadcasts into the
-      // corpus fetch, so the edge table and the corpus are each
-      // scanned once per hop with NO shuffle — bounded-size
-      // broadcasts, not an estimate bet (the checkpointed frontier's
-      // defaultSizeInBytes stats otherwise leave the strategy to AQE,
-      // and the pre-r20 cached-plan path got static SortMergeJoins).
-      val cand = edges
-        .join(broadcast(frontier.select(col("probe_id"), col("vec_id"))),
-          col("vec_id") === col("v"))
-        .select(col("probe_id"), col("n").as("vec_id"))
-      val neighbors = e
-        .join(broadcast(cand), Seq("vec_id"))
-        .join(broadcast(probes), Seq("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          round(cosine(s, "emb", "p_emb"), 6).as("sim"))
-      // ONE exchange per hop: hash(probe_id) satisfies both the
-      // dedup aggregation's (probe_id, vec_id) clustering and the
-      // top-beam window's probe_id clustering (guide §2.4: operations
-      // keyed the same way share one exchange; previously groupBy and
-      // window each planned their own).
-      frontier.unionByName(neighbors)
-        .repartition(col("probe_id"))
-        .groupBy(col("probe_id"), col("vec_id"))
-        .agg(max(col("sim")).as("sim")) // dedup revisited nodes
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
-        .select("probe_id", "vec_id", "sim")
-        .snap()
-    }
+    val cand = edges
+      .join(broadcast(frontier.select(col("probe_id"), col("vec_id"))),
+        col("vec_id") === col("v"))
+      .select(col("probe_id"), col("n").as("vec_id"))
+    val neighbors = e
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(s, "emb", "p_emb"), 6).as("sim"))
+    frontier.unionByName(neighbors)
+      .repartition(col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim")) // dedup revisited nodes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= beam)
+      .select("probe_id", "vec_id", "sim")
   }
 
   /** The greedy-beam search side over ANY (v, n) edge list — a17's

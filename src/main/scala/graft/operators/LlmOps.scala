@@ -144,6 +144,10 @@ object LlmOps {
     * BOTH engines identically (p ≈ n²/2^61 per doc — negligible, and
     * oracle-invisible since the oracle replays the same hash). */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    // (r20 probe: a spreadScan here was tried and REVERTED — the
+    // ~3.4 s single-task gram stages run concurrently with other
+    // stages, so wall was flat while per-task plan-deserialization
+    // overhead inflated total CPU ~5x on the big-plan consumers.)
     docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -267,8 +271,19 @@ object LlmOps {
     * every consumer aggregates by key (counts / min-max / register
     * merges), none is partitioning- or order-sensitive. */
   private[graft] def spreadScan(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    // width is env-tunable for A/B isolation (0 disables); the local
+    // default stays defaultParallelism — only LONG single-task stages
+    // keep a spread call site (d13, x14), where the per-task
+    // plan-deserialization overhead is amortized
+    val p = sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    if (p <= 0) return df
+    // the partition probe is undefined for streaming frames (and
+    // resolves the physical plan for batch ones) — on ANY failure,
+    // return the frame unchanged: the spread is an optimization, never
+    // a semantic need
+    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => p }
+    if (parts >= p) df else df.repartition(p)
   }
 
   /** Like [[pinned]], but for frames whose blocks Dataset.unpersist
@@ -760,6 +775,8 @@ object LlmOps {
   private def wordNgramHashesOf(
       docs: DataFrame, n: Int, seed: String,
       dedup: Boolean = true): DataFrame = {
+    // (r20 probe: a spreadScan here was tried and REVERTED — see
+    // shinglesOf; same flat-wall / inflated-CPU outcome.)
     val g = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= n)
